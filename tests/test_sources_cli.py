@@ -1,0 +1,92 @@
+"""CSV attr-map ingestion (FIXTURES.md A2) and CLI parity tests."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+from tripl_spark import TripleStore
+from tripl_spark.sources.csv_attrmap import csv_docs_df, load_csv
+
+TOY_CSV = "/root/reference/tripl/data/toy.csv"
+
+ATTR_MAP = {
+    "seq:id": "id",
+    "seq:virus": "virus",
+    "seq:notpresent": "foobar",
+    "seq:geo": "geo",
+    "seq:date": [{"date:day": "date", "date:time": "time", "date:id": "date_id"}],
+    "seq:sample": [{"sample:id": "sample"}],
+}
+
+
+def test_load_csv_docstring_shape():
+    docs = list(load_csv(TOY_CSV, ATTR_MAP, "toy"))
+    assert len(docs) == 4
+    d = next(doc for doc in docs if doc["toy.seq:id"] == "i1")
+    assert d["toy.seq:virus"] == "EBOV"
+    assert d["toy.seq:geo"] == "jena"
+    assert d["toy.seq:notpresent"] is None
+    assert d["toy:type"] == "toy.type:seq"
+    date = d["toy.seq:date"][0]
+    assert date["toy.date:day"] == "2017-06-01"
+    assert date["toy.date:id"] == "t1"
+    assert date["toy.date:time"] is None
+    assert date["toy:type"] == "toy.type:date"
+    assert d["toy.seq:sample"][0]["toy.sample:id"] == "s1"
+
+
+def test_csv_ingest_golden_query(spark):
+    ts = TripleStore(spark=spark)
+    ts.assert_facts(
+        load_csv(TOY_CSV, ATTR_MAP, "toy"),
+        id_attrs=["toy.seq:id", "toy.sample:id", "toy.date:id"],
+    )
+    assert len(ts.match({"toy:type": "toy.type:seq"})) == 4
+    # shared sample s3 and date t2 resolve to single entities
+    assert len(ts.match({"toy.sample:id": "s3"})) == 1
+    assert len(ts.match({"toy.date:id": "t2"})) == 1
+    out = ts.pull_many(["db:ident", "toy.seq:id"], {"toy:type": "toy.type:seq"})
+    ids = sorted(d["toy.seq:id"][0] for d in out)
+    assert ids == ["i1", "i2", "i3", "i4"]
+
+
+def test_csv_docs_df_distributed(spark):
+    df = csv_docs_df(spark, TOY_CSV, ATTR_MAP, "toy")
+    rows = {r["toy.seq:id"]: r.asDict(recursive=True) for r in df.collect()}
+    assert set(rows) == {"i1", "i2", "i3", "i4"}
+    d = rows["i3"]
+    assert d["toy.seq:date"][0]["toy.date:id"] == "t2"
+    assert d["toy:type"] == "toy.type:seq"
+    assert d["toy.seq:notpresent"] is None
+
+
+def test_cli_join_and_pull(tmp_path):
+    docs = [
+        {"x:id": "a", "x:name": "Alpha", "x:type": "x.type:thing"},
+        {"x:id": "b", "x:name": "Beta", "x:type": "x.type:thing"},
+    ]
+    f1 = tmp_path / "in1.json"
+    f1.write_text(json.dumps(docs))
+    merged = tmp_path / "merged.json"
+    out = tmp_path / "out.json"
+
+    r = subprocess.run(
+        [sys.executable, "-m", "tripl_spark.cli", "join", "-i", str(f1), "-o", str(merged),
+         "--id-attrs", "x:id"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    dumped = json.loads(merged.read_text())
+    assert any("x:name" in avs for avs in dumped.values())
+
+    r = subprocess.run(
+        [sys.executable, "-m", "tripl_spark.cli", "pull", "-i", str(merged), "-o", str(out),
+         "-p", '["x:name"]', "-e", '{"x:type": "x.type:thing"}'],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    results = json.loads(out.read_text())
+    names = sorted(d["x:name"][0] for d in results)
+    assert names == ["Alpha", "Beta"]

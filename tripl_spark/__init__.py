@@ -21,3 +21,12 @@ semantics.
 """
 
 __version__ = "0.1.0"
+
+from tripl_spark.core.store import TripleStore  # noqa: F401
+from tripl_spark.functions.namespaces import (  # noqa: F401
+    entity_cons,
+    get_in,
+    namespaced,
+    reverse_lookup,
+    some,
+)

@@ -1,0 +1,459 @@
+"""TripleStore — the EAV store surface of the reference
+(/root/reference/tripl/tripl.py:300-740) over a Spark facts DataFrame.
+
+Physical model (SURVEY.md §1.1): one canonical ``facts`` frame
+
+    facts(e string, a string, vtype string,
+          v_str string, v_num double, v_bool boolean, t long)
+
+``v_str`` holds strings AND refs (eids are strings); ``vtype``
+distinguishes. ``t`` is a per-triple monotonic stamp so cardinality-one
+is last-write-wins at read time (the reference's in-place displacement
+is broken as shipped — SURVEY.md Q2; we implement the intent).
+
+The reference's three hash-trie orderings (EAV/AEV/VAE) become plan
+shapes, not structures: every match clause filters on ``a`` first (AEV),
+pull's reverse joins hit ``v_str`` (VAE), and at rest the frame should
+be written partitioned by ``a`` (see ``dump_parquet``) so Catalyst
+prunes to the attributes a query touches.
+
+Writes append micro-batches: documents are flattened driver-side (they
+arrive driver-side by definition of this API — for bulk data use
+``assert_facts_df``) and buffered; the buffer materializes into the
+DataFrame lazily on first read. Set semantics (duplicate assertion is
+idempotent) and card-one collapse are applied by the ``current_facts``
+compaction view, not at write time — at 100 TB you want append-only
+writes and a merge-on-read view, exactly like Delta/Hudi MOR tables.
+"""
+
+from __future__ import annotations
+
+import json
+import warnings
+from collections.abc import Iterable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tripl_spark.core.flatten import (
+    FACT_COLUMNS,
+    Flattener,
+    collect_id_pairs,
+    decode_value,
+    typed_value,
+)
+from tripl_spark.core.schema import CARD_MANY, CARD_ONE, SchemaRegistry, base_schema
+from tripl_spark.functions.namespaces import some
+from tripl_spark.plans import match as match_plan
+from tripl_spark.plans import pull as pull_plan
+
+FACTS_SCHEMA = T.StructType(
+    [
+        T.StructField("e", T.StringType(), False),
+        T.StructField("a", T.StringType(), False),
+        T.StructField("vtype", T.StringType(), False),
+        T.StructField("v_str", T.StringType(), True),
+        T.StructField("v_num", T.DoubleType(), True),
+        T.StructField("v_bool", T.BooleanType(), True),
+        T.StructField("t", T.LongType(), False),
+    ]
+)
+
+_SETTINGS_ATTRS = {"db.refs:lazy", "db.cardinality:default"}
+_SCHEMA_META_ATTRS = {"db:cardinality", "db:valueType"}
+
+
+class TripleStore:
+    """Reference-compatible constructor signature (tripl.py:304-309) plus
+    an optional ``spark`` session."""
+
+    def __init__(
+        self,
+        schema: dict[str, dict[str, Any]] | None = None,
+        facts: Any = None,
+        lazy_refs: bool | None = None,
+        default_cardinality: str | None = None,
+        types: Any = None,
+        ident_attr: str = "db:ident",
+        id_attrs: list[str] | None = None,
+        spark: SparkSession | None = None,
+    ) -> None:
+        if spark is None:
+            from tripl_spark.session import get_spark
+
+            spark = get_spark()
+        self.spark = spark
+        self.registry = SchemaRegistry(ident_attr=ident_attr)
+        self.types = types
+        self._pending: list[tuple] = []
+        self._df: DataFrame | None = None
+        self._t = 0
+        self._id_cache: dict[tuple[str, Any], str] = {}
+        self._compacted: DataFrame | None = None
+
+        self.assert_facts(base_schema(ident_attr))
+        if facts is not None:
+            self.assert_facts(facts, id_attrs=id_attrs)
+        if schema:
+            self.assert_schema(schema)
+        # kwargs override settings recovered from loaded facts (tripl.py:330-346)
+        if lazy_refs is not None:
+            self.registry.lazy_refs = bool(lazy_refs)
+        if default_cardinality is not None:
+            self.registry.default_cardinality = default_cardinality
+        self.assert_fact(
+            {
+                ident_attr: "db:schema",
+                "db.refs:lazy": self.registry.lazy_refs,
+                "db.cardinality:default": self.registry.default_cardinality,
+            }
+        )
+
+    # -- settings proxies ----------------------------------------------------
+
+    @property
+    def ident_attr(self) -> str:
+        return self.registry.ident_attr
+
+    @property
+    def lazy_refs(self) -> bool:
+        return self.registry.lazy_refs
+
+    @property
+    def default_cardinality(self) -> str:
+        return self.registry.default_cardinality
+
+    # -- write path ------------------------------------------------------------
+
+    def _ingest_rows(self, rows: list[tuple]) -> None:
+        """Append flattened rows, intercepting schema/settings triples to
+        keep the driver-side registry consistent (the reference reads
+        schema straight from its indexes; our registry is that cache)."""
+        for e, a, vtype, v_str, v_num, v_bool, _t in rows:
+            if a in _SCHEMA_META_ATTRS:
+                self.registry.declare(e, {a: decode_value(vtype, v_str, v_num, v_bool)})
+            elif e == "db:schema" and a in _SETTINGS_ATTRS:
+                val = decode_value(vtype, v_str, v_num, v_bool)
+                if a == "db.refs:lazy":
+                    self.registry.lazy_refs = bool(val)
+                else:
+                    self.registry.default_cardinality = str(val)
+        self._pending.extend(rows)
+        self._invalidate()
+
+    def _invalidate(self) -> None:
+        if self._compacted is not None:
+            try:
+                self._compacted.unpersist()
+            except Exception:
+                pass
+            self._compacted = None
+
+    def _resolve_existing_ids(self, pairs: set[tuple[str, Any]]) -> dict[tuple[str, Any], str]:
+        """Look up (id_attr, value) pairs against already-stored facts.
+        Pending rows are scanned driver-side; materialized facts via one
+        broadcast-semi join (the reference's per-doc match scan, batched:
+        its author flags that inefficiency at tripl.py:460)."""
+        out: dict[tuple[str, Any], str] = {}
+        todo = {p for p in pairs if p not in self._id_cache}
+        for p in pairs - todo:
+            out[p] = self._id_cache[p]
+        if not todo:
+            return out
+        attrs = {a for a, _ in todo}
+        for e, a, vtype, v_str, v_num, v_bool, _t in self._pending:
+            if a in attrs:
+                val = decode_value(vtype, v_str, v_num, v_bool)
+                if (a, val) in todo:
+                    out[(a, val)] = e
+        if self._df is not None:
+            remaining = todo - set(out)
+            if remaining:
+                pred = match_plan.value_predicate([v for _, v in remaining])
+                rows = (
+                    self._df.filter(F.col("a").isin(list({a for a, _ in remaining})))
+                    .filter(pred)
+                    .select("e", "a", "vtype", "v_str", "v_num", "v_bool")
+                    .collect()
+                )
+                for row in rows:
+                    key = (row.a, decode_value(row.vtype, row.v_str, row.v_num, row.v_bool))
+                    if key in remaining and key not in out:
+                        out[key] = row.e
+        self._id_cache.update(out)
+        return out
+
+    def assert_fact(self, fact: Any, id_attrs: list[str] | None = None) -> str | None:
+        """Assert one document dict or one (e, a, v) triple."""
+        if isinstance(fact, dict):
+            eids = self.assert_facts([fact], id_attrs=id_attrs)
+            return eids[0] if eids else None
+        e, a, v = fact
+        vtype, v_str, v_num, v_bool = typed_value(v, is_ref=self.registry.ref_attr(a))
+        self._ingest_rows([(str(e), a, vtype, v_str, v_num, v_bool, self._bump_t())])
+        return None
+
+    def _bump_t(self) -> int:
+        t = self._t
+        self._t += 1
+        return t
+
+    def assert_facts(self, facts: Any, id_attrs: list[str] | None = None) -> list[str]:
+        """Docs iterable, EAV-index dict, or another TripleStore (merge)."""
+        if isinstance(facts, dict):
+            for e, d in facts.items():
+                for a, vs in d.items():
+                    vs = vs if isinstance(vs, (list, tuple, set)) else [vs]
+                    for v in vs:
+                        self.assert_fact((e, a, v))
+            return []
+        if isinstance(facts, TripleStore):
+            return self.assert_facts(facts.to_dict())
+        docs = list(facts)
+        memo = dict(
+            self._resolve_existing_ids(collect_id_pairs(docs, id_attrs)) if id_attrs else {}
+        )
+        fl = Flattener(self.registry, id_attrs=id_attrs, memo=memo, t0=self._t)
+        result = fl.flatten_docs(docs)
+        self._t = result.next_t
+        self._id_cache.update(memo)
+        self._ingest_rows(result.rows)
+        return result.root_eids
+
+    def assert_schema(self, schema: dict[str, dict[str, Any]]) -> str | None:
+        """Schema stored as data (tripl.py:363-373): attribute-named
+        entities under db:schema / db:attributes."""
+        def attr_entity(attr: str, attr_schema: dict[str, Any]) -> dict[str, Any]:
+            out = dict(attr_schema)
+            out[self.ident_attr] = attr
+            return out
+
+        return self.assert_fact(
+            {
+                self.ident_attr: "db:schema",
+                "db:attributes": [attr_entity(a, s) for a, s in schema.items()],
+            }
+        )
+
+    def retract_fact(self, fact: tuple) -> None:
+        """Remove one (e, a, v) triple — correct implementation of the
+        reference's broken private API (tripl.py:434-443, SURVEY.md Q2)."""
+        self.retract_facts([fact])
+
+    def retract_facts(self, facts: Iterable[tuple]) -> None:
+        keys = []
+        for e, a, v in facts:
+            vtype, v_str, v_num, v_bool = typed_value(v, is_ref=False)
+            keys.append((str(e), a, _vkey_py(vtype, v_str, v_num, v_bool)))
+        df = self.facts_df()
+        tomb = self.spark.createDataFrame(
+            keys, T.StructType([
+                T.StructField("te", T.StringType()),
+                T.StructField("ta", T.StringType()),
+                T.StructField("tv", T.StringType()),
+            ])
+        )
+        self._df = df.join(
+            F.broadcast(tomb),
+            (df.e == tomb.te) & (df.a == tomb.ta) & (_vkey_col() == tomb.tv),
+            "left_anti",
+        )
+        self._invalidate()
+
+    # -- facts views -----------------------------------------------------------
+
+    def facts_df(self) -> DataFrame:
+        """All appended triples (bag, pre-compaction)."""
+        if self._pending:
+            new = self.spark.createDataFrame(self._pending, FACTS_SCHEMA)
+            self._df = new if self._df is None else self._df.unionByName(new)
+            self._pending = []
+        assert self._df is not None
+        return self._df
+
+    def current_facts(self, cache: bool = True) -> DataFrame:
+        """Compacted view: set semantics (exact-duplicate dedup) +
+        cardinality-one last-write-wins by ``t``."""
+        if self._compacted is not None:
+            return self._compacted
+        df = self.facts_df()
+        df = df.groupBy("e", "a", "vtype", "v_str", "v_num", "v_bool").agg(
+            F.max("t").alias("t")
+        )
+        if self.registry.default_cardinality == CARD_ONE:
+            many = self.registry.declared_many_attrs()
+            card_one_pred = ~F.col("a").isin(many) if many else F.lit(True)
+        else:
+            ones = self.registry.card_one_attrs()
+            if "db:cardinality" not in ones:
+                ones = ones + ["db:cardinality"]
+            card_one_pred = F.col("a").isin(ones)
+        w = Window.partitionBy("e", "a").orderBy(F.desc("t"))
+        df = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter((~card_one_pred) | (F.col("__rn") == 1))
+            .drop("__rn")
+        )
+        if cache:
+            df = df.cache()
+            self._compacted = df
+        return df
+
+    # -- queries -----------------------------------------------------------
+
+    def match_df(self, pattern: dict[str, Any]) -> DataFrame:
+        return match_plan.match_df(self.current_facts(), pattern)
+
+    def match(self, pattern: dict[str, Any]) -> set[str]:
+        return {row.e for row in self.match_df(pattern).collect()}
+
+    def pull(self, pull_expr: list[Any], entity: Any, max_depth: int = 20) -> dict[str, Any]:
+        if isinstance(entity, dict):
+            eids = sorted(self.match(entity))
+            return self.pull(pull_expr, some(eids), max_depth=max_depth)
+        eid = entity.ident if hasattr(entity, "ident") and not isinstance(entity, str) else entity
+        return pull_plan.pull_many_plan(
+            self.spark, self.current_facts(), self.registry, pull_expr, [str(eid)],
+            max_depth=max_depth,
+        )[0]
+
+    def pull_many(
+        self,
+        pull_expr: list[Any],
+        eids_or_pattern: Any,
+        sort_by: str | None = None,
+        sort_desc: bool = True,
+        ascending: bool | None = None,
+        max_depth: int = 20,
+    ) -> list[dict[str, Any]]:
+        """Reference-compat note (SURVEY.md Q7): the reference's
+        ``sort_desc=True`` default yields ASCENDING order and ``False``
+        applies ``reversed()``. We keep that behavior for compatibility
+        but expose ``ascending=`` which, when given, wins."""
+        if isinstance(eids_or_pattern, dict):
+            eids = sorted(self.match(eids_or_pattern))
+        else:
+            eids = [e.ident if hasattr(e, "ident") and not isinstance(e, str) else str(e)
+                    for e in eids_or_pattern]
+        results = pull_plan.pull_many_plan(
+            self.spark, self.current_facts(), self.registry, pull_expr, eids,
+            max_depth=max_depth,
+        )
+        if sort_by:
+            results = sorted(
+                results, key=lambda x: (x.get(sort_by) is None, str(x.get(sort_by)))
+            )
+            asc = ascending if ascending is not None else sort_desc
+            if not asc:
+                results = list(reversed(results))
+        return results
+
+    def entity(self, pattern_or_eid: Any, namespace: str | None = None):
+        from tripl_spark.core.entity import Entity
+
+        if isinstance(pattern_or_eid, dict):
+            eid = some(sorted(self.match(pattern_or_eid)))
+            return self.entity(eid, namespace=namespace)
+        return Entity(self, pattern_or_eid, namespace=namespace)
+
+    def entities(self, pattern: dict[str, Any], namespace: str | None = None):
+        return [self.entity(e, namespace=namespace) for e in sorted(self.match(pattern))]
+
+    def schema(self, attr: str | None = None, meta_attr: str | None = None) -> Any:
+        if attr and meta_attr:
+            return self.registry.attrs.get(attr, {}).get(meta_attr)
+        if attr:
+            return dict(self.registry.attrs.get(attr, {}))
+        return [dict(s) for s in self.registry.attrs.values()]
+
+    # -- persistence ---------------------------------------------------------
+
+    def to_dict(self) -> dict[str, dict[str, list[Any]]]:
+        """EAV-index-shaped dict of the compacted store (dump format:
+        ``{e: {a: [v, ...]}}``, reference tripl.py:555-558 with sorted
+        value lists instead of arbitrary set order)."""
+        out: dict[str, dict[str, list[Any]]] = {}
+        for row in self.current_facts().collect():
+            val = decode_value(row.vtype, row.v_str, row.v_num, row.v_bool)
+            out.setdefault(row.e, {}).setdefault(row.a, []).append(val)
+        for avs in out.values():
+            for a in avs:
+                avs[a] = sorted(avs[a], key=lambda v: (type(v).__name__, str(v)))
+        return out
+
+    def dump(self, filename: str) -> None:
+        with open(filename, "w") as fp:
+            json.dump(self.to_dict(), fp, default=list)
+
+    @classmethod
+    def load(cls, filename: str, schema: dict | None = None,
+             id_attrs: list[str] | None = None, spark: SparkSession | None = None
+             ) -> "TripleStore":
+        with open(filename, "rb") as fp:
+            data = json.load(fp)
+        return cls(facts=data, schema=schema, id_attrs=id_attrs, spark=spark)
+
+    @classmethod
+    def loads(cls, filenames: list[str], schema: dict | None = None,
+              id_attrs: list[str] | None = None, spark: SparkSession | None = None
+              ) -> "TripleStore":
+        result = cls.load(filenames[0], schema=schema, id_attrs=id_attrs, spark=spark)
+        for filename in filenames[1:]:
+            with open(filename, "rb") as fp:
+                result.assert_facts(json.load(fp), id_attrs=id_attrs)
+        return result
+
+    def dump_parquet(self, path: str) -> None:
+        """Scale-path persistence: the compacted facts frame partitioned
+        by attribute (the AEV ordering as physical layout — match clauses
+        prune to one attribute directory)."""
+        self.current_facts(cache=False).write.mode("overwrite").partitionBy("a").parquet(path)
+
+    @classmethod
+    def load_parquet(cls, path: str, spark: SparkSession | None = None) -> "TripleStore":
+        store = cls(spark=spark)
+        df = store.spark.read.parquet(path).select(*FACT_COLUMNS)
+        store._df = store.facts_df().unionByName(df)
+        # rebuild registry caches from schema triples
+        meta = df.filter(
+            F.col("a").isin(list(_SCHEMA_META_ATTRS))
+            | ((F.col("e") == "db:schema") & F.col("a").isin(list(_SETTINGS_ATTRS)))
+        ).collect()
+        max_t = df.agg(F.max("t")).collect()[0][0]
+        store._t = max(store._t, (max_t or 0) + 1)
+        for row in meta:
+            val = decode_value(row.vtype, row.v_str, row.v_num, row.v_bool)
+            if row.a in _SCHEMA_META_ATTRS:
+                store.registry.declare(row.e, {row.a: val})
+            elif row.a == "db.refs:lazy":
+                store.registry.lazy_refs = bool(val)
+            else:
+                store.registry.default_cardinality = str(val)
+        store._invalidate()
+        return store
+
+
+def _vkey_py(vtype: str, v_str: str | None, v_num: float | None, v_bool: bool | None) -> str:
+    """Canonical value key treating str/ref as equal (driver side)."""
+    if vtype == "null":
+        return "z"
+    if vtype in ("int", "float"):
+        return f"n:{float(v_num)}"
+    if vtype == "bool":
+        return f"b:{v_bool}"
+    return f"s:{v_str}"
+
+
+def _vkey_col() -> F.Column:
+    """Same canonical value key, as a Column (JVM side)."""
+    return (
+        F.when(F.col("vtype") == "null", F.lit("z"))
+        .when(F.col("vtype").isin("int", "float"),
+              F.concat(F.lit("n:"), F.col("v_num").cast("string")))
+        .when(F.col("vtype") == "bool",
+              F.concat(F.lit("b:"),
+                       F.when(F.col("v_bool"), F.lit("True")).otherwise(F.lit("False"))))
+        .otherwise(F.concat(F.lit("s:"), F.col("v_str")))
+    )

@@ -66,5 +66,6 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     from tripl_spark.queries import analytics, tpch  # noqa: F401
+    from tripl_spark.queries import triples  # noqa: F401
 
     _LOADED = True

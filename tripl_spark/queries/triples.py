@@ -1,0 +1,121 @@
+"""Triple-engine bridge queries: Layer A semantics (match / graph join /
+reverse lookup / pull projection) exercised distributed over melted
+driver tables, each with a relational DuckDB oracle.
+
+This is the correctness tie between the EAV encoding and plain SQL
+(FIXTURES.md §B "triple-encoding bridge"): the Spark side goes
+table → melt → facts → match/pull plan; the oracle expresses the same
+question relationally. If the planners mis-join, these hash-mismatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tripl_spark.plans.match import match_df
+from tripl_spark.queries.registry import query
+from tripl_spark.session import load_table
+from tripl_spark.sources.melt import melt_table
+
+
+def _customer_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return melt_table(
+        load_table(spark, sf_dir, "customer"),
+        "customer",
+        "c_custkey",
+        ref_cols={"c_nationkey": ("nation", "nation")},
+    )
+
+
+def _nation_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return melt_table(load_table(spark, sf_dir, "nation"), "nation", "n_nationkey")
+
+
+@query(
+    "triple_match_segment",
+    oracle="""
+    SELECT 'customer-' || CAST(c_custkey AS VARCHAR) AS e
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def triple_match_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-clause match (reference _entity_lookup, tripl.py:589-602):
+    attribute-equality scan over the facts frame."""
+    facts = _customer_facts(spark, sf_dir)
+    return match_df(facts, {"customer:c_mktsegment": "BUILDING"})
+
+
+@query(
+    "triple_match_nested",
+    oracle="""
+    SELECT 'customer-' || CAST(c_custkey AS VARCHAR) AS e
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3' AND c_acctbal > 0
+    """,
+)
+def triple_match_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested pattern = graph equi-join through a ref attr (reference
+    match sub-pattern, tripl.py:605-608; crashes there for declared refs
+    — SURVEY.md Q3 — implemented uniformly here as a semi-join), plus a
+    conjunctive second clause intersected via semi-join."""
+    facts = _customer_facts(spark, sf_dir).unionByName(_nation_facts(spark, sf_dir))
+    pos = (
+        facts.filter((F.col("a") == "customer:c_acctbal") & (F.col("v_num") > 0))
+        .select("e")
+        .distinct()
+    )
+    nested = match_df(facts, {"customer:nation": {"nation:n_name": "NATION_3"}})
+    return nested.join(pos.withColumnRenamed("e", "pe"),
+                       nested.e == F.col("pe"), "left_semi")
+
+
+@query(
+    "triple_reverse_fanin",
+    oracle="""
+    SELECT 'nation-' || CAST(c_nationkey AS VARCHAR) AS e, count(*) AS n_customers
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def triple_reverse_fanin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse lookup (``customer:_nation`` fan-in, reference
+    tripl.py:694-706): group facts by ref value — the VAE index ordering
+    expressed as an aggregation."""
+    facts = _customer_facts(spark, sf_dir)
+    return (
+        facts.filter(F.col("a") == "customer:nation")
+        .groupBy(F.col("v_str").alias("e"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "triple_pull_projection",
+    oracle="""
+    SELECT 'customer-' || CAST(c_custkey AS VARCHAR) AS e,
+           c_name, n_name
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_mktsegment = 'MACHINERY'
+    """,
+)
+def triple_pull_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat pull: match roots, project a plain attr and a one-level
+    forward ref attr (the pull compiler's join shape, SURVEY.md §7.4,
+    as a relational result)."""
+    facts = _customer_facts(spark, sf_dir).unionByName(_nation_facts(spark, sf_dir))
+    roots = match_df(facts, {"customer:c_mktsegment": "MACHINERY"})
+    names = facts.filter(F.col("a") == "customer:c_name").select(
+        F.col("e").alias("ne"), F.col("v_str").alias("c_name")
+    )
+    edges = facts.filter(F.col("a") == "customer:nation").select(
+        F.col("e").alias("ee"), F.col("v_str").alias("nation_e")
+    )
+    nnames = facts.filter(F.col("a") == "nation:n_name").select(
+        F.col("e").alias("nne"), F.col("v_str").alias("n_name")
+    )
+    return (
+        roots.join(names, roots.e == names.ne)
+        .join(edges, roots.e == edges.ee)
+        .join(nnames, edges.nation_e == nnames.nne)
+        .select("e", "c_name", "n_name")
+    )
