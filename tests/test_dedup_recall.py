@@ -1,0 +1,71 @@
+"""Recall tests for the approximate dedup operators: plant near-duplicate
+documents and require MinHash-LSH and SimHash to find them (the driver's
+rows-only check can't prove this; these tests do)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from tripl_spark.operators.dedup import (
+    jaccard_pairs,
+    minhash_candidates,
+    simhash64,
+)
+
+# vocabulary must be much larger than doc length: simhash/minhash operate
+# on distinct-token (shingle) sets, and a tiny vocab makes every doc's set
+# identical
+VOCAB = [f"w{i:03d}" for i in range(400)]
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        words = [rng.choice(VOCAB) for _ in range(60)]
+        rows.append((i * 2, " ".join(words)))
+        near = list(words)
+        for _ in range(3):  # ~5% token perturbation → Jaccard ≈ 0.85
+            near[rng.randrange(len(near))] = rng.choice(VOCAB)
+        rows.append((i * 2 + 1, " ".join(near)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_lsh_finds_planted_pairs(planted_docs):
+    cands = minhash_candidates(planted_docs)
+    verified = jaccard_pairs(planted_docs, cands).filter(F.col("jaccard") >= 0.5)
+    found = {(r.id_a, r.id_b) for r in verified.collect()}
+    planted = {(i * 2, i * 2 + 1) for i in range(40)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, f"LSH recall too low: {recall} ({len(found)} pairs found)"
+
+
+def test_simhash_separates_dups_from_random(planted_docs, spark):
+    sigs = {r.doc_id: r.sig for r in
+            planted_docs.select("doc_id", simhash64().alias("sig")).collect()}
+    planted_dists = [bin(sigs[i * 2] ^ sigs[i * 2 + 1]).count("1") for i in range(40)]
+    random_dists = [bin(sigs[i * 2] ^ sigs[(i * 2 + 2) % 80]).count("1") for i in range(40)]
+    # near-dups must be markedly closer in Hamming space than random pairs
+    assert sum(planted_dists) / len(planted_dists) < sum(random_dists) / len(random_dists) - 5
+
+
+def test_multimodal_features_contract(spark, sf_small):
+    from tripl_spark.operators.multimodal import extract_features, media_table
+
+    feats = extract_features(media_table(spark, sf_small))
+    rows = feats.limit(5).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.feat_dim == 16 and 0.0 <= r.feat_mean <= 1.0
+        assert len(r.content_hash) == 32
+
+
+def test_decode_stub_raises():
+    from tripl_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")

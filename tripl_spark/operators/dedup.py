@@ -1,0 +1,279 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design (the whole point of these):
+
+* **Exact** — hash-groupBy on a normalization fingerprint: one shuffle
+  keyed by a 128-bit hash, near-perfectly balanced by construction.
+* **MinHash+LSH** — shingle → per-permutation min-hash signature →
+  banding → bucket join. Signatures are fixed-size (k longs) regardless
+  of document length; candidate generation joins on (band, band-hash),
+  touching only colliding docs rather than the O(n²) pair space; exact
+  Jaccard verification runs only on candidates. All hashing is
+  ``xxhash64`` — JVM-side, seed-stable, no Python.
+* **SimHash** — 64-bit signature via sign-aggregated token hashes, then
+  pigeonhole banding (4×16-bit chunks: any pair within Hamming
+  distance 3 must agree on ≥1 chunk) for candidate joins.
+* **Embedding near-dup** — normalized-vector self-join above a cosine
+  threshold; the demo query keys candidates by coarse LSH sign-buckets
+  before the exact check (same candidate-pruning shape as MinHash).
+
+MinHash/SimHash candidate generation is not SQL-expressible in a way
+DuckDB replicates hash-for-hash (xxhash64 vs DuckDB's hash differ), so
+those two register rows-only; the exact-dedup and embedding operators
+carry full oracles, and tests/test_dedup.py proves MinHash/SimHash
+recall on planted near-duplicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tripl_spark.queries.registry import query
+from tripl_spark.session import load_table
+
+# MinHash parameters: 32 permutations in 8 bands of 4 rows → catches
+# Jaccard ≳ 0.6 with high probability at this band geometry.
+MINHASH_PERMS = 32
+LSH_BANDS = 8
+_ROWS_PER_BAND = MINHASH_PERMS // LSH_BANDS
+# 2^31-1 keeps a*h + b < 2^62: no long overflow under Spark 4's ANSI mode
+_MERSENNE = (1 << 31) - 1
+# deterministic affine permutation constants (seeded LCG, driver-side)
+_PERM_A = [(2654435761 * (i + 1) + 104729) % _MERSENNE or 1 for i in range(MINHASH_PERMS)]
+_PERM_B = [(40503 * (i + 7) * 2246822519 + 3266489917) % _MERSENNE for i in range(MINHASH_PERMS)]
+
+
+def normalized_text(col: str = "text") -> F.Column:
+    return F.trim(F.regexp_replace(F.lower(F.col(col)), r"\s+", " "))
+
+
+@query(
+    "dedup_exact",
+    oracle=r"""
+    SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+           count(*) AS n_copies,
+           min(doc_id) AS keeper_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via fingerprint groupBy: one row per distinct content,
+    keeping the smallest doc_id (deterministic keeper policy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(normalized_text()).alias("fingerprint"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
+    )
+
+
+def word_shingles(n: int = 3, col: str = "text") -> F.Column:
+    """n-gram word shingles as an array of strings (JVM-side)."""
+    toks = F.split(F.trim(F.lower(F.col(col))), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    )
+
+
+def minhash_signature(shingles: F.Column) -> F.Column:
+    """Array of MINHASH_PERMS min-hash values (long) for a shingle set."""
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    sigs = [
+        F.array_min(
+            F.transform(hashes, lambda h: F.pmod(a * F.pmod(h, _MERSENNE) + b, _MERSENNE))
+        )
+        for a, b in zip(_PERM_A, _PERM_B)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_candidates(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """LSH banding: (band_id, band_hash) buckets → candidate id pairs."""
+    sigs = docs.select(
+        F.col(id_col), minhash_signature(word_shingles()).alias("sig")
+    )
+    bands = sigs.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(
+                        F.array_join(F.slice("sig", b * _ROWS_PER_BAND + 1, _ROWS_PER_BAND), ",")
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (verification stage)."""
+    sh = docs.select(F.col(id_col), word_shingles().alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b", F.round(inter * 1.0 / union, 4).alias("jaccard"))
+    )
+
+
+@query("dedup_minhash_lsh", doc="MinHash+LSH near-dup pairs (rows-only check; "
+                               "recall proven on planted dups in tests/test_dedup.py)")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with LSH candidate pruning + exact Jaccard ≥ 0.6
+    verification — the scalable fuzzy-dedup pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = minhash_candidates(docs)
+    return jaccard_pairs(docs, cands).filter(F.col("jaccard") >= 0.6)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=r"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS shingles
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+            FROM documents WHERE doc_id < 50)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.shingles, b.shingles)) * 1.0
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard on a bounded slice (doc_id < 50) —
+    the brute-force ground truth the LSH pipeline approximates (the
+    all-pairs join is intentionally bounded: at scale you never run
+    this unpruned, that's what the LSH variant is for)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    sh = docs.select("doc_id", word_shingles().alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(inter > 0)
+        .select("id_a", "id_b", F.round(inter * 1.0 / union, 4).alias("jaccard"))
+    )
+
+
+SIMHASH_BITS = 60  # 4 chunks × 15 bits; stays clear of the long sign bit
+
+
+def simhash64(col: str = "text") -> F.Column:
+    """60-bit SimHash from token xxhash64s, built with array expressions
+    (one aggregate per bit position; no Python in the loop). Bit
+    positions are Python-side constants because shiftright takes a
+    literal shift amount."""
+    toks = F.array_distinct(F.split(F.trim(F.lower(F.col(col))), r"\s+"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    def bit_merge(b: int):
+        # factory, not a default arg: pyspark infers lambda arity from the
+        # signature, so the merge fn must take exactly (acc, h)
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    sig = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        bit_sum = F.aggregate(hashes, F.lit(0).cast("long"), bit_merge(b))
+        sig = sig + F.when(bit_sum > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+    return sig
+
+
+@query("dedup_simhash", doc="SimHash near-dup pairs via pigeonhole banding "
+                            "(rows-only check; recall proven in tests)")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit signatures, candidates via 4×16-bit
+    pigeonhole bands, verified with exact Hamming distance ≤ 6."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = docs.select("doc_id", simhash64().alias("sig"))
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("chunk_id"),
+            F.shiftright(F.col("sig"), c * 15).bitwiseAND(F.lit(0x7FFF)).alias("chunk"),
+        )
+        for c in range(4)
+    ]
+    chunks = sigs.select(
+        "doc_id", "sig", F.explode(F.array(*chunk_structs)).alias("ch")
+    ).select("doc_id", "sig", "ch.chunk_id", "ch.chunk")
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.chunk_id") == F.col("r.chunk_id"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cands.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= 6
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: exact pairwise cosine above a threshold on a
+    bounded slice (vec_id < 200). The unbounded scale path pre-buckets
+    with sign-LSH like operators/similarity.py's ANN search."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+
+    def dot(x: F.Column, y: F.Column) -> F.Column:
+        return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda s, z: s + z)
+
+    cos = dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.35)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )

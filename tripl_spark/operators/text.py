@@ -1,0 +1,175 @@
+"""Text-analysis operators for training-data pipelines, over the
+``documents`` table: token counting, quality scoring, language ID,
+document fingerprinting.
+
+All four are pure ``pyspark.sql.functions`` expression pipelines — no
+Python in the row loop, whole-stage-codegen friendly, and shuffle-free
+(per-document map work). Each has an exact SQL replica as its DuckDB
+oracle, so "correct" means "computes its spec bit-for-bit".
+
+At 100 TB these run as map-only passes over the parquet scan; the only
+care needed is column pruning (each reads text + doc_id only — check
+ReadSchema) and avoiding regex catastrophes (the patterns here are
+linear-time character classes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tripl_spark.queries.registry import query
+from tripl_spark.session import load_table
+
+# language marker words → language tag, checked in deterministic order
+LANG_MARKERS: list[tuple[str, list[str]]] = [
+    ("en", ["the", "and", "of"]),
+    ("fr", ["le", "la", "et"]),
+    ("de", ["der", "und", "die"]),
+    ("es", ["el", "los", "y"]),
+]
+
+STOPWORDS = ["the", "a", "of", "and"]
+PUNCT_CLASS = "[.,;:!?]"
+
+
+def _tokens() -> F.Column:
+    return F.split(F.trim(F.col("text")), r"\s+")
+
+
+def _count_tokens_in(words: list[str]) -> F.Column:
+    """# tokens that are one of ``words`` (JVM-side array filter)."""
+    import functools
+
+    def is_in(x: F.Column) -> F.Column:
+        return functools.reduce(lambda acc, w: acc | (x == w), words[1:], x == words[0])
+
+    return F.size(F.filter(_tokens(), is_in)).cast("long")
+
+
+@query(
+    "text_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_nonspace_chars,
+           round(length(regexp_replace(text, '\s+', '', 'g'))
+                 * 1.0 / len(string_split_regex(trim(text), '\s+')), 4) AS avg_token_len
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + mean token length."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    nonspace = F.length(F.regexp_replace("text", r"\s+", "")).cast("long")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        nonspace.alias("n_nonspace_chars"),
+        F.round(nonspace * 1.0 / n_tokens, 4).alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS n_stop,
+             CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT)
+               AS n_punct,
+             CAST(length(text) AS BIGINT) AS n_chars_m
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           round(n_stop * 1.0 / n_tokens, 4)  AS stopword_ratio,
+           round(n_punct * 1.0 / n_chars_m, 4) AS punct_ratio,
+           round(0.5 * (n_stop * 1.0 / n_tokens)
+                 + 0.3 * (1 - n_punct * 1.0 / n_chars_m)
+                 + 0.2 * least(1.0, n_tokens / 100.0), 4) AS quality_score
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: stopword ratio + punctuation ratio +
+    length saturation, combined into one score."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(_tokens()).cast("long")
+    n_stop = _count_tokens_in(STOPWORDS)
+    n_punct = (F.length("text") - F.length(F.regexp_replace("text", PUNCT_CLASS, ""))).cast("long")
+    n_chars = F.length("text").cast("long")
+    stop_ratio = n_stop * 1.0 / n_tokens
+    punct_ratio = n_punct * 1.0 / n_chars
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(
+            0.5 * stop_ratio + 0.3 * (1 - punct_ratio)
+            + 0.2 * F.least(F.lit(1.0), n_tokens / 100.0),
+            4,
+        ).alias("quality_score"),
+    )
+
+
+def _lang_oracle() -> str:
+    """Generate the DuckDB replica of the marker-count argmax."""
+    cnt = {
+        lang: f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+        f"x -> x IN ({', '.join(repr(w) for w in words)})))"
+        for lang, words in LANG_MARKERS
+    }
+    cases = []
+    for lang, _ in LANG_MARKERS:
+        others = [f"{cnt[lang]} >= {cnt[o]}" for o, _ in LANG_MARKERS if o != lang]
+        cases.append(f"WHEN {cnt[lang]} > 0 AND {' AND '.join(others)} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'unknown' END"
+    return f"""
+    SELECT doc_id, lang AS actual_lang, {case_sql} AS pred_lang,
+           (lang = {case_sql}) AS is_match
+    FROM documents
+    """
+
+
+@query("text_lang_id", oracle=_lang_oracle())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: count per-language marker tokens, argmax
+    with deterministic tie order (first language listed wins ties)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lowered = docs.withColumn("text", F.lower(F.col("text")))
+    counts = {lang: _count_tokens_in(words) for lang, words in LANG_MARKERS}
+    pred = F.lit("unknown")
+    for lang, _ in reversed(LANG_MARKERS):
+        others = [counts[o] for o, _ in LANG_MARKERS if o != lang]
+        cond = (counts[lang] > 0)
+        for o in others:
+            cond = cond & (counts[lang] >= o)
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    # reversed() + otherwise-chaining makes the FIRST listed language win
+    # ties, matching the SQL CASE order.
+    return lowered.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        pred.alias("pred_lang"),
+        (F.col("lang") == pred).alias("is_match"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization fingerprint: lowercase, collapse whitespace, md5 —
+    the exact-dedup key that survives formatting noise."""
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return docs.select("doc_id", F.md5(normalized).alias("fingerprint"))

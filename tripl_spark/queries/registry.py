@@ -67,5 +67,6 @@ def _ensure_loaded() -> None:
         return
     from tripl_spark.queries import analytics, tpch  # noqa: F401
     from tripl_spark.queries import triples  # noqa: F401
+    from tripl_spark.operators import dedup, multimodal, similarity, text  # noqa: F401
 
     _LOADED = True
