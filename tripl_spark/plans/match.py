@@ -58,18 +58,19 @@ def value_predicate(values: list[Any]) -> F.Column:
 
 
 def clause_eids(facts: DataFrame, attr: str, value: Any) -> DataFrame:
-    """eids satisfying one ``attr = value`` clause → DataFrame['e']."""
+    """eids satisfying one ``attr = value`` clause → DataFrame['e'].
+
+    Deliberately NOT deduplicated: semi-join probes tolerate duplicate
+    build rows, so dedup here would add one shuffle per clause. The
+    single distinct happens once in match_df.
+    """
     base = facts.filter(F.col("a") == attr)
     if isinstance(value, DataFrame):
         # sub-match result: join through the ref value (facts.v == sub.e)
         sub = value.select(F.col("e").alias("__sub_e"))
-        return (
-            base.join(sub, base.v_str == F.col("__sub_e"), "left_semi")
-            .select("e")
-            .distinct()
-        )
+        return base.join(sub, base.v_str == F.col("__sub_e"), "left_semi").select("e")
     values = list(value) if isinstance(value, (list, set, tuple)) else [value]
-    return base.filter(value_predicate(values)).select("e").distinct()
+    return base.filter(value_predicate(values)).select("e")
 
 
 def match_df(facts: DataFrame, pattern: dict[str, Any]) -> DataFrame:
@@ -84,4 +85,4 @@ def match_df(facts: DataFrame, pattern: dict[str, Any]) -> DataFrame:
     for other in clause_dfs[1:]:
         result = result.join(other.withColumnRenamed("e", "__other_e"),
                              result.e == F.col("__other_e"), "left_semi")
-    return result
+    return result.distinct()
