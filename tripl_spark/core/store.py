@@ -222,6 +222,24 @@ class TripleStore:
         self._ingest_rows(result.rows)
         return result.root_eids
 
+    def assert_docs_df(self, docs: DataFrame, id_attrs: list[str] | None = None) -> None:
+        """Bulk write path: flatten a nested-struct documents DataFrame
+        (e.g. ``spark.read.json``) into facts entirely JVM-side and
+        append it. Identifying attrs mint the same uuid5 eids as the
+        driver path (functions/ids.py) and are reconciled against
+        already-stored entities with two broadcast joins."""
+        from tripl_spark.sources.json_bulk import flatten_docs_df, remap_to_existing
+
+        rows = flatten_docs_df(
+            docs, ident_attr=self.ident_attr, id_attrs=id_attrs, t=self._bump_t()
+        )
+        if id_attrs:
+            rows = remap_to_existing(rows, self.facts_df(), id_attrs)
+        base = self.facts_df()
+        self._df = base.unionByName(rows.select(*base.columns))
+        self._id_cache.clear()
+        self._invalidate()
+
     def assert_schema(self, schema: dict[str, dict[str, Any]]) -> str | None:
         """Schema stored as data (tripl.py:363-373): attribute-named
         entities under db:schema / db:attributes."""
