@@ -368,6 +368,13 @@ class TripleStore:
                 results = list(reversed(results))
         return results
 
+    def q(self, query: dict[str, Any]) -> list[tuple]:
+        """Datalog-style conjunctive query (the reference's sketched,
+        unimplemented API — tripl.py:571-587). See plans/datalog.py."""
+        from tripl_spark.plans.datalog import q as _q
+
+        return _q(self, query)
+
     def entity(self, pattern_or_eid: Any, namespace: str | None = None):
         from tripl_spark.core.entity import Entity
 

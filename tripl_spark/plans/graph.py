@@ -1,0 +1,62 @@
+"""Iterative graph analytics over the facts frame — the PySpark-native
+replacement for "GraphX triple analytics" (GraphX has no Python API;
+the idiomatic equivalent is iterative DataFrame joins with checkpointing,
+exactly what the pull compiler's '...' recursion does level-wise).
+
+``reachability`` computes the transitive closure from a root frontier
+over one ref attribute: repeated (frontier ⋈ edges) with a visited-set
+anti-join, ``localCheckpoint`` every few rounds to cut lineage (without
+it, iteration N replays joins 1..N-1 — the classic iterative-Spark
+trap). Each iteration is one shuffle keyed by the join column; AQE
+sizes it per-round as frontiers shrink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def edges_df(facts: DataFrame, attr: str) -> DataFrame:
+    """(src, dst) edge list of one ref attribute."""
+    return (
+        facts.filter((F.col("a") == attr) & F.col("v_str").isNotNull())
+        .select(F.col("e").alias("src"), F.col("v_str").alias("dst"))
+    )
+
+
+def reachability(
+    edges: DataFrame,
+    roots: DataFrame,
+    max_iters: int = 30,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """All (root, node, depth) pairs reachable from ``roots`` (column
+    ``root``), following edges src→dst. depth 0 = the root itself;
+    first visit wins (BFS layering)."""
+    visited = roots.select(
+        F.col("root"), F.col("root").alias("node"), F.lit(0).alias("depth")
+    )
+    frontier = visited
+    for i in range(1, max_iters + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select("root", F.col("dst").alias("node"), F.lit(i).alias("depth"))
+            .distinct()
+        )
+        nxt = nxt.join(
+            visited.select(F.col("root").alias("__vr"), F.col("node").alias("__vn")),
+            (nxt.root == F.col("__vr")) & (nxt.node == F.col("__vn")),
+            "left_anti",
+        )
+        if checkpoint_every and i % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        else:
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited

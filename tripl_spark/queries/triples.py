@@ -90,6 +90,39 @@ def triple_reverse_fanin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "triple_datalog_join",
+    oracle="""
+    SELECT 'customer-' || CAST(c_custkey AS VARCHAR) AS e, n_name
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def triple_datalog_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datalog conjunctive query (the reference's unimplemented sketch,
+    tripl.py:571-587) compiled to joins over melted facts: customers in
+    the BUILDING segment with their nation's name, bound through two
+    variable joins."""
+    from tripl_spark.plans.datalog import q_df
+
+    facts = _customer_facts(spark, sf_dir).unionByName(_nation_facts(spark, sf_dir))
+    df = q_df(
+        facts,
+        {
+            "find": ["?c", "?n_name"],
+            "where": [
+                ["?c", "customer:c_mktsegment", "BUILDING"],
+                ["?c", "customer:nation", "?n"],
+                ["?n", "nation:n_name", "?n_name"],
+            ],
+        },
+    )
+    return df.select(
+        F.substring(df["?c"], 3, 1 << 20).alias("e"),
+        F.substring(df["?n_name"], 3, 1 << 20).alias("n_name"),
+    )
+
+
+@query(
     "triple_pull_projection",
     oracle="""
     SELECT 'customer-' || CAST(c_custkey AS VARCHAR) AS e,
