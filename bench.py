@@ -22,16 +22,31 @@ from tripl_spark.queries.registry import all_queries  # noqa: E402
 from tripl_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
+    # TPC-H style
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q18_large_volume_customers",
+    # windows / grouping sets / events
     "top3_customers_per_nation",
     "nation_year_rollup",
     "events_sessionization",
     "events_hourly_tumbling",
     "events_user_props_stats",
+    "asof_last_purchase",
+    # triple engine (melt + match/pull/datalog plans)
+    "triple_match_nested",
+    "triple_pull_projection",
+    "triple_datalog_join",
+    "graph_user_ancestry",
+    # LLM-pipeline operators
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality_score",
+    "text_lang_id",
+    "sim_knn_bruteforce",
+    "sim_ann_lsh",
 ]
 
 

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from tripl_spark.operators.dedup import (
     jaccard_pairs,
     minhash_candidates,
-    simhash64,
+    simhash_signatures,
 )
 
 # vocabulary must be much larger than doc length: simhash/minhash operate
@@ -45,8 +45,7 @@ def test_minhash_lsh_finds_planted_pairs(planted_docs):
 
 
 def test_simhash_separates_dups_from_random(planted_docs, spark):
-    sigs = {r.doc_id: r.sig for r in
-            planted_docs.select("doc_id", simhash64().alias("sig")).collect()}
+    sigs = {r.doc_id: r.sig for r in simhash_signatures(planted_docs).collect()}
     planted_dists = [bin(sigs[i * 2] ^ sigs[i * 2 + 1]).count("1") for i in range(40)]
     random_dists = [bin(sigs[i * 2] ^ sigs[(i * 2 + 2) % 80]).count("1") for i in range(40)]
     # near-dups must be markedly closer in Hamming space than random pairs

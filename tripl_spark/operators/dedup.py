@@ -78,23 +78,41 @@ def word_shingles(n: int = 3, col: str = "text") -> F.Column:
     )
 
 
-def minhash_signature(shingles: F.Column) -> F.Column:
-    """Array of MINHASH_PERMS min-hash values (long) for a shingle set."""
-    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
-    sigs = [
-        F.array_min(
-            F.transform(hashes, lambda h: F.pmod(a * F.pmod(h, _MERSENNE) + b, _MERSENNE))
-        )
-        for a, b in zip(_PERM_A, _PERM_B)
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, sig array<long>) MinHash signatures, computed explode-style:
+
+        explode shingles → xxhash64 once per shingle → groupBy(id) with
+        32 ``min(affine(h))`` aggregates → assemble the array.
+
+    Why not a nested array expression (``array_min(transform(...))`` per
+    permutation)? Higher-order functions run interpreted per element and
+    Catalyst's projection collapse inlines the shingle construction into
+    every permutation — measured 100× slower single-task. The explode
+    form hashes each shingle once, keeps everything in codegen'd
+    aggregates, map-side-combines before the one shuffle on the id, and
+    parallelizes regardless of input file layout.
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sh = docs.repartition(par).select(
+        F.col(id_col), F.explode(word_shingles()).alias("__shingle")
+    )
+    h = F.pmod(F.xxhash64("__shingle"), _MERSENNE)
+    aggs = [
+        F.min(F.pmod(a * h + b, _MERSENNE)).alias(f"__m{i}")
+        for i, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
     ]
-    return F.array(*sigs)
+    return (
+        sh.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            id_col, F.array(*[F.col(f"__m{i}") for i in range(MINHASH_PERMS)]).alias("sig")
+        )
+    )
 
 
 def minhash_candidates(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """LSH banding: (band_id, band_hash) buckets → candidate id pairs."""
-    sigs = docs.select(
-        F.col(id_col), minhash_signature(word_shingles()).alias("sig")
-    )
+    sigs = minhash_signatures(docs, id_col)
     bands = sigs.select(
         id_col,
         F.explode(
@@ -125,7 +143,8 @@ def minhash_candidates(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def jaccard_pairs(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (verification stage)."""
-    sh = docs.select(F.col(id_col), word_shingles().alias("sh"))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sh = docs.select(F.col(id_col), word_shingles().alias("sh")).repartition(par, id_col)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -184,25 +203,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_BITS = 60  # 4 chunks × 15 bits; stays clear of the long sign bit
 
 
-def simhash64(col: str = "text") -> F.Column:
-    """60-bit SimHash from token xxhash64s, built with array expressions
-    (one aggregate per bit position; no Python in the loop). Bit
-    positions are Python-side constants because shiftright takes a
-    literal shift amount."""
-    toks = F.array_distinct(F.split(F.trim(F.lower(F.col(col))), r"\s+"))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    def bit_merge(b: int):
-        # factory, not a default arg: pyspark infers lambda arity from the
-        # signature, so the merge fn must take exactly (acc, h)
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       col: str = "text") -> DataFrame:
+    """(id, sig long) 60-bit SimHash signatures, explode-style for the
+    same reason as minhash_signatures: one xxhash64 per distinct token,
+    60 codegen'd sign-sum aggregates, one shuffle on the id."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = docs.repartition(par).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col(col))), r"\s+"))
+        ).alias("__tok"),
+    )
+    h = F.xxhash64("__tok")
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"__b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
     sig = F.lit(0).cast("long")
     for b in range(SIMHASH_BITS):
-        bit_sum = F.aggregate(hashes, F.lit(0).cast("long"), bit_merge(b))
-        sig = sig + F.when(bit_sum > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
-    return sig
+        sig = sig + F.when(F.col(f"__b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+    return toks.groupBy(id_col).agg(*aggs).select(id_col, sig.alias("sig"))
 
 
 @query("dedup_simhash", doc="SimHash near-dup pairs via pigeonhole banding "
@@ -211,7 +234,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 64-bit signatures, candidates via 4×16-bit
     pigeonhole bands, verified with exact Hamming distance ≤ 6."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = docs.select("doc_id", simhash64().alias("sig"))
+    sigs = simhash_signatures(docs)
     chunk_structs = [
         F.struct(
             F.lit(c).alias("chunk_id"),
