@@ -49,14 +49,15 @@ def reachability(
             (nxt.root == F.col("__vr")) & (nxt.node == F.col("__vn")),
             "left_anti",
         )
+        # materialize every round: the emptiness check is then free on
+        # checkpointed data instead of re-running the join, and lineage
+        # stays flat (without this, round N replays joins 1..N-1)
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
         if checkpoint_every and i % checkpoint_every == 0:
-            nxt = nxt.localCheckpoint(eager=True)
-            if nxt.isEmpty():
-                break
             visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         else:
-            if nxt.isEmpty():
-                break
             visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
