@@ -368,6 +368,21 @@ class TripleStore:
                 results = list(reversed(results))
         return results
 
+    def pull_df(self, pull_expr: list[Any], eids_or_pattern: Any) -> DataFrame:
+        """Distributed pull: (e, doc) DataFrame with JSON documents
+        assembled on the cluster — for result sets too large to re-nest
+        driver-side. Non-recursive, non-wildcard expressions (see
+        plans/pull_df.py)."""
+        from tripl_spark.plans.pull_df import pull_json_df
+
+        if isinstance(eids_or_pattern, dict):
+            roots = self.match_df(eids_or_pattern)
+        else:
+            roots = self.spark.createDataFrame(
+                [(str(e),) for e in eids_or_pattern], "e string"
+            )
+        return pull_json_df(self.current_facts(), self.registry, pull_expr, roots)
+
     def q(self, query: dict[str, Any]) -> list[tuple]:
         """Datalog-style conjunctive query (the reference's sketched,
         unimplemented API — tripl.py:571-587). See plans/datalog.py."""

@@ -196,7 +196,13 @@ class PullRun:
 
     @staticmethod
     def _sort_key(v: Any) -> tuple:
-        return (type(v).__name__, str(v))
+        # numbers sort numerically (9 before 10), everything else by
+        # string — matches sort_array in the distributed pull_df path
+        if isinstance(v, bool):
+            return ("bool", 0.0, str(v))
+        if isinstance(v, (int, float)):
+            return ("num", float(v), "")
+        return (type(v).__name__, 0.0, str(v))
 
     def _ident_stub(self, node: str) -> dict[str, Any]:
         return {self.registry.ident_attr: self._collapse(self.registry.ident_attr, [node])}

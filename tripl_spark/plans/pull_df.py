@@ -1,0 +1,217 @@
+"""Distributed pull: nested documents assembled ON THE CLUSTER as JSON,
+one row per root — the scale path next to ``plans/pull.py``'s
+driver-side assembly (whose output is a Python object and therefore
+driver-resident by contract).
+
+Bottom-up over the compiled expression tree: each position produces a
+frame ``(node, fragment)`` per expression component — plain attrs as a
+map of rendered value arrays, each child/reverse attr as a rendered
+JSON fragment with children sorted by eid (the driver path's ordering).
+A position's document is one full-outer-join fold of its component
+frames plus string splicing; total cost is one aggregation per
+component per level, keyed by node id, independent of result size.
+String escaping rides on ``to_json`` (never hand-escaped).
+
+Limits (enforced): ``'...'`` recursion and ``'*'`` wildcards need
+data-dependent output schemas — use ``TripleStore.pull`` (driver
+assembly) or ``plans/graph.reachability`` for those. Bare reverse
+lookups are supported.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tripl_spark.core.schema import SchemaRegistry
+from tripl_spark.functions.namespaces import reverse_lookup
+from tripl_spark.plans.pull import RECUR, PullPos, compile_expr
+
+
+def pull_json_df(
+    facts: DataFrame,
+    registry: SchemaRegistry,
+    expr: list[Any],
+    roots: DataFrame,
+) -> DataFrame:
+    """roots(e) → (e, doc) with doc a JSON document string."""
+    tree = compile_expr(expr)
+    _reject_unsupported(tree)
+    docs = _position_docs(facts, registry, tree)
+    return roots.join(docs, roots.e == docs.node, "left").select(
+        "e",
+        F.coalesce(F.col("json"), F.lit(_husk_json(tree, registry))).alias("doc"),
+    )
+
+
+def _reject_unsupported(pos: PullPos) -> None:
+    if pos.wildcard:
+        raise NotImplementedError(
+            "wildcard '*' needs a data-dependent schema; use TripleStore.pull"
+        )
+    for _, _, child in pos.children:
+        if child == RECUR:
+            raise NotImplementedError(
+                "'...' recursion is unbounded; use TripleStore.pull or plans.graph"
+            )
+        _reject_unsupported(child)
+
+
+def _esc(s: str) -> str:
+    return json.dumps(s)[1:-1]
+
+
+def _quoted(col: F.Column) -> F.Column:
+    """JSON string literal (quoted + escaped) of a string column, or the
+    bare token 'null'. to_json does the escaping: {"x":"..."} → strip
+    the 5-char prefix and trailing brace."""
+    wrapped = F.to_json(F.struct(col.alias("x")), {"ignoreNullFields": "false"})
+    return wrapped.substr(F.lit(6), F.length(wrapped) - F.lit(6))
+
+
+def _value_fragment() -> F.Column:
+    """One typed fact value → JSON token string."""
+    return (
+        F.when(F.col("vtype") == "null", F.lit("null"))
+        .when(F.col("vtype") == "bool",
+              F.when(F.col("v_bool"), F.lit("true")).otherwise(F.lit("false")))
+        .when(F.col("vtype") == "int", F.col("v_num").cast("long").cast("string"))
+        .when(F.col("vtype") == "float", F.col("v_num").cast("string"))
+        .otherwise(_quoted(F.col("v_str")))
+    )
+
+
+def _husk_json(pos: PullPos, registry: SchemaRegistry) -> str:
+    """Document for a node with no facts — mirrors the driver husk:
+    plain attrs → null, reverse lookups → [], children by cardinality."""
+    out = "{"
+    parts = [f'"{_esc(a)}":null' for a in pos.plain]
+    parts += [f'"{_esc(a)}":[]' for a in pos.bare_reverse]
+    for a, _, _ in pos.children:
+        parts.append(f'"{_esc(a)}":' + ("null" if registry.card_one(a) else "[]"))
+    return out + ",".join(parts) + "}"
+
+
+def _collect_children(frame: DataFrame, out_col: str) -> DataFrame:
+    """(node, child, cjson) → (node, out_col: array<json> sorted by child)."""
+    return frame.groupBy("node").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("child"), F.col("cjson")))),
+            lambda s: s.getField("cjson"),
+        ).alias(out_col)
+    )
+
+
+def _position_docs(facts: DataFrame, registry: SchemaRegistry, pos: PullPos) -> DataFrame:
+    """(node, json) for every node with any facts at this position."""
+    # component frames: (frame keyed by node, fragment column name)
+    frames: list[DataFrame] = []
+    # how to render each attr at final assembly: (attr, kind, colname, card_one)
+    render_plan: list[tuple[str, str, str | None]] = []
+
+    if pos.plain:
+        rows = facts.filter(F.col("a").isin(pos.plain)).select(
+            F.col("e").alias("node"),
+            "a",
+            F.struct(
+                F.when(F.col("vtype").isin("int", "float"), F.col("v_num")).alias("__n"),
+                F.when(~F.col("vtype").isin("int", "float"), _value_fragment())
+                .otherwise(F.lit(None)).alias("__s"),
+                _value_fragment().alias("frag"),
+            ).alias("v"),
+        )
+        per_attr = rows.groupBy("node", "a").agg(
+            F.transform(
+                F.array_sort(F.collect_list("v")), lambda s: s.getField("frag")
+            ).alias("frags")
+        )
+        plain = per_attr.groupBy("node").agg(
+            F.map_from_entries(F.collect_list(F.struct("a", "frags"))).alias("__plain")
+        )
+        frames.append(plain)
+        for a in pos.plain:
+            render_plan.append((a, "plain", None))
+
+    for i, attr in enumerate(pos.bare_reverse):
+        fwd = reverse_lookup(attr)
+        ident = registry.ident_attr
+        stub = (
+            F.concat(F.lit(f'{{"{_esc(ident)}":'), _quoted(F.col("child")), F.lit("}"))
+            if registry.card_one(ident)
+            else F.concat(F.lit(f'{{"{_esc(ident)}":['), _quoted(F.col("child")), F.lit("]}"))
+        )
+        kids = (
+            facts.filter(F.col("a") == fwd)
+            .select(F.col("v_str").alias("node"), F.col("e").alias("child"))
+            .withColumn("cjson", stub)
+        )
+        col = f"__rev{i}"
+        frames.append(_collect_children(kids, col))
+        render_plan.append((attr, "rev", col))
+
+    for i, (attr, fwd, child) in enumerate(pos.children):
+        child_docs = _position_docs(facts, registry, child).withColumnRenamed(
+            "node", "__cn"
+        )
+        if fwd is None:
+            edges = facts.filter((F.col("a") == attr) & F.col("v_str").isNotNull()).select(
+                F.col("e").alias("node"), F.col("v_str").alias("child")
+            )
+        else:
+            edges = facts.filter((F.col("a") == fwd) & F.col("v_str").isNotNull()).select(
+                F.col("v_str").alias("node"), F.col("e").alias("child")
+            )
+        husk = _husk_json(child, registry)
+        joined = edges.join(child_docs, edges.child == F.col("__cn"), "left").select(
+            "node", "child", F.coalesce(F.col("json"), F.lit(husk)).alias("cjson")
+        )
+        col = f"__child{i}"
+        frames.append(_collect_children(joined, col))
+        render_plan.append((attr, "child", col))
+
+    if not frames:
+        raise ValueError("empty pull expression")
+
+    result = frames[0]
+    for fr in frames[1:]:
+        fr = fr.withColumnRenamed("node", "__n2")
+        data_cols = [c for c in result.columns if c != "node"]
+        result = result.join(fr, result.node == F.col("__n2"), "full").select(
+            F.coalesce(F.col("node"), F.col("__n2")).alias("node"),
+            *data_cols,
+            *[c for c in fr.columns if c != "__n2"],
+        )
+
+    parts: list[F.Column] = []
+    for attr, kind, col in render_plan:
+        key = F.lit(f'"{_esc(attr)}":')
+        if kind == "plain":
+            vals = F.element_at(F.col("__plain"), attr)
+            if registry.card_one(attr):
+                rendered = F.coalesce(F.element_at(vals, 1), F.lit("null"))
+            else:
+                rendered = F.when(vals.isNull(), F.lit("null")).otherwise(
+                    F.concat(F.lit("["), F.array_join(vals, ","), F.lit("]"))
+                )
+        elif kind == "rev":
+            rendered = F.concat(
+                F.lit("["), F.array_join(F.coalesce(F.col(col), F.array()), ","), F.lit("]")
+            )
+        else:  # child
+            if registry.card_one(attr):
+                rendered = F.coalesce(F.element_at(F.col(col), 1), F.lit("null"))
+            else:
+                rendered = F.concat(
+                    F.lit("["),
+                    F.array_join(F.coalesce(F.col(col), F.array()), ","),
+                    F.lit("]"),
+                )
+        parts.append(F.concat(key, rendered))
+
+    body = F.concat_ws(",", *parts)
+    return result.select(
+        "node", F.concat(F.lit("{"), body, F.lit("}")).alias("json")
+    )
