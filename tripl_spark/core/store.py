@@ -92,6 +92,7 @@ class TripleStore:
         self._t = 0
         self._id_cache: dict[tuple[str, Any], str] = {}
         self._compacted: DataFrame | None = None
+        self._attr_stats: dict[str, int] | None = None
 
         self.assert_facts(base_schema(ident_attr))
         if facts is not None:
@@ -144,6 +145,7 @@ class TripleStore:
         self._invalidate()
 
     def _invalidate(self) -> None:
+        self._attr_stats = None
         if self._compacted is not None:
             try:
                 self._compacted.unpersist()
@@ -321,7 +323,35 @@ class TripleStore:
 
     # -- queries -----------------------------------------------------------
 
+    def stats(self) -> dict[str, int]:
+        """Facts count per attribute (cached per store version) — the
+        AVE-index statistics the reference author wished for
+        (tripl.py:460); drives match clause ordering."""
+        if self._attr_stats is None:
+            self._attr_stats = {
+                r.a: r["count"]
+                for r in self.current_facts().groupBy("a").agg(
+                    F.count(F.lit(1)).alias("count")
+                ).collect()
+            }
+        return self._attr_stats
+
+    def compact(self) -> None:
+        """Materialize the compaction view as the new physical base —
+        truncates the append lineage (the batch analog of a Delta
+        OPTIMIZE pass); safe any time, semantics unchanged."""
+        self._df = self.current_facts(cache=False).localCheckpoint(eager=True)
+        self._invalidate()
+
     def match_df(self, pattern: dict[str, Any]) -> DataFrame:
+        """Clauses are ordered most-selective-first using per-attribute
+        counts (SURVEY.md §4.2.2 — the reference evaluates in dict
+        order); Catalyst/AQE then handle join strategy per clause."""
+        if len(pattern) > 1:
+            stats = self.stats()
+            pattern = dict(
+                sorted(pattern.items(), key=lambda kv: stats.get(kv[0], 0))
+            )
         return match_plan.match_df(self.current_facts(), pattern)
 
     def match(self, pattern: dict[str, Any]) -> set[str]:

@@ -83,7 +83,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
-    WHERE p_brand = 'BRAND_1'
+    WHERE p_brand = 'Brand#1'
       AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
                         WHERE l2.l_partkey = lineitem.l_partkey)
     """,
@@ -91,7 +91,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17: small-quantity orders vs the part's own average — the
     correlated subquery decorrelates into a per-part aggregate join."""
-    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "BRAND_1")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
     li = load_table(spark, sf_dir, "lineitem")
     per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
         (0.2 * F.avg("l_quantity")).alias("qty_threshold")
