@@ -78,11 +78,26 @@ def word_shingles(n: int = 3, col: str = "text") -> F.Column:
     )
 
 
+def shingle_sets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, hs array<long>) — each doc's distinct shingles HASHED to
+    longs (``pmod(xxhash64, 2^31-1)``). Every downstream stage (minhash,
+    banding, exact-Jaccard verify) works off this compact form: hashing
+    shingle strings exactly once and never moving them again. Jaccard
+    over 64-bit-hashed sets equals Jaccard over the strings up to
+    collision probability ~|set|²/2³¹ per pair.
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    hs = F.array_distinct(
+        F.transform(word_shingles(), lambda s: F.pmod(F.xxhash64(s), _MERSENNE))
+    )
+    return docs.repartition(par).select(F.col(id_col), hs.alias("hs"))
+
+
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, sig array<long>) MinHash signatures, computed explode-style:
 
-        explode shingles → xxhash64 once per shingle → groupBy(id) with
-        32 ``min(affine(h))`` aggregates → assemble the array.
+        explode hashed shingles → groupBy(id) with 32 ``min(affine(h))``
+        aggregates → assemble the array.
 
     Why not a nested array expression (``array_min(transform(...))`` per
     permutation)? Higher-order functions run interpreted per element and
@@ -92,11 +107,12 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     aggregates, map-side-combines before the one shuffle on the id, and
     parallelizes regardless of input file layout.
     """
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    sh = docs.repartition(par).select(
-        F.col(id_col), F.explode(word_shingles()).alias("__shingle")
-    )
-    h = F.pmod(F.xxhash64("__shingle"), _MERSENNE)
+    return _signatures_from_sets(shingle_sets(docs, id_col), id_col)
+
+
+def _signatures_from_sets(sets: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    sh = sets.select(F.col(id_col), F.explode("hs").alias("h"))
+    h = F.col("h")
     aggs = [
         F.min(F.pmod(a * h + b, _MERSENNE)).alias(f"__m{i}")
         for i, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
@@ -110,11 +126,42 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def minhash_candidates(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """LSH banding: (band_id, band_hash) buckets → candidate id pairs."""
-    sigs = minhash_signatures(docs, id_col)
-    bands = sigs.select(
-        id_col,
+def _pairs_from_buckets(bands: DataFrame, id_col: str, max_bucket: int | None) -> DataFrame:
+    """(id, band_id, band_hash) → distinct candidate (id_a < id_b) pairs.
+
+    One groupBy per bucket + an upper-triangle expansion — half the
+    shuffle volume of a bucket self-join and the signature pipeline runs
+    ONCE (a self-join re-evaluates it per side unless the exchange gets
+    reused). ``max_bucket`` drops degenerate buckets (boilerplate /
+    exact-duplicate classes explode quadratically; run exact dedup
+    first — standard practice in large-corpus fuzzy dedup).
+    """
+    buckets = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    tri = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(tri).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+
+
+def _band_frame(sigs: DataFrame, id_col: str) -> DataFrame:
+    return sigs.select(
+        F.col(id_col),
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
@@ -127,26 +174,19 @@ def minhash_candidates(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_hash")
-    left = bands.alias("l")
-    right = bands.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-        .distinct()
-    )
 
 
-def jaccard_pairs(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Exact n-gram Jaccard for candidate pairs (verification stage)."""
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    sh = docs.select(F.col(id_col), word_shingles().alias("sh")).repartition(par, id_col)
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+def minhash_candidates(
+    docs: DataFrame, id_col: str = "doc_id", max_bucket: int | None = None
+) -> DataFrame:
+    """LSH banding: (band_id, band_hash) buckets → candidate id pairs."""
+    sigs = minhash_signatures(docs, id_col)
+    return _pairs_from_buckets(_band_frame(sigs, id_col), id_col, max_bucket)
+
+
+def _jaccard_from_sets(sets: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("hs").alias("sh_a"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("hs").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
@@ -155,14 +195,37 @@ def jaccard_pairs(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> 
     )
 
 
+def jaccard_pairs(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (verification stage).
+    Computed on hashed shingle sets (see ``shingle_sets``)."""
+    return _jaccard_from_sets(shingle_sets(docs, id_col), pairs, id_col)
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """End-to-end fuzzy dedup: shingle once (persisted MEMORY_AND_DISK —
+    it feeds the signature pass AND both sides of the verify join; at
+    cluster scale this is the one intermediate worth materializing),
+    minhash → band → bucket pairs → exact-Jaccard verify ≥ threshold."""
+    from pyspark import StorageLevel
+
+    sets = shingle_sets(docs, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = _signatures_from_sets(sets, id_col)
+    pairs = _pairs_from_buckets(_band_frame(sigs, id_col), id_col, max_bucket)
+    return _jaccard_from_sets(sets, pairs, id_col).filter(F.col("jaccard") >= threshold)
+
+
 @query("dedup_minhash_lsh", doc="MinHash+LSH near-dup pairs (rows-only check; "
                                "recall proven on planted dups in tests/test_dedup.py)")
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with LSH candidate pruning + exact Jaccard ≥ 0.6
     verification — the scalable fuzzy-dedup pipeline."""
     docs = load_table(spark, sf_dir, "documents")
-    cands = minhash_candidates(docs)
-    return jaccard_pairs(docs, cands).filter(F.col("jaccard") >= 0.6)
+    return minhash_dedup(docs, threshold=0.6)
 
 
 @query(
