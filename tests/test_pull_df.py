@@ -70,11 +70,66 @@ def test_pull_df_unknown_root_husk(store):
     assert out == store.pull(EXPR, "no-such-entity")
 
 
-def test_pull_df_rejects_wildcard_and_recursion(store):
-    with pytest.raises(NotImplementedError):
-        store.pull_df(["*"], ["x"])
-    with pytest.raises(NotImplementedError):
-        store.pull_df([{"cft.seq:timepoint": "..."}], ["x"])
+def test_pull_df_wildcard_matches_driver(store):
+    eid = sorted(store.match({"cft:type": "cft.type:seq"}))[0]
+    dist = json.loads(store.pull_df(["*"], [eid]).collect()[0].doc)
+    driver = store.pull(["*"], eid)
+    assert dist == driver
+    # refs stay unexpanded eid strings (Q10 semantics)
+    assert isinstance(dist["cft.seq:subject"], str)
+
+
+def test_pull_df_wildcard_plus_expanded_child(store):
+    eid = sorted(store.match({"cft:type": "cft.type:seq"}))[0]
+    expr = ["*", {"cft.seq:timepoint": ["cft.timepoint:id"]}]
+    dist = json.loads(store.pull_df(expr, [eid]).collect()[0].doc)
+    driver = store.pull(expr, eid)
+    assert dist == driver
+    # the explicit child is expanded, not left as a wildcard eid string
+    assert all(isinstance(d, dict) for d in dist["cft.seq:timepoint"])
+
+
+def test_pull_df_recursion_matches_driver_on_chain(spark):
+    ts = TripleStore(
+        schema={"node:parent": {"db:valueType": "db.type:ref"}},
+        default_cardinality="db.cardinality:one",
+        spark=spark,
+    )
+    ts.assert_facts(
+        [
+            {"db:ident": "n3", "node:name": "root"},
+            {"db:ident": "n2", "node:name": "mid", "node:parent": "n3"},
+            {"db:ident": "n1", "node:name": "leaf", "node:parent": "n2"},
+        ]
+    )
+    expr = ["node:name", {"node:parent": "..."}]
+    dist = json.loads(ts.pull_df(expr, ["n1"]).collect()[0].doc)
+    driver = ts.pull(expr, "n1")
+    assert dist == driver
+    assert dist["node:parent"]["node:parent"]["node:name"] == "root"
+
+
+def test_pull_df_recursion_cycle_bounded(spark):
+    ts = TripleStore(
+        schema={"node:next": {"db:valueType": "db.type:ref"}},
+        default_cardinality="db.cardinality:one",
+        spark=spark,
+    )
+    ts.assert_facts(
+        [
+            {"db:ident": "a", "node:name": "a", "node:next": "b"},
+            {"db:ident": "b", "node:name": "b", "node:next": "a"},
+        ]
+    )
+    expr = ["node:name", {"node:next": "..."}]
+    doc = json.loads(ts.pull_df(expr, ["a"], recur_depth=3).collect()[0].doc)
+    # expands a→b→a→b, then the exhausted-depth node renders as an
+    # ident stub dict: bounded, valid JSON
+    d, depth = doc, 0
+    while isinstance(d.get("node:next"), dict):
+        d, depth = d["node:next"], depth + 1
+    assert depth == 4
+    assert d == {"db:ident": "a"}  # exhausted depth → ident stub
 
 
 def test_pull_df_string_escaping(spark):

@@ -398,11 +398,14 @@ class TripleStore:
                 results = list(reversed(results))
         return results
 
-    def pull_df(self, pull_expr: list[Any], eids_or_pattern: Any) -> DataFrame:
+    def pull_df(
+        self, pull_expr: list[Any], eids_or_pattern: Any, recur_depth: int = 4
+    ) -> DataFrame:
         """Distributed pull: (e, doc) DataFrame with JSON documents
         assembled on the cluster — for result sets too large to re-nest
-        driver-side. Non-recursive, non-wildcard expressions (see
-        plans/pull_df.py)."""
+        driver-side. Wildcards render every present attr (refs
+        unexpanded); ``'...'`` recursion is unrolled ``recur_depth``
+        levels (see plans/pull_df.py)."""
         from tripl_spark.plans.pull_df import pull_json_df
 
         if isinstance(eids_or_pattern, dict):
@@ -411,7 +414,9 @@ class TripleStore:
             roots = self.spark.createDataFrame(
                 [(str(e),) for e in eids_or_pattern], "e string"
             )
-        return pull_json_df(self.current_facts(), self.registry, pull_expr, roots)
+        return pull_json_df(
+            self.current_facts(), self.registry, pull_expr, roots, recur_depth
+        )
 
     def q(self, query: dict[str, Any]) -> list[tuple]:
         """Datalog-style conjunctive query (the reference's sketched,

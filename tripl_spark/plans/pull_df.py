@@ -12,10 +12,15 @@ frames plus string splicing; total cost is one aggregation per
 component per level, keyed by node id, independent of result size.
 String escaping rides on ``to_json`` (never hand-escaped).
 
-Limits (enforced): ``'...'`` recursion and ``'*'`` wildcards need
-data-dependent output schemas — use ``TripleStore.pull`` (driver
-assembly) or ``plans/graph.reachability`` for those. Bare reverse
-lookups are supported.
+``'*'`` wildcards render every attr present on the node (refs
+unexpanded, per the driver path's Q10 semantics); extra keys are
+emitted in sorted-attr order (canonical — the driver path's dict order
+is collection-order). ``'...'`` recursion is BOUNDED here: the root
+expression is unrolled ``recur_depth`` times and deeper nodes render as
+``{ident: eid}`` stubs — the distributed analog of the driver path's
+``max_depth``/cycle-stub rule (cycles expand until depth runs out
+instead of stubbing at first revisit). Bare reverse lookups are
+supported.
 """
 
 from __future__ import annotations
@@ -36,10 +41,11 @@ def pull_json_df(
     registry: SchemaRegistry,
     expr: list[Any],
     roots: DataFrame,
+    recur_depth: int = 4,
 ) -> DataFrame:
     """roots(e) → (e, doc) with doc a JSON document string."""
     tree = compile_expr(expr)
-    _reject_unsupported(tree)
+    tree = _expand_recursion(tree, tree, recur_depth, registry.ident_attr)
     docs = _position_docs(facts, registry, tree)
     return roots.join(docs, roots.e == docs.node, "left").select(
         "e",
@@ -47,17 +53,29 @@ def pull_json_df(
     )
 
 
-def _reject_unsupported(pos: PullPos) -> None:
-    if pos.wildcard:
-        raise NotImplementedError(
-            "wildcard '*' needs a data-dependent schema; use TripleStore.pull"
-        )
-    for _, _, child in pos.children:
+def _expand_recursion(
+    root: PullPos, pos: PullPos, depth: int, ident_attr: str
+) -> PullPos:
+    """Unroll ``'...'`` markers: each re-enters the ROOT expression (the
+    reference's recursion rule) up to ``depth`` times; exhausted depth
+    renders the node as an ident stub."""
+    new = PullPos(
+        pos=pos.pos,
+        plain=list(pos.plain),
+        bare_reverse=list(pos.bare_reverse),
+        wildcard=pos.wildcard,
+    )
+    for attr, fwd, child in pos.children:
         if child == RECUR:
-            raise NotImplementedError(
-                "'...' recursion is unbounded; use TripleStore.pull or plans.graph"
+            sub = (
+                PullPos(pos=-1, plain=[ident_attr])
+                if depth <= 0
+                else _expand_recursion(root, root, depth - 1, ident_attr)
             )
-        _reject_unsupported(child)
+        else:
+            sub = _expand_recursion(root, child, depth, ident_attr)
+        new.children.append((attr, fwd, sub))
+    return new
 
 
 def _esc(s: str) -> str:
@@ -112,8 +130,9 @@ def _position_docs(facts: DataFrame, registry: SchemaRegistry, pos: PullPos) -> 
     # how to render each attr at final assembly: (attr, kind, colname, card_one)
     render_plan: list[tuple[str, str, str | None]] = []
 
-    if pos.plain:
-        rows = facts.filter(F.col("a").isin(pos.plain)).select(
+    if pos.plain or pos.wildcard:
+        src = facts if pos.wildcard else facts.filter(F.col("a").isin(pos.plain))
+        rows = src.select(
             F.col("e").alias("node"),
             "a",
             F.struct(
@@ -134,6 +153,8 @@ def _position_docs(facts: DataFrame, registry: SchemaRegistry, pos: PullPos) -> 
         frames.append(plain)
         for a in pos.plain:
             render_plan.append((a, "plain", None))
+        if pos.wildcard:
+            render_plan.append(("*", "wild", None))
 
     for i, attr in enumerate(pos.bare_reverse):
         fwd = reverse_lookup(attr)
@@ -188,6 +209,9 @@ def _position_docs(facts: DataFrame, registry: SchemaRegistry, pos: PullPos) -> 
     parts: list[F.Column] = []
     for attr, kind, col in render_plan:
         key = F.lit(f'"{_esc(attr)}":')
+        if kind == "wild":
+            parts.append(_wildcard_segment(pos, registry))
+            continue
         if kind == "plain":
             vals = F.element_at(F.col("__plain"), attr)
             if registry.card_one(attr):
@@ -215,3 +239,39 @@ def _position_docs(facts: DataFrame, registry: SchemaRegistry, pos: PullPos) -> 
     return result.select(
         "node", F.concat(F.lit("{"), body, F.lit("}")).alias("json")
     )
+
+
+def _wildcard_segment(pos: PullPos, registry: SchemaRegistry) -> F.Column:
+    """Render every attr in the ``__plain`` map not already emitted
+    explicitly, in sorted-attr order, collapsing per schema cardinality.
+    NULL (skipped by concat_ws) when nothing extra is present."""
+    excluded = sorted(
+        set(pos.plain) | {a for a, fwd, _ in pos.children if fwd is None}
+    )
+    # NULL __plain (node reached only via child/rev frames) propagates to
+    # NULL entries → size NULL → the whole segment renders NULL (skipped)
+    entries = F.array_sort(F.map_entries(F.col("__plain")))
+    if excluded:
+        entries = F.filter(entries, lambda e: ~e.getField("key").isin(*excluded))
+
+    declared_one = registry.card_one_attrs()
+    declared_many = registry.declared_many_attrs()
+
+    def is_card_one(key: F.Column) -> F.Column:
+        # mirror SchemaRegistry.cardinality(): declared wins, else default
+        if registry.default_cardinality == "db.cardinality:one":
+            return ~key.isin(*declared_many) if declared_many else F.lit(True)
+        return key.isin(*declared_one) if declared_one else F.lit(False)
+
+    def render(e: F.Column) -> F.Column:
+        vals = e.getField("value")
+        one = F.coalesce(F.element_at(vals, 1), F.lit("null"))
+        many = F.concat(F.lit("["), F.array_join(vals, ","), F.lit("]"))
+        return F.concat(
+            _quoted(e.getField("key")),
+            F.lit(":"),
+            F.when(is_card_one(e.getField("key")), one).otherwise(many),
+        )
+
+    joined = F.array_join(F.transform(entries, render), ",")
+    return F.when(F.size(entries) > 0, joined).otherwise(F.lit(None))

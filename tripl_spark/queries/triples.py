@@ -152,3 +152,49 @@ def triple_pull_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nnames, edges.nation_e == nnames.nne)
         .select("e", "c_name", "n_name")
     )
+
+
+@query(
+    "triple_pull_df_wildcard",
+    oracle="""
+    SELECT 'customer-' || CAST(c_custkey AS VARCHAR) AS e,
+           c_name, c_mktsegment, n_name
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_mktsegment = 'MACHINERY'
+    """,
+)
+def triple_pull_df_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed pull END-TO-END: match roots → assemble nested JSON
+    documents on the cluster (plain attr + '*' wildcard + expanded child
+    position) → parse fields back out relationally. If any stage of the
+    cluster-side JSON assembly mis-renders, from_json nulls the row and
+    the value hash flips."""
+    from pyspark.sql import types as T
+
+    from tripl_spark.core.schema import CARD_ONE, REF_TYPE, SchemaRegistry
+    from tripl_spark.plans.pull_df import pull_json_df
+
+    facts = _customer_facts(spark, sf_dir).unionByName(_nation_facts(spark, sf_dir))
+    registry = SchemaRegistry(default_cardinality=CARD_ONE)
+    registry.declare("customer:nation", {"db:valueType": REF_TYPE, "db:cardinality": CARD_ONE})
+
+    roots = match_df(facts, {"customer:c_mktsegment": "MACHINERY"})
+    expr = ["customer:c_name", "*", {"customer:nation": ["nation:n_name"]}]
+    docs = pull_json_df(facts, registry, expr, roots)
+
+    parsed_schema = T.StructType(
+        [
+            T.StructField("customer:c_name", T.StringType()),
+            T.StructField("customer:c_mktsegment", T.StringType()),
+            T.StructField(
+                "customer:nation",
+                T.StructType([T.StructField("nation:n_name", T.StringType())]),
+            ),
+        ]
+    )
+    return docs.select("e", F.from_json("doc", parsed_schema).alias("d")).select(
+        "e",
+        F.col("d.`customer:c_name`").alias("c_name"),
+        F.col("d.`customer:c_mktsegment`").alias("c_mktsegment"),
+        F.col("d.`customer:nation`.`nation:n_name`").alias("n_name"),
+    )
