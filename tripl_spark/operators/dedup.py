@@ -78,17 +78,29 @@ def word_shingles(n: int = 3, col: str = "text") -> F.Column:
     )
 
 
-def shingle_sets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def _shingle_hash(s: F.Column, hash_mode: str) -> F.Column:
+    """Shingle string → long in [0, 2^31-1). ``xxhash64`` is the fast
+    default; ``md5`` (first 15 hex chars via conv) is reproducible in
+    DuckDB (``CAST('0x'||substring(md5(s),1,15) AS BIGINT)``) and powers
+    the fully-oracled gate variant."""
+    if hash_mode == "md5":
+        return F.pmod(F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"), _MERSENNE)
+    return F.pmod(F.xxhash64(s), _MERSENNE)
+
+
+def shingle_sets(
+    docs: DataFrame, id_col: str = "doc_id", hash_mode: str = "xxhash64"
+) -> DataFrame:
     """(id, hs array<long>) — each doc's distinct shingles HASHED to
-    longs (``pmod(xxhash64, 2^31-1)``). Every downstream stage (minhash,
-    banding, exact-Jaccard verify) works off this compact form: hashing
-    shingle strings exactly once and never moving them again. Jaccard
-    over 64-bit-hashed sets equals Jaccard over the strings up to
-    collision probability ~|set|²/2³¹ per pair.
+    longs. Every downstream stage (minhash, banding, exact-Jaccard
+    verify) works off this compact form: hashing shingle strings exactly
+    once and never moving them again. Jaccard over hashed sets equals
+    Jaccard over the strings up to collision probability ~|set|²/2³¹
+    per pair.
     """
     par = docs.sparkSession.sparkContext.defaultParallelism
     hs = F.array_distinct(
-        F.transform(word_shingles(), lambda s: F.pmod(F.xxhash64(s), _MERSENNE))
+        F.transform(word_shingles(), lambda s: _shingle_hash(s, hash_mode))
     )
     return docs.repartition(par).select(F.col(id_col), hs.alias("hs"))
 
@@ -159,18 +171,21 @@ def _pairs_from_buckets(bands: DataFrame, id_col: str, max_bucket: int | None) -
     )
 
 
-def _band_frame(sigs: DataFrame, id_col: str) -> DataFrame:
+def _band_frame(sigs: DataFrame, id_col: str, hash_bands: bool = True) -> DataFrame:
+    def key(b: F.Column) -> F.Column:
+        joined = F.array_join(
+            F.slice("sig", b * _ROWS_PER_BAND + 1, _ROWS_PER_BAND), ","
+        )
+        # hashed 8-byte keys shrink the bucket shuffle; the oracled
+        # variant keeps the raw string so DuckDB groups identically
+        return F.xxhash64(joined).cast("string") if hash_bands else joined
+
     return sigs.select(
         F.col(id_col),
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
-                lambda b: F.struct(
-                    b.alias("band_id"),
-                    F.xxhash64(
-                        F.array_join(F.slice("sig", b * _ROWS_PER_BAND + 1, _ROWS_PER_BAND), ",")
-                    ).alias("band_hash"),
-                ),
+                lambda b: F.struct(b.alias("band_id"), key(b).alias("band_hash")),
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_hash")
@@ -206,6 +221,7 @@ def minhash_dedup(
     id_col: str = "doc_id",
     threshold: float = 0.6,
     max_bucket: int | None = None,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """End-to-end fuzzy dedup: shingle once (persisted MEMORY_AND_DISK —
     it feeds the signature pass AND both sides of the verify join; at
@@ -213,10 +229,77 @@ def minhash_dedup(
     minhash → band → bucket pairs → exact-Jaccard verify ≥ threshold."""
     from pyspark import StorageLevel
 
-    sets = shingle_sets(docs, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sets = shingle_sets(docs, id_col, hash_mode).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = _signatures_from_sets(sets, id_col)
-    pairs = _pairs_from_buckets(_band_frame(sigs, id_col), id_col, max_bucket)
+    bands = _band_frame(sigs, id_col, hash_bands=hash_mode != "md5")
+    pairs = _pairs_from_buckets(bands, id_col, max_bucket)
     return _jaccard_from_sets(sets, pairs, id_col).filter(F.col("jaccard") >= threshold)
+
+
+def _minhash_oracle_sql() -> str:
+    """DuckDB SQL replicating the md5-hashed MinHash pipeline
+    hash-for-hash (shared hash: first 15 hex chars of md5 → bigint)."""
+    perm_rows = ",\n      ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    sets AS (
+      SELECT doc_id,
+             list_distinct([
+               CAST('0x' || substring(md5(array_to_string(t[i:i+2], ' ')), 1, 15)
+                    AS BIGINT) % 2147483647
+               for i in range(1, greatest(len(t) - 2, 1) + 1)
+             ]) AS hs
+      FROM toks
+    ),
+    perms(i, a, b) AS (VALUES
+      {perm_rows}
+    ),
+    sig AS (
+      SELECT doc_id, i, min((a * h + b) % 2147483647) AS m
+      FROM (SELECT doc_id, unnest(hs) AS h FROM sets)
+      CROSS JOIN perms
+      GROUP BY doc_id, i
+    ),
+    sigv AS (
+      SELECT doc_id, list(m ORDER BY i) AS sig FROM sig GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, b AS band_id,
+             array_to_string(sig[b*4+1:b*4+4], ',') AS band_key
+      FROM sigv CROSS JOIN (SELECT unnest(range(8)) AS b)
+    ),
+    pairs AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band_id = r.band_id AND l.band_key = r.band_key
+       AND l.doc_id < r.doc_id
+      GROUP BY ALL
+    )
+    SELECT id_a, id_b,
+           round(len(list_intersect(sa.hs, sb.hs)) * 1.0
+                 / len(list_distinct(list_concat(sa.hs, sb.hs))), 4) AS jaccard
+    FROM pairs
+    JOIN sets sa ON sa.doc_id = id_a
+    JOIN sets sb ON sb.doc_id = id_b
+    WHERE round(len(list_intersect(sa.hs, sb.hs)) * 1.0
+                / len(list_distinct(list_concat(sa.hs, sb.hs))), 4) >= 0.6
+    """
+
+
+@query("dedup_minhash_oracled", oracle=_minhash_oracle_sql())
+def dedup_minhash_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME MinHash+LSH pipeline with a DuckDB-reproducible shingle
+    hash (md5-prefix) and raw band keys — every stage (shingling,
+    32 affine permutations, banding, bucket pairs, exact-Jaccard
+    verification) hash-matches a pure-SQL oracle. Proves the pipeline's
+    arithmetic; the xxhash64 variant is the production fast path."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup(docs, threshold=0.6, hash_mode="md5")
 
 
 @query("dedup_minhash_lsh", doc="MinHash+LSH near-dup pairs (rows-only check; "
