@@ -50,3 +50,57 @@ def test_ann_lsh_recall_on_clustered_data(clustered):
     approx = _topk(bucketed, scored_filter=F.col("qbucket") == F.col("bucket"))
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"ANN recall on clustered data too low: {recall}"
+
+
+def test_multiprobe_recall_beats_single_bucket(clustered):
+    from tripl_spark.operators.similarity import N_PLANES
+
+    exact = _topk(clustered)
+    bucketed = clustered.withColumn("bucket", bucket_key(F.col("v")))
+    single = _topk(bucketed, scored_filter=F.col("qbucket") == F.col("bucket"))
+    cond = F.col("qbucket") == F.col("bucket")
+    for i in range(N_PLANES):
+        cond = cond | (F.col("qbucket").bitwiseXOR(F.lit(1 << i)) == F.col("bucket"))
+    multi = _topk(bucketed, scored_filter=cond)
+    r_single = len(exact & single) / len(exact)
+    r_multi = len(exact & multi) / len(exact)
+    assert r_multi >= r_single, (r_single, r_multi)
+    assert r_multi >= 0.8, f"multiprobe recall too low: {r_multi}"
+
+
+def test_ivf_recall_on_clustered_data(clustered, spark):
+    from tripl_spark.operators.similarity import IVF_NPROBE
+
+    exact = _topk(clustered)
+    # centroids = the 8 true cluster seeds' first members (vec_id < 8)
+    cent = clustered.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    sim = F.round(cosine(F.col("v"), F.col("cv")), 6)
+    assign = (
+        clustered.join(F.broadcast(cent))
+        .select("vec_id", "v", "cid", sim.alias("s"))
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("vec_id").orderBy(F.desc("s"), "cid")))
+        .filter(F.col("rn") == 1).select("vec_id", "v", "cid")
+    )
+    qp = (
+        clustered.filter(F.col("vec_id") < 8)
+        .join(F.broadcast(cent))
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+                "cid", sim.alias("s"))
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("s"), "cid")))
+        .filter(F.col("rn") <= IVF_NPROBE).select("query_id", "qv", "cid")
+    )
+    scored = (
+        assign.join(F.broadcast(qp),
+                    (assign.cid == qp.cid) & (F.col("query_id") != F.col("vec_id")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    top = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= TOP_K)
+    found = {(r.query_id, r.neighbor_id) for r in top.collect()}
+    recall = len(exact & found) / len(exact)
+    assert recall >= 0.9, f"IVF recall on clustered data too low: {recall}"
