@@ -1,0 +1,137 @@
+"""Second analytics batch: multi-dimensional aggregation (CUBE),
+TF-IDF term scoring, and explicit set-operator queries — categories the
+reference lacks entirely (SURVEY.md §2.9), supplied Spark-native with
+exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tripl_spark.queries.registry import query
+from tripl_spark.session import load_table
+
+
+@query(
+    "events_cube_type_year",
+    oracle="""
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(CAST(yr AS VARCHAR), 'ALL') AS yr,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM (SELECT event_type, CAST(year(CAST(ts AS TIMESTAMP)) AS INT) AS yr, value
+          FROM events)
+    GROUP BY CUBE (event_type, yr)
+    """,
+)
+def events_cube_type_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, year): all four grouping sets in one pass —
+    Spark computes the lattice with a single shuffle (Expand + partial
+    aggregation), not four scans. NULL grouping cells are labeled 'ALL'
+    so the oracle compare is null-free."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", F.year("ts").alias("yr"), "value"
+    )
+    return (
+        events.cube("event_type", "yr")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("yr").cast("string"), F.lit("ALL")).alias("yr"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+            FROM documents)
+      GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, tf.term AS term,
+             round(tf * ln(n_docs / df), 4) AS tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY round(tf * ln(n_docs / df), 4) DESC,
+                                         tf.term) AS rk
+      FROM tf, df, n WHERE tf.term = df.term
+    )
+    SELECT doc_id, term, tfidf, CAST(rk AS INT) AS rk
+    FROM scored WHERE rk <= 3 AND doc_id < 100
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF: term frequency per doc × ln(N/df), top-3 terms per
+    document (output bounded to doc_id < 100; the scoring runs over the
+    whole corpus). One explode → two aggregations → broadcast the
+    (vocabulary-sized) df table back onto tf."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(n_docs / F.col("df")), 4).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") <= 3) & (F.col("doc_id") < 100))
+    )
+
+
+@query(
+    "repeat_buyers_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def repeat_buyers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT as a first-class operator: customers who ordered in
+    both 1995 and 1996. Spark plans this as a distinct + semi-join
+    (left_semi after aggregation) — no full cross-year shuffle of fact
+    rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.intersect(y96)
+
+
+@query(
+    "lapsed_buyers_except",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def lapsed_buyers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT as a first-class operator: 1995 buyers who did not return
+    in 1996 (anti-join after distinct)."""
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.subtract(y96)
