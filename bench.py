@@ -28,6 +28,7 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q18_large_volume_customers",
+    "q21_waiting_suppliers",
     # windows / grouping sets / events
     "top3_customers_per_nation",
     "nation_year_rollup",

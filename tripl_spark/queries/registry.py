@@ -65,7 +65,7 @@ def _ensure_loaded() -> None:
     global _LOADED
     if _LOADED:
         return
-    from tripl_spark.queries import advanced, analytics, analytics2, tpch, tpch2, tpch3  # noqa: F401
+    from tripl_spark.queries import advanced, analytics, analytics2, tpch, tpch2, tpch3, tpch4  # noqa: F401
     from tripl_spark.queries import graph_queries, streaming_queries, triples  # noqa: F401
     from tripl_spark.operators import dedup, multimodal, similarity, text  # noqa: F401
 
