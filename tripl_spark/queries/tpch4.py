@@ -243,22 +243,29 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    late = li.join(orders_f, li.l_orderkey == orders_f.o_orderkey).filter(
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    # Join once, flag lateness per line; every later step keys on
+    # l_orderkey, so the join's hash partitioning is reused and raw
+    # lineitem is never reshuffled a second time.
+    flagged = (
+        li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
+        .withColumn(
+            "is_late",
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+        )
+        .select("l_orderkey", "l_suppkey", "is_late")
     )
-    all_supp = li.groupBy(F.col("l_orderkey").alias("ok_all")).agg(
-        F.countDistinct("l_suppkey").alias("nsupp")
+    per_order = flagged.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("nsupp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("nlate"),
     )
-    late_supp = late.groupBy(F.col("l_orderkey").alias("ok_late")).agg(
-        F.countDistinct("l_suppkey").alias("nlate")
-    )
+    sole_late_orders = per_order.filter(
+        (F.col("nsupp") > 1) & (F.col("nlate") == 1)
+    ).select("ok")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        late.join(all_supp, late.l_orderkey == F.col("ok_all"))
-        .filter(F.col("nsupp") > 1)
-        .join(late_supp, late.l_orderkey == F.col("ok_late"))
-        .filter(F.col("nlate") == 1)
-        .join(F.broadcast(supp), late.l_suppkey == supp.s_suppkey)
+        flagged.filter(F.col("is_late"))
+        .join(sole_late_orders, flagged.l_orderkey == F.col("ok"), "left_semi")
+        .join(F.broadcast(supp), flagged.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
