@@ -1,0 +1,66 @@
+"""Physical-plan quality gates: the plan you'd want at 100 TB, asserted.
+
+Two layers:
+
+* a global sweep — NO registered query may plan a CartesianProduct or a
+  row-at-a-time Python UDF (BatchEvalPython). Arrow-batched pandas
+  operators (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas) are
+  the sanctioned Python escape hatch and stay allowed.
+* targeted assertions — filter pushdown reaches the parquet scan, small
+  dimensions broadcast, aggregation is map-side partial, deterministic
+  sampling stays shuffle-free.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tripl_spark.queries.registry import REGISTRY, _ensure_loaded
+from tripl_spark.sources.bucketing import explain_str
+
+_ensure_loaded()
+ALL = sorted(REGISTRY)
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_no_cartesian_no_rowwise_python(spark, sf_small, name):
+    plan = explain_str(REGISTRY[name].fn(spark, sf_small))
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    assert "BatchEvalPython" not in plan, f"{name} plans a row-at-a-time Python UDF"
+
+
+def _plan(spark, sf, name):
+    return explain_str(REGISTRY[name].fn(spark, sf))
+
+
+def test_q6_filter_pushdown_and_pruning(spark, sf_small):
+    plan = _plan(spark, sf_small, "q6_forecast_revenue")
+    assert "PushedFilters: [" in plan
+    # the revenue query needs 4 lineitem columns; the scan must not read
+    # the full 11-column schema
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_returnflag" not in read_schema, read_schema
+
+
+def test_q3_broadcasts_customer(spark, sf_small):
+    plan = _plan(spark, sf_small, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q1_partial_aggregation(spark, sf_small):
+    # map-side partial + final: two HashAggregate operators around the
+    # exchange, so only pre-aggregated rows shuffle
+    plan = _plan(spark, sf_small, "q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_sample_is_shuffle_free(spark, sf_small):
+    plan = _plan(spark, sf_small, "curation_stratified_sample")
+    assert "Exchange" not in plan, plan
+
+
+def test_q21_joins_orders_once(spark, sf_small):
+    # the decorrelated Q21 scans orders exactly once (the EXISTS pair
+    # is computed off the flagged frame, not by re-joining orders)
+    plan = _plan(spark, sf_small, "q21_waiting_suppliers")
+    assert plan.count("orders.parquet") == 1, plan

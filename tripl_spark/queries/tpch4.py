@@ -243,9 +243,11 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    # Join once, flag lateness per line; every later step keys on
-    # l_orderkey, so the join's hash partitioning is reused and raw
-    # lineitem is never reshuffled a second time.
+    # Join once, flag lateness per line, then compute both per-order
+    # distinct-supplier counts as WINDOW aggregates over the same frame:
+    # one scan of each table and one shuffle by l_orderkey (branching
+    # into a separate groupBy would recompute the join subtree — Spark
+    # does not share unreferenced common subplans).
     flagged = (
         li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
         .withColumn(
@@ -254,18 +256,20 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_orderkey", "l_suppkey", "is_late")
     )
-    per_order = flagged.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.countDistinct("l_suppkey").alias("nsupp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("nlate"),
+    w = Window.partitionBy("l_orderkey")
+    counted = flagged.select(
+        "l_orderkey",
+        "l_suppkey",
+        "is_late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("nsupp"),
+        F.size(
+            F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey"))).over(w)
+        ).alias("nlate"),
     )
-    sole_late_orders = per_order.filter(
-        (F.col("nsupp") > 1) & (F.col("nlate") == 1)
-    ).select("ok")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        flagged.filter(F.col("is_late"))
-        .join(sole_late_orders, flagged.l_orderkey == F.col("ok"), "left_semi")
-        .join(F.broadcast(supp), flagged.l_suppkey == supp.s_suppkey)
+        counted.filter(F.col("is_late") & (F.col("nsupp") > 1) & (F.col("nlate") == 1))
+        .join(F.broadcast(supp), counted.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
