@@ -282,6 +282,57 @@ class TripleStore:
         )
         self._invalidate()
 
+    # -- time travel -----------------------------------------------------------
+
+    def as_of(self, t: int) -> "TripleStore":
+        """Datomic-style snapshot: a read view of the store as it stood
+        once stamp ``t`` had committed. Purely a plan over the same fact
+        log — no data copied: the ``t <= T`` filter composes with the
+        merge-on-read compaction, so at rest (``dump_parquet``) it
+        reaches the parquet scan as a pushed-down predicate. Matches,
+        pulls, and entity reads against the snapshot all see the
+        historical state.
+
+        Caveat (reference semantics): ``retract_facts`` removes rows
+        physically, so retracted assertions do not reappear in earlier
+        snapshots."""
+        import copy
+
+        snap = copy.copy(self)
+        snap._pending = []
+        snap._df = self.facts_df().filter(F.col("t") <= F.lit(int(t)))
+        snap._id_cache = {}
+        snap._compacted = None
+        snap._attr_stats = None
+        return snap
+
+    def history(self, e: Any | None = None) -> DataFrame:
+        """The pre-compaction fact log (every assertion with its stamp),
+        optionally restricted to one entity — the audit/debug companion
+        to ``as_of``."""
+        df = self.facts_df()
+        if e is not None:
+            df = df.filter(F.col("e") == str(e))
+        return df.orderBy("t")
+
+    @property
+    def latest_t(self) -> int:
+        """The highest committed stamp (``as_of(latest_t)`` ≡ now)."""
+        return self._t - 1
+
+    @classmethod
+    def from_facts_df(cls, facts: DataFrame,
+                      spark: SparkSession | None = None) -> "TripleStore":
+        """Attach an externally-built facts frame (bulk melt/ingest
+        output with explicit ``t`` stamps) as a store — the cluster-side
+        sibling of ``load``; same attach pattern as ``load_parquet``."""
+        store = cls(spark=spark)
+        store._df = store.facts_df().unionByName(facts.select(*FACT_COLUMNS))
+        max_t = facts.agg(F.max("t")).collect()[0][0]
+        store._t = max(store._t, int(max_t or 0) + 1)
+        store._invalidate()
+        return store
+
     # -- facts views -----------------------------------------------------------
 
     def facts_df(self) -> DataFrame:

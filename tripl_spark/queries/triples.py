@@ -198,3 +198,51 @@ def triple_pull_df_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d.`customer:c_mktsegment`").alias("c_mktsegment"),
         F.col("d.`customer:nation`.`nation:n_name`").alias("n_name"),
     )
+
+
+@query(
+    "triple_asof_snapshot",
+    oracle="""
+    SELECT 'user-' || CAST(user_id AS VARCHAR) AS e, event_type AS last_type
+    FROM (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                         event_id DESC) AS rn
+      FROM events
+      WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15')
+    WHERE rn = 1
+    """,
+)
+def triple_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datomic-style time travel (``TripleStore.as_of``): events melt to
+    a card-one ``user:last_type`` fact log stamped ``t = millis(ts)*1e6
+    + event_id`` (unique, time-ordered), and the snapshot at Jan 15
+    answers "what was each user's latest event type THEN". The oracle is
+    the relational argmax under the same cutoff — if the snapshot filter
+    or LWW compaction mis-ranked, values flip. The as-of filter is a
+    pushed-down predicate over the fact log, not a copy."""
+    from tripl_spark.core.schema import CARD_ONE
+    from tripl_spark.core.store import TripleStore
+
+    events = load_table(spark, sf_dir, "events")
+    facts = events.select(
+        F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("e"),
+        F.lit("user:last_type").alias("a"),
+        F.lit("str").alias("vtype"),
+        F.col("event_type").alias("v_str"),
+        F.lit(None).cast("double").alias("v_num"),
+        F.lit(None).cast("boolean").alias("v_bool"),
+        (F.unix_millis("ts") * 1_000_000 + F.col("event_id")).alias("t"),
+    )
+    store = TripleStore.from_facts_df(facts, spark=spark)
+    store.registry.declare("user:last_type", {"db:cardinality": CARD_ONE})
+    cutoff_t = (
+        F.unix_millis(F.lit("2024-01-15").cast("timestamp")) * 1_000_000 - 1
+    )
+    snap = store.as_of(events.select(cutoff_t.alias("c")).first()["c"])
+    return (
+        snap.current_facts(cache=False)
+        .filter(F.col("a") == "user:last_type")
+        .select("e", F.col("v_str").alias("last_type"))
+    )
