@@ -173,3 +173,90 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     normalized = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     return docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
+
+
+@query(
+    "text_ngram_contamination",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                   for i in range(1, greatest(len(t) - 2, 1) + 1)]))
+               AS g
+      FROM toks
+    )
+    SELECT tr.doc_id AS doc_id, be.doc_id AS bench_id,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM (SELECT * FROM grams WHERE doc_id % 97 != 0) tr
+    JOIN (SELECT * FROM grams WHERE doc_id % 97 = 0) be ON tr.g = be.g
+    GROUP BY 1, 2
+    HAVING count(*) >= 5
+    """,
+)
+def text_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: which training docs share ≥5
+    distinct word 3-grams with a held-out "benchmark" slice (doc_id %
+    97 == 0 stands in for the eval set). The benchmark side is tiny by
+    construction, so its gram set BROADCASTS and the scan over training
+    grams never shuffles the corpus — the shape that matters when the
+    training side is 100 TB. Reuses dedup's shingle builder
+    (`word_shingles`), oracled gram-for-gram against DuckDB."""
+    from tripl_spark.operators.dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select("doc_id", F.explode(word_shingles(3)).alias("g"))
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "g"
+    )
+    train = grams.filter(F.col("doc_id") % 97 != 0)
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+    )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ),
+    freq AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+    tot AS (SELECT count(*) AS tt FROM tok)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum(ln(c * 1.0 / tt)) / count(*), 4) AS avg_logprob
+    FROM tok JOIN freq USING (term), tot
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality signal: each document's mean token log-
+    probability under the corpus unigram distribution (the cheap
+    stand-in for model-perplexity filtering). One explode pass builds
+    the token stream; the vocabulary-sized frequency table broadcasts
+    back onto it — the corpus is scanned twice, shuffled by token once
+    (the frequency groupBy), never shuffled by document."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    )
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.count()
+    return (
+        tok.join(F.broadcast(freq), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(F.log(F.col("c") * 1.0 / total)) / F.count(F.lit(1)), 4
+            ).alias("avg_logprob"),
+        )
+    )

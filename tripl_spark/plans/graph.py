@@ -61,3 +61,54 @@ def reachability(
             visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    max_iters: int = 30,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """(node, component) labeling of the undirected graph — component
+    id is the minimum node id in the component (hash-min label
+    propagation, the MapReduce-era CC algorithm that needs only
+    equi-joins + min-aggregations: one shuffle per round, converging in
+    O(diameter) rounds; checkpointing flattens lineage as in
+    ``reachability``). Used by dedup pipelines to cluster candidate
+    pairs into duplicate groups."""
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    seeds = sym.select(F.col("src").alias("node"))
+    if nodes is not None:
+        # isolated nodes (degree 0) still get a singleton component
+        seeds = seeds.union(nodes.select(F.col(nodes.columns[0]).alias("node")))
+    labels = (
+        seeds.distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for i in range(1, max_iters + 1):
+        neigh = sym.join(labels, sym.dst == labels.node).select(
+            F.col("src").alias("node"), "comp"
+        )
+        new_labels = (
+            neigh.unionByName(labels.select("node", "comp"))
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+        if checkpoint_every and i % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        diff = (
+            new_labels.join(
+                labels.select(F.col("node").alias("__n"), F.col("comp").alias("__c")),
+                (new_labels.node == F.col("__n"))
+                & (new_labels.comp != F.col("__c")),
+                "left_semi",
+            )
+        )
+        stable = diff.isEmpty()
+        labels = new_labels
+        if stable:
+            break
+    return labels

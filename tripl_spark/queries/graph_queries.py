@@ -45,3 +45,54 @@ def graph_user_ancestry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reachability(edges, roots).select(
         "root", "node", F.col("depth").cast("int").alias("depth")
     )
+
+
+@query(
+    "graph_components_purchasers",
+    oracle="""
+    WITH RECURSIVE nodes AS (
+      SELECT DISTINCT user_id AS node FROM events WHERE event_type = 'purchase'
+    ),
+    edges AS (
+      SELECT n1.node AS src, n2.node AS dst
+      FROM nodes n1
+      JOIN nodes n2 ON n2.node = CAST(floor(n1.node / 2) AS BIGINT)
+      WHERE n1.node > 0
+    ),
+    sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    reach AS (
+      SELECT node AS root, node FROM nodes
+      UNION
+      SELECT r.root, s.dst AS node FROM reach r JOIN sym s ON r.node = s.src
+    )
+    SELECT root AS node, min(node) AS component
+    FROM reach GROUP BY root
+    """,
+)
+def graph_components_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (hash-min label propagation) over the
+    ancestry graph restricted to purchasing users — dropping non-
+    purchasers breaks the u → u//2 tree into several components, so the
+    labeling is non-trivial. The oracle derives components from DuckDB's
+    recursive-CTE transitive closure (component = min reachable node),
+    checking the propagation fixpoint exactly."""
+    from tripl_spark.plans.graph import connected_components
+
+    nodes = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("node"))
+        .distinct()
+    )
+    parents = nodes.select(
+        F.col("node").alias("src"),
+        F.floor(F.col("node") / 2).cast("long").alias("dst"),
+    ).filter(F.col("src") > 0)
+    edges = parents.join(
+        nodes.select(F.col("node").alias("__n")),
+        parents.dst == F.col("__n"),
+        "left_semi",
+    )
+    return connected_components(edges, nodes=nodes).select(
+        "node", F.col("comp").alias("component")
+    )
