@@ -1,0 +1,142 @@
+"""Property-based equivalence tests (hypothesis): the custom operators
+must agree with a trivially-correct reference implementation on
+arbitrary small inputs — including degenerate ones (all-hot single key,
+empty frames, boundary timestamps) that fixed fixtures miss.
+
+Examples are kept small and the Spark work tiny so the whole module
+stays in seconds; the value is the input-space coverage, not scale.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tripl_spark.operators.rangejoin import range_join
+from tripl_spark.operators.skew import salted_agg, salted_join
+from tripl_spark.plans.graph import connected_components
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),   # key (few → hot keys common)
+        st.integers(min_value=-50, max_value=50),  # value
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=rows_st)
+@settings(**SETTINGS)
+def test_salted_agg_equals_plain_groupby(spark, rows):
+    df = spark.createDataFrame(
+        [(i, k, float(v)) for i, (k, v) in enumerate(rows)], "id long, k long, v double"
+    )
+    salted = {
+        (r.k): (r.sum_v, r.cnt)
+        for r in salted_agg(df, ["k"], tiebreaker="id", sums=["v"], n=4)
+        .withColumnRenamed("sum_v", "sum_v")
+        .collect()
+    }
+    plain = {
+        r.k: (r.s, r.c)
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert salted == plain
+
+
+@given(rows=rows_st)
+@settings(**SETTINGS)
+def test_salted_join_equals_plain_join(spark, rows):
+    fact = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)], "id long, k long, v long"
+    )
+    dim = spark.createDataFrame([(k, f"d{k}") for k in range(4)], "dk long, name string")
+    salted = sorted(
+        (r.id, r.name)
+        for r in salted_join(fact, dim, "k", "dk", tiebreaker="id", n=3).collect()
+    )
+    plain = sorted(
+        (r.id, r.name) for r in fact.join(dim, fact.k == dim.dk).collect()
+    )
+    assert salted == plain
+
+
+ts_rows_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),      # user key
+        st.integers(min_value=0, max_value=7200),   # seconds offset (spans bins)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=ts_rows_st)
+@settings(**SETTINGS)
+def test_range_join_equals_naive_inequality_join(spark, rows):
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (i, k, base + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "id long, k long, ts timestamp")
+    left = df.select(F.col("id").alias("lid"), "k", "ts")
+    right = df.select(F.col("id").alias("rid"), "k", "ts")
+    got = sorted(
+        (r.lid, r.rid)
+        for r in range_join(left, right, ["k"], "ts", "ts", window_seconds=600)
+        .select("lid", "rid")
+        .collect()
+    )
+    want = sorted(
+        (a_id, b_id)
+        for (a_id, a_k, a_ts) in data
+        for (b_id, b_k, b_ts) in data
+        if a_k == b_k and a_ts < b_ts <= a_ts + dt.timedelta(seconds=600)
+    )
+    assert got == want
+
+
+edges_st = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=1, max_size=15
+)
+
+
+def _union_find_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in comp.values() for n in members}
+
+
+@given(edges=edges_st)
+@settings(**SETTINGS)
+def test_connected_components_equals_union_find(spark, edges):
+    nodes = sorted({n for e in edges for n in e})
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.comp for r in connected_components(edf).collect()}
+    assert got == _union_find_components(edges, nodes)
