@@ -29,6 +29,7 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q18_large_volume_customers",
     "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
     # windows / grouping sets / events
     "top3_customers_per_nation",
     "nation_year_rollup",
@@ -36,11 +37,15 @@ HEADLINE = [
     "events_hourly_tumbling",
     "events_user_props_stats",
     "asof_last_purchase",
+    "range_join_error_followups",
+    "hypertable_rollup_daily",
     # triple engine (melt + match/pull/datalog plans)
     "triple_match_nested",
     "triple_pull_projection",
     "triple_datalog_join",
+    "triple_asof_snapshot",
     "graph_user_ancestry",
+    "graph_components_purchasers",
     # LLM-pipeline operators
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -48,6 +53,11 @@ HEADLINE = [
     "text_lang_id",
     "sim_knn_bruteforce",
     "sim_ann_lsh",
+    # curation / skew / contamination
+    "curation_quota_per_stratum",
+    "skew_salted_join_user_spend",
+    "text_ngram_contamination",
+    "text_unigram_logprob",
 ]
 
 

@@ -390,7 +390,11 @@ class TripleStore:
     def compact(self) -> None:
         """Materialize the compaction view as the new physical base —
         truncates the append lineage (the batch analog of a Delta
-        OPTIMIZE pass); safe any time, semantics unchanged."""
+        OPTIMIZE pass). Current-state semantics are unchanged, but the
+        compaction horizon moves: superseded card-one versions are
+        dropped, so ``as_of`` earlier than the compaction sees the
+        compacted state, not the discarded history (the standard
+        compaction/time-travel retention trade-off)."""
         self._df = self.current_facts(cache=False).localCheckpoint(eager=True)
         self._invalidate()
 
