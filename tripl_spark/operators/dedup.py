@@ -88,6 +88,43 @@ def _shingle_hash(s: F.Column, hash_mode: str) -> F.Column:
     return F.pmod(F.xxhash64(s), _MERSENNE)
 
 
+def shingle_frame(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", col: str = "text"
+) -> DataFrame:
+    """(id, g) — one row per distinct word n-gram per document, built
+    codegen-style: posexplode tokens, window ``lead``s reassemble each
+    gram, distinct dedupes. Semantically identical to exploding
+    ``word_shingles`` (including the single short gram for sub-n-token
+    docs) but WITHOUT the interpreted-HOF trap: projection collapse
+    inlines the ``split`` into every lambda element, making the array
+    form O(tokens²) per document — this form tokenizes once and stays
+    in whole-stage codegen, trading it for two narrow shuffles of the
+    gram stream (linear, AQE-balanced, the right side of the trade at
+    any scale)."""
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.lower(F.col(col))), r"\s+")).alias(
+            "pos", "term"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("term", i).over(w) for i in range(1, n)]
+    gram = F.concat_ws(" ", F.col("term"), *leads)  # concat_ws skips nulls
+    g = toks.select(
+        F.col(id_col),
+        "pos",
+        gram.alias("g"),
+        leads[-1].isNotNull().alias("_full"),
+    )
+    # tail stubs (missing leads) are dropped — except pos 0, which for a
+    # doc shorter than n tokens is word_shingles' single short gram
+    return (
+        g.filter(F.col("_full") | (F.col("pos") == 0))
+        .select(id_col, "g")
+        .distinct()
+    )
+
+
 def shingle_sets(
     docs: DataFrame, id_col: str = "doc_id", hash_mode: str = "xxhash64"
 ) -> DataFrame:
@@ -96,13 +133,13 @@ def shingle_sets(
     verify) works off this compact form: hashing shingle strings exactly
     once and never moving them again. Jaccard over hashed sets equals
     Jaccard over the strings up to collision probability ~|set|²/2³¹
-    per pair.
-    """
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    hs = F.array_distinct(
-        F.transform(word_shingles(), lambda s: _shingle_hash(s, hash_mode))
+    per pair. Built off ``shingle_frame`` (set semantics, so the
+    collected array's order is irrelevant to every consumer — minhash
+    takes mins, Jaccard intersects)."""
+    hashed = shingle_frame(docs, id_col=id_col).select(
+        F.col(id_col), _shingle_hash(F.col("g"), hash_mode).alias("h")
     )
-    return docs.repartition(par).select(F.col(id_col), hs.alias("hs"))
+    return hashed.groupBy(id_col).agg(F.collect_set("h").alias("hs"))
 
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -204,17 +204,20 @@ def text_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction, so its gram set BROADCASTS and the scan over training
     grams never shuffles the corpus — the shape that matters when the
     training side is 100 TB. Reuses dedup's shingle builder
-    (`word_shingles`), oracled gram-for-gram against DuckDB."""
-    from tripl_spark.operators.dedup import word_shingles
-
+    (`shingle_frame`), oracled gram-for-gram against DuckDB."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select("doc_id", F.explode(word_shingles(3)).alias("g"))
+    # join on the 64-bit gram hash, not the gram string: the broadcast
+    # table and the probe keys shrink ~4x and hash-compare instead of
+    # string-compare (collision odds at corpus vocab sizes: ~1e-9)
+    from tripl_spark.operators.dedup import shingle_frame
+
+    grams = shingle_frame(docs, 3).select("doc_id", F.xxhash64("g").alias("gh"))
     bench = grams.filter(F.col("doc_id") % 97 == 0).select(
-        F.col("doc_id").alias("bench_id"), "g"
+        F.col("doc_id").alias("bench_id"), "gh"
     )
     train = grams.filter(F.col("doc_id") % 97 != 0)
     return (
-        train.join(F.broadcast(bench), "g")
+        train.join(F.broadcast(bench), "gh")
         .groupBy("doc_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 5)
