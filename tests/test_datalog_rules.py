@@ -1,0 +1,83 @@
+"""Recursive datalog rules (semi-naive fixpoint): ancestor closure and
+same-generation, checked against driver-side references."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tripl_spark.plans.datalog import eval_rules, facts_with_rules, q_df
+
+
+def _parent_facts(spark, pairs):
+    rows = [
+        (c, "parent", "ref", p, None, None, 0)
+        for c, p in pairs
+    ]
+    return spark.createDataFrame(
+        rows,
+        "e string, a string, vtype string, v_str string, v_num double, "
+        "v_bool boolean, t long",
+    )
+
+
+ANCESTOR_RULES = [
+    (["?x", "anc", "?y"], [["?x", "parent", "?y"]]),
+    (["?x", "anc", "?y"], [["?x", "parent", "?z"], ["?z", "anc", "?y"]]),
+]
+
+
+def _closure(pairs):
+    parent = {}
+    for c, p in pairs:
+        parent.setdefault(c, set()).add(p)
+    out = set()
+
+    def walk(start, node):
+        for p in parent.get(node, ()):
+            if (start, p) not in out:
+                out.add((start, p))
+                walk(start, p)
+
+    for c in list(parent):
+        walk(c, c)
+    return out
+
+
+def test_ancestor_closure_on_chain_and_fork(spark):
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("x", "c"), ("y", "z")]
+    facts = _parent_facts(spark, pairs)
+    anc = eval_rules(facts, ANCESTOR_RULES)["anc"]
+    got = {(r.e, r.v) for r in anc.collect()}
+    assert got == _closure(pairs)
+
+
+def test_derived_predicate_usable_in_query(spark):
+    pairs = [("a", "b"), ("b", "c"), ("c", "d")]
+    extended = facts_with_rules(_parent_facts(spark, pairs), ANCESTOR_RULES)
+    rows = q_df(
+        extended, {"find": ["?who"], "where": [["?who", "anc", "d"]]}
+    ).collect()
+    assert {r["?who"] for r in rows} == {"s:a", "s:b", "s:c"}
+
+
+def test_same_generation_rule(spark):
+    # sg(X,Y) :- parent(X,P), parent(Y,P)       (siblings/cousins base)
+    # sg(X,Y) :- parent(X,P1), sg(P1,P2), parent(Y,P2)
+    pairs = [("a1", "p1"), ("a2", "p1"), ("b1", "p2"), ("p1", "g"), ("p2", "g")]
+    rules = [
+        (["?x", "sg", "?y"], [["?x", "parent", "?p"], ["?y", "parent", "?p"]]),
+        (
+            ["?x", "sg", "?y"],
+            [
+                ["?x", "parent", "?p1"],
+                ["?p1", "sg", "?p2"],
+                ["?y", "parent", "?p2"],
+            ],
+        ),
+    ]
+    sg = eval_rules(_parent_facts(spark, pairs), rules)["sg"]
+    got = {(r.e, r.v) for r in sg.collect()}
+    # a1/a2 share p1; p1/p2 share g; so a1,a2 are same-generation with b1
+    assert ("a1", "a2") in got and ("a1", "b1") in got and ("a2", "b1") in got
+    assert ("p1", "p2") in got
+    assert ("a1", "g") not in got and ("a1", "p1") not in got

@@ -16,8 +16,9 @@ clause results, which covers the practical cases. Variables bind
 through a canonical value key (``s:``/``n:``/``b:`` prefixed) so an
 entity-position variable can join a value-position variable (eids are
 string values — the lazy-ref property). The ``rules`` recursion from
-the sketch stays unimplemented here too; ``plans/graph.reachability``
-covers recursive reachability.
+the sketch is implemented too (``eval_rules`` /
+``facts_with_rules``): semi-naive fixpoint evaluation of recursive
+rules, delta-driven so each round joins only newly-derived tuples.
 """
 
 from __future__ import annotations
@@ -66,17 +67,13 @@ def _clause_df(facts: DataFrame, clause: list[Any]) -> tuple[DataFrame, list[str
     return out, [v for v in cols]
 
 
-def q_df(facts: DataFrame, query: dict[str, Any]) -> DataFrame:
-    where = query.get("where") or []
-    if not where:
-        raise ValueError("datalog query needs at least one where clause")
-    find = query["find"]
-    find_vars = [find] if isinstance(find, str) else list(find)
-
+def _fold_clause_dfs(
+    clause_dfs: list[tuple[DataFrame, list[str]]]
+) -> tuple[DataFrame, set[str]]:
+    """Conjunction of clause frames: fold of equi-joins on shared vars."""
     bound: DataFrame | None = None
     bound_vars: set[str] = set()
-    for clause in where:
-        cdf, cvars = _clause_df(facts, clause)
+    for cdf, cvars in clause_dfs:
         if bound is None:
             bound, bound_vars = cdf, set(cvars)
             continue
@@ -93,6 +90,18 @@ def q_df(facts: DataFrame, query: dict[str, Any]) -> DataFrame:
         else:
             bound = bound.crossJoin(cdf)
         bound_vars |= set(cvars)
+    assert bound is not None
+    return bound, bound_vars
+
+
+def q_df(facts: DataFrame, query: dict[str, Any]) -> DataFrame:
+    where = query.get("where") or []
+    if not where:
+        raise ValueError("datalog query needs at least one where clause")
+    find = query["find"]
+    find_vars = [find] if isinstance(find, str) else list(find)
+
+    bound, bound_vars = _fold_clause_dfs([_clause_df(facts, c) for c in where])
 
     missing = [v for v in find_vars if v not in bound_vars]
     if missing:
@@ -144,3 +153,165 @@ def q(store: Any, query: dict[str, Any]) -> list[tuple]:
     if not query.get("sort") and not query.get("take"):
         df = df.orderBy(*find_vars)
     return [tuple(decode_binding(row[v]) for v in find_vars) for row in df.collect()]
+
+
+# -- recursive rules (semi-naive) -------------------------------------------
+
+
+def _derived_clause_df(
+    rel: DataFrame, clause: list[Any]
+) -> tuple[DataFrame, list[str]]:
+    """A body clause over a derived predicate: rel is its (e, v) pair
+    set; bindings use the same canonical keys as base clauses."""
+    e_term, _pred, v_term = clause
+    df = rel
+    cols: dict[str, F.Column] = {}
+    if _is_var(e_term):
+        cols[e_term] = F.concat(F.lit("s:"), F.col("e"))
+    else:
+        df = df.filter(F.col("e") == str(e_term))
+    if _is_var(v_term):
+        cols[v_term] = F.concat(F.lit("s:"), F.col("v"))
+    else:
+        df = df.filter(F.col("v") == str(v_term))
+    return df.select(*[c.alias(n) for n, c in cols.items()]), list(cols)
+
+
+def _strip_s(col: F.Column) -> F.Column:
+    return F.substring(col, 3, 1 << 20)
+
+
+def eval_rules(
+    facts: DataFrame,
+    rules: list[tuple[list[Any], list[list[Any]]]],
+    max_iters: int = 30,
+) -> dict[str, DataFrame]:
+    """Fixpoint of recursive datalog rules — the part of the reference's
+    sketched API (tripl.py:571-587 mentions ``rules``) it never built.
+
+    Each rule is (head, body): head ``[?x, pred, ?y]`` (vars only, attr
+    constant), body a list of clauses over base attributes or derived
+    predicates. Evaluation is SEMI-NAIVE: after seeding with the
+    non-recursive rules, each round re-evaluates recursive bodies with
+    the last round's DELTA substituted into the first recursive
+    predicate occurrence — so round N's joins touch only newly-derived
+    tuples, not the whole relation (the difference between O(paths) and
+    O(paths × diameter) total work). Rounds checkpoint like the other
+    iterative plans. Linear recursion (one recursive clause per body)
+    is evaluated exactly; additional recursive occurrences see the
+    accumulated relation, which still reaches the same fixpoint for
+    monotone rules, just possibly in more rounds.
+
+    Returns {pred: DataFrame(e, v)} of derived pairs."""
+    preds = {head[1] for head, _ in rules}
+    empty = None
+    known: dict[str, DataFrame] = {}
+    delta: dict[str, DataFrame] = {}
+
+    def eval_body(body: list[list[Any]], use_delta: bool) -> list[DataFrame]:
+        """All clause-frame lists for this body; with use_delta, one
+        variant per recursive clause position substituted with delta."""
+        rec_positions = [i for i, c in enumerate(body) if c[1] in preds]
+        variants: list[list[tuple[DataFrame, list[str]]]] = []
+        if not use_delta or not rec_positions:
+            variants.append(
+                [
+                    _derived_clause_df(known[c[1]], c)
+                    if c[1] in preds
+                    else _clause_df(facts, c)
+                    for c in body
+                ]
+            )
+        else:
+            for dpos in rec_positions:
+                variants.append(
+                    [
+                        _derived_clause_df(
+                            delta[c[1]] if i == dpos else known[c[1]], c
+                        )
+                        if c[1] in preds
+                        else _clause_df(facts, c)
+                        for i, c in enumerate(body)
+                    ]
+                )
+        return [
+            _fold_clause_dfs(v)[0] for v in variants
+        ]
+
+    def head_pairs(head: list[Any], bound: DataFrame) -> DataFrame:
+        e_var, _pred, v_var = head
+        return bound.select(
+            _strip_s(F.col(e_var)).alias("e"), _strip_s(F.col(v_var)).alias("v")
+        ).distinct()
+
+    # seed: non-recursive rules only
+    for head, body in rules:
+        if any(c[1] in preds for c in body):
+            continue
+        pairs = head_pairs(head, eval_body(body, use_delta=False)[0])
+        pred = head[1]
+        known[pred] = (
+            pairs if pred not in known else known[pred].union(pairs).distinct()
+        )
+    for pred in preds:
+        if pred not in known:
+            spark = facts.sparkSession
+            known[pred] = spark.createDataFrame([], "e string, v string")
+        known[pred] = known[pred].localCheckpoint(eager=True)
+        delta[pred] = known[pred]
+
+    for _round in range(max_iters):
+        new: dict[str, DataFrame] = {}
+        for head, body in rules:
+            if not any(c[1] in preds for c in body):
+                continue
+            pred = head[1]
+            for bound in eval_body(body, use_delta=True):
+                pairs = head_pairs(head, bound)
+                new[pred] = pairs if pred not in new else new[pred].union(pairs)
+        progressed = False
+        for pred in preds:
+            if pred not in new:
+                delta[pred] = known[pred].limit(0)
+                continue
+            fresh = (
+                new[pred]
+                .distinct()
+                .join(
+                    known[pred]
+                    .withColumnRenamed("e", "__e")
+                    .withColumnRenamed("v", "__v"),
+                    (F.col("e") == F.col("__e")) & (F.col("v") == F.col("__v")),
+                    "left_anti",
+                )
+                .localCheckpoint(eager=True)
+            )
+            delta[pred] = fresh
+            if not fresh.isEmpty():
+                progressed = True
+                known[pred] = known[pred].union(fresh).localCheckpoint(eager=True)
+        if not progressed:
+            break
+    return known
+
+
+def facts_with_rules(
+    facts: DataFrame,
+    rules: list[tuple[list[Any], list[list[Any]]]],
+) -> DataFrame:
+    """facts ∪ derived-predicate rows (as ref triples, t=0) — so a
+    plain datalog query can use derived predicates in its where
+    clauses."""
+    out = facts
+    for pred, rel in eval_rules(facts, rules).items():
+        derived = rel.select(
+            F.col("e"),
+            F.lit(pred).alias("a"),
+            F.lit("ref").alias("vtype"),
+            F.col("v").alias("v_str"),
+            F.lit(None).cast("double").alias("v_num"),
+            F.lit(None).cast("boolean").alias("v_bool"),
+            F.lit(0).cast("long").alias("t"),
+        )
+        out = out.unionByName(derived)
+    return out

@@ -96,3 +96,50 @@ def graph_components_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges, nodes=nodes).select(
         "node", F.col("comp").alias("component")
     )
+
+
+@query(
+    "triple_datalog_ancestor",
+    oracle="""
+    WITH RECURSIVE nodes AS (SELECT DISTINCT user_id AS u FROM events),
+    edges AS (
+      SELECT u AS c, CAST(floor(u / 2) AS BIGINT) AS p FROM nodes WHERE u > 0
+    ),
+    anc AS (
+      SELECT c, p FROM edges
+      UNION
+      SELECT a.c, e.p FROM anc a JOIN edges e ON a.p = e.c
+    )
+    SELECT 'user-' || CAST(c AS VARCHAR) AS descendant,
+           'user-' || CAST(p AS VARCHAR) AS ancestor
+    FROM anc
+    """,
+)
+def triple_datalog_ancestor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive datalog rules (the part of the reference's sketched
+    API it never built): ancestor(X,Y) ← parent(X,Y);
+    ancestor(X,Y) ← parent(X,Z), ancestor(Z,Y) — evaluated semi-naive
+    (`plans/datalog.eval_rules`) over parent facts melted from events
+    users, against DuckDB's recursive-CTE closure."""
+    from tripl_spark.plans.datalog import eval_rules
+
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    parent_facts = users.filter(F.col("user_id") > 0).select(
+        F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("e"),
+        F.lit("parent").alias("a"),
+        F.lit("ref").alias("vtype"),
+        F.concat(
+            F.lit("user-"), F.floor(F.col("user_id") / 2).cast("long").cast("string")
+        ).alias("v_str"),
+        F.lit(None).cast("double").alias("v_num"),
+        F.lit(None).cast("boolean").alias("v_bool"),
+        F.lit(0).cast("long").alias("t"),
+    )
+    rules = [
+        (["?x", "anc", "?y"], [["?x", "parent", "?y"]]),
+        (["?x", "anc", "?y"], [["?x", "parent", "?z"], ["?z", "anc", "?y"]]),
+    ]
+    anc = eval_rules(parent_facts, rules)["anc"]
+    return anc.select(
+        F.col("e").alias("descendant"), F.col("v").alias("ancestor")
+    )
