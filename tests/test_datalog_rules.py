@@ -81,3 +81,29 @@ def test_same_generation_rule(spark):
     assert ("a1", "a2") in got and ("a1", "b1") in got and ("a2", "b1") in got
     assert ("p1", "p2") in got
     assert ("a1", "g") not in got and ("a1", "p1") not in got
+
+
+def test_store_q_with_rules(spark):
+    from tripl_spark.core.store import TripleStore
+
+    store = TripleStore(spark=spark)
+    store.assert_facts(
+        [
+            {"db:ident": "a", "fam:parent": {"db:ident": "b"}},
+            {"db:ident": "b", "fam:parent": {"db:ident": "c"}},
+        ],
+    )
+    # resolve idents to eids driver-side for the rule base attribute
+    rules = [
+        (["?x", "anc", "?y"], [["?x", "fam:parent", "?y"]]),
+        (["?x", "anc", "?y"], [["?x", "fam:parent", "?z"], ["?z", "anc", "?y"]]),
+    ]
+    rows = store.q(
+        {"find": ["?x", "?y"], "where": [["?x", "anc", "?y"]]}, rules=rules
+    )
+    eid = {i: next(iter(store.match({"db:ident": i}))) for i in "abc"}
+    assert set(rows) == {
+        (eid["a"], eid["b"]),
+        (eid["b"], eid["c"]),
+        (eid["a"], eid["c"]),
+    }

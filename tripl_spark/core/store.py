@@ -473,12 +473,26 @@ class TripleStore:
             self.current_facts(), self.registry, pull_expr, roots, recur_depth
         )
 
-    def q(self, query: dict[str, Any]) -> list[tuple]:
+    def q(self, query: dict[str, Any],
+          rules: list[tuple] | None = None) -> list[tuple]:
         """Datalog-style conjunctive query (the reference's sketched,
-        unimplemented API — tripl.py:571-587). See plans/datalog.py."""
-        from tripl_spark.plans.datalog import q as _q
+        unimplemented API — tripl.py:571-587), optionally with recursive
+        ``rules`` evaluated to fixpoint first so derived predicates can
+        appear in where clauses. See plans/datalog.py."""
+        from tripl_spark.plans import datalog
 
-        return _q(self, query)
+        if not rules:
+            return datalog.q(self, query)
+        extended = datalog.facts_with_rules(self.current_facts(), rules)
+        find = query["find"]
+        find_vars = [find] if isinstance(find, str) else list(find)
+        df = datalog.q_df(extended, query)
+        if not query.get("sort") and not query.get("take"):
+            df = df.orderBy(*find_vars)
+        return [
+            tuple(datalog.decode_binding(row[v]) for v in find_vars)
+            for row in df.collect()
+        ]
 
     def entity(self, pattern_or_eid: Any, namespace: str | None = None):
         from tripl_spark.core.entity import Entity
