@@ -116,3 +116,82 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full plumbing: binary column → Arrow batches → (stub) decode →
     feature rows. Python is confined to this one stage by design."""
     return extract_features(media_table(spark, sf_dir))
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, media_type string, width int, height int, payload binary, "
+    "content_hash string"
+)
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_ts double, frame_payload binary"
+
+
+def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Resize plumbing: Arrow batches in, fixed-(width,height) payloads
+    out. The stub transform is deterministic — payload bytes are tiled/
+    truncated to exactly width×height bytes (a real deployment decodes,
+    resamples via PIL/cv2, and re-encodes; schema, batching, and output
+    hashing stay identical). One row in, one row out."""
+
+    target = width * height
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def fake_resize(payload: bytes) -> bytes:
+                if not payload:
+                    payload = b"\x00"
+                reps = -(-target // len(payload))  # ceil
+                return (bytes(payload) * reps)[:target]
+
+            resized = pdf["payload"].map(fake_resize)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": width,
+                    "height": height,
+                    "payload": resized,
+                    "content_hash": resized.map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                    ),
+                }
+            )
+
+    return media.mapInPandas(op, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, fps: float = 1.0, max_frames: int = 8) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: one input row fans
+    out to ≤max_frames rows (frame index, timestamp, frame bytes) — the
+    1→N shape a real ffmpeg sampler produces. The stub derives a
+    deterministic frame count from payload length and slices the
+    payload per frame; ``mapInPandas`` is the right operator because the
+    output cardinality differs from the input's (a pandas_udf cannot
+    change row counts)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "frame_ts": [], "frame_payload": []
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload or b"")
+                n = min(max_frames, max(1, len(payload) // 64))
+                step = max(1, len(payload) // n)
+                for i in range(n):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_ts"].append(round(i / fps, 3))
+                    out["frame_payload"].append(payload[i * step:(i + 1) * step])
+            yield pd.DataFrame(out)
+
+    videos = media.filter(F.col("media_type").startswith("audio") == False)  # noqa: E712
+    return videos.mapInPandas(op, schema=FRAME_SCHEMA)
+
+
+@query("multimodal_frame_sample", doc="mapInPandas 1→N frame sampling over binary "
+                                      "payloads (stubbed sampler; rows-only check)")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling registered end-to-end: bounded to doc_id < 200 so
+    the fan-out stays small at any SF."""
+    media = media_table(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return sample_frames(media)
