@@ -135,3 +135,81 @@ def lapsed_buyers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
     y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
     return y95.subtract(y96)
+
+
+@query(
+    "events_moving_total_7d",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+             date_trunc('day', CAST(ts AS TIMESTAMP)) AS day_ts,
+             event_type,
+             sum(CAST(value AS DECIMAL(18,6))) AS day_sum
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT day, event_type,
+           round(CAST(sum(day_sum) OVER (
+                   PARTITION BY event_type ORDER BY day_ts
+                   RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+                 AS DOUBLE), 2) AS total_7d,
+           CAST(count(*) OVER (
+                   PARTITION BY event_type ORDER BY day_ts
+                   RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_days_7d
+    FROM daily
+    """,
+)
+def events_moving_total_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based, not row-based): trailing 7-day
+    totals per event type over the daily aggregate. The frame is bound
+    by TIME — days missing from the data shrink the window, which a
+    ROWS frame gets wrong. Day sums run in DECIMAL so the sliding sum
+    is exact under any partitioning; the frame operates on epoch
+    seconds (Spark's rangeBetween needs a numeric ordering key)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_s"),
+        "event_type",
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("day_sum"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_s")
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return daily.select(
+        "day",
+        "event_type",
+        F.round(F.sum("day_sum").over(w).cast("double"), 2).alias("total_7d"),
+        F.count(F.lit(1)).over(w).alias("n_days_7d"),
+    )
+
+
+@query(
+    "part_price_unpivot",
+    oracle="""
+    SELECT p_partkey, metric, round(val, 2) AS val
+    FROM (
+      SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS retail,
+             CAST(p_size AS DOUBLE) AS size
+      FROM part WHERE p_partkey < 200
+    )
+    UNPIVOT (val FOR metric IN (retail, size))
+    """,
+)
+def part_price_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long reshape) as a first-class operator —
+    `DataFrame.unpivot` plans an Expand node (each input row emits one
+    row per measure, no shuffle, no join), the same melt primitive the
+    triple encoder (`sources/melt.py`) builds on."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    wide = part.select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("retail"),
+        F.col("p_size").cast("double").alias("size"),
+    )
+    return wide.unpivot("p_partkey", ["retail", "size"], "metric", "val").select(
+        "p_partkey", "metric", F.round("val", 2).alias("val")
+    )
