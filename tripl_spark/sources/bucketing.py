@@ -73,3 +73,32 @@ def n_exchanges(df: DataFrame) -> int:
         for line in explain_str(df).splitlines()
         if "Exchange" in line and "BroadcastExchange" not in line
     )
+
+
+def optimize_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 256 << 20,
+    cluster_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction (the OPTIMIZE half of table maintenance):
+    rewrite a parquet dataset into ~target-sized files, optionally
+    clustered (repartition by columns + sort within files — the poor
+    man's Z-order: one clustering dimension of data skipping via
+    parquet min/max row-group stats). Small files are the silent killer
+    of 100 TB scans — every file costs a task, a footer read, and a
+    listing entry; streaming sinks and per-attribute partitioning both
+    produce them, so compaction is a standing maintenance job, not an
+    afterthought. Sizing uses the Hadoop FileSystem API (works on
+    HDFS/S3, not just local). Returns the file count written."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(src)  # noqa: SLF001
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    total = fs.getContentSummary(jpath).getLength()
+    n = max(1, -(-int(total) // target_file_bytes))
+    df = spark.read.parquet(src)
+    df = df.repartition(n, *cluster_by) if cluster_by else df.repartition(n)
+    if cluster_by:
+        df = df.sortWithinPartitions(*cluster_by)
+    df.write.mode("overwrite").parquet(dst)
+    return n

@@ -26,7 +26,7 @@ the batched equivalent of the reference's per-doc ``match`` scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -221,3 +221,26 @@ def remap_to_existing(
         .drop("__from", "__to")
     )
     return remapped
+
+
+def read_jsonl(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """JSONL reader with a dead-letter quarantine: returns
+    (good_docs, corrupt_lines). At ingest scale one malformed line must
+    not kill the job (FAILFAST) or silently vanish (DROPMALFORMED) —
+    PERMISSIVE mode routes unparseable lines into a corrupt-record
+    column, split out here so the caller can count/persist them to a
+    dead-letter path while the good docs continue into
+    ``flatten_docs_df``. The cache is required: Spark refuses to answer
+    queries that select only the corrupt column from a raw scan."""
+    raw = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    ).cache()
+    if "_corrupt" in raw.columns:
+        corrupt = raw.filter(F.col("_corrupt").isNotNull()).select("_corrupt")
+        good = raw.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+    else:
+        corrupt = raw.limit(0).select(F.lit("").alias("_corrupt")).limit(0)
+        good = raw
+    return good, corrupt
