@@ -90,6 +90,7 @@ class TripleStore:
         self._pending: list[tuple] = []
         self._df: DataFrame | None = None
         self._t = 0
+        self._t_scan: DataFrame | None = None  # deferred max(t) source
         self._id_cache: dict[tuple[str, Any], str] = {}
         self._compacted: DataFrame | None = None
         self._attr_stats: dict[str, int] | None = None
@@ -197,7 +198,17 @@ class TripleStore:
         self._ingest_rows([(str(e), a, vtype, v_str, v_num, v_bool, self._bump_t())])
         return None
 
+    def _materialize_t(self) -> None:
+        # bulk attach (from_facts_df) defers the max(t) scan until a
+        # stamp is actually needed — read-only uses (match/pull/as_of)
+        # never pay it
+        if self._t_scan is not None:
+            scan, self._t_scan = self._t_scan, None
+            max_t = scan.agg(F.max("t")).collect()[0][0]
+            self._t = max(self._t, int(max_t or 0) + 1)
+
     def _bump_t(self) -> int:
+        self._materialize_t()
         t = self._t
         self._t += 1
         return t
@@ -217,6 +228,7 @@ class TripleStore:
         memo = dict(
             self._resolve_existing_ids(collect_id_pairs(docs, id_attrs)) if id_attrs else {}
         )
+        self._materialize_t()
         fl = Flattener(self.registry, id_attrs=id_attrs, memo=memo, t0=self._t)
         result = fl.flatten_docs(docs)
         self._t = result.next_t
@@ -318,6 +330,7 @@ class TripleStore:
     @property
     def latest_t(self) -> int:
         """The highest committed stamp (``as_of(latest_t)`` ≡ now)."""
+        self._materialize_t()
         return self._t - 1
 
     @classmethod
@@ -328,8 +341,7 @@ class TripleStore:
         sibling of ``load``; same attach pattern as ``load_parquet``."""
         store = cls(spark=spark)
         store._df = store.facts_df().unionByName(facts.select(*FACT_COLUMNS))
-        max_t = facts.agg(F.max("t")).collect()[0][0]
-        store._t = max(store._t, int(max_t or 0) + 1)
+        store._t_scan = facts  # max(t) resolved lazily on first write/read of _t
         store._invalidate()
         return store
 
