@@ -90,3 +90,34 @@ def test_cli_join_and_pull(tmp_path):
     results = json.loads(out.read_text())
     names = sorted(d["x:name"][0] for d in results)
     assert names == ["Alpha", "Beta"]
+
+
+def test_cli_diff_and_namespace_flags(spark, tmp_path):
+    from tripl_spark.cli import _apply_ns, _strip_ns, diff_stores
+    from tripl_spark.core.store import TripleStore
+
+    s1 = TripleStore(spark=spark)
+    s1.assert_facts(
+        [{"x:id": "a", "x:name": "Alpha"}, {"x:id": "b", "x:name": "Beta"}],
+        id_attrs=["x:id"],
+    )
+    s2 = TripleStore(spark=spark)
+    s2.assert_facts(
+        [{"x:id": "a", "x:name": "Alpha"}, {"x:id": "c", "x:name": "Gamma"}],
+        id_attrs=["x:id"],
+    )
+    d = diff_stores(s1, s2)
+    first_vals = {row[2] for row in d["only_in_first"]}
+    second_vals = {row[2] for row in d["only_in_second"]}
+    assert "Beta" in first_vals and "b" in first_vals
+    assert "Gamma" in second_vals and "c" in second_vals
+    assert "Alpha" not in first_vals | second_vals  # shared facts cancel
+
+    # -n expands bare names; -N strips prefixes on output docs
+    assert _apply_ns(["name", {"ref": ["id"]}], "x") == [
+        "x:name", {"x:ref": ["x:id"]}
+    ]
+    assert _apply_ns("*", "x") == "*"
+    assert _strip_ns({"x:name": ["Alpha"], "x:ref": {"y:id": 1}}) == {
+        "name": ["Alpha"], "ref": {"id": 1}
+    }

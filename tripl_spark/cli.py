@@ -43,11 +43,78 @@ def get_args(argv: list[str] | None = None) -> argparse.Namespace:
     common(p_pull)
     p_pull.add_argument("-p", "--pull-expr", required=True,
                         help="JSON pull expression, e.g. '[\"db:ident\", \"x:name\"]'")
+    p_pull.add_argument("-n", "--default-namespace",
+                        help="namespace assumed for bare attr names in the "
+                             "pull expression and match pattern")
+    p_pull.add_argument("-N", "--drop-namespaces", action="store_true",
+                        help="strip namespaces from output document keys")
     group = p_pull.add_mutually_exclusive_group(required=True)
     group.add_argument("-e", "--entities-pattern",
                        help="JSON match pattern, e.g. '{\"x:type\": \"x.type:t\"}'")
     group.add_argument("--eids", nargs="+", help="explicit entity ids")
+
+    p_diff = sub.add_parser(
+        "diff", help="facts present in only one of two inputs"
+    )
+    p_diff.add_argument("-i", "--inputs", nargs=2, required=True)
+    p_diff.add_argument("-o", "--output", required=True)
+    p_diff.add_argument("--id-attrs", nargs="*", default=None)
     return parser.parse_args(argv)
+
+
+def _apply_ns(obj: Any, ns: str) -> Any:
+    """Expand bare attribute names with the default namespace throughout
+    a pull expression / match pattern (reference -n, cli.py:67-68 —
+    marked MOCK! there, implemented here)."""
+    if isinstance(obj, dict):
+        return {
+            (k if (":" in k or k in ("*", "...")) else f"{ns}:{k}"): _apply_ns(v, ns)
+            for k, v in obj.items()
+        }
+    if isinstance(obj, list):
+        return [_apply_ns(x, ns) for x in obj]
+    if isinstance(obj, str) and ":" not in obj and obj not in ("*", "..."):
+        return f"{ns}:{obj}"
+    return obj
+
+
+def _strip_ns(doc: Any) -> Any:
+    """Drop namespace prefixes from output keys (reference -N,
+    cli.py:94-95 — marked MOCK! there, implemented here)."""
+    if isinstance(doc, dict):
+        return {k.split(":", 1)[-1]: _strip_ns(v) for k, v in doc.items()}
+    if isinstance(doc, (list, tuple, set)):
+        return [_strip_ns(x) for x in doc]
+    return doc
+
+
+def diff_stores(a: TripleStore, b: TripleStore) -> dict[str, list]:
+    """Facts unique to each store, computed as two distributed
+    anti-joins over the compacted fact frames (the reference declares a
+    diff command, cli.py:46-51, but never implements it)."""
+    from pyspark.sql import functions as F
+
+    from tripl_spark.core.flatten import decode_value
+
+    def key_cols(df):  # noqa: ANN001
+        return [df[c] for c in ("e", "a", "vtype", "v_str", "v_num", "v_bool")]
+
+    out: dict[str, list] = {}
+    for name, left, right in (
+        ("only_in_first", a, b),
+        ("only_in_second", b, a),
+    ):
+        lf, rf = left.current_facts(), right.current_facts()
+        cond = None
+        for lc, rc in zip(key_cols(lf), key_cols(rf)):
+            c = lc.eqNullSafe(rc)
+            cond = c if cond is None else (cond & c)
+        rows = lf.join(rf, cond, "left_anti").collect()
+        out[name] = sorted(
+            [r.e, r.a, decode_value(r.vtype, r.v_str, r.v_num, r.v_bool)]
+            for r in rows
+        )
+    return out
 
 
 def ingest(args: argparse.Namespace) -> TripleStore:
@@ -73,6 +140,12 @@ def ingest(args: argparse.Namespace) -> TripleStore:
 
 def main(argv: list[str] | None = None) -> int:
     args = get_args(argv)
+    if args.command == "diff":
+        a = TripleStore.load(args.inputs[0], id_attrs=args.id_attrs)
+        b = TripleStore.load(args.inputs[1], id_attrs=args.id_attrs)
+        with open(args.output, "w") as fp:
+            json.dump(diff_stores(a, b), fp, indent=2)
+        return 0
     store = ingest(args)
     if args.command == "join":
         store.dump(args.output)
@@ -82,9 +155,15 @@ def main(argv: list[str] | None = None) -> int:
             target: Any = json.loads(args.entities_pattern)
         else:
             target = args.eids
-        results = store.pull_many(expr, target)
+        if getattr(args, "default_namespace", None):
+            expr = _apply_ns(expr, args.default_namespace)
+            if args.entities_pattern:
+                target = _apply_ns(target, args.default_namespace)
+        results = list(store.pull_many(expr, target))
+        if getattr(args, "drop_namespaces", False):
+            results = [_strip_ns(d) for d in results]
         with open(args.output, "w") as fp:
-            json.dump(list(results), fp, default=list, indent=2)
+            json.dump(results, fp, default=list, indent=2)
     return 0
 
 
