@@ -206,3 +206,24 @@ def test_lazy_ref_pull(spark):
     )
     doc = ts.pull([{"p:kid": ["p:name"]}], "n2")
     assert doc["p:kid"][0]["p:name"] == ["child"]
+
+
+def test_entity_write_through(spark):
+    from tripl_spark.core.schema import CARD_ONE
+    from tripl_spark.core.store import TripleStore
+
+    store = TripleStore(
+        schema={"x:name": {"db:cardinality": CARD_ONE}}, spark=spark
+    )
+    store.assert_fact({"db:ident": "e1", "x:name": "old", "x:tag": "t0"})
+    ent = store.entity("e1")
+
+    ent["x:name"] = "new"          # card-one: displaces
+    assert ent["x:name"] == "new"
+    ent.add("x:tag", "t1")         # card-many: accumulates
+    assert sorted(ent["x:tag"]) == ["t0", "t1"]
+    ent.retract("x:tag", "t0")
+    assert ent["x:tag"] == ["t1"]
+    # the write went to the STORE, not just the view
+    fresh = store.entity("e1")
+    assert fresh["x:name"] == "new"

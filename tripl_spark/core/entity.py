@@ -154,3 +154,26 @@ class Entity:
     def __repr__(self) -> str:
         prefix = self.namespace + ":" if self.namespace else ""
         return prefix + str({k: self._cache().get(k) for k in self.keys()})
+
+
+    # -- write-through (the reference's Entity is read-only, tripl.py:617;
+    #    §2.9 lists entity writes as absent — provided here) ----------------
+
+    def __setitem__(self, key: str, value: Any) -> None:
+        """Assert (entity, key, value) through to the store. Cardinality
+        semantics are the store's: card-one attributes displace on read
+        (LWW by t), card-many accumulate. The local cache refreshes so
+        the write is immediately visible on this view."""
+        self._store.assert_fact((self.ident, key, value))
+        self._attrs = None
+
+    def add(self, key: str, value: Any) -> "Entity":
+        """Fluent alias of ``entity[key] = value``."""
+        self[key] = value
+        return self
+
+    def retract(self, key: str, value: Any) -> "Entity":
+        """Retract one (entity, key, value) fact and refresh."""
+        self._store.retract_fact((self.ident, key, value))
+        self._attrs = None
+        return self
