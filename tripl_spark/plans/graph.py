@@ -34,6 +34,10 @@ def reachability(
     """All (root, node, depth) pairs reachable from ``roots`` (column
     ``root``), following edges src→dst. depth 0 = the root itself;
     first visit wins (BFS layering)."""
+    # materialize edges once: every round probes this frame, and an
+    # un-checkpointed edge list re-runs its upstream plan (scans,
+    # distincts) per round
+    edges = edges.localCheckpoint(eager=True)
     visited = roots.select(
         F.col("root"), F.col("root").alias("node"), F.lit(0).alias("depth")
     )
@@ -81,9 +85,16 @@ def connected_components(
     tiny aggregation on the checkpointed frame, no comparison join.
     Used by dedup pipelines to cluster candidate pairs into duplicate
     groups."""
-    sym = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # materialize the symmetrized edge list ONCE — every round joins
+    # against it, and without the checkpoint each round re-runs the
+    # union+distinct from the source scan
+    sym = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     seeds = sym.select(F.col("src").alias("node"))
     if nodes is not None:
         # isolated nodes (degree 0) still get a singleton component
