@@ -263,3 +263,40 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+# GPT-2-style pre-tokenizer, simplified to the subset both Java regex
+# (Spark) and RE2 (DuckDB) interpret identically: no lookarounds, no
+# unicode property classes. Letter runs, digit runs (BPE-style capped
+# at 3), punctuation runs — each optionally space-prefixed.
+BPE_ISH = r" ?[A-Za-z]+| ?[0-9]{1,3}| ?[^A-Za-z0-9\s]+"
+
+
+@query(
+    "text_bpe_token_count",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{BPE_ISH}')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+           round(len(regexp_extract_all(text, '{BPE_ISH}'))
+                 * 1.0 / len(string_split_regex(trim(text), '\s+')), 4)
+             AS tokens_per_word
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: a GPT-style pre-tokenizer regex (letter
+    runs / capped digit runs / punctuation runs, space-absorbing) next
+    to the whitespace word count — the tokens-per-word ratio is the
+    standard cost estimator for LLM training data. Pure codegen regex,
+    no tokenizer library, and the pattern is restricted to the
+    Java-regex ∩ RE2 subset so the oracle is exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_ISH), F.lit(0))).cast("long")
+    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    return docs.select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        n_words.alias("n_words"),
+        F.round(n_bpe * 1.0 / n_words, 4).alias("tokens_per_word"),
+    )
