@@ -104,3 +104,30 @@ def test_ivf_recall_on_clustered_data(clustered, spark):
     found = {(r.query_id, r.neighbor_id) for r in top.collect()}
     recall = len(exact & found) / len(exact)
     assert recall >= 0.9, f"IVF recall on clustered data too low: {recall}"
+
+
+def test_pq_recall_on_clustered_data(clustered):
+    from tripl_spark.operators.similarity import _ssq, pq_rank
+
+    # PQ approximates L2 — measure recall against the exact-L2 top-k
+    # (the cosine baseline used for LSH/IVF ranks differently when
+    # norms vary, which would charge PQ for a metric mismatch)
+    q = clustered.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = clustered.join(
+        F.broadcast(q), F.col("query_id") != F.col("vec_id")
+    ).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        _ssq(F.col("qv"), F.col("v")).alias("d2"),
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K).collect()
+    }
+    pq = pq_rank(clustered, n_queries=8, top_k=TOP_K)
+    approx = {(r.query_id, r.vec_id) for r in pq.collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"PQ recall on clustered data too low: {recall}"

@@ -347,3 +347,159 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= TOP_K)
+
+
+# Product quantization: 64 dims → PQ_M subspaces of PQ_SUB dims, each
+# encoded as the id of its nearest of PQ_K deterministic codebook
+# entries (the first PQ_K corpus vectors' subvectors — swap for k-means
+# codebooks in production; encode/ADC mechanics are identical and this
+# choice keeps the whole structure SQL-replicable).
+PQ_M = 4
+PQ_SUB = 16
+PQ_K = 64
+
+
+def _ssq(x: F.Column, y: F.Column) -> F.Column:
+    """Squared L2, summed in index order (matches DuckDB's
+    comprehension + list_sum, so both engines produce the same double)."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: (p - q) * (p - q)),
+        F.lit(0.0),
+        lambda s, z: s + z,
+    )
+
+
+def _pq_oracle() -> str:
+    ssq = ("list_sum([ (s.sv[i]-cb.cv[i])*(s.sv[i]-cb.cv[i]) "
+           f"for i in range(1, {PQ_SUB} + 1) ])")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+    cb AS (SELECT m, vec_id AS code,
+                  list_slice(v, m*{PQ_SUB}+1, m*{PQ_SUB}+{PQ_SUB}) AS cv
+           FROM e, ms WHERE vec_id < {PQ_K}),
+    subs AS (SELECT vec_id, m,
+                    list_slice(v, m*{PQ_SUB}+1, m*{PQ_SUB}+{PQ_SUB}) AS sv
+             FROM e, ms),
+    enc AS (
+      SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, cb.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {ssq}, cb.code) AS rn
+        FROM subs s JOIN cb ON s.m = cb.m)
+      WHERE rn = 1),
+    dtab AS (SELECT s.vec_id AS query_id, s.m, cb.code, {ssq} AS d
+             FROM subs s JOIN cb ON s.m = cb.m WHERE s.vec_id < {N_QUERIES}),
+    adc AS (SELECT d.query_id, c.vec_id, sum(d.d) AS dist2
+            FROM enc c JOIN dtab d ON c.m = d.m AND c.code = d.code
+            WHERE c.vec_id != d.query_id
+            GROUP BY 1, 2),
+    shortlist AS (
+      SELECT query_id, vec_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY dist2, vec_id) AS arn
+            FROM adc)
+      WHERE arn <= 50),
+    rr AS (
+      SELECT s.query_id, s.vec_id,
+             list_sum([ (eq.v[i]-ev.v[i])*(eq.v[i]-ev.v[i])
+                        for i in range(1, {PQ_M} * {PQ_SUB} + 1) ]) AS d2
+      FROM shortlist s
+      JOIN e eq ON eq.vec_id = s.query_id
+      JOIN e ev ON ev.vec_id = s.vec_id)
+    SELECT query_id, vec_id, round(d2, 4) AS dist2, CAST(rk AS INT) AS rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY d2, vec_id) AS rk
+          FROM rr)
+    WHERE rk <= 10
+    """
+
+
+def pq_rank(emb: DataFrame, n_queries: int = N_QUERIES,
+            top_k: int = 10) -> DataFrame:
+    """PQ encode + ADC rank over an (vec_id, v) frame — the reusable
+    core of sim_ann_pq (recall is proven on clustered vectors in
+    tests/test_similarity_recall.py)."""
+    from functools import reduce
+    subs = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            emb.select(
+                "vec_id",
+                F.lit(m).alias("m"),
+                F.slice("v", m * PQ_SUB + 1, PQ_SUB).alias("sv"),
+            )
+            for m in range(PQ_M)
+        ],
+    )
+    cb = (
+        subs.filter(F.col("vec_id") < PQ_K)
+        .select("m", F.col("vec_id").alias("code"), F.col("sv").alias("cv"))
+    )
+    scored = subs.join(F.broadcast(cb), "m").select(
+        "vec_id", "m", "code", _ssq(F.col("sv"), F.col("cv")).alias("d")
+    )
+    w_enc = Window.partitionBy("vec_id", "m").orderBy("d", "code")
+    enc = (
+        scored.withColumn("rn", F.row_number().over(w_enc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "code")
+    )
+    dtab = scored.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "m", "code", "d"
+    )
+    adc = (
+        enc.join(F.broadcast(dtab), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").alias("adist2"))
+    )
+    # PQ's second stage: exact re-rank of the ADC shortlist — the codes
+    # shortlist cheaply (compressed scan), true distances pick the
+    # final top-k. Shortlist size 5x top_k bounds the exact math to a
+    # constant per query.
+    w_adc = Window.partitionBy("query_id").orderBy("adist2", "vec_id")
+    shortlist = (
+        adc.withColumn("arn", F.row_number().over(w_adc))
+        .filter(F.col("arn") <= 5 * top_k)
+        .select("query_id", "vec_id")
+    )
+    qv = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    rr = (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(emb, "vec_id")
+        .select("query_id", "vec_id", _ssq(F.col("qv"), F.col("v")).alias("d2"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy("d2", "vec_id")
+    return (
+        rr.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= top_k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("d2", 4).alias("dist2"),
+            "rk",
+        )
+    )
+
+
+@query("sim_ann_pq", oracle=_pq_oracle())
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the compression half of IVF-PQ):
+    vectors are encoded as PQ_M sub-codes; queries precompute a
+    distance table against the codebooks and score the WHOLE corpus as
+    a table-lookup sum (ADC) — no float vector math per candidate.
+
+    The 100 TB shape: codes are PQ_M small ints per vector — a 256-dim
+    float corpus compresses ~64x, fits scan bandwidth, and the ADC pass
+    is a broadcast-join (queries' distance tables are tiny) over the
+    code table with one aggregation — no per-query shuffle of the
+    corpus. Every stage (encode argmin, distance tables, ADC sum,
+    ranking) hash-matches the DuckDB oracle, because squared-L2 sums run
+    in index order on both engines."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return pq_rank(emb)

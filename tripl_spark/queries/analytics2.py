@@ -213,3 +213,42 @@ def part_price_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot("p_partkey", ["retail", "size"], "metric", "val").select(
         "p_partkey", "metric", F.round("val", 2).alias("val")
     )
+
+
+@query(
+    "events_sliding_hourly",
+    oracle="""
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM (
+      SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+               - k * INTERVAL '15 minutes' AS ws,
+             event_type, value
+      FROM events, generate_series(0, 3) AS s(k))
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING window aggregation (1-hour window, 15-minute slide):
+    every event lands in exactly 4 overlapping windows — `F.window`
+    plans this as an Expand (4 rows per event) before one aggregation
+    shuffle, the same fan-out the oracle makes explicit with
+    generate_series. The batch twin of a streaming sliding-window agg;
+    swap the source for readStream and the semantics hold."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
