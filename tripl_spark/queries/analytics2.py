@@ -252,3 +252,69 @@ def events_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH su AS (
+      SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS s_ts
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    pu AS (
+      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS p_ts
+      FROM events e JOIN su ON e.user_id = su.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > su.s_ts
+      GROUP BY 1
+    )
+    SELECT strftime(date_trunc('day', s_ts), '%Y-%m-%d') AS cohort_day,
+           CAST(count(*) AS BIGINT) AS n_signups,
+           CAST(sum(CASE WHEN p_ts IS NOT NULL
+                          AND p_ts <= s_ts + INTERVAL 1 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_24h,
+           round(sum(CASE WHEN p_ts IS NOT NULL
+                           AND p_ts <= s_ts + INTERVAL 1 DAY
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS conv_rate
+    FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+    GROUP BY 1
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis (MATCH_RECOGNIZE-lite): signup → first purchase
+    strictly after it, converted if within 24h, cohorted by signup day.
+    The ordered-sequence condition compiles to two keyed aggregations
+    and one join — each step is a per-user min, so the whole funnel is
+    two shuffles on user_id regardless of corpus size (and with both
+    aggregations keyed the same, AQE reuses the partitioning)."""
+    events = load_table(spark, sf_dir, "events")
+    su = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    pu = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    converted = F.col("p_ts").isNotNull() & (
+        F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 DAY")
+    )
+    return (
+        su.join(pu, "user_id", "left")
+        .groupBy(
+            F.date_format(F.date_trunc("day", "s_ts"), "yyyy-MM-dd").alias(
+                "cohort_day"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_signups"),
+            F.sum(F.when(converted, 1).otherwise(0)).alias("n_converted_24h"),
+            F.round(
+                F.sum(F.when(converted, 1).otherwise(0)) * 1.0 / F.count(F.lit(1)),
+                4,
+            ).alias("conv_rate"),
+        )
+    )
