@@ -55,3 +55,41 @@ def test_optimize_parquet_clusters_within_files(spark, sf_small, tmp_path):
     )
     pdf = spark.read.parquet(dst).select("o_orderdate").toPandas()
     assert list(pdf["o_orderdate"]) == sorted(pdf["o_orderdate"])
+
+
+def test_zorder_shrinks_rowgroup_spans_on_both_dims(spark, sf_medium, tmp_path):
+    """Z-ordering must cluster BOTH dimensions: every row group's
+    min/max span over each Z column shrinks well below the global span
+    (that is precisely what lets a scan skip row groups on a filter
+    against either column). Verified from real parquet footer stats."""
+    import pyarrow.parquet as pq
+    from tripl_spark.sources.bucketing import zorder_parquet
+
+    src = str(tmp_path / "src")
+    load_table(spark, sf_medium, "orders").repartition(4).write.parquet(src)
+    dst = str(tmp_path / "z")
+    zorder_parquet(
+        spark, src, dst, ["o_custkey", "o_totalprice"],
+        target_file_bytes=1 << 30, row_group_bytes=32 << 10,
+    )
+    files = glob.glob(f"{dst}/part-*.parquet")
+    assert len(files) == 1
+    meta = pq.ParquetFile(files[0]).metadata
+    assert meta.num_row_groups >= 4, "need several row groups to measure"
+    names = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+
+    def spans(col):
+        out = []
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(names[col]).statistics
+            out.append(st.max - st.min)
+        return out
+
+    orders = load_table(spark, sf_medium, "orders")
+    for col in ("o_custkey", "o_totalprice"):
+        row = orders.agg(F.max(col), F.min(col)).collect()[0]
+        global_span = float(row[0] - row[1])
+        avg_span = sum(float(s) for s in spans(col)) / meta.num_row_groups
+        assert avg_span < 0.6 * global_span, (
+            f"{col}: avg row-group span {avg_span} vs global {global_span}"
+        )

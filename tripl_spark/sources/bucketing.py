@@ -34,6 +34,7 @@ import contextlib
 import io
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def ensure_database(spark: SparkSession, name: str, location: str) -> None:
@@ -102,3 +103,68 @@ def optimize_parquet(
         df = df.sortWithinPartitions(*cluster_by)
     df.write.mode("overwrite").parquet(dst)
     return n
+
+
+def zorder_value(
+    df: DataFrame, cols: list[str], bits: int = 12
+) -> tuple[DataFrame, "F.Column"]:
+    """Z-order (Morton) key over numeric columns: each column is
+    linearly bucketed into 2^bits cells between its min and max, and
+    the bucket bits are interleaved. Sorting by the interleaved key
+    clusters ALL dimensions at once — parquet row-group min/max spans
+    shrink for every Z-dimension, so a filter on ANY of them skips row
+    groups, where a plain sort only serves its leading column. Two tiny
+    driver-side aggregations (min/max per column) parameterize the
+    bucketing; the key itself is a pure codegen expression.
+
+    Returns (df_with_bounds, zvalue_column)."""
+    bounds = df.agg(
+        *[F.min(c).alias(f"__mn_{c}") for c in cols],
+        *[F.max(c).alias(f"__mx_{c}") for c in cols],
+    ).collect()[0]
+    cells = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        mn = float(bounds[f"__mn_{c}"])
+        mx = float(bounds[f"__mx_{c}"])
+        span = (mx - mn) or 1.0
+        bucket = F.least(
+            F.lit(cells),
+            F.floor((F.col(c).cast("double") - F.lit(mn)) / span * cells).cast(
+                "long"
+            ),
+        )
+        for i in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(bucket, i).bitwiseAND(F.lit(1)),
+                i * len(cols) + j,
+            )
+    return df, z
+
+
+def zorder_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    cols: list[str],
+    target_file_bytes: int = 256 << 20,
+    row_group_bytes: int | None = None,
+) -> None:
+    """OPTIMIZE ZORDER BY: compact + multi-dimensionally cluster a
+    parquet dataset. Range-partition by the Morton key (so files carve
+    up Z-space), sort within files, drop the key on write."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(src)  # noqa: SLF001
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    total = fs.getContentSummary(jpath).getLength()
+    n = max(1, -(-int(total) // target_file_bytes))
+    df, z = zorder_value(spark.read.parquet(src), cols)
+    out = (
+        df.withColumn("__z", z)
+        .repartitionByRange(n, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    writer = out.write.mode("overwrite")
+    if row_group_bytes:
+        writer = writer.option("parquet.block.size", str(row_group_bytes))
+    writer.parquet(dst)
