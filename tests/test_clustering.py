@@ -1,0 +1,59 @@
+"""k-means invariants: monotone improvement, convergence fixpoint, and
+planted-center recovery on clustered synthetic vectors."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from tripl_spark.operators.clustering import kmeans_assign, kmeans_fit
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rng = random.Random(7)
+    centers = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(4)]
+    rows = []
+    for i in range(200):
+        c = centers[i % 4]
+        rows.append((i, [x + rng.gauss(0, 0.1) for x in c]))
+    return spark.createDataFrame(rows, "vec_id long, v array<double>"), centers
+
+
+def test_inertia_improves_with_iterations(planted):
+    emb, _ = planted
+    _, inertia1 = kmeans_fit(emb, k=4, max_iters=1)
+    _, inertia5 = kmeans_fit(emb, k=4, max_iters=5)
+    assert inertia5 <= inertia1 + 1e-9
+
+
+def test_converged_fit_is_a_fixpoint(planted):
+    emb, _ = planted
+    centroids, inertia = kmeans_fit(emb, k=4, max_iters=10)
+    again, inertia2 = kmeans_fit(emb, k=4, max_iters=20)
+    assert abs(inertia - inertia2) < 1e-6 * max(inertia, 1.0)
+
+
+def test_recovers_planted_clusters(planted):
+    emb, _ = planted
+    centroids, _ = kmeans_fit(emb, k=4, max_iters=10)
+    assigned = kmeans_assign(emb, centroids).select("vec_id", "cid").collect()
+    # purity: within each fitted cluster, the dominant true label
+    # (vec_id % 4) should own nearly every member
+    by_cid: dict[int, list[int]] = {}
+    for r in assigned:
+        by_cid.setdefault(r.cid, []).append(r.vec_id % 4)
+    total = sum(len(v) for v in by_cid.values())
+    dominant = sum(max(v.count(lbl) for lbl in set(v)) for v in by_cid.values())
+    assert dominant / total >= 0.95, f"purity {dominant / total}"
+
+
+def test_registered_query_runs(spark, sf_small):
+    from tripl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    out = REGISTRY["cluster_kmeans_embeddings"].fn(spark, sf_small).collect()
+    assert len(out) >= 1
+    assert sum(r.n_vectors for r in out) > 0

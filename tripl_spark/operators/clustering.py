@@ -1,0 +1,108 @@
+"""Distributed k-means (Lloyd's) over embedding columns — the
+iterative-ML counterpart of the graph ops, and the trained-codebook
+companion to the deterministic IVF/PQ indexes (their docstrings say
+"swap for k-means centroids in production"; this is that k-means).
+
+Scale shape per iteration: assignment is a broadcast join of k
+centroids onto the vectors (k ≪ n, so the corpus never shuffles for
+assignment) followed by one argmin window per vector, and the update
+is ONE aggregation computing all d per-dimension means as codegen'd
+``avg`` columns — no explode, no per-dimension shuffle. Centroids
+(k×d doubles) round-trip through the driver between rounds, which is
+the textbook design: they are the only global state and they are tiny.
+Initialization is deterministic (first k vectors), so runs reproduce.
+
+Iterative algorithms are not SQL-expressible, so the registered query
+is rows-only; correctness is proven by ``tests/test_clustering.py``:
+monotone inertia, a fixpoint under convergence, and planted-center
+recovery on clustered synthetic data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tripl_spark.operators.similarity import _ssq
+from tripl_spark.queries.registry import query
+from tripl_spark.session import load_table
+
+
+def _centroid_frame(spark: SparkSession, centroids: list[list[float]]) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, list(map(float, c))) for i, c in enumerate(centroids)],
+        "cid int, cv array<double>",
+    )
+
+
+def kmeans_assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """(vec_id, v, cid, dist2): each vector's nearest centroid."""
+    cent = _centroid_frame(emb.sparkSession, centroids)
+    w = Window.partitionBy("vec_id").orderBy("dist2", "cid")
+    return (
+        emb.join(F.broadcast(cent))
+        .select("vec_id", "v", "cid", _ssq(F.col("v"), F.col("cv")).alias("dist2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int,
+    max_iters: int = 10,
+    tol: float = 1e-6,
+) -> tuple[list[list[float]], float]:
+    """Lloyd's iterations from deterministic seeds (the first k vectors
+    by vec_id). Returns (centroids, inertia). Stops when the total
+    squared centroid shift falls below tol."""
+    dim = len(emb.select("v").first()["v"])
+    centroids = [
+        r["v"]
+        for r in emb.orderBy("vec_id").limit(k).select("v").collect()
+    ]
+    inertia = float("inf")
+    for _ in range(max_iters):
+        assigned = kmeans_assign(emb, centroids)
+        stats = (
+            assigned.groupBy("cid")
+            .agg(
+                *[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dim)],
+                F.sum("dist2").alias("sse"),
+            )
+            .collect()
+        )
+        new_centroids = list(centroids)
+        inertia = float(sum(r["sse"] for r in stats))
+        for r in stats:  # empty clusters keep their previous centroid
+            new_centroids[r["cid"]] = [r[f"m{i}"] for i in range(dim)]
+        shift = sum(
+            (a - b) * (a - b)
+            for old, new in zip(centroids, new_centroids)
+            for a, b in zip(old, new)
+        )
+        centroids = new_centroids
+        if shift < tol:
+            break
+    return centroids, inertia
+
+
+@query("cluster_kmeans_embeddings",
+       doc="distributed Lloyd's k-means over the embeddings table "
+           "(iterative — rows-only; invariants in tests/test_clustering.py)")
+def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means (k=8) over the embeddings table: cluster sizes and
+    mean within-cluster distance per cluster."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    centroids, _ = kmeans_fit(emb, k=8, max_iters=5)
+    return (
+        kmeans_assign(emb, centroids)
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("dist2"), 4).alias("mean_dist2"),
+        )
+    )
