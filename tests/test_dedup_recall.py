@@ -68,3 +68,25 @@ def test_decode_stub_raises():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_duplicate_groups_transitive_and_canonical(spark):
+    """A≈B and B≈C (but never A≈C directly) must land in ONE group, and
+    exactly one doc per group survives — the longest, ties to min id."""
+    from tripl_spark.operators.dedup_groups import duplicate_groups
+
+    docs = spark.createDataFrame(
+        [(1, "aa", 10), (2, "bb", 30), (3, "cc", 30), (4, "dd", 5), (5, "ee", 7)],
+        "doc_id long, text string, n_chars long",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = {r["doc_id"]: r for r in duplicate_groups(docs, pairs).collect()}
+    assert len(out) == 5
+    # chain 1-2-3 is one group rooted at min id 1
+    assert out[1]["group_id"] == out[2]["group_id"] == out[3]["group_id"] == 1
+    assert out[1]["group_size"] == 3
+    # canonical = longest (30), tie broken by smaller doc_id → 2
+    assert [out[i]["keep"] for i in (1, 2, 3)] == [False, True, False]
+    # singletons keep themselves
+    assert out[4]["keep"] and out[5]["keep"]
+    assert out[4]["group_size"] == 1
