@@ -121,3 +121,31 @@ def test_cli_diff_and_namespace_flags(spark, tmp_path):
     assert _strip_ns({"x:name": ["Alpha"], "x:ref": {"y:id": 1}}) == {
         "name": ["Alpha"], "ref": {"id": 1}
     }
+
+
+def test_cli_plot_dot_output(spark, tmp_path):
+    """`tripl plot` (declared-but-unimplemented in the reference,
+    cli.py:46-51) emits the entity ref graph as DOT: declared refs are
+    solid edges; --lazy-refs adds dashed edges for string values that
+    resolve to an eid."""
+    from tripl_spark.cli import ref_graph_dot
+    from tripl_spark.core.store import TripleStore
+
+    schema = {
+        "x:child": {"db:valueType": "db.type:ref",
+                    "db:cardinality": "db.cardinality:many"},
+    }
+    store = TripleStore(spark=spark, schema=schema)
+    store.assert_facts([
+        {"db:ident": "root", "x:child": [{"db:ident": "kid1"}, {"db:ident": "kid2"}],
+         "x:friend": "kid1", "x:note": "not-an-eid"},
+    ])
+    dot = ref_graph_dot(store, lazy_refs=True)
+    assert dot.startswith("digraph tripl {")
+    assert '"root" -> "kid1" [label="x:child", style=solid];' in dot
+    assert '"root" -> "kid2" [label="x:child", style=solid];' in dot
+    # lazy ref: "kid1" is a plain string value but matches an eid
+    assert '"root" -> "kid1" [label="x:friend", style=dashed];' in dot
+    assert "not-an-eid" not in dot
+    # without lazy_refs, only declared-ref edges
+    assert "dashed" not in ref_graph_dot(store)

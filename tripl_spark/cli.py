@@ -59,6 +59,17 @@ def get_args(argv: list[str] | None = None) -> argparse.Namespace:
     p_diff.add_argument("-i", "--inputs", nargs=2, required=True)
     p_diff.add_argument("-o", "--output", required=True)
     p_diff.add_argument("--id-attrs", nargs="*", default=None)
+
+    p_plot = sub.add_parser(
+        "plot", help="entity reference graph as Graphviz DOT"
+    )
+    p_plot.add_argument("-i", "--inputs", nargs="+", required=True)
+    p_plot.add_argument("-o", "--output", required=True)
+    p_plot.add_argument("--id-attrs", nargs="*", default=None)
+    p_plot.add_argument("--lazy-refs", action="store_true",
+                        help="also draw string values that resolve to an eid")
+    p_plot.add_argument("--max-edges", type=int, default=500,
+                        help="deterministic cap on emitted edges")
     return parser.parse_args(argv)
 
 
@@ -117,8 +128,53 @@ def diff_stores(a: TripleStore, b: TripleStore) -> dict[str, list]:
     return out
 
 
+def ref_graph_dot(
+    store: TripleStore, lazy_refs: bool = False, max_edges: int = 500
+) -> str:
+    """Graphviz DOT of the entity reference graph (the reference's
+    ``tripl plot`` is declared but unimplemented — cli.py:46-51,
+    109-110; matplotlib-free DOT is the portable output). Edges are
+    declared-ref triples; with ``lazy_refs``, string values that
+    resolve to an existing eid are drawn dashed (the read-time lazy-ref
+    rule, tripl.py:184-188). Edge extraction is distributed (one filter
+    + one semi-join); only the deterministically capped edge list is
+    collected."""
+    from pyspark.sql import functions as F
+
+    facts = store.current_facts()
+    declared = facts.filter(F.col("vtype") == "ref").select("e", "a", "v_str")
+    if lazy_refs:
+        eids = facts.select("e").distinct()
+        # the self-asserted ident triple would lazy-resolve every entity
+        # to itself — pure noise, drop it
+        lazy = (
+            facts.filter((F.col("vtype") == "str") & (F.col("a") != store.ident_attr))
+            .join(eids.select(F.col("e").alias("__t")), F.col("v_str") == F.col("__t"), "left_semi")
+            .select("e", "a", "v_str")
+        )
+        edges = declared.withColumn("style", F.lit("solid")).unionByName(
+            lazy.withColumn("style", F.lit("dashed"))
+        )
+    else:
+        edges = declared.withColumn("style", F.lit("solid"))
+    rows = edges.orderBy("e", "a", "v_str").limit(max_edges).collect()
+
+    def q(s: str) -> str:
+        return '"' + s.replace('"', '\\"') + '"'
+
+    lines = ["digraph tripl {", "  rankdir=LR;"]
+    nodes = sorted({r.e for r in rows} | {r.v_str for r in rows})
+    lines += [f"  {q(n)};" for n in nodes]
+    lines += [
+        f"  {q(r.e)} -> {q(r.v_str)} [label={q(r.a)}, style={r.style}];"
+        for r in rows
+    ]
+    lines.append("}")
+    return "\n".join(lines) + "\n"
+
+
 def ingest(args: argparse.Namespace) -> TripleStore:
-    if args.map_command:
+    if getattr(args, "map_command", None):
         from tripl_spark.session import get_spark
 
         spark = get_spark("tripl_cli")
@@ -147,7 +203,10 @@ def main(argv: list[str] | None = None) -> int:
             json.dump(diff_stores(a, b), fp, indent=2)
         return 0
     store = ingest(args)
-    if args.command == "join":
+    if args.command == "plot":
+        with open(args.output, "w") as fp:
+            fp.write(ref_graph_dot(store, args.lazy_refs, args.max_edges))
+    elif args.command == "join":
         store.dump(args.output)
     elif args.command == "pull":
         expr: Any = json.loads(args.pull_expr)
