@@ -67,6 +67,6 @@ def _ensure_loaded() -> None:
         return
     from tripl_spark.queries import advanced, analytics, analytics2, tpch, tpch2, tpch3, tpch4  # noqa: F401
     from tripl_spark.queries import graph_queries, streaming_queries, triples  # noqa: F401
-    from tripl_spark.operators import clustering, curation, dedup, dedup_groups, mixing, multimodal, packing, rangejoin, repetition, search, similarity, skew, text  # noqa: F401
+    from tripl_spark.operators import clustering, curation, dedup, dedup_groups, mixing, multimodal, packing, rangejoin, repetition, search, similarity, skew, text, tokenizer  # noqa: F401
 
     _LOADED = True
