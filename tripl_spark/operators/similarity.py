@@ -415,11 +415,10 @@ def _pq_oracle() -> str:
     """
 
 
-def pq_rank(emb: DataFrame, n_queries: int = N_QUERIES,
-            top_k: int = 10) -> DataFrame:
-    """PQ encode + ADC rank over an (vec_id, v) frame — the reusable
-    core of sim_ann_pq (recall is proven on clustered vectors in
-    tests/test_similarity_recall.py)."""
+def _pq_parts(emb: DataFrame, n_queries: int) -> tuple[DataFrame, DataFrame]:
+    """Shared PQ stages: (enc, dtab) — per-vector sub-codes and the
+    queries' code-distance tables. Both sim_ann_pq and sim_ann_ivfpq
+    build on these."""
     from functools import reduce
     subs = reduce(
         lambda a, b: a.unionByName(b),
@@ -448,6 +447,15 @@ def pq_rank(emb: DataFrame, n_queries: int = N_QUERIES,
     dtab = scored.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), "m", "code", "d"
     )
+    return enc, dtab
+
+
+def pq_rank(emb: DataFrame, n_queries: int = N_QUERIES,
+            top_k: int = 10) -> DataFrame:
+    """PQ encode + ADC rank over an (vec_id, v) frame — the reusable
+    core of sim_ann_pq (recall is proven on clustered vectors in
+    tests/test_similarity_recall.py)."""
+    enc, dtab = _pq_parts(emb, n_queries)
     adc = (
         enc.join(F.broadcast(dtab), ["m", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -503,3 +511,145 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     return pq_rank(emb)
+
+
+def _ivfpq_oracle() -> str:
+    ssq = ("list_sum([ (s.sv[i]-cb.cv[i])*(s.sv[i]-cb.cv[i]) "
+           f"for i in range(1, {PQ_SUB} + 1) ])")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {IVF_CENTROIDS}),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, cent.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY round(list_cosine_similarity(v, cv), 4) DESC,
+                                           cent.cid) AS arn
+        FROM e CROSS JOIN cent) WHERE arn = 1),
+    qprobe AS (
+      SELECT query_id, cid FROM (
+        SELECT q.vec_id AS query_id, cent.cid,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY round(list_cosine_similarity(q.v, cv), 4) DESC,
+                                           cent.cid) AS prn
+        FROM e q CROSS JOIN cent WHERE q.vec_id < {N_QUERIES}) WHERE prn <= {IVF_NPROBE}),
+    ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+    cb AS (SELECT m, vec_id AS code,
+                  list_slice(v, m*{PQ_SUB}+1, m*{PQ_SUB}+{PQ_SUB}) AS cv
+           FROM e, ms WHERE vec_id < {PQ_K}),
+    subs AS (SELECT vec_id, m,
+                    list_slice(v, m*{PQ_SUB}+1, m*{PQ_SUB}+{PQ_SUB}) AS sv
+             FROM e, ms),
+    enc AS (
+      SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, cb.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {ssq}, cb.code) AS rn
+        FROM subs s JOIN cb ON s.m = cb.m)
+      WHERE rn = 1),
+    dtab AS (SELECT s.vec_id AS query_id, s.m, cb.code, {ssq} AS d
+             FROM subs s JOIN cb ON s.m = cb.m WHERE s.vec_id < {N_QUERIES}),
+    adc AS (SELECT d.query_id, c.vec_id, sum(d.d) AS dist2
+            FROM enc c
+            JOIN assign a ON a.vec_id = c.vec_id
+            JOIN qprobe p ON p.cid = a.cid
+            JOIN dtab d ON d.query_id = p.query_id
+                       AND c.m = d.m AND c.code = d.code
+            WHERE c.vec_id != d.query_id
+            GROUP BY 1, 2),
+    shortlist AS (
+      SELECT query_id, vec_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY dist2, vec_id) AS arn
+            FROM adc)
+      WHERE arn <= 50),
+    rr AS (
+      SELECT s.query_id, s.vec_id,
+             list_sum([ (eq.v[i]-ev.v[i])*(eq.v[i]-ev.v[i])
+                        for i in range(1, {PQ_M} * {PQ_SUB} + 1) ]) AS d2
+      FROM shortlist s
+      JOIN e eq ON eq.vec_id = s.query_id
+      JOIN e ev ON ev.vec_id = s.vec_id)
+    SELECT query_id, vec_id, round(d2, 4) AS dist2, CAST(rk AS INT) AS rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY d2, vec_id) AS rk
+          FROM rr)
+    WHERE rk <= 10
+    """
+
+
+@query("sim_ann_ivfpq", oracle=_ivfpq_oracle())
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production ANN layout (what FAISS's IVFPQ index
+    does), composed from the two verified halves:
+
+      * IVF coarse routing: every vector lives in exactly one
+        centroid's list; a query probes its IVF_NPROBE nearest lists,
+        bounding candidates to ~nprobe/centroids of the corpus.
+      * PQ/ADC scoring: candidates are scored from their PQ_M sub-codes
+        via the query's precomputed code-distance table — a lookup-sum,
+        no float vector math per candidate.
+      * Exact re-rank: true squared-L2 on the 5x-top-k shortlist.
+
+    The 100 TB shape: the code table is partitioned BY LIST (cid), so a
+    query's ADC pass scans only its probed lists' partitions — partition
+    pruning does the routing; the distance tables and probe sets are
+    broadcast; the only shuffle is the per-(query, vec) ADC aggregation
+    over candidates. Production would use residual PQ (encode v minus
+    its centroid) and k-means codebooks; both halves here use the
+    deterministic first-K-vectors choice so every stage — assignment,
+    encoding, ADC sums, ranks — hash-matches the DuckDB oracle."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = emb.filter(F.col("vec_id") < IVF_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    sim_to_cent = F.round(cosine(F.col("v"), F.col("cv")), 4)
+    assign = (
+        emb.join(F.broadcast(cent))
+        .select("vec_id", "cid", sim_to_cent.alias("sim"))
+        .withColumn("arn", F.row_number().over(
+            Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cid")))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "cid")
+    )
+    qprobe = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cent))
+        .select(F.col("vec_id").alias("query_id"), "cid", sim_to_cent.alias("sim"))
+        .withColumn("prn", F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("sim"), "cid")))
+        .filter(F.col("prn") <= IVF_NPROBE)
+        .select("query_id", "cid")
+    )
+    enc, dtab = _pq_parts(emb, N_QUERIES)
+    # route: only codes whose list a query probes reach the ADC join
+    adc = (
+        enc.join(assign, "vec_id")
+        .join(F.broadcast(qprobe), "cid")
+        .join(F.broadcast(dtab), ["query_id", "m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").alias("adist2"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy("adist2", "vec_id")
+    shortlist = (
+        adc.withColumn("arn", F.row_number().over(w_adc))
+        .filter(F.col("arn") <= 50)
+        .select("query_id", "vec_id")
+    )
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    rr = (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(emb, "vec_id")
+        .select("query_id", "vec_id", _ssq(F.col("qv"), F.col("v")).alias("d2"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy("d2", "vec_id")
+    return (
+        rr.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "vec_id", F.round("d2", 4).alias("dist2"), "rk")
+    )
