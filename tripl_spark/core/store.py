@@ -571,23 +571,54 @@ class TripleStore:
     def load_parquet(cls, path: str, spark: SparkSession | None = None) -> "TripleStore":
         store = cls(spark=spark)
         df = store.spark.read.parquet(path).select(*FACT_COLUMNS)
-        store._df = store.facts_df().unionByName(df)
-        # rebuild registry caches from schema triples
+        store._attach_loaded(df)
+        return store
+
+    def _attach_loaded(self, df: DataFrame) -> None:
+        """Union an externally-loaded facts frame into this store and
+        rebuild the registry caches from its schema triples."""
+        self._df = self.facts_df().unionByName(df)
         meta = df.filter(
             F.col("a").isin(list(_SCHEMA_META_ATTRS))
             | ((F.col("e") == "db:schema") & F.col("a").isin(list(_SETTINGS_ATTRS)))
         ).collect()
         max_t = df.agg(F.max("t")).collect()[0][0]
-        store._t = max(store._t, (max_t or 0) + 1)
+        self._t = max(self._t, (max_t or 0) + 1)
         for row in meta:
             val = decode_value(row.vtype, row.v_str, row.v_num, row.v_bool)
             if row.a in _SCHEMA_META_ATTRS:
-                store.registry.declare(row.e, {row.a: val})
+                self.registry.declare(row.e, {row.a: val})
             elif row.a == "db.refs:lazy":
-                store.registry.lazy_refs = bool(val)
+                self.registry.lazy_refs = bool(val)
             else:
-                store.registry.default_cardinality = str(val)
-        store._invalidate()
+                self.registry.default_cardinality = str(val)
+        self._invalidate()
+
+    def dump_jsonl(self, path: str) -> None:
+        """Distributed dump: the same logical EAV index as ``dump``
+        (reference tripl.py:555-558) but one entity per line, rendered
+        JVM-side and written as sharded text — no collect, no Python in
+        the loop. Shards concatenate to a loads()-mergeable index; the
+        line set is deterministic (sorted attrs and values)."""
+        from tripl_spark.sources.jsonl_dump import render_index_lines
+
+        render_index_lines(self.current_facts(cache=False)).write.mode(
+            "overwrite"
+        ).text(path)
+
+    @classmethod
+    def load_jsonl(cls, path: str, spark: SparkSession | None = None) -> "TripleStore":
+        """Distributed load of a ``dump_jsonl`` directory (or any JSONL
+        of one-entity index objects): Spark 4 VariantType parse — see
+        sources/jsonl_dump.py. Schema triples travel inside the dump, so
+        cardinality/ref declarations are restored exactly as the
+        reference's load does (tripl.py:330-346)."""
+        from tripl_spark.sources.jsonl_dump import parse_index_lines
+
+        store = cls(spark=spark)
+        lines = store.spark.read.text(path)
+        df = parse_index_lines(lines, t=0).select(*FACT_COLUMNS)
+        store._attach_loaded(df)
         return store
 
 
