@@ -5,7 +5,10 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced end-to-end with .collect() (results are small
 aggregates; collect materializes the full plan). A session-warm-up query
-runs first so JVM/codegen startup isn't billed to the first query.
+runs first so JVM/codegen startup isn't billed to the first query, and
+each query is timed $SPARK_GRAFT_BENCH_RUNS times (default 3) with the
+MEDIAN reported — single-run numbers on a shared host are noise (round 1
+recorded one query at 8x its reproducible time).
 """
 
 from __future__ import annotations
@@ -13,6 +16,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -73,11 +77,17 @@ def main() -> None:
     # warm up JVM / parquet footer caches outside the measured window
     queries[names[0]](spark, sf_dir).collect()
 
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).collect()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+        spreads[name] = round(max(samples) - min(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -87,6 +97,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs_per_query": runs,
+                "spread": spreads,
                 "sf": sf,
             }
         )

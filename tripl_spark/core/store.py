@@ -362,8 +362,38 @@ class TripleStore:
         if self._compacted is not None:
             return self._compacted
         df = self.facts_df()
-        df = df.groupBy("e", "a", "vtype", "v_str", "v_num", "v_bool").agg(
-            F.max("t").alias("t")
+        # Dedup on the canonical value key, not the raw vtype tuple: the
+        # reference's Python sets treat 1 == 1.0 and a ref IS its eid
+        # string, so str/ref (and int/float) assertions of the same value
+        # are one fact. Keeps JSON round-trips idempotent — a dump
+        # re-parses refs as 'str' (JSON can't carry the tag) and must
+        # collapse with the ref-typed original. The typed representative
+        # prefers ref over str (keeps pull navigation) and int over float
+        # (stable JSON rendering), then the latest stamp.
+        prio = (
+            F.when(F.col("vtype") == "ref", 3)
+            .when(F.col("vtype") == "int", 2)
+            .otherwise(1)
+        )
+        df = (
+            df.groupBy("e", "a", _vkey_col().alias("__vk"))
+            .agg(
+                F.max("t").alias("t"),
+                F.max_by(
+                    F.struct("vtype", "v_str", "v_num", "v_bool"),
+                    F.struct(prio.alias("p"), F.col("t").alias("t")),
+                ).alias("__v"),
+            )
+            .select(
+                "e",
+                "a",
+                F.col("__v.vtype").alias("vtype"),
+                F.col("__v.v_str").alias("v_str"),
+                F.col("__v.v_num").alias("v_num"),
+                F.col("__v.v_bool").alias("v_bool"),
+                "t",
+                "__vk",
+            )
         )
         if self.registry.default_cardinality == CARD_ONE:
             many = self.registry.declared_many_attrs()
@@ -373,11 +403,13 @@ class TripleStore:
             if "db:cardinality" not in ones:
                 ones = ones + ["db:cardinality"]
             card_one_pred = F.col("a").isin(ones)
-        w = Window.partitionBy("e", "a").orderBy(F.desc("t"))
+        # equal-t conflicts (bulk loads stamp one t) need a deterministic
+        # tiebreaker or the surviving card-one value varies run to run
+        w = Window.partitionBy("e", "a").orderBy(F.desc("t"), F.asc("__vk"))
         df = (
             df.withColumn("__rn", F.row_number().over(w))
             .filter((~card_one_pred) | (F.col("__rn") == 1))
-            .drop("__rn")
+            .drop("__rn", "__vk")
         )
         if cache:
             df = df.cache()

@@ -246,3 +246,94 @@ def triple_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a") == "user:last_type")
         .select("e", F.col("v_str").alias("last_type"))
     )
+
+
+@query(
+    "triple_pull_recursive",
+    oracle="""
+    WITH RECURSIVE users AS (SELECT DISTINCT user_id AS u FROM events),
+    anc AS (
+      SELECT u, u AS node, 0 AS depth FROM users
+      UNION ALL
+      SELECT a.u, p.u AS node, a.depth + 1
+      FROM anc a
+      JOIN users p ON p.u = CAST(floor(a.node / 2) AS BIGINT)
+      WHERE a.node > 0 AND a.depth < 3
+    )
+    SELECT 'user-' || CAST(u AS VARCHAR) AS e, depth,
+           'user-' || CAST(node AS VARCHAR) AS ancestor
+    FROM anc WHERE depth > 0
+    """,
+)
+def triple_pull_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive pull (``'...'`` re-enters the root expression —
+    reference tripl.py:708-710) exercised END-TO-END on the facts
+    encoding itself: events users melt to a ``user:parent`` ref forest
+    (u → u//2, edge kept only when the parent is itself a user), then
+    ``pull_json_df`` unrolls ``["db:ident", {"user:parent": "..."}]``
+    three levels on the cluster and the ancestor chain is parsed back
+    out relationally as (e, depth, ancestor) rows. The oracle is the
+    same bounded recursion as a WITH RECURSIVE — a planner mis-join or
+    a wrong recursion-exhaustion rule flips rows."""
+    from pyspark.sql import types as T
+
+    from tripl_spark.core.schema import CARD_ONE, REF_TYPE, SchemaRegistry
+    from tripl_spark.plans.pull_df import pull_json_df
+
+    users = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("user_id").cast("long").alias("u"))
+        .distinct()
+    )
+    eid = F.concat(F.lit("user-"), F.col("u").cast("string"))
+    idents = users.select(
+        eid.alias("e"),
+        F.lit("db:ident").alias("a"),
+        F.lit("str").alias("vtype"),
+        eid.alias("v_str"),
+        F.lit(None).cast("double").alias("v_num"),
+        F.lit(None).cast("boolean").alias("v_bool"),
+        F.lit(0).cast("long").alias("t"),
+    )
+    parents = users.alias("c").filter(F.col("u") > 0).join(
+        users.alias("p"),
+        F.col("p.u") == F.floor(F.col("c.u") / 2).cast("long"),
+        "left_semi",
+    )
+    edges = parents.select(
+        F.concat(F.lit("user-"), F.col("u").cast("string")).alias("e"),
+        F.lit("user:parent").alias("a"),
+        F.lit("ref").alias("vtype"),
+        F.concat(
+            F.lit("user-"), F.floor(F.col("u") / 2).cast("long").cast("string")
+        ).alias("v_str"),
+        F.lit(None).cast("double").alias("v_num"),
+        F.lit(None).cast("boolean").alias("v_bool"),
+        F.lit(0).cast("long").alias("t"),
+    )
+    facts = idents.unionByName(edges)
+
+    registry = SchemaRegistry(default_cardinality=CARD_ONE)
+    registry.declare("user:parent", {"db:valueType": REF_TYPE, "db:cardinality": CARD_ONE})
+
+    roots = users.select(eid.alias("e"))
+    docs = pull_json_df(
+        facts, registry, ["db:ident", {"user:parent": "..."}], roots, recur_depth=2
+    )
+
+    lvl = lambda inner: T.StructType(  # noqa: E731
+        [T.StructField("db:ident", T.StringType())]
+        + ([T.StructField("user:parent", inner)] if inner is not None else [])
+    )
+    schema = lvl(lvl(lvl(lvl(None))))
+    d = F.from_json("doc", schema)
+    chain = F.array(
+        d["user:parent"]["db:ident"],
+        d["user:parent"]["user:parent"]["db:ident"],
+        d["user:parent"]["user:parent"]["user:parent"]["db:ident"],
+    )
+    return (
+        docs.select("e", F.posexplode(chain).alias("pos", "ancestor"))
+        .filter(F.col("ancestor").isNotNull())
+        .select("e", (F.col("pos") + 1).cast("int").alias("depth"), "ancestor")
+    )

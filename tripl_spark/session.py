@@ -74,8 +74,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # (the driver builds its own, without our builder configs).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # micros-precision parquet reads as NTZ under Spark 4's
+            # inferTimestampNTZ; normalize to TimestampType (session TZ
+            # is UTC, so wall-clock values are unchanged) so epoch
+            # casts/windows behave uniformly across testdata vintages.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
