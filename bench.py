@@ -90,19 +90,30 @@ def main() -> None:
         spreads[name] = round(max(samples) - min(samples), 3)
 
     total = round(sum(timings.values()), 3)
+    # Diagnostics (per-query spread across runs) go to stderr: the driver
+    # captures only the last ~2000 chars of stdout and parses the JSON line
+    # out of that tail, so the stdout line must stay short and be last.
     print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs_per_query": runs,
-                "spread": spreads,
-                "sf": sf,
-            }
-        )
+        json.dumps({"runs_per_query": runs, "spread": spreads}),
+        file=sys.stderr,
     )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
+    )
+    if len(line) > 1800:
+        # Hard guard: never emit a line the driver's tail window can split.
+        slim = {k: timings[k] for k in sorted(timings, key=timings.get, reverse=True)[:20]}
+        line = json.dumps(
+            {"metric": "headline_queries_total", "value": total, "unit": "sec", "queries": slim, "sf": sf}
+        )
+    print(line)
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -53,20 +53,21 @@ def test_simhash_separates_dups_from_random(planted_docs, spark):
 
 
 def test_multimodal_features_contract(spark, sf_small):
-    from tripl_spark.operators.multimodal import extract_features, media_table
+    from tripl_spark.operators.multimodal import extract_image_features, image_table
 
-    feats = extract_features(media_table(spark, sf_small))
+    feats = extract_image_features(image_table(spark, sf_small))
     rows = feats.limit(5).collect()
     assert len(rows) == 5
     for r in rows:
-        assert r.feat_dim == 16 and 0.0 <= r.feat_mean <= 1.0
-        assert len(r.content_hash) == 32
+        assert r.codec in ("bmp", "ppm")
+        assert r.width >= 4 and r.height >= 4
+        assert 0.0 <= r.px_mean <= 255.0
 
 
-def test_decode_stub_raises():
-    from tripl_spark.operators.multimodal import decode_image
+def test_decode_unknown_format_raises():
+    from tripl_spark.operators.media_codecs import decode_image
 
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_image(b"\x89PNG")
 
 
