@@ -7,6 +7,7 @@ import subprocess
 import sys
 
 from tripl_spark import TripleStore
+from tripl_spark.functions.namespaces import some
 from tripl_spark.sources.csv_attrmap import csv_docs_df, load_csv
 
 TOY_CSV = "/root/reference/tripl/data/toy.csv"
@@ -149,3 +150,63 @@ def test_cli_plot_dot_output(spark, tmp_path):
     assert "not-an-eid" not in dot
     # without lazy_refs, only declared-ref edges
     assert "dashed" not in ref_graph_dot(store)
+
+
+def test_cli_map_ingest_end_to_end(tmp_path):
+    """`-m CMD -P N` (reference cli.py:17-27, 69): CMD runs once per
+    input file on the executors, its stdout JSON is ingested. End-to-end
+    through the real CLI entry point with a real subprocess mapper."""
+    mapper = tmp_path / "mapper.py"
+    mapper.write_text(
+        "#!/usr/bin/env python3\n"
+        "import json, sys, pathlib\n"
+        "name = pathlib.Path(sys.argv[1]).read_text().strip()\n"
+        "print(json.dumps([{'x:id': name, 'x:name': name.upper(),"
+        " 'x:type': 'x.type:thing'}]))\n"
+    )
+    mapper.chmod(0o755)
+    inputs = []
+    for name in ("alpha", "beta", "gamma"):
+        f = tmp_path / f"{name}.txt"
+        f.write_text(name + "\n")
+        inputs.append(str(f))
+    merged = tmp_path / "merged.json"
+
+    r = subprocess.run(
+        [sys.executable, "-m", "tripl_spark.cli", "join",
+         "-i", *inputs, "-o", str(merged),
+         "-m", str(mapper), "-P", "2", "--id-attrs", "x:id"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    dumped = json.loads(merged.read_text())
+    names = sorted(
+        v for avs in dumped.values() for v in avs.get("x:name", [])
+    )
+    assert names == ["ALPHA", "BETA", "GAMMA"]
+
+
+def test_load_accepts_doc_list_and_index_shapes(spark, tmp_path):
+    """The reference's `loads` (tripl.py:536-541) accepts BOTH
+    doc-list-shaped JSON files and EAV-index-shaped dumps; merging one
+    of each must resolve shared id_attrs to one entity."""
+    doclist = tmp_path / "docs.json"
+    doclist.write_text(json.dumps(
+        [{"x:id": "a", "x:name": "Alpha"}, {"x:id": "b", "x:name": "Beta"}]
+    ))
+    s1 = TripleStore.load(str(doclist), id_attrs=["x:id"], spark=spark)
+    assert len(s1.match({"x:name": "Alpha"})) == 1
+
+    index = tmp_path / "index.json"
+    s1.dump(str(index))
+    # index-shaped reload: same entities, same values, no duplication
+    s2 = TripleStore.load(str(index), spark=spark)
+    assert len(s2.match({"x:id": "a"})) == 1
+    assert s2.pull(["x:name"], some(s2.match({"x:id": "a"})))["x:name"] == ["Alpha"]
+
+    # merge doc-list into an index-shaped store: "a" must stay ONE entity
+    s3 = TripleStore.loads(
+        [str(index), str(doclist)], id_attrs=["x:id"], spark=spark
+    )
+    assert len(s3.match({"x:id": "a"})) == 1
+    assert len(s3.match({"x:id": "b"})) == 1
