@@ -129,3 +129,62 @@ def connected_components(
             break
         prev_sum = cur_sum
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 6,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(node, rank) after ``iters`` synchronous power iterations with
+    uniform initialization — the standard formulation with dangling-mass
+    redistribution:
+
+        rank'(n) = (1-d)/N + d * (Σ_{src→n} rank(src)/outdeg(src) + D/N)
+
+    where D is the summed rank of dangling (no-out-edge) nodes. Fixed
+    iteration count keeps the computation deterministic and oracle-
+    replicable (an unrolled-CTE SQL computes the same arithmetic).
+
+    Scale shape: per iteration one shuffle keyed by dst for the
+    contribution aggregation plus a broadcast of two scalars (N, D);
+    the edge list with precomputed out-degrees is checkpointed once and
+    re-probed every round. Ranks only — no per-node state beyond one
+    double — so the iteration frame stays narrow at any node count.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # edges with the source's out-degree attached: the per-round probe side
+    ed = edges.join(outdeg, "src").localCheckpoint(eager=True)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    base = (1.0 - damping) / n_nodes
+    for _ in range(iters):
+        dangling = (
+            ranks.join(outdeg, ranks.node == outdeg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contribs = (
+            ed.join(ranks, ed.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n_nodes))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -143,3 +143,139 @@ def triple_datalog_ancestor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anc.select(
         F.col("e").alias("descendant"), F.col("v").alias("ancestor")
     )
+
+
+def _pagerank_oracle_sql(iters: int = 6) -> str:
+    """Unrolled-CTE PageRank over the purchase-ancestry graph. The
+    recursive term of a recursive CTE can't aggregate, so each power
+    iteration is its own CTE trio: dangling-mass scalar, contribution
+    aggregation, rank refresh. Literals are emitted with repr() so both
+    engines run identical IEEE-double arithmetic."""
+    d = 0.85
+    one_minus_d = repr(1.0 - d)
+    parts = [
+        """
+    WITH nodes AS (
+      SELECT DISTINCT user_id AS node FROM events WHERE event_type = 'purchase'
+    ),
+    edges AS (
+      SELECT n1.node AS src, n2.node AS dst
+      FROM nodes n1
+      JOIN nodes n2 ON n2.node = CAST(floor(n1.node / 2) AS BIGINT)
+      WHERE n1.node > 0
+    ),
+    gn AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    cnt AS (SELECT count(*) AS n FROM gn),
+    outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / cnt.n AS rank FROM gn CROSS JOIN cnt)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+    dang{k} AS (
+      SELECT coalesce(sum(r.rank), CAST(0.0 AS DOUBLE)) AS s
+      FROM r{k - 1} r LEFT JOIN outdeg o ON r.node = o.src
+      WHERE o.src IS NULL
+    ),
+    c{k} AS (
+      SELECT e.dst AS node, sum(r.rank / o.deg) AS contrib
+      FROM edges e
+      JOIN r{k - 1} r ON e.src = r.node
+      JOIN outdeg o ON o.src = e.src
+      GROUP BY e.dst
+    ),
+    r{k} AS (
+      SELECT g.node,
+             CAST({one_minus_d} AS DOUBLE) / cnt.n
+               + CAST({d!r} AS DOUBLE)
+                 * (coalesce(c.contrib, CAST(0.0 AS DOUBLE)) + dg.s / cnt.n) AS rank
+      FROM gn g CROSS JOIN cnt CROSS JOIN dang{k} dg
+      LEFT JOIN c{k} c ON c.node = g.node
+    )""")
+    parts.append(f"""
+    SELECT node, round(rank, 8) AS rank FROM r{iters}
+    """)
+    return "".join(parts)
+
+
+@query("graph_pagerank_purchasers", oracle=_pagerank_oracle_sql())
+def graph_pagerank_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (6 synchronous power iterations, damping 0.85, dangling
+    mass redistributed) over the purchase-ancestry graph — checked
+    value-for-value against an unrolled-CTE oracle running the same
+    IEEE-double arithmetic."""
+    from tripl_spark.plans.graph import pagerank
+
+    nodes = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("node"))
+        .distinct()
+    )
+    parents = nodes.select(
+        F.col("node").alias("src"),
+        F.floor(F.col("node") / 2).cast("long").alias("dst"),
+    ).filter(F.col("src") > 0)
+    edges = parents.join(
+        nodes.select(F.col("node").alias("__n")), parents.dst == F.col("__n"), "left_semi"
+    )
+    ranks = pagerank(edges, iters=6, damping=0.85)
+    return ranks.select("node", F.round("rank", 8).alias("rank"))
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH nodes AS (SELECT DISTINCT user_id AS u FROM events),
+    raw AS (
+      SELECT u AS a, CAST(floor(u / 2) AS BIGINT) AS b FROM nodes WHERE u > 1
+      UNION
+      SELECT u, CAST(floor(u / 3) AS BIGINT) FROM nodes WHERE u > 2
+    ),
+    -- canonical undirected edges between graph members
+    e AS (
+      SELECT least(a, b) AS lo, greatest(a, b) AS hi FROM raw
+      JOIN (SELECT u FROM nodes) m ON m.u = b
+      GROUP BY ALL
+    )
+    SELECT CAST(count(*) AS BIGINT) AS triangles
+    FROM e e1
+    JOIN e e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+    JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting by ordered-wedge closure: canonical lo<hi
+    edges, wedges joined on the low endpoint, closed by a third lookup
+    — each triangle counted exactly once, no cartesian. The u→u//2 ∪
+    u→u//3 union graph closes a triangle exactly where u//3 parents
+    u//2 (data-dependent, non-trivial). At scale the standard
+    degree-ordering refinement bounds wedge fan-out; here join order +
+    AQE handle the skew."""
+    users = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("u")
+    ).distinct()
+    raw = (
+        users.filter(F.col("u") > 1)
+        .select("u", F.floor(F.col("u") / 2).cast("long").alias("b"))
+        .union(
+            users.filter(F.col("u") > 2)
+            .select("u", F.floor(F.col("u") / 3).cast("long").alias("b"))
+        )
+    )
+    member = users.select(F.col("u").alias("__m"))
+    edges = (
+        raw.join(member, raw.b == F.col("__m"), "left_semi")
+        .select(
+            F.least(F.col("u"), F.col("b")).alias("lo"),
+            F.greatest(F.col("u"), F.col("b")).alias("hi"),
+        )
+        .distinct()
+    )
+    e1 = edges.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = edges.select(F.col("lo").alias("a2"), F.col("hi").alias("c"))
+    e3 = edges.select(F.col("lo").alias("b3"), F.col("hi").alias("c3"))
+    wedges = e1.join(e2, (F.col("a2") == F.col("a")) & (F.col("c") > F.col("b")))
+    closed = wedges.join(
+        e3, (F.col("b3") == F.col("b")) & (F.col("c3") == F.col("c")), "left_semi"
+    )
+    return closed.agg(F.count("*").cast("long").alias("triangles"))
