@@ -67,65 +67,68 @@ _LOADED = False
 # representative TPC-H/analytics rows. Names listed here come first, in
 # this order; everything else follows in registration order.
 _PRIORITY = [
-    # triple engine (match / pull / datalog / time travel)
-    "triple_match_segment",
+    # Round-4 rotation: every query that has never had a driver
+    # correctness row (r1-r3 checked the first 50; these sat past the
+    # window) now leads, so by r5 every oracled query has at least one
+    # hard driver signal. Displaced rows keep local DuckDB parity
+    # coverage in tests/test_oracle_parity.py.
+    #
+    # never-driver-checked, oracled (14) + new stream join
+    "graph_pagerank_purchasers",
+    "graph_triangle_count",
+    "sim_ann_multiprobe",
+    "sim_embedding_stats",
+    "text_fingerprint",
+    "text_unigram_logprob",
+    "text_bpe_token_count",
+    "curation_top_quality_per_lang",
+    "curation_redacted_texts",
+    "mixing_temperature_sample",
+    "skew_salted_agg_events",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_audio_features",
+    "stream_join_error_followups",
+    # never-driver-checked, rows-only (weaker driver check, still a
+    # first hard signal; each has a dedicated local recall/golden test)
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "cluster_kmeans_embeddings",
+    "packing_greedy",
+    "tokenizer_bpe_merges",
+    # one flagship per family keeps every operator family inside the
+    # window (all driver-proven in r3)
     "triple_match_nested",
-    "triple_reverse_fanin",
     "triple_pull_projection",
-    "triple_pull_df_wildcard",
     "triple_pull_recursive",
-    "triple_asof_snapshot",
     "triple_datalog_ancestor",
-    "triple_datalog_join",
-    # graph / recursion
+    "triple_asof_snapshot",
     "graph_user_ancestry",
     "graph_components_purchasers",
-    # dedup family
     "dedup_exact",
     "dedup_minhash_oracled",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
     "dedup_groups_canonical",
-    # similarity / ANN
     "sim_knn_bruteforce",
-    "sim_ann_lsh",
-    "sim_ann_ivf",
-    "sim_ann_pq",
     "sim_ann_ivfpq",
-    # text analysis
     "text_tfidf_top_terms",
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_id",
-    "text_ngram_contamination",
     "text_repetition_filters",
-    # curation
     "curation_quota_per_stratum",
-    "curation_stratified_sample",
-    # skew / range / rollup / streaming
     "skew_salted_join_user_spend",
     "range_join_error_followups",
     "hypertable_rollup_daily",
     "stateful_sessions_stream",
-    # pipeline plumbing
     "mixing_split_assign",
     "packing_bin_assign",
     "tokenizer_first_merge",
     "search_bm25",
     "multimodal_metadata",
-    # analytics / TPC-H representatives
+    # analytics / TPC-H representatives (driver-proven r1-r3)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q6_forecast_revenue",
     "q18_large_volume_customers",
     "q21_waiting_suppliers",
     "window_functions_showcase",
-    "events_cube_type_year",
-    "repeat_buyers_intersect",
-    "events_sessionization",
-    "asof_last_purchase",
-    "nation_year_rollup",
-    "order_status_pivot",
 ]
 
 

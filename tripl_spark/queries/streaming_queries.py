@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from tripl_spark.queries.registry import query
 from tripl_spark.session import load_table
 from tripl_spark.streaming.events import run_to_memory
+from tripl_spark.streaming.joins import error_followups_stream
 from tripl_spark.streaming.stateful import stateful_sessions
 
 
@@ -82,3 +83,42 @@ def stateful_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+@query(
+    "stream_join_error_followups",
+    oracle="""
+    SELECT e1.event_type AS t1, e2.event_type AS t2,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+          FROM events WHERE event_type = 'error') e1
+    JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+          FROM events) e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts > e1.ts
+     AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+    GROUP BY t1, t2
+    """,
+)
+def stream_join_error_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream range join under the value-hash gate:
+    events restaged through the normalized batch loader (the pattern
+    stateful_sessions_stream uses), streamed, self-joined with the
+    time-range predicate (streaming/joins.py — state bounded by
+    watermark + window), drained append-mode, then aggregated to the
+    same (t1, t2, n_pairs) shape the batch range-join query emits. The
+    oracle is DuckDB's native inequality join, so a dropped/duplicated
+    pair at a watermark or bucket edge hash-mismatches."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    staged = tempfile.mkdtemp(prefix="tripl_spark_streamjoin_")
+    events.write.mode("overwrite").parquet(staged)
+
+    stream = spark.readStream.schema(
+        "user_id BIGINT, ts TIMESTAMP, event_type STRING"
+    ).parquet(staged)
+    pairs = error_followups_stream(stream)
+    name = "streamjoin_" + uuid.uuid4().hex[:8]
+    out = run_to_memory(pairs, name, mode="append")
+    return out.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("n_pairs"))

@@ -25,32 +25,35 @@ exactly-once.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # ns-since-epoch (nanosAsLong read)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream of events with µs-normalized timestamps
-    (same normalization as the batch loader, so results line up)."""
+    """File-source stream of events with µs-normalized timestamps.
+
+    Streaming sources require an explicit schema, but the testdata's
+    ``ts`` encoding varies by vintage (TIMESTAMP(NANOS) → bigint under
+    the legacy nanosAsLong read; TIMESTAMP(MICROS) → timestamp_ntz).
+    Probe once with a cheap batch read (footer-only — no data scan) and
+    apply the SAME normalization branch as the batch loader
+    (session.py load_table), so stream and batch provably agree.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ts_type = dict(probe.dtypes).get("ts")
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(probe.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "bigint":  # nanos vintage: ns → µs
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":  # micros vintage: NTZ → session-TZ timestamp
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
