@@ -108,9 +108,19 @@ def main() -> None:
     )
     if len(line) > 1800:
         # Hard guard: never emit a line the driver's tail window can split.
+        # Flag the truncation so the artifact can't be mistaken for the
+        # full timing set (full timings still go to stderr above).
         slim = {k: timings[k] for k in sorted(timings, key=timings.get, reverse=True)[:20]}
         line = json.dumps(
-            {"metric": "headline_queries_total", "value": total, "unit": "sec", "queries": slim, "sf": sf}
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": slim,
+                "sf": sf,
+                "truncated": True,
+                "dropped_queries": len(timings) - len(slim),
+            }
         )
     print(line)
     sys.stdout.flush()

@@ -91,3 +91,26 @@ def test_duplicate_groups_transitive_and_canonical(spark):
     # singletons keep themselves
     assert out[4]["keep"] and out[5]["keep"]
     assert out[4]["group_size"] == 1
+
+
+def test_max_bucket_cap_drops_degenerate_bucket(spark):
+    # 30 identical docs = one degenerate bucket in EVERY band (the
+    # quadratic-blowup case); cap below 30 must yield zero candidates,
+    # uncapped must yield all 435 pairs.
+    docs = spark.createDataFrame(
+        [(i, "same tokens everywhere forever and ever amen") for i in range(30)],
+        "doc_id long, text string",
+    )
+    assert minhash_candidates(docs, max_bucket=10).count() == 0
+    assert minhash_candidates(docs, max_bucket=None).count() == 30 * 29 // 2
+
+
+def test_max_bucket_default_keeps_honest_buckets(planted_docs):
+    # the default cap (1000) must not disturb normal-size buckets:
+    # identical candidate set with and without the cap
+    capped = {(r.id_a, r.id_b) for r in minhash_candidates(planted_docs).collect()}
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in minhash_candidates(planted_docs, max_bucket=None).collect()
+    }
+    assert capped == uncapped

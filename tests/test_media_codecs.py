@@ -104,3 +104,23 @@ def test_resize_nearest_identity():
     rng = np.random.RandomState(7)
     px = rng.randint(0, 256, size=6 * 3 * 3, dtype=np.uint8).tobytes()
     assert mc.resize_nearest(6, 3, px, 6, 3) == px
+
+
+def test_decode_ppm_truncated_header_raises():
+    import pytest as _pytest
+
+    from tripl_spark.operators.media_codecs import decode_ppm
+
+    # truncated mid-header: must raise, not spin forever on the token scan
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P6 12")
+    with _pytest.raises((ValueError, IndexError)):
+        decode_ppm(b"P6")
+
+
+def test_pagerank_empty_edges(spark):
+    from tripl_spark.plans.graph import pagerank
+
+    edges = spark.createDataFrame([], "src string, dst string")
+    out = pagerank(edges)
+    assert out.count() == 0 and set(out.columns) == {"node", "rank"}

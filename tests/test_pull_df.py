@@ -138,3 +138,80 @@ def test_pull_df_string_escaping(spark):
     ts.assert_facts([{"db:ident": "e1", "x:text": nasty}])
     out = json.loads(ts.pull_df(["x:text"], ["e1"]).collect()[0].doc)
     assert out["x:text"] == [nasty]
+
+
+@pytest.fixture(scope="module")
+def readme_store(spark):
+    """The EXACT reference README walkthrough dataset
+    (/root/reference/README.md:179-205): three seqs sharing timepoints
+    through a card-many ref, one subject-only entity, one extra
+    description attr."""
+    schema = {
+        "cft.seq:timepoint": {
+            "db:valueType": "db.type:ref",
+            "db:cardinality": "db.cardinality:many",
+        },
+        "cft.seq:subject": {"db:valueType": "db.type:ref"},
+    }
+    ts = TripleStore(
+        schema=schema, default_cardinality="db.cardinality:one", spark=spark
+    )
+    subject = entity_cons("cft.type:subject", "cft.subject")
+    seq = entity_cons("cft.type:seq", "cft.seq")
+    timepoint = entity_cons("cft.type:timepoint", "cft.timepoint")
+    ts.assert_facts(
+        [
+            subject(id="QA255"),
+            subject(id="QA344"),
+            seq(
+                id="QA255-092.Vh",
+                seq="AGCGGTGAGCTGA",
+                timepoint=[timepoint(id="seed-sample"), timepoint(id="dpi1204")],
+                **{"cft:description": "seed sequence for patient QA255"},
+            ),
+            seq(
+                id="15423-1",
+                seq="AGCGGTGAGCTGA",
+                timepoint=[timepoint(id="dpi234"), timepoint(id="dpi1204")],
+            ),
+            seq(id="1534-2", seq="AGCGGTGAGCTGA", timepoint=[timepoint(id="L1")]),
+        ],
+        id_attrs=["cft.timepoint:id", "cft.seq:id", "cft.subject:id"],
+    )
+    return ts
+
+
+def test_readme_walkthrough_pull_df_golden(readme_store):
+    """README.md:209-224 golden output, through the DISTRIBUTED pull."""
+    expr = ["db:ident", "cft.seq:id", {"cft.seq:timepoint": ["cft.timepoint:id"]}]
+    eids = sorted(readme_store.match({"cft:type": "cft.type:seq"}))
+    docs = [json.loads(r.doc) for r in readme_store.pull_df(expr, eids).collect()]
+    by_id = {d["cft.seq:id"]: d for d in docs}
+    assert set(by_id) == {"QA255-092.Vh", "15423-1", "1534-2"}
+    golden = {  # the README's printed pull_data, as id → timepoint-id set
+        "1534-2": ["L1"],
+        "15423-1": ["dpi1204", "dpi234"],
+        "QA255-092.Vh": ["dpi1204", "seed-sample"],
+    }
+    for sid, tps in golden.items():
+        got = sorted(t["cft.timepoint:id"] for t in by_id[sid]["cft.seq:timepoint"])
+        assert got == tps
+    # distributed docs must equal the driver-side assembly byte-for-byte
+    driver = readme_store.pull_many(expr, {"cft:type": "cft.type:seq"})
+    key = lambda d: d["cft.seq:id"]
+    assert sorted(docs, key=key) == sorted(driver, key=key)
+
+
+def test_readme_walkthrough_pull_df_reverse_wildcard(readme_store):
+    """README.md:237-239 reverse lookup with '*' children, distributed."""
+    expr = ["cft.timepoint:id", {"cft.seq:_timepoint": ["*"]}]
+    eids = sorted(readme_store.match({"cft:type": "cft.type:timepoint"}))
+    docs = [json.loads(r.doc) for r in readme_store.pull_df(expr, eids).collect()]
+    driver = readme_store.pull_many(expr, {"cft:type": "cft.type:timepoint"})
+    key = lambda d: d["cft.timepoint:id"]
+    assert sorted(docs, key=key) == sorted(driver, key=key)
+    by_tp = {d["cft.timepoint:id"]: d for d in docs}
+    # dpi1204 is shared by two seqs; their full ('*') docs come back
+    parents = by_tp["dpi1204"]["cft.seq:_timepoint"]
+    assert sorted(p["cft.seq:id"] for p in parents) == ["15423-1", "QA255-092.Vh"]
+    assert all(p["cft.seq:seq"] == "AGCGGTGAGCTGA" for p in parents)

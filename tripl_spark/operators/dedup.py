@@ -191,6 +191,17 @@ def _pairs_from_buckets(bands: DataFrame, id_col: str, max_bucket: int | None) -
         .filter(F.size("ids") > 1)
     )
     if max_bucket is not None:
+        # drop visibility without an extra job: the dropped-bucket count
+        # rides the normal action as an observed metric (surfaced to any
+        # QueryExecutionListener / the Spark UI) instead of an eager
+        # count() that would re-run the bucket aggregation
+        buckets = buckets.observe(
+            "minhash_lsh_buckets",
+            F.sum(F.when(F.size("ids") > max_bucket, 1).otherwise(0)).alias(
+                "dropped_buckets"
+            ),
+            F.max(F.size("ids")).alias("largest_bucket"),
+        )
         buckets = buckets.filter(F.size("ids") <= max_bucket)
     tri = F.flatten(
         F.transform(
@@ -228,8 +239,18 @@ def _band_frame(sigs: DataFrame, id_col: str, hash_bands: bool = True) -> DataFr
     ).select(id_col, "band.band_id", "band.band_hash")
 
 
+DEFAULT_MAX_BUCKET = 1000
+"""Default LSH bucket-size cap. A degenerate bucket (boilerplate or an
+exact-duplicate class that skipped exact dedup) expands quadratically in
+the pair stage — at corpus scale one 10⁶-member bucket is 5·10¹¹ pairs.
+Capping at 1000 (≤ ~500k pairs per bucket) bounds the worst task while
+leaving every honest near-dup bucket intact; pass ``max_bucket=None``
+to opt in to the uncapped all-pairs behavior (the oracled md5 variants
+do, so their arithmetic matches the uncapped SQL oracle)."""
+
+
 def minhash_candidates(
-    docs: DataFrame, id_col: str = "doc_id", max_bucket: int | None = None
+    docs: DataFrame, id_col: str = "doc_id", max_bucket: int | None = DEFAULT_MAX_BUCKET
 ) -> DataFrame:
     """LSH banding: (band_id, band_hash) buckets → candidate id pairs."""
     sigs = minhash_signatures(docs, id_col)
@@ -257,7 +278,7 @@ def minhash_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
     threshold: float = 0.6,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
     hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """End-to-end fuzzy dedup: shingle once (persisted MEMORY_AND_DISK —
@@ -336,7 +357,8 @@ def dedup_minhash_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification) hash-matches a pure-SQL oracle. Proves the pipeline's
     arithmetic; the xxhash64 variant is the production fast path."""
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_dedup(docs, threshold=0.6, hash_mode="md5")
+    # uncapped: the SQL oracle enumerates every in-bucket pair
+    return minhash_dedup(docs, threshold=0.6, hash_mode="md5", max_bucket=None)
 
 
 @query("dedup_minhash_lsh", doc="MinHash+LSH near-dup pairs (rows-only check; "

@@ -91,5 +91,5 @@ def dedup_groups_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical doc per duplicate family. `keep` is the filter a training
     pipeline applies before tokenization."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_dedup(docs, threshold=0.6, hash_mode="md5")
+    pairs = minhash_dedup(docs, threshold=0.6, hash_mode="md5", max_bucket=None)
     return duplicate_groups(docs, pairs)

@@ -46,8 +46,15 @@ def decode_ppm(data: bytes, offset: int = 0) -> tuple[int, int, bytes, int]:
         while data[i:i + 1].isspace():
             i += 1
         j = i
+        # bound the token scan: past end-of-data the slice is b'' whose
+        # isspace() is False, so an unbounded loop would spin forever on
+        # a truncated header — raise instead of hanging the executor task
         while not data[j:j + 1].isspace():
+            if j >= len(data):
+                raise ValueError("truncated PPM header")
             j += 1
+        if j == i:
+            raise ValueError("malformed PPM header")
         fields.append(int(data[i:j]))
         i = j
     i += 1  # single whitespace after maxval

@@ -159,6 +159,9 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # empty edge set: no nodes, no ranks (1/N below would divide by 0)
+        return nodes.withColumn("rank", F.lit(0.0))
     outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     # edges with the source's out-degree attached: the per-round probe side
     ed = edges.join(outdeg, "src").localCheckpoint(eager=True)
