@@ -1,0 +1,73 @@
+"""Graph-ANN (HNSW-lite) recall: beam search over the LSH-seeded k-NN
+graph must recover ≥0.8 of the exact top-k — on the driver's own
+(uniform) sf0.001 embeddings AND on clustered vectors."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from tripl_spark.operators.graph_ann import beam_search, knn_graph
+from tripl_spark.operators.similarity import N_QUERIES, TOP_K
+from tripl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+
+
+def _pairs(df):
+    return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+
+def test_hnsw_recall_on_driver_embeddings(spark, sf_small):
+    exact = _pairs(REGISTRY["sim_knn_bruteforce"].fn(spark, sf_small))
+    approx = _pairs(REGISTRY["sim_ann_hnsw"].fn(spark, sf_small))
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"graph-ANN recall vs brute force too low: {recall}"
+
+
+def test_hnsw_recall_on_clustered_vectors(spark):
+    rng = random.Random(41)
+    centers = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(8)]
+    rows = []
+    for i in range(400):
+        c = centers[i % 8]
+        rows.append((i, [x + rng.gauss(0, 0.25) for x in c]))
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    # exact ground truth
+    from pyspark.sql import Window
+
+    from tripl_spark.operators.similarity import cosine
+
+    scored = emb.join(F.broadcast(queries), F.col("query_id") != F.col("vec_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .collect()
+    }
+    approx = _pairs(beam_search(emb, knn_graph(emb), queries))
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"graph-ANN recall on clustered data too low: {recall}"
+
+
+def test_hnsw_graph_degree_bounded(spark, sf_small):
+    from tripl_spark.operators.graph_ann import M_NEIGHBORS
+    from tripl_spark.session import load_table
+
+    emb = load_table(spark, sf_small, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    adj = knn_graph(emb)
+    deg = adj.groupBy("src").count().agg(F.max("count")).collect()[0][0]
+    assert deg <= 2 * M_NEIGHBORS

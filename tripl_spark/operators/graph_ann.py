@@ -1,0 +1,218 @@
+"""Graph-based ANN (HNSW-lite): a navigable-small-world index expressed
+as DataFrame joins.
+
+The reference has no similarity search at all (SURVEY.md §2.9 — the
+category is driver-mandated); IVF/PQ/LSH variants live in
+``operators/similarity.py``. This module adds the remaining major ANN
+family — graph search (HNSW/NSW/NN-descent lineage) — in a shape Spark
+can execute at scale:
+
+1. **k-NN graph build** (`knn_graph`): candidate edges come from
+   multi-probe sign-LSH buckets (every node probes its own bucket plus
+   all Hamming-1 flips — the same probe set ``sim_ann_multiprobe``
+   uses), scored JVM-side, top-``m`` kept per node. A round of
+   **NN-descent** then proposes each node's neighbors-of-neighbors
+   (the classic graph-quality fix: two joins, no all-pairs) and re-ranks
+   back down to ``m``. Edges are symmetrized so greedy search can enter
+   from either endpoint.
+2. **Beam search** (`beam_search`): per query, seed the beam with the
+   query's own probe-bucket mates, then repeatedly (a) hop the frontier
+   through the adjacency list (shuffle equi-join keyed on the node id —
+   partition-balanced at any corpus size), (b) score only NEW nodes
+   against the broadcast query vectors, (c) keep the best ``beam`` per
+   query as the next frontier. Visited-best state is capped per query,
+   so memory is O(queries · beam), independent of corpus size.
+
+Scale notes: the corpus is never self-joined all-pairs — bucket joins
+bound the build, adjacency joins bound the search. The graph (n·m
+edges) is the only materialized index; at 100 TB you'd persist it
+partitioned by ``src`` (bucketed layout, see ``sources/bucketing.py``)
+so every search hop is a co-located join. All arithmetic is Catalyst
+higher-order functions (no Python in the row path); iteration uses
+``localCheckpoint`` to cut lineage exactly like ``plans/graph.py``.
+
+Registered rows-only: the build+search pipeline is deterministic
+(seeded planes, every rank tie-broken by vec_id) but an unrolled SQL
+replica of two join-iterations is not sane DuckDB; recall is instead
+pinned by ``tests/test_graph_ann.py`` (≥0.8 of exact top-k on the
+driver's own sf0.001 embeddings, and on clustered vectors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tripl_spark.operators.similarity import (
+    N_PLANES,
+    N_QUERIES,
+    TOP_K,
+    bucket_key,
+    cosine,
+)
+from tripl_spark.queries.registry import query
+from tripl_spark.session import load_table
+
+M_NEIGHBORS = 12  # graph degree: ≥ 2·TOP_K so exact neighbors survive re-ranks
+BEAM = 12
+HOPS = 2
+
+
+def _multiprobe(df: DataFrame, bucket_col: str = "bucket") -> DataFrame:
+    """Explode each row into its own bucket + every Hamming-1 flip."""
+    probe_cols = [F.col(bucket_col)] + [
+        F.col(bucket_col).bitwiseXOR(F.lit(1 << i)) for i in range(N_PLANES)
+    ]
+    return df.withColumn("pb", F.explode(F.array(*probe_cols)))
+
+
+def _top_m(edges: DataFrame, m: int) -> DataFrame:
+    """Keep the m best-scoring dst per src, deterministic tie-break."""
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), "dst")
+    return (
+        edges.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= m)
+        .drop("_rk")
+    )
+
+
+def knn_graph(emb: DataFrame, m: int = M_NEIGHBORS, refine_rounds: int = 1) -> DataFrame:
+    """(src, dst, cos) approximate k-NN graph.
+
+    Build: multi-probe LSH bucket join proposes candidate pairs (each
+    node meets ~(1+planes)/2^planes of the corpus, never all of it),
+    exact cosine ranks them, top-m survive. Refinement: NN-descent
+    rounds propose neighbors-of-neighbors through a self-join of the
+    adjacency list, re-ranked with the originals back down to m.
+    """
+    e = emb.select("vec_id", "v").withColumn("bucket", bucket_key(F.col("v")))
+    probes = _multiprobe(e).select(
+        F.col("vec_id").alias("src"), F.col("v").alias("sv"), "pb"
+    )
+    cand = probes.join(
+        e.select(F.col("vec_id").alias("dst"), F.col("v").alias("dv"), "bucket"),
+        (F.col("pb") == F.col("bucket")) & (F.col("src") != F.col("dst")),
+    ).select("src", "dst", F.round(cosine(F.col("sv"), F.col("dv")), 6).alias("cos"))
+    adj = _top_m(cand, m).localCheckpoint(eager=True)
+
+    vecs = emb.select("vec_id", "v")
+    for _ in range(refine_rounds):
+        twohop = (
+            adj.select("src", F.col("dst").alias("mid"))
+            .join(adj.select(F.col("src").alias("mid"), F.col("dst").alias("nd")), "mid")
+            .select("src", F.col("nd").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        proposals = (
+            twohop.join(adj.select("src", "dst"), ["src", "dst"], "left_anti")
+            .distinct()
+            .join(vecs.select(F.col("vec_id").alias("src"), F.col("v").alias("sv")), "src")
+            .join(vecs.select(F.col("vec_id").alias("dst"), F.col("v").alias("dv")), "dst")
+            .select(
+                "src", "dst", F.round(cosine(F.col("sv"), F.col("dv")), 6).alias("cos")
+            )
+        )
+        adj = _top_m(adj.unionByName(proposals), m).localCheckpoint(eager=True)
+
+    # symmetrize (entry from either endpoint), bounded at 2m per node
+    sym = adj.unionByName(
+        adj.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "cos")
+    ).distinct()
+    return _top_m(sym, 2 * m).localCheckpoint(eager=True)
+
+
+def beam_search(
+    emb: DataFrame,
+    adj: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    beam: int = BEAM,
+    hops: int = HOPS,
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rk) top-k via NSW beam search.
+
+    ``queries`` is (query_id, qv) and is broadcast at every scoring
+    join — the corpus-sized frames are only ever joined on node keys.
+    Visited state is capped to 4·beam rows per query each round.
+    """
+    vecs = emb.select("vec_id", "v")
+    e = vecs.withColumn("bucket", bucket_key(F.col("v")))
+    qb = queries.withColumn("bucket", bucket_key(F.col("qv")))
+    seeds = (
+        _multiprobe(qb)
+        .select("query_id", "qv", "pb")
+        .join(e, F.col("pb") == F.col("bucket"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("node"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cos"), "node")
+    cap = F.row_number().over(wq)
+    best = seeds.withColumn("_rk", cap).filter(F.col("_rk") <= 4 * beam).drop("_rk")
+    frontier = best.withColumn("_rk", cap).filter(F.col("_rk") <= beam).drop("_rk")
+    best = best.localCheckpoint(eager=True)
+    frontier = frontier.localCheckpoint(eager=True)
+
+    for _ in range(hops):
+        hop = (
+            frontier.select("query_id", F.col("node").alias("src"))
+            .join(adj.select("src", "dst"), "src")
+            .select("query_id", F.col("dst").alias("node"))
+            .join(best.select("query_id", "node"), ["query_id", "node"], "left_anti")
+            .distinct()
+        )
+        scored = (
+            hop.join(vecs.withColumnRenamed("vec_id", "node"), "node")
+            .join(F.broadcast(queries), "query_id")
+            .select(
+                "query_id",
+                "node",
+                F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+            )
+        )
+        frontier = (
+            scored.withColumn("_rk", cap).filter(F.col("_rk") <= beam).drop("_rk")
+        ).localCheckpoint(eager=True)
+        best = (
+            best.unionByName(scored)
+            .withColumn("_rk", cap)
+            .filter(F.col("_rk") <= 4 * beam)
+            .drop("_rk")
+        ).localCheckpoint(eager=True)
+
+    out = best.join(
+        queries.select("query_id"), best.query_id == queries.query_id, "inner"
+    ).select(best.query_id, F.col("node").alias("neighbor_id"), F.col("cos"))
+    out = out.filter(F.col("query_id") != F.col("neighbor_id"))
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        out.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cos"), 4).alias("cosine"),
+            "rk",
+        )
+    )
+
+
+@query(
+    "sim_ann_hnsw",
+    doc="Graph ANN (HNSW-lite): LSH-seeded k-NN graph + NN-descent refine "
+    "+ beam search (rows-only; recall ≥0.8 vs brute force pinned in "
+    "tests/test_graph_ann.py)",
+)
+def sim_ann_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k neighbors for the standard query set via the navigable
+    small-world graph — the fourth ANN family next to LSH/IVF/PQ."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    adj = knn_graph(emb)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return beam_search(emb, adj, queries)

@@ -96,6 +96,7 @@ _PRIORITY = [
     "cluster_kmeans_embeddings",
     "packing_greedy",
     "tokenizer_bpe_merges",
+    "sim_ann_hnsw",
     # one flagship per family keeps every operator family inside the
     # window (all driver-proven in r3)
     "triple_match_nested",
@@ -128,7 +129,6 @@ _PRIORITY = [
     "q6_forecast_revenue",
     "q18_large_volume_customers",
     "q21_waiting_suppliers",
-    "window_functions_showcase",
 ]
 
 
@@ -140,7 +140,7 @@ def _ensure_loaded() -> None:
         return
     from tripl_spark.queries import advanced, analytics, analytics2, tpch, tpch2, tpch3, tpch4  # noqa: F401
     from tripl_spark.queries import graph_queries, streaming_queries, triples  # noqa: F401
-    from tripl_spark.operators import clustering, curation, dedup, dedup_groups, mixing, multimodal, packing, rangejoin, repetition, search, similarity, skew, text, tokenizer  # noqa: F401
+    from tripl_spark.operators import clustering, curation, dedup, dedup_groups, graph_ann, mixing, multimodal, packing, rangejoin, repetition, search, similarity, skew, text, tokenizer  # noqa: F401
 
     ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
     ordered.update({n: qd for n, qd in REGISTRY.items() if n not in ordered})

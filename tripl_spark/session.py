@@ -72,7 +72,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # Runtime-set so this works under ANY caller-provided session
         # (the driver builds its own, without our builder configs).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Read-before-write keeps the call idempotent — no redundant
+        # conf mutation racing concurrent streaming query startups.
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        if spark.conf.get(key, None) != "true":
+            spark.conf.set(key, "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
