@@ -505,3 +505,135 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.35)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new shard vs a pre-built corpus index
+# ---------------------------------------------------------------------------
+
+
+def minhash_index(
+    docs: DataFrame, id_col: str = "doc_id", hash_mode: str = "xxhash64"
+) -> DataFrame:
+    """(id, band_id, band_hash) — the materializable LSH index of a
+    corpus. At 100 TB this is what you persist (bucketed by
+    (band_id, band_hash), see ``sources/bucketing.py``) so that daily
+    increments join against it without ever rescanning corpus text."""
+    sigs = _signatures_from_sets(shingle_sets(docs, id_col, hash_mode), id_col)
+    return _band_frame(sigs, id_col, hash_bands=hash_mode != "md5")
+
+
+def _jaccard_two_sided(
+    sets_a: DataFrame, sets_b: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    a = sets_a.select(F.col(id_col).alias("id_a"), F.col("hs").alias("sh_a"))
+    b = sets_b.select(F.col(id_col).alias("id_b"), F.col("hs").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b", F.round(inter * 1.0 / union, 4).alias("jaccard"))
+    )
+
+
+def minhash_match_new(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """(id_a=corpus doc, id_b=new doc, jaccard) near-dup matches of an
+    incoming shard against the existing corpus — the INCREMENTAL dedup
+    path. Candidate generation is an equi-join of the new shard's bands
+    against the corpus index on (band_id, band_hash): cost scales with
+    the shard, not the corpus; new-vs-new pairs are deliberately out of
+    scope (run ``minhash_dedup`` within the shard for those). Exact
+    Jaccard verification touches only candidate pairs."""
+    corpus_sets = shingle_sets(corpus, id_col, hash_mode)
+    new_sets = shingle_sets(new_docs, id_col, hash_mode)
+    corpus_bands = minhash_index(corpus, id_col, hash_mode).withColumnRenamed(
+        id_col, "id_a"
+    )
+    new_bands = (
+        _band_frame(
+            _signatures_from_sets(new_sets, id_col), id_col,
+            hash_bands=hash_mode != "md5",
+        ).withColumnRenamed(id_col, "id_b")
+    )
+    pairs = (
+        new_bands.join(corpus_bands, ["band_id", "band_hash"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _jaccard_two_sided(corpus_sets, new_sets, pairs, id_col).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def _incremental_oracle_sql(split_id: int = 400) -> str:
+    """DuckDB replica of the md5-mode incremental match: corpus =
+    doc_id < split, new shard = doc_id >= split."""
+    perm_rows = ",\n      ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    sets AS (
+      SELECT doc_id,
+             list_distinct([
+               CAST('0x' || substring(md5(array_to_string(t[i:i+2], ' ')), 1, 15)
+                    AS BIGINT) % 2147483647
+               for i in range(1, greatest(len(t) - 2, 1) + 1)
+             ]) AS hs
+      FROM toks
+    ),
+    perms(i, a, b) AS (VALUES
+      {perm_rows}
+    ),
+    sig AS (
+      SELECT doc_id, i, min((a * h + b) % 2147483647) AS m
+      FROM (SELECT doc_id, unnest(hs) AS h FROM sets)
+      CROSS JOIN perms
+      GROUP BY doc_id, i
+    ),
+    sigv AS (
+      SELECT doc_id, list(m ORDER BY i) AS sig FROM sig GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, b AS band_id,
+             array_to_string(sig[b*4+1:b*4+4], ',') AS band_key
+      FROM sigv CROSS JOIN (SELECT unnest(range(8)) AS b)
+    ),
+    pairs AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band_id = r.band_id AND l.band_key = r.band_key
+      WHERE l.doc_id < {split_id} AND r.doc_id >= {split_id}
+      GROUP BY ALL
+    )
+    SELECT id_a, id_b,
+           round(len(list_intersect(sa.hs, sb.hs)) * 1.0
+                 / len(list_distinct(list_concat(sa.hs, sb.hs))), 4) AS jaccard
+    FROM pairs
+    JOIN sets sa ON sa.doc_id = id_a
+    JOIN sets sb ON sb.doc_id = id_b
+    WHERE round(len(list_intersect(sa.hs, sb.hs)) * 1.0
+                / len(list_distinct(list_concat(sa.hs, sb.hs))), 4) >= 0.6
+    """
+
+
+@query("dedup_incremental_minhash", oracle=_incremental_oracle_sql())
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection: the last fifth of the documents
+    table plays an incoming shard, matched against the LSH index of the
+    first four fifths (md5 hash mode → every stage replicated by the
+    SQL oracle). The production pattern: the corpus index is
+    materialized once; each ingest batch joins only its own bands."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    shard = docs.filter(F.col("doc_id") >= 400)
+    return minhash_match_new(corpus, shard, hash_mode="md5")

@@ -85,6 +85,7 @@ _PRIORITY = [
     "curation_redacted_texts",
     "mixing_temperature_sample",
     "skew_salted_agg_events",
+    "dedup_incremental_minhash",
     "multimodal_features",
     "multimodal_frame_sample",
     "multimodal_audio_features",
@@ -128,7 +129,6 @@ _PRIORITY = [
     "q3_shipping_priority",
     "q6_forecast_revenue",
     "q18_large_volume_customers",
-    "q21_waiting_suppliers",
 ]
 
 
