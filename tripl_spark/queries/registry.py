@@ -86,6 +86,7 @@ _PRIORITY = [
     "mixing_temperature_sample",
     "skew_salted_agg_events",
     "dedup_incremental_minhash",
+    "pipeline_curation_end2end",
     "multimodal_features",
     "multimodal_frame_sample",
     "multimodal_audio_features",
@@ -127,7 +128,6 @@ _PRIORITY = [
     # analytics / TPC-H representatives (driver-proven r1-r3)
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q6_forecast_revenue",
     "q18_large_volume_customers",
 ]
 
@@ -140,7 +140,7 @@ def _ensure_loaded() -> None:
         return
     from tripl_spark.queries import advanced, analytics, analytics2, tpch, tpch2, tpch3, tpch4  # noqa: F401
     from tripl_spark.queries import graph_queries, streaming_queries, triples  # noqa: F401
-    from tripl_spark.operators import clustering, curation, dedup, dedup_groups, graph_ann, mixing, multimodal, packing, rangejoin, repetition, search, similarity, skew, text, tokenizer  # noqa: F401
+    from tripl_spark.operators import clustering, curation, dedup, dedup_groups, graph_ann, mixing, multimodal, packing, pipeline, rangejoin, repetition, search, similarity, skew, text, tokenizer  # noqa: F401
 
     ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
     ordered.update({n: qd for n, qd in REGISTRY.items() if n not in ordered})
