@@ -64,3 +64,15 @@ def test_q21_joins_orders_once(spark, sf_small):
     # is computed off the flagged frame, not by re-joining orders)
     plan = _plan(spark, sf_small, "q21_waiting_suppliers")
     assert plan.count("orders.parquet") == 1, plan
+
+
+def test_pipeline_fuses_to_two_shuffles(spark, sf_small):
+    # the end-to-end curation pipeline must stay ONE fused plan:
+    # exactly one shuffle for the fingerprint aggregation and one for
+    # the stratum window; the keepers side joins via broadcast
+    import re
+
+    plan = _plan(spark, sf_small, "pipeline_curation_end2end")
+    shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(shuffles) <= 2, plan
+    assert "BroadcastHashJoin" in plan, plan
