@@ -110,7 +110,7 @@ _PRIORITY = [
     "graph_components_purchasers",
     "dedup_exact",
     "dedup_minhash_oracled",
-    "dedup_groups_canonical",
+    "dedup_substring_spans",
     "sim_knn_bruteforce",
     "sim_ann_ivfpq",
     "text_tfidf_top_terms",
@@ -140,7 +140,7 @@ def _ensure_loaded() -> None:
         return
     from tripl_spark.queries import advanced, analytics, analytics2, tpch, tpch2, tpch3, tpch4  # noqa: F401
     from tripl_spark.queries import graph_queries, streaming_queries, triples  # noqa: F401
-    from tripl_spark.operators import clustering, curation, dedup, dedup_groups, graph_ann, mixing, multimodal, packing, pipeline, rangejoin, repetition, search, similarity, skew, text, tokenizer  # noqa: F401
+    from tripl_spark.operators import clustering, curation, dedup, dedup_groups, graph_ann, mixing, multimodal, packing, pipeline, rangejoin, repetition, search, similarity, skew, substring, text, tokenizer  # noqa: F401
 
     ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
     ordered.update({n: qd for n, qd in REGISTRY.items() if n not in ordered})
