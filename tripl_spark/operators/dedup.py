@@ -536,6 +536,38 @@ def _jaccard_two_sided(
     )
 
 
+def match_against_index(
+    corpus_sets: DataFrame,
+    corpus_bands: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Core of the incremental path, taking PRE-BUILT index frames
+    (``shingle_sets`` + ``minhash_index`` of the corpus) so callers —
+    batch ingest, or a ``foreachBatch`` streaming loop — pay the corpus
+    cost once and reuse it for every shard/micro-batch."""
+    new_sets = shingle_sets(new_docs, id_col, hash_mode)
+    new_bands = (
+        _band_frame(
+            _signatures_from_sets(new_sets, id_col), id_col,
+            hash_bands=hash_mode != "md5",
+        ).withColumnRenamed(id_col, "id_b")
+    )
+    pairs = (
+        new_bands.join(
+            corpus_bands.withColumnRenamed(id_col, "id_a"),
+            ["band_id", "band_hash"],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _jaccard_two_sided(corpus_sets, new_sets, pairs, id_col).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 def minhash_match_new(
     corpus: DataFrame,
     new_docs: DataFrame,
@@ -550,24 +582,13 @@ def minhash_match_new(
     the shard, not the corpus; new-vs-new pairs are deliberately out of
     scope (run ``minhash_dedup`` within the shard for those). Exact
     Jaccard verification touches only candidate pairs."""
-    corpus_sets = shingle_sets(corpus, id_col, hash_mode)
-    new_sets = shingle_sets(new_docs, id_col, hash_mode)
-    corpus_bands = minhash_index(corpus, id_col, hash_mode).withColumnRenamed(
-        id_col, "id_a"
-    )
-    new_bands = (
-        _band_frame(
-            _signatures_from_sets(new_sets, id_col), id_col,
-            hash_bands=hash_mode != "md5",
-        ).withColumnRenamed(id_col, "id_b")
-    )
-    pairs = (
-        new_bands.join(corpus_bands, ["band_id", "band_hash"])
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    return _jaccard_two_sided(corpus_sets, new_sets, pairs, id_col).filter(
-        F.col("jaccard") >= threshold
+    return match_against_index(
+        shingle_sets(corpus, id_col, hash_mode),
+        minhash_index(corpus, id_col, hash_mode),
+        new_docs,
+        id_col,
+        threshold,
+        hash_mode,
     )
 
 
