@@ -76,3 +76,10 @@ def test_pipeline_fuses_to_two_shuffles(spark, sf_small):
     shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
     assert len(shuffles) <= 2, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_chunking_is_shuffle_free(spark, sf_small):
+    import re
+
+    plan = _plan(spark, sf_small, "text_chunking")
+    assert not re.findall(r"\(\d+\) Exchange\b", plan), plan

@@ -123,3 +123,70 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows in SQL; uncapped (the testdata has no degenerate span)."""
     docs = load_table(spark, sf_dir, "documents")
     return shared_span_pairs(docs, max_bucket=None)
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (training-window preparation)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """(id, chunk_idx, n_tokens, chunk_text) — overlapping fixed-token
+    windows, the standard pre-tokenization chunking step. Chunk i
+    covers tokens [i·stride, i·stride + width); generation continues
+    while i·stride < len, so trailing tokens always land in a (shorter)
+    final chunk and every token belongs to ≥1 chunk. Map-only: explode
+    + slice inside whole-stage codegen, no shuffle at all — at 100 TB
+    this runs at scan speed and its output partitioning inherits the
+    input's."""
+    toks = docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("t"),
+    ).filter(F.size("t") > 0)
+    n_chunks = F.floor((F.size("t") - 1) / stride).cast("int") + 1
+    out = toks.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        "t",
+    )
+    chunk = F.slice("t", F.col("chunk_idx") * stride + 1, width)
+    return out.select(
+        id_col,
+        "chunk_idx",
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+@query(
+    "text_chunking",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(t[chunk_idx*{CHUNK_STRIDE}+1 : chunk_idx*{CHUNK_STRIDE}+{CHUNK_TOKENS}])
+                AS BIGINT) AS n_tokens,
+           array_to_string(t[chunk_idx*{CHUNK_STRIDE}+1 : chunk_idx*{CHUNK_STRIDE}+{CHUNK_TOKENS}],
+                           ' ') AS chunk_text
+    FROM (
+      SELECT doc_id, t, unnest(range(0, (len(t) - 1) // {CHUNK_STRIDE} + 1)) AS chunk_idx
+      FROM toks WHERE len(t) > 0
+    )
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-token chunks with 16-token overlap over every document —
+    zero-shuffle map-only plan (gated in tests/test_plan_quality.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs)
