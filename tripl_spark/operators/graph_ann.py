@@ -40,8 +40,11 @@ driver's own sf0.001 embeddings, and on clustered vectors).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 from tripl_spark.operators.similarity import (
     N_PLANES,
@@ -50,12 +53,31 @@ from tripl_spark.operators.similarity import (
     bucket_key,
     cosine,
 )
+
+
 from tripl_spark.queries.registry import query
 from tripl_spark.session import load_table
 
 M_NEIGHBORS = 12  # graph degree: ≥ 2·TOP_K so exact neighbors survive re-ranks
 BEAM = 12
 HOPS = 2
+
+
+@pandas_udf(T.DoubleType())
+def _cosine_batch(x: pd.Series, y: pd.Series) -> pd.Series:
+    """Arrow-batched cosine for the graph BUILD, which scores millions
+    of candidate edges: Catalyst's higher-order functions run
+    interpreted per element at that volume — numpy over Arrow batches
+    is the sanctioned fast path (ArrowEvalPython, allowed by the plan
+    gates). Search scoring stays on the JVM ``cosine`` (small,
+    broadcast-joined)."""
+    import numpy as np
+
+    xv = np.stack(x.to_numpy())
+    yv = np.stack(y.to_numpy())
+    num = (xv * yv).sum(axis=1)
+    den = np.sqrt((xv * xv).sum(axis=1)) * np.sqrt((yv * yv).sum(axis=1))
+    return pd.Series(np.round(num / den, 6))
 
 
 def _multiprobe(df: DataFrame, bucket_col: str = "bucket") -> DataFrame:
@@ -86,13 +108,18 @@ def knn_graph(emb: DataFrame, m: int = M_NEIGHBORS, refine_rounds: int = 1) -> D
     adjacency list, re-ranked with the originals back down to m.
     """
     e = emb.select("vec_id", "v").withColumn("bucket", bucket_key(F.col("v")))
+    # multiprobe candidates are load-bearing for UNIFORM corpora: with
+    # own-bucket-only candidates the initial graph is too disconnected
+    # for NN-descent to repair (measured recall 0.48 vs 0.84 on the
+    # uniform sf0.001 embeddings), so the build pays the (1+planes)
+    # probe factor deliberately
     probes = _multiprobe(e).select(
         F.col("vec_id").alias("src"), F.col("v").alias("sv"), "pb"
     )
     cand = probes.join(
         e.select(F.col("vec_id").alias("dst"), F.col("v").alias("dv"), "bucket"),
         (F.col("pb") == F.col("bucket")) & (F.col("src") != F.col("dst")),
-    ).select("src", "dst", F.round(cosine(F.col("sv"), F.col("dv")), 6).alias("cos"))
+    ).select("src", "dst", _cosine_batch(F.col("sv"), F.col("dv")).alias("cos"))
     adj = _top_m(cand, m).localCheckpoint(eager=True)
 
     vecs = emb.select("vec_id", "v")
@@ -108,9 +135,7 @@ def knn_graph(emb: DataFrame, m: int = M_NEIGHBORS, refine_rounds: int = 1) -> D
             .distinct()
             .join(vecs.select(F.col("vec_id").alias("src"), F.col("v").alias("sv")), "src")
             .join(vecs.select(F.col("vec_id").alias("dst"), F.col("v").alias("dv")), "dst")
-            .select(
-                "src", "dst", F.round(cosine(F.col("sv"), F.col("dv")), 6).alias("cos")
-            )
+            .select("src", "dst", _cosine_batch(F.col("sv"), F.col("dv")).alias("cos"))
         )
         adj = _top_m(adj.unionByName(proposals), m).localCheckpoint(eager=True)
 
