@@ -62,6 +62,13 @@ HEADLINE = [
     "skew_salted_join_user_spend",
     "text_ngram_contamination",
     "text_unigram_logprob",
+    # round-4 additions (index-build-heavy sim_ann_hnsw and the
+    # streaming-drain stream_join stay out: their cost is fixed
+    # machinery, not data-path throughput)
+    "pipeline_curation_end2end",
+    "dedup_incremental_minhash",
+    "dedup_substring_spans",
+    "text_chunking",
 ]
 
 

@@ -87,6 +87,8 @@ _PRIORITY = [
     "skew_salted_agg_events",
     "dedup_incremental_minhash",
     "pipeline_curation_end2end",
+    "text_chunking",
+    "sketch_countmin_terms",
     "multimodal_features",
     "multimodal_frame_sample",
     "multimodal_audio_features",
@@ -123,11 +125,9 @@ _PRIORITY = [
     "mixing_split_assign",
     "packing_bin_assign",
     "tokenizer_first_merge",
-    "search_bm25",
     "multimodal_metadata",
     # analytics / TPC-H representatives (driver-proven r1-r3)
     "q1_pricing_summary",
-    "q3_shipping_priority",
     "q18_large_volume_customers",
 ]
 
@@ -140,7 +140,7 @@ def _ensure_loaded() -> None:
         return
     from tripl_spark.queries import advanced, analytics, analytics2, tpch, tpch2, tpch3, tpch4  # noqa: F401
     from tripl_spark.queries import graph_queries, streaming_queries, triples  # noqa: F401
-    from tripl_spark.operators import clustering, curation, dedup, dedup_groups, graph_ann, mixing, multimodal, packing, pipeline, rangejoin, repetition, search, similarity, skew, substring, text, tokenizer  # noqa: F401
+    from tripl_spark.operators import clustering, curation, dedup, dedup_groups, graph_ann, mixing, multimodal, packing, pipeline, rangejoin, repetition, search, similarity, sketches, skew, substring, text, tokenizer  # noqa: F401
 
     ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
     ordered.update({n: qd for n, qd in REGISTRY.items() if n not in ordered})
