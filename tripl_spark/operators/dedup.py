@@ -582,13 +582,19 @@ def minhash_match_new(
     the shard, not the corpus; new-vs-new pairs are deliberately out of
     scope (run ``minhash_dedup`` within the shard for those). Exact
     Jaccard verification touches only candidate pairs."""
+    from pyspark import StorageLevel
+
+    # one shingle pass feeds BOTH the band index and the verification
+    # sets (minhash_index would otherwise re-shingle the corpus)
+    corpus_sets = shingle_sets(corpus, id_col, hash_mode).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    corpus_bands = _band_frame(
+        _signatures_from_sets(corpus_sets, id_col), id_col,
+        hash_bands=hash_mode != "md5",
+    )
     return match_against_index(
-        shingle_sets(corpus, id_col, hash_mode),
-        minhash_index(corpus, id_col, hash_mode),
-        new_docs,
-        id_col,
-        threshold,
-        hash_mode,
+        corpus_sets, corpus_bands, new_docs, id_col, threshold, hash_mode
     )
 
 
