@@ -1,0 +1,55 @@
+"""Image near-dup detection via dHash: a slightly perturbed copy of an
+image must be found (small Hamming distance), unrelated images must
+not collide."""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+
+from tripl_spark.operators import media_codecs as mc
+from tripl_spark.operators.multimodal import image_dhash, image_near_dup_pairs
+
+
+def _image(rng, w=32, h=24):
+    return bytes(rng.randrange(256) for _ in range(w * h * 3))
+
+
+def test_perturbed_copy_detected_unrelated_not(spark):
+    rng = random.Random(11)
+    rows = []
+    for i in range(10):
+        px = _image(rng)
+        rows.append((i * 2, mc.encode_ppm(32, 24, px)))
+        # near-dup: brighten a single pixel channel slightly — the
+        # gradient signs of a 9x8 downsample barely move
+        perturbed = bytearray(px)
+        perturbed[0] = min(255, perturbed[0] + 4)
+        rows.append((i * 2 + 1, mc.encode_bmp(32, 24, bytes(perturbed))))
+    images = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [r[0] for r in rows],
+                      "codec": ["x"] * len(rows),
+                      "payload": [r[1] for r in rows]})
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in image_near_dup_pairs(image_dhash(images)).collect()}
+    planted = {(i * 2, i * 2 + 1) for i in range(10)}
+    found = planted & set(pairs)
+    # every perturbed copy found, at tiny Hamming distance
+    assert len(found) == 10, pairs
+    assert all(pairs[p] <= 3 for p in found)
+    # no false positives between unrelated random images
+    assert set(pairs) == planted, pairs
+
+
+def test_dhash_deterministic_across_codecs(spark):
+    # the same pixels encoded as BMP and PPM must hash identically
+    rng = random.Random(4)
+    px = _image(rng)
+    images = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "codec": ["bmp", "ppm"],
+                      "payload": [mc.encode_bmp(32, 24, px), mc.encode_ppm(32, 24, px)]})
+    )
+    hashes = [r.dhash for r in image_dhash(images).collect()]
+    assert hashes[0] == hashes[1] and len(hashes[0]) == 64

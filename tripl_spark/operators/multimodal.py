@@ -372,3 +372,122 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real PCM16 WAV decode (RIFF chunk walk) → mean normalized
     amplitude, fully oracled against the sample-synthesis formula."""
     return extract_audio_features(audio_table(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing + image near-dup dedup
+# ---------------------------------------------------------------------------
+
+DHASH_W, DHASH_H = 9, 8  # 9x8 grayscale grid -> 64 horizontal-gradient bits
+
+
+def image_dhash(images: DataFrame) -> DataFrame:
+    """(doc_id, dhash) — difference hash over DECODED pixels: resize to
+    a 9x8 grid (nearest, floor mapping), integer grayscale
+    (r+g+b)//3, bit b = r*8+c set iff gray(r,c+1) > gray(r,c). Emitted
+    as a 64-char '0'/'1' string (production would pack to int64; the
+    string keeps the SQL oracle and banding trivially exact)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for payload in pdf["payload"]:
+                w, h, px = mc.decode_image(bytes(payload))
+                small = mc.resize_nearest(w, h, px, DHASH_W, DHASH_H)
+                arr = np.frombuffer(small, dtype=np.uint8).reshape(DHASH_H, DHASH_W, 3)
+                gray = arr.astype(np.int64).sum(axis=2) // 3
+                bits = (gray[:, 1:] > gray[:, :-1]).astype(np.uint8)  # 8x8
+                hashes.append("".join("1" if b else "0" for b in bits.ravel()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "dhash": hashes})
+
+    return images.mapInPandas(op, schema="doc_id long, dhash string")
+
+
+def image_near_dup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(id_a, id_b, hamming) image near-dup candidates: pigeonhole the
+    64 bits into 4 x 16-bit bands (any pair within Hamming <= 3 agrees
+    on >= 1 whole band), equi-join per band, verify exact Hamming
+    JVM-side (zip_with over char arrays — candidates only, never
+    all-pairs)."""
+    bands = hashes.select(
+        "doc_id", "dhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_id"),
+                    F.substring("dhash", i * 16 + 1, 16).alias("band_key"),
+                )
+                for i in range(4)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "dhash", "b.band_id", "b.band_key")
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("dhash").alias("ha"),
+        "band_id", "band_key",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("dhash").alias("hb"),
+        "band_id", "band_key",
+    )
+    cand = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            F.split("ha", ""), F.split("hb", ""),
+            lambda x, y: F.when(x != y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda s, z: s + z,
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def _dhash_oracle() -> str:
+    """SQL replica of decode->resize->grayscale->gradient-bit, built on
+    the pixel synthesis formula (p(i) = (doc_id*31 + i*7) % 256)."""
+
+    def gray(col: str) -> str:
+        # k = src_row * w + src_col for dst (r, c); p(3k), p(3k+1), p(3k+2)
+        k = f"((((bit // 8) * h) // 8) * w + ((({col}) * w) // 9))"
+        ps = " + ".join(f"((doc_id * 31 + (3 * {k} + {j}) * 7) % 256)" for j in range(3))
+        return f"(({ps}) // 3)"
+
+    return f"""
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 5 AS w, 4 + doc_id % 3 AS h FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, bit,
+             CASE WHEN {gray("bit % 8 + 1")} > {gray("bit % 8")}
+                  THEN '1' ELSE '0' END AS bv
+      FROM d CROSS JOIN (SELECT unnest(range(64)) AS bit)
+    )
+    SELECT doc_id, string_agg(bv, '' ORDER BY bit) AS dhash
+    FROM bits GROUP BY doc_id
+    """
+
+
+@query("multimodal_image_dhash", oracle=_dhash_oracle())
+def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual hash of every encoded image, hash-checked end-to-end:
+    the oracle recomputes resize + integer grayscale + gradient bits
+    from the synthesis formula, so any codec/resize/grayscale bug flips
+    the 64-bit string."""
+    return image_dhash(image_table(spark, sf_dir))
+
+
+@query("multimodal_image_neardup",
+       doc="Image near-dup pairs via dHash pigeonhole banding (rows-only; "
+           "planted-perturbation recall in tests/test_image_dedup.py)")
+def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs (Hamming <= 3 on dHash) — banding
+    bounds candidates exactly like SimHash text dedup."""
+    return image_near_dup_pairs(image_dhash(image_table(spark, sf_dir)))

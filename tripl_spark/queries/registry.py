@@ -92,6 +92,7 @@ _PRIORITY = [
     "multimodal_features",
     "multimodal_frame_sample",
     "multimodal_audio_features",
+    "multimodal_image_dhash",
     "stream_join_error_followups",
     # never-driver-checked, rows-only (weaker driver check, still a
     # first hard signal; each has a dedicated local recall/golden test)
@@ -125,7 +126,6 @@ _PRIORITY = [
     "mixing_split_assign",
     "packing_bin_assign",
     "tokenizer_first_merge",
-    "multimodal_metadata",
     # analytics / TPC-H representatives (driver-proven r1-r3)
     "q1_pricing_summary",
     "q18_large_volume_customers",
