@@ -53,3 +53,20 @@ def test_dhash_deterministic_across_codecs(spark):
     )
     hashes = [r.dhash for r in image_dhash(images).collect()]
     assert hashes[0] == hashes[1] and len(hashes[0]) == 64
+
+
+def test_audio_fingerprint_robust_to_gain(spark):
+    # uniform gain change flips no energy-delta signs → identical print
+    import numpy as np
+
+    from tripl_spark.operators.multimodal import audio_fingerprint
+
+    rng = random.Random(8)
+    base = np.array([rng.randrange(-20000, 20000) for _ in range(300)], dtype=np.int16)
+    half = (base // 2).astype(np.int16)
+    audio = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2],
+                      "payload": [mc.encode_wav(base, 8000), mc.encode_wav(half, 8000)]})
+    )
+    fps = {r.doc_id: r.fingerprint for r in audio_fingerprint(audio).collect()}
+    assert fps[1] == fps[2] and len(fps[1]) == 32

@@ -491,3 +491,69 @@ def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate image pairs (Hamming <= 3 on dHash) — banding
     bounds candidates exactly like SimHash text dedup."""
     return image_near_dup_pairs(image_dhash(image_table(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprinting (the audio twin of image dHash)
+# ---------------------------------------------------------------------------
+
+AUDIO_FP_WINDOWS = 32
+
+
+def audio_fingerprint(audio: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint) — energy-delta signature over DECODED PCM:
+    abs samples binned into 32 fixed windows (floor mapping
+    w = i*32 // n), bit w set iff energy(w+1 mod 32) > energy(w)
+    (wrap-around keeps 32 bits → four 8-bit bands). Robust to uniform
+    gain/offset changes the way dHash is robust to brightness."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps = []
+            for payload in pdf["payload"]:
+                _rate, _channels, samples = mc.decode_wav(bytes(payload))
+                a = np.abs(samples.astype(np.int64))
+                n = len(a)
+                idx = (np.arange(n) * AUDIO_FP_WINDOWS) // n
+                e = np.bincount(idx, weights=a, minlength=AUDIO_FP_WINDOWS).astype(
+                    np.int64
+                )
+                nxt = np.roll(e, -1)
+                fps.append("".join("1" if b else "0" for b in (nxt > e)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "fingerprint": fps})
+
+    return audio.mapInPandas(op, schema="doc_id long, fingerprint string")
+
+
+def _audio_fp_oracle() -> str:
+    return f"""
+    WITH d AS (
+      SELECT doc_id, 256 + doc_id % 128 AS n FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n, i,
+             abs((doc_id * 131 + i * 17) % 65536 - 32768) AS a
+      FROM d CROSS JOIN (SELECT unnest(range(384)) AS i)
+      WHERE i < n
+    ),
+    e AS (
+      SELECT doc_id, (i * {AUDIO_FP_WINDOWS}) // n AS w, sum(a) AS energy
+      FROM s GROUP BY doc_id, (i * {AUDIO_FP_WINDOWS}) // n
+    ),
+    bits AS (
+      SELECT a.doc_id, a.w,
+             CASE WHEN b.energy > a.energy THEN '1' ELSE '0' END AS bv
+      FROM e a JOIN e b
+        ON a.doc_id = b.doc_id AND b.w = (a.w + 1) % {AUDIO_FP_WINDOWS}
+    )
+    SELECT doc_id, string_agg(bv, '' ORDER BY w) AS fingerprint
+    FROM bits GROUP BY doc_id
+    """
+
+
+@query("multimodal_audio_fingerprint", oracle=_audio_fp_oracle())
+def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-delta fingerprint of every WAV payload, hash-checked
+    end-to-end: the oracle recomputes windowed abs-energy sums and
+    delta signs from the sample-synthesis formula."""
+    return audio_fingerprint(audio_table(spark, sf_dir))
