@@ -67,6 +67,36 @@ def test_unbound_find_raises(store):
         store.q({"find": "?nope", "where": [["?s", "cft.seq:id", "s1"]]})
 
 
-def test_variable_attribute_unsupported(store):
-    with pytest.raises(NotImplementedError):
-        store.q({"find": "?a", "where": [["?s", "?a", "s1"]]})
+def test_variable_attribute_with_value_constant(store):
+    # formerly NotImplementedError; now: which attrs hold "s1" anywhere
+    rows = store.q({"find": "?a", "where": [["?s", "?a", "s1"]]})
+    assert [r[0] for r in rows] == ["cft.seq:id"]
+
+
+def test_variable_attribute_lists_entity_attrs(store):
+    # [?e, ?a, ?v] with e ground: enumerate the entity's attributes
+    eid = sorted(store.match({"cft.seq:id": "s1"}))[0]
+    rows = store.q({"find": "?a", "where": [[eid, "?a", "?v"]]})
+    attrs = {r[0] for r in rows}
+    assert {"cft:type", "cft.seq:id", "cft.seq:subject", "cft.seq:len", "db:ident"} <= attrs
+
+
+def test_variable_attribute_joins_across_clauses(store):
+    # which attributes hold the value 12 anywhere? (attr var + value const)
+    rows = store.q({"find": "?a", "where": [["?e", "?a", 12]]})
+    assert [r[0] for r in rows] == ["cft.seq:len"]
+
+
+def test_variable_attribute_cross_entity_join(store):
+    # entities sharing ANY attribute with value equal to s1's len:
+    # ?a binds through both clauses (a genuine attr-var join)
+    rows = store.q(
+        {"find": ["?a", "?id2"],
+         "where": [["?e1", "cft.seq:id", "s1"],
+                   ["?e1", "?a", "?v"],
+                   ["?e2", "?a", "?v"],
+                   ["?e2", "cft.seq:id", "?id2"]]}
+    )
+    # s1 shares cft:type with s2/s3 (and every attr with itself)
+    pairs = {(r[0], r[1]) for r in rows}
+    assert ("cft:type", "s2") in pairs and ("cft:type", "s3") in pairs

@@ -49,18 +49,31 @@ def _vkey_of_value() -> F.Column:
 
 def _clause_df(facts: DataFrame, clause: list[Any]) -> tuple[DataFrame, list[str]]:
     e_term, attr, v_term = clause
-    if _is_var(attr):
-        raise NotImplementedError("variable attribute positions are not supported")
-    df = facts.filter(F.col("a") == attr)
-    cols: dict[str, F.Column] = {}
+    df = facts
+    # position → binding expression; constants become filters. A
+    # variable ATTRIBUTE binds the attr name as a string value (so it
+    # can join entity/value variables through the canonical key) — note
+    # such a clause scans every attribute: the `a` filter that usually
+    # becomes a partition-pruning predicate is absent by construction.
+    exprs: list[tuple[str, F.Column]] = []
     if _is_var(e_term):
-        cols[e_term] = F.concat(F.lit("s:"), F.col("e"))
+        exprs.append((e_term, F.concat(F.lit("s:"), F.col("e"))))
     else:
         df = df.filter(F.col("e") == str(e_term))
+    if _is_var(attr):
+        exprs.append((attr, F.concat(F.lit("s:"), F.col("a"))))
+    else:
+        df = df.filter(F.col("a") == attr)
     if _is_var(v_term):
-        cols[v_term] = _vkey_of_value()
+        exprs.append((v_term, _vkey_of_value()))
     else:
         df = df.filter(value_predicate([v_term]))
+    cols: dict[str, F.Column] = {}
+    for var, expr in exprs:
+        if var in cols:  # same var twice in one clause → intra-row equality
+            df = df.filter(cols[var] == expr)
+        else:
+            cols[var] = expr
     if not cols:  # fully ground clause: existence check → empty-schema row
         cols["__exists"] = F.lit(1)
     out = df.select(*[c.alias(v) for v, c in cols.items()])
