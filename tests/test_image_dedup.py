@@ -70,3 +70,28 @@ def test_audio_fingerprint_robust_to_gain(spark):
     )
     fps = {r.doc_id: r.fingerprint for r in audio_fingerprint(audio).collect()}
     assert fps[1] == fps[2] and len(fps[1]) == 32
+
+
+def test_video_shared_frame_detected(spark):
+    from tripl_spark.operators.multimodal import (
+        video_frame_dhashes,
+        video_near_dup_pairs,
+    )
+
+    rng = random.Random(3)
+    shared = bytes(rng.randrange(256) for _ in range(16 * 3))  # one 4x4 frame
+    def vid(*frames):
+        return b"".join(mc.encode_ppm(4, 4, f) for f in frames)
+    uniq = lambda: bytes(rng.randrange(256) for _ in range(16 * 3))
+    videos = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "n_frames": [2, 3, 2],
+            "payload": [vid(uniq(), shared), vid(shared, uniq(), uniq()),
+                        vid(uniq(), uniq())],
+        })
+    )
+    pairs = {(r.id_a, r.id_b): r.n_shared_frames
+             for r in video_near_dup_pairs(video_frame_dhashes(videos)).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert all(p == (1, 2) for p in pairs), pairs

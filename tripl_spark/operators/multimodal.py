@@ -557,3 +557,107 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end: the oracle recomputes windowed abs-energy sums and
     delta signs from the sample-synthesis formula."""
     return audio_fingerprint(audio_table(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Video near-dup: per-frame perceptual hashes + shared-frame counting
+# ---------------------------------------------------------------------------
+
+
+def video_frame_dhashes(videos: DataFrame) -> DataFrame:
+    """(doc_id, frame_idx, dhash) — the image dHash applied per frame
+    of the concatenated-PPM container (1→N mapInPandas: output
+    cardinality = total frames)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "dhash": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i, (w, h, px) in enumerate(mc.decode_frames(bytes(payload))):
+                    small = mc.resize_nearest(w, h, px, DHASH_W, DHASH_H)
+                    arr = np.frombuffer(small, dtype=np.uint8).reshape(
+                        DHASH_H, DHASH_W, 3
+                    )
+                    gray = arr.astype(np.int64).sum(axis=2) // 3
+                    bits = (gray[:, 1:] > gray[:, :-1]).astype(np.uint8)
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["dhash"].append("".join("1" if b else "0" for b in bits.ravel()))
+            yield pd.DataFrame(out)
+
+    return videos.mapInPandas(op, schema="doc_id long, frame_idx int, dhash string")
+
+
+def video_near_dup_pairs(
+    frame_hashes: DataFrame, min_shared: int = 1, max_bucket: int | None = 1000
+) -> DataFrame:
+    """(id_a, id_b, n_shared_frames) — video pairs sharing exact frame
+    hashes, the shared-span pattern applied to frames: equi-join on the
+    frame hash (never all-pairs), count distinct shared hashes per
+    pair. At 100 TB the frame-hash table is the only large frame; it
+    shuffles once on the 64-bit-equivalent hash key. ``max_bucket``
+    drops boilerplate frames (intros/logos/test cards shared by
+    thousands of videos) whose buckets would expand quadratically —
+    the same degenerate-bucket cap the MinHash LSH path applies."""
+    fh = frame_hashes.select("doc_id", "dhash").distinct()
+    if max_bucket is not None:
+        small = (
+            fh.groupBy("dhash")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("dhash")
+        )
+        fh = fh.join(small, "dhash")
+    a = fh.select(F.col("doc_id").alias("id_a"), "dhash")
+    b = fh.select(F.col("doc_id").alias("id_b"), "dhash")
+    return (
+        a.join(b, "dhash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_frames"))
+        .filter(F.col("n_shared_frames") >= min_shared)
+    )
+
+
+def _frame_dhash_oracle() -> str:
+    """SQL replica of the per-frame pipeline on the frame synthesis
+    formula p(j) = (doc_id*31 + frame_idx*13 + j*7) % 256, frames are
+    4x4 RGB."""
+
+    def gray(col: str) -> str:
+        k = f"(((((bit // 8) * 4) // 8) * 4) + ((({col}) * 4) // 9))"
+        ps = " + ".join(
+            f"((doc_id * 31 + f * 13 + (3 * {k} + {j}) * 7) % 256)" for j in range(3)
+        )
+        return f"(({ps}) // 3)"
+
+    return f"""
+    WITH v AS (
+      SELECT doc_id, unnest(range(1 + doc_id % 8)) AS f FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, f, bit,
+             CASE WHEN {gray("bit % 8 + 1")} > {gray("bit % 8")}
+                  THEN '1' ELSE '0' END AS bv
+      FROM v CROSS JOIN (SELECT unnest(range(64)) AS bit)
+    )
+    SELECT doc_id, CAST(f AS INT) AS frame_idx,
+           string_agg(bv, '' ORDER BY bit) AS dhash
+    FROM bits GROUP BY doc_id, f
+    """
+
+
+@query("multimodal_video_frame_dhash", oracle=_frame_dhash_oracle())
+def multimodal_video_frame_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame perceptual hashes of every video container,
+    hash-checked end-to-end against the frame synthesis formula
+    (container walk + resize + grayscale + gradient bits)."""
+    return video_frame_dhashes(video_table(spark, sf_dir))
+
+
+@query("multimodal_video_neardup",
+       doc="Video near-dup pairs via shared frame hashes (rows-only; "
+           "planted shared-frame recall in tests/test_image_dedup.py)")
+def multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video pairs sharing >= 1 exact frame hash."""
+    return video_near_dup_pairs(video_frame_dhashes(video_table(spark, sf_dir)))
