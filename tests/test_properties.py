@@ -140,3 +140,79 @@ def test_connected_components_equals_union_find(spark, edges):
     edf = spark.createDataFrame(edges, "src long, dst long")
     got = {r.node: r.comp for r in connected_components(edf).collect()}
     assert got == _union_find_components(edges, nodes)
+
+
+texts_st = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab cd"),  # spaces → multi-token docs
+        min_size=0, max_size=120,
+    ),
+    min_size=1, max_size=8,
+)
+
+
+@given(texts=texts_st)
+@settings(**SETTINGS)
+def test_chunking_covers_every_token_within_width(spark, texts):
+    from tripl_spark.operators.substring import chunk_documents
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = chunk_documents(df, width=6, stride=4).collect()
+    toks = {
+        r.doc_id: (r.text or "").strip().lower().split()
+        for r in df.collect()
+    }
+    # chunks reassemble to exactly the tokenized doc: chunk i starts at
+    # i*stride; width bounded; concatenation of stride-prefixes + last
+    # chunk == token stream
+    by_doc: dict[int, dict[int, list[str]]] = {}
+    for r in out:
+        assert 1 <= r.n_tokens <= 6
+        by_doc.setdefault(r.doc_id, {})[r.chunk_idx] = r.chunk_text.split()
+    for doc_id, tokens in toks.items():
+        # Spark's split on '\s+' of a whitespace-only/empty string gives
+        # one empty token; chunk_documents filters size>0 frames
+        expected = [t for t in " ".join(tokens).split()]
+        if not expected:
+            # split('\s+') on '' yields [''] (size 1) — a single
+            # empty-string token chunk is emitted; accept either shape
+            chunks = by_doc.get(doc_id, {})
+            assert chunks == {} or list(chunks) == [0]
+            continue
+        chunks = by_doc[doc_id]
+        n = len(expected)
+        assert sorted(chunks) == list(range((n - 1) // 4 + 1))
+        for i, ctoks in chunks.items():
+            assert ctoks == expected[i * 4 : i * 4 + 6]
+
+
+@given(texts=texts_st)
+@settings(**SETTINGS)
+def test_span_pairs_match_bruteforce(spark, texts):
+    from tripl_spark.operators.substring import shared_span_pairs, span_hashes
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {(r.id_a, r.id_b) for r in shared_span_pairs(df).collect()}
+    # brute-force reference with the DEFAULT width/stride
+    from tripl_spark.operators.substring import SPAN_STRIDE, SPAN_TOKENS
+
+    spans: dict[int, set[str]] = {}
+    for i, t in enumerate(texts):
+        toks = t.strip().lower().split()
+        s = set()
+        for start in range(0, max(len(toks) - SPAN_TOKENS, 0) + 1, SPAN_STRIDE):
+            if start + SPAN_TOKENS <= len(toks):
+                s.add(" ".join(toks[start : start + SPAN_TOKENS]))
+        if len(toks) >= SPAN_TOKENS:
+            spans[i] = s
+    want = {
+        (a, b)
+        for a in spans
+        for b in spans
+        if a < b and spans[a] & spans[b]
+    }
+    assert got == want
