@@ -93,6 +93,8 @@ _PRIORITY = [
     "multimodal_frame_sample",
     "multimodal_audio_features",
     "multimodal_image_dhash",
+    "multimodal_audio_fingerprint",
+    "multimodal_video_frame_dhash",
     "stream_join_error_followups",
     # never-driver-checked, rows-only (weaker driver check, still a
     # first hard signal; each has a dedicated local recall/golden test)
@@ -109,7 +111,6 @@ _PRIORITY = [
     "triple_pull_recursive",
     "triple_datalog_ancestor",
     "triple_asof_snapshot",
-    "graph_user_ancestry",
     "graph_components_purchasers",
     "dedup_exact",
     "dedup_minhash_oracled",
@@ -126,9 +127,9 @@ _PRIORITY = [
     "mixing_split_assign",
     "packing_bin_assign",
     "tokenizer_first_merge",
-    # analytics / TPC-H representatives (driver-proven r1-r3)
+    # analytics / TPC-H representative (driver-proven r1-r3; the other
+    # 21 TPC-H queries keep local DuckDB parity + prior driver rows)
     "q1_pricing_summary",
-    "q18_large_volume_customers",
 ]
 
 
