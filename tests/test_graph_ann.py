@@ -71,3 +71,11 @@ def test_hnsw_graph_degree_bounded(spark, sf_small):
     adj = knn_graph(emb)
     deg = adj.groupBy("src").count().agg(F.max("count")).collect()[0][0]
     assert deg <= 2 * M_NEIGHBORS
+
+
+def test_pagerank_empty_edges(spark):
+    from tripl_spark.plans.graph import pagerank
+
+    edges = spark.createDataFrame([], "src string, dst string")
+    out = pagerank(edges)
+    assert out.count() == 0 and set(out.columns) == {"node", "rank"}

@@ -116,11 +116,3 @@ def test_decode_ppm_truncated_header_raises():
         decode_ppm(b"P6 12")
     with _pytest.raises((ValueError, IndexError)):
         decode_ppm(b"P6")
-
-
-def test_pagerank_empty_edges(spark):
-    from tripl_spark.plans.graph import pagerank
-
-    edges = spark.createDataFrame([], "src string, dst string")
-    out = pagerank(edges)
-    assert out.count() == 0 and set(out.columns) == {"node", "rank"}

@@ -156,3 +156,24 @@ def test_dump_metadata_sink_roundtrip(spark, tmp_path):
     for p in paths:
         ts.assert_facts(json.load(open(p)), id_attrs=[])
     assert len(ts.match({"tripl:type": "run.seed"})) == 3
+
+
+def test_full_dump_with_ancestor_targets():
+    # regression: a parent level with targets + a full_dump child used
+    # to KeyError when the child's doc rendered the parent's full doc
+    sweep = NestSweep(name="base", base_namespace="rt")
+    sweep.add("model", ["m1", "m2"])
+
+    @sweep.add_target(name="cfg")
+    def cfg(outdir, c):
+        return f"cfg-{c['model']}"
+
+    sweep.add("seed", [1, 2], full_dump=True)
+    sweep.expand()
+    docs = sweep.docs()
+    seed_docs = [d for d in docs if d["tripl:type"] == "rt.seed"]
+    assert len(seed_docs) == 4
+    # the embedded full parent doc carries the parent's target value
+    for d in seed_docs:
+        parent = d["rt.seed:model"]
+        assert parent["rt.model:cfg"] == f"cfg-{parent['rt.model:id']}"

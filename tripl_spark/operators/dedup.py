@@ -543,11 +543,25 @@ def match_against_index(
     id_col: str = "doc_id",
     threshold: float = 0.6,
     hash_mode: str = "xxhash64",
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Core of the incremental path, taking PRE-BUILT index frames
     (``shingle_sets`` + ``minhash_index`` of the corpus) so callers —
     batch ingest, or a ``foreachBatch`` streaming loop — pay the corpus
-    cost once and reuse it for every shard/micro-batch."""
+    cost once and reuse it for every shard/micro-batch. ``max_bucket``
+    caps CORPUS band buckets exactly like the self-dedup path: a
+    boilerplate band shared by 10⁶ corpus docs would otherwise multiply
+    against every matching shard doc (at scale, compute bucket sizes
+    once when materializing the index, not per shard)."""
+    corpus_side = corpus_bands.withColumnRenamed(id_col, "id_a")
+    if max_bucket is not None:
+        small = (
+            corpus_side.groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("band_id", "band_hash")
+        )
+        corpus_side = corpus_side.join(small, ["band_id", "band_hash"])
     new_sets = shingle_sets(new_docs, id_col, hash_mode)
     new_bands = (
         _band_frame(
@@ -556,10 +570,7 @@ def match_against_index(
         ).withColumnRenamed(id_col, "id_b")
     )
     pairs = (
-        new_bands.join(
-            corpus_bands.withColumnRenamed(id_col, "id_a"),
-            ["band_id", "band_hash"],
-        )
+        new_bands.join(corpus_side, ["band_id", "band_hash"])
         .select("id_a", "id_b")
         .distinct()
     )
@@ -574,6 +585,7 @@ def minhash_match_new(
     id_col: str = "doc_id",
     threshold: float = 0.6,
     hash_mode: str = "xxhash64",
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """(id_a=corpus doc, id_b=new doc, jaccard) near-dup matches of an
     incoming shard against the existing corpus — the INCREMENTAL dedup
@@ -594,7 +606,8 @@ def minhash_match_new(
         hash_bands=hash_mode != "md5",
     )
     return match_against_index(
-        corpus_sets, corpus_bands, new_docs, id_col, threshold, hash_mode
+        corpus_sets, corpus_bands, new_docs, id_col, threshold, hash_mode,
+        max_bucket=max_bucket,
     )
 
 
@@ -663,4 +676,5 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") < 400)
     shard = docs.filter(F.col("doc_id") >= 400)
-    return minhash_match_new(corpus, shard, hash_mode="md5")
+    # uncapped: the SQL oracle enumerates every in-bucket pair
+    return minhash_match_new(corpus, shard, hash_mode="md5", max_bucket=None)

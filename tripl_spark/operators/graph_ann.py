@@ -207,10 +207,11 @@ def beam_search(
             .drop("_rk")
         ).localCheckpoint(eager=True)
 
-    out = best.join(
-        queries.select("query_id"), best.query_id == queries.query_id, "inner"
-    ).select(best.query_id, F.col("node").alias("neighbor_id"), F.col("cos"))
-    out = out.filter(F.col("query_id") != F.col("neighbor_id"))
+    # every best row descends from a join with queries, so query_id is
+    # already a subset of the query set — no re-join needed
+    out = best.select(
+        "query_id", F.col("node").alias("neighbor_id"), F.col("cos")
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
     wk = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
         out.withColumn("rk", F.row_number().over(wk))

@@ -598,8 +598,14 @@ def video_near_dup_pairs(
     shuffles once on the 64-bit-equivalent hash key. ``max_bucket``
     drops boilerplate frames (intros/logos/test cards shared by
     thousands of videos) whose buckets would expand quadratically —
-    the same degenerate-bucket cap the MinHash LSH path applies."""
-    fh = frame_hashes.select("doc_id", "dhash").distinct()
+    the same degenerate-bucket cap the MinHash LSH path applies. The
+    distinct hash frame is persisted — the cap scan and both join
+    sides would otherwise re-run the per-frame decode."""
+    from pyspark import StorageLevel
+
+    fh = frame_hashes.select("doc_id", "dhash").distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     if max_bucket is not None:
         small = (
             fh.groupBy("dhash")

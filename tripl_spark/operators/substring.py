@@ -73,8 +73,17 @@ def shared_span_pairs(
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """(id_a, id_b, n_shared_spans) for every doc pair sharing >= 1
-    exact W-token span."""
-    sp = span_hashes(docs, id_col).select(id_col, "span_hash").distinct()
+    exact W-token span. The span frame is persisted: it feeds the
+    bucket stage AND both sides of the counting join — unpersisted,
+    the tokenize+slice+hash pipeline would run three times."""
+    from pyspark import StorageLevel
+
+    sp = (
+        span_hashes(docs, id_col)
+        .select(id_col, "span_hash")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # reuse the LSH bucket-pair expansion: bucket key = the span hash
     bands = sp.select(
         id_col, F.lit(0).alias("band_id"), F.col("span_hash").cast("string").alias("band_hash")

@@ -197,17 +197,24 @@ class NestSweep:
                     c2["_level"] = lname
                     nxt.append(c2)
             controls = nxt
-        # run targets of each level at its own depth
+        # run targets of each level at its own depth; values are ALSO
+        # recorded per (level, ident) so metadata_doc can translate a
+        # parent's targets while holding a CHILD control (the full_dump
+        # recursion — child controls never ran ancestor targets)
         by_level: list[dict] = []
+        self._target_values: dict[tuple[str, uuid.UUID], dict] = {}
         for lname in self.order:
             level = self.levels[lname]
             seen: set[uuid.UUID] = set()
             for c in self._controls_at(controls, lname):
-                if c[level.ident_attr] in seen:
+                ident = c[level.ident_attr]
+                if ident in seen:
                     continue
-                seen.add(c[level.ident_attr])
+                seen.add(ident)
+                vals: dict = {}
                 for tname in level.targets:
-                    c[tname] = self.targets[tname].fn(c["_outdir"], c)
+                    c[tname] = vals[tname] = self.targets[tname].fn(c["_outdir"], c)
+                self._target_values[(lname, ident)] = vals
                 by_level.append(c)
         self._expanded = by_level
         return by_level
@@ -282,12 +289,17 @@ class NestSweep:
         if isinstance(nest_val, dict):
             d.update({self._namespaced(level, a): v for a, v in nest_val.items()})
         d.update({self._namespaced(level, a): v for a, v in (meta or {}).items()})
+        # target values come from the per-(level, ident) record, NOT the
+        # control dict: when the full_dump recursion renders an ANCESTOR
+        # doc it holds a child control that never ran parent targets
+        tvals = getattr(self, "_target_values", {}).get((lname, ident), {})
         for tname in level.targets:
             t = self.targets[tname]
             if t.omit:
                 continue
+            value = tvals[tname] if tname in tvals else c[tname]
             d[self._namespaced(level, tname)] = self._translate_target(
-                level, ident, t, c, c[tname]
+                level, ident, t, c, value
             )
         d["db:ident"] = str(ident)
         d["tripl:type"] = level.namespace

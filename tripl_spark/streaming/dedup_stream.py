@@ -24,8 +24,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from tripl_spark.operators.dedup import (
+    _band_frame,
+    _signatures_from_sets,
     match_against_index,
-    minhash_index,
     shingle_sets,
 )
 
@@ -47,13 +48,16 @@ class StreamingDedup:
         self.threshold = threshold
         self.hash_mode = hash_mode
         # the one-time corpus cost: at scale these are written to
-        # bucketed tables; localCheckpoint is the local stand-in
+        # bucketed tables; localCheckpoint is the local stand-in. One
+        # shingle pass feeds both frames — the band index derives from
+        # the CHECKPOINTED sets (minhash_index would re-shingle).
         self.corpus_sets = shingle_sets(corpus, id_col, hash_mode).localCheckpoint(
             eager=True
         )
-        self.corpus_bands = minhash_index(corpus, id_col, hash_mode).localCheckpoint(
-            eager=True
-        )
+        self.corpus_bands = _band_frame(
+            _signatures_from_sets(self.corpus_sets, id_col), id_col,
+            hash_bands=hash_mode != "md5",
+        ).localCheckpoint(eager=True)
         self.matches: DataFrame | None = None
         self._seen: set[int] = set()
 

@@ -41,7 +41,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply the SAME normalization branch as the batch loader
     (session.py load_table), so stream and batch provably agree.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    if spark.conf.get(key, None) != "true":  # idempotent, like load_table
+        spark.conf.set(key, "true")
     probe = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     ts_type = dict(probe.dtypes).get("ts")
     raw = (
