@@ -210,3 +210,26 @@ def test_load_accepts_doc_list_and_index_shapes(spark, tmp_path):
     )
     assert len(s3.match({"x:id": "a"})) == 1
     assert len(s3.match({"x:id": "b"})) == 1
+
+
+def test_cli_datalog_q(tmp_path):
+    docs = [
+        {"x:id": "a", "x:name": "Alpha", "x:type": "x.type:thing"},
+        {"x:id": "b", "x:name": "Beta", "x:type": "x.type:thing"},
+        {"x:id": "c", "x:name": "Gamma", "x:type": "x.type:other"},
+    ]
+    f1 = tmp_path / "in.json"
+    f1.write_text(json.dumps(docs))
+    out = tmp_path / "q.json"
+    query = json.dumps({
+        "find": ["?name"],
+        "where": [["?e", "x:type", "x.type:thing"], ["?e", "x:name", "?name"]],
+        "sort": "?name",
+    })
+    r = subprocess.run(
+        [sys.executable, "-m", "tripl_spark.cli", "q", "-i", str(f1),
+         "-o", str(out), "-q", query, "--id-attrs", "x:id"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(out.read_text()) == [["Alpha"], ["Beta"]]

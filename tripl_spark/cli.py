@@ -4,6 +4,8 @@
 * ``join``: load + merge input JSON files, dump the EAV index.
 * ``pull``: load inputs, run a pull expression against a match pattern
   (or explicit entity list), write JSON results.
+* ``q``: datalog query (the reference's sketched-but-unbuilt surface,
+  tripl.py:571-587) straight from the shell.
 * ``-m CMD -P N``: map-command ingest — run ``CMD input_file`` for each
   input and assert its stdout JSON. The reference fans out with a
   ``multiprocessing.Pool`` (cli.py:17-27); here the file list is
@@ -52,6 +54,12 @@ def get_args(argv: list[str] | None = None) -> argparse.Namespace:
     group.add_argument("-e", "--entities-pattern",
                        help="JSON match pattern, e.g. '{\"x:type\": \"x.type:t\"}'")
     group.add_argument("--eids", nargs="+", help="explicit entity ids")
+
+    p_q = sub.add_parser("q", help="datalog query over the inputs")
+    common(p_q)
+    p_q.add_argument("-q", "--query", required=True,
+                     help="JSON datalog query: '{\"find\": [\"?x\"], "
+                          "\"where\": [[\"?e\", \"a:b\", \"?x\"]]}'")
 
     p_diff = sub.add_parser(
         "diff", help="facts present in only one of two inputs"
@@ -208,6 +216,10 @@ def main(argv: list[str] | None = None) -> int:
             fp.write(ref_graph_dot(store, args.lazy_refs, args.max_edges))
     elif args.command == "join":
         store.dump(args.output)
+    elif args.command == "q":
+        rows = store.q(json.loads(args.query))
+        with open(args.output, "w") as fp:
+            json.dump([list(r) for r in rows], fp, indent=2)
     elif args.command == "pull":
         expr: Any = json.loads(args.pull_expr)
         if args.entities_pattern:
