@@ -168,10 +168,13 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     base = (1.0 - damping) / n_nodes
     for _ in range(iters):
-        dangling = (
+        # dangling mass stays IN-PLAN as a broadcast 1-row frame (a
+        # scalar-subquery shape) instead of a per-round .collect() —
+        # halves the job count per iteration; the arithmetic (and the
+        # oracle hash) is unchanged
+        dangling_df = (
             ranks.join(outdeg, ranks.node == outdeg.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
         )
         contribs = (
             ed.join(ranks, ed.src == ranks.node)
@@ -180,12 +183,16 @@ def pagerank(
         )
         ranks = (
             nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .crossJoin(F.broadcast(dangling_df))
             .select(
                 "node",
                 (
                     F.lit(base)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n_nodes))
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("_dangling") / n_nodes
+                    )
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)
