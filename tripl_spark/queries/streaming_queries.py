@@ -11,6 +11,7 @@ session closed, making the append-mode stream's output total.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import uuid
 
@@ -75,7 +76,13 @@ def stateful_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(staged)
     closed = stateful_sessions(stream, gap_seconds=1800, close_types=())
     name = "sessions_" + uuid.uuid4().hex[:8]
-    out = run_to_memory(closed, name, mode="append")
+    try:
+        out = run_to_memory(closed, name, mode="append")
+    finally:
+        # results live in the memory sink once the drain returns; the
+        # staged files are dead weight (repeated driver runs would
+        # otherwise accumulate temp dirs)
+        shutil.rmtree(staged, ignore_errors=True)
     return out.filter(F.col("closed_by") != "timeout").select(
         "user_id",
         F.unix_micros("session_start").alias("session_start_us"),
@@ -120,5 +127,8 @@ def stream_join_error_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(staged)
     pairs = error_followups_stream(stream)
     name = "streamjoin_" + uuid.uuid4().hex[:8]
-    out = run_to_memory(pairs, name, mode="append")
+    try:
+        out = run_to_memory(pairs, name, mode="append")
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
     return out.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("n_pairs"))
