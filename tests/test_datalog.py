@@ -100,3 +100,21 @@ def test_variable_attribute_cross_entity_join(store):
     # s1 shares cft:type with s2/s3 (and every attr with itself)
     pairs = {(r[0], r[1]) for r in rows}
     assert ("cft:type", "s2") in pairs and ("cft:type", "s3") in pairs
+
+
+def test_sort_by_attribute(store):
+    # the sketch's literal 'sort': 'db:ident' (tripl.py:583): order
+    # results by an ATTRIBUTE of the first find var's entity
+    rows = store.q(
+        {"find": ["?s", "?len"],
+         "where": [["?s", "cft:type", "cft.type:seq"], ["?s", "cft.seq:len", "?len"]],
+         "sort": "cft.seq:len"}
+    )
+    assert [r[1] for r in rows] == [9, 12, 20]
+    # and with take (the sketch pairs them)
+    rows = store.q(
+        {"find": ["?s", "?len"],
+         "where": [["?s", "cft:type", "cft.type:seq"], ["?s", "cft.seq:len", "?len"]],
+         "sort": "cft.seq:len", "take": 2}
+    )
+    assert [r[1] for r in rows] == [9, 12]

@@ -122,8 +122,30 @@ def q_df(facts: DataFrame, query: dict[str, Any]) -> DataFrame:
     out = bound.select(*find_vars).distinct()
     sort = query.get("sort")
     if sort:
-        out = out.orderBy(*[_binding_sort_key(v) for v in
-                            (sort if isinstance(sort, list) else [sort])])
+        sort_cols = []
+        extra = []
+        for s in sort if isinstance(sort, list) else [sort]:
+            if _is_var(s):
+                sort_cols.append(_binding_sort_key(s))
+            else:
+                # ATTRIBUTE sort — the reference sketch's literal
+                # ``'sort': 'db:ident'`` (tripl.py:583): order by that
+                # attribute of the FIRST find variable's entity. One
+                # value per entity (min canonical key) so card-many
+                # attrs can't duplicate result rows.
+                anchor = find_vars[0]
+                scol = f"__sort_{len(extra)}"
+                sv = (
+                    facts.filter(F.col("a") == s)
+                    .groupBy(F.concat(F.lit("s:"), F.col("e")).alias("__se"))
+                    .agg(F.min(_vkey_of_value()).alias(scol))
+                )
+                out = out.join(sv, out[anchor] == sv["__se"], "left").drop("__se")
+                extra.append(scol)
+                sort_cols.append(_binding_sort_key(scol))
+        out = out.orderBy(*sort_cols)
+        if extra:
+            out = out.select(*find_vars)
     take = query.get("take")
     if take:
         out = out.limit(int(take))
