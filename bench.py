@@ -85,16 +85,20 @@ def main() -> None:
     queries[names[0]](spark, sf_dir).collect()
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
-    timings: dict[str, float] = {}
-    spreads: dict[str, float] = {}
-    for name in names:
-        samples = []
-        for _ in range(runs):
+    # Samples are taken in PASSES over the whole query list (pass 1 of
+    # every query, then pass 2, ...) rather than back-to-back per query:
+    # on a shared host a transient load burst then contaminates at most
+    # one sample per query instead of all of them, so the per-query
+    # median is robust to bursty noise (r4 recorded 14 untouched queries
+    # 10-48% "slower" from exactly this kind of burst).
+    samples: dict[str, list[float]] = {name: [] for name in names}
+    for _ in range(runs):
+        for name in names:
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).collect()
-            samples.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(samples), 3)
-        spreads[name] = round(max(samples) - min(samples), 3)
+            samples[name].append(time.perf_counter() - t0)
+    timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    spreads = {n: round(max(s) - min(s), 3) for n, s in samples.items()}
 
     total = round(sum(timings.values()), 3)
     # Diagnostics (per-query spread across runs) go to stderr: the driver

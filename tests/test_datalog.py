@@ -102,6 +102,56 @@ def test_variable_attribute_cross_entity_join(store):
     assert ("cft:type", "s2") in pairs and ("cft:type", "s3") in pairs
 
 
+def test_disjoint_clauses_raise_without_opt_in(store):
+    # two clauses sharing no variable plan a cartesian product of
+    # independent binding sets — almost always a typo'd variable, and a
+    # plan bomb at scale, so it raises unless explicitly allowed
+    q = {"find": ["?sid", "?age"],
+         "where": [["?s", "cft.seq:id", "?sid"],
+                   ["?p", "cft.subject:age", "?age"]]}
+    with pytest.raises(ValueError, match="shares no variable"):
+        store.q(q)
+    rows = store.q({**q, "allow_product": True})
+    assert len(rows) == 3 * 2  # full product: 3 seqs x 2 subjects
+
+
+def test_ground_existence_clause_still_allowed(store):
+    # a fully-ground clause is an existence check (one-row frame); its
+    # variable-free product is the sanctioned semijoin shape, not a bomb
+    eid = sorted(store.match({"cft.seq:id": "s1"}))[0]
+    rows = store.q(
+        {"find": "?sid",
+         "where": [[eid, "cft.seq:id", "s1"], ["?s", "cft.seq:id", "?sid"]]}
+    )
+    assert [r[0] for r in rows] == ["s1", "s2", "s3"]
+    # and when the ground clause fails, the conjunction is empty
+    rows = store.q(
+        {"find": "?sid",
+         "where": [[eid, "cft.seq:id", "nope"], ["?s", "cft.seq:id", "?sid"]]}
+    )
+    assert rows == []
+
+
+def test_sort_by_card_many_numeric_attribute(spark):
+    # card-many numeric attr: the per-entity representative is the TYPED
+    # minimum (9 < 12), not the lexicographic canonical-key min (which
+    # would pick 12 because 'n:12.0' < 'n:9.0')
+    ts = TripleStore(default_cardinality="db.cardinality:many", spark=spark)
+    ts.assert_facts(
+        [
+            {"db:ident": "d1", "x:name": "d1", "x:score": [12, 9]},
+            {"db:ident": "d2", "x:name": "d2", "x:score": [10]},
+        ]
+    )
+    rows = ts.q(
+        {"find": ["?e", "?name"],
+         "where": [["?e", "x:name", "?name"]],
+         "sort": "x:score"}
+    )
+    # d1's representative score is 9 -> d1 sorts before d2 (10)
+    assert [r[1] for r in rows] == ["d1", "d2"]
+
+
 def test_sort_by_attribute(store):
     # the sketch's literal 'sort': 'db:ident' (tripl.py:583): order
     # results by an ATTRIBUTE of the first find var's entity

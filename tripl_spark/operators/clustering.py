@@ -88,6 +88,104 @@ def kmeans_fit(
     return centroids, inertia
 
 
+K2 = 8
+EMB_DIM = 64
+
+
+def _assign_round(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """Assignment with 4-dp-rounded distances and cid tie-break —
+    deterministic across engines (same rounding + tie rule as the IVF
+    oracle). Returns (vec_id, v, cid, d2)."""
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    return (
+        emb.join(F.broadcast(cent))
+        .select(
+            "vec_id", "v", "cid",
+            F.round(_ssq(F.col("v"), F.col("cv")), 4).alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "cluster_kmeans_2iter",
+    # Two Lloyd iterations from deterministic seeds are pure
+    # arithmetic: assignment = argmin over k centroid distances
+    # (4-dp-rounded, cid tie-break), update = per-cluster per-dimension
+    # mean rounded to 6 dp (absorbs summation-order FP noise across
+    # engines). Clusters left empty after iteration 1 drop out of the
+    # centroid set on both sides (with data-seeded centroids this is
+    # a theoretical edge, but the contract is explicit).
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {K2}),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c0.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_sum([ (e.v[i]-c0.cv[i])*(e.v[i]-c0.cv[i])
+                                           for i in range(1, {EMB_DIM} + 1) ]), 4),
+                          c0.cid) AS rn
+        FROM e CROSS JOIN c0
+      ) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT cid, list(m ORDER BY dim) AS cv FROM (
+        SELECT a1.cid, dim.i AS dim, round(avg(e.v[dim.i]), 6) AS m
+        FROM a1 JOIN e USING (vec_id)
+        CROSS JOIN (SELECT unnest(range(1, {EMB_DIM} + 1)) AS i) dim
+        GROUP BY a1.cid, dim.i
+      ) GROUP BY cid
+    ),
+    a2 AS (
+      SELECT vec_id, cid, d2 FROM (
+        SELECT e.vec_id, c1.cid,
+               round(list_sum([ (e.v[i]-c1.cv[i])*(e.v[i]-c1.cv[i])
+                                for i in range(1, {EMB_DIM} + 1) ]), 4) AS d2,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_sum([ (e.v[i]-c1.cv[i])*(e.v[i]-c1.cv[i])
+                                           for i in range(1, {EMB_DIM} + 1) ]), 4),
+                          c1.cid) AS rn
+        FROM e CROSS JOIN c1
+      ) WHERE rn = 1
+    )
+    SELECT cid, count(*) AS n_vectors, round(avg(d2), 4) AS mean_dist2
+    FROM a2 GROUP BY cid
+    """,
+    doc="fixed-2-iteration deterministically-seeded k-means, hash-gated "
+    "vs a DuckDB replay of both Lloyd steps (the convergence path "
+    "stays in cluster_kmeans_embeddings)",
+)
+def cluster_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly two Lloyd iterations (k=8, seeds = first k vectors by
+    vec_id) over the embeddings table: cluster sizes and mean
+    within-cluster squared distance after the second assignment.
+
+    Same broadcast-assignment / single-agg-update shape as
+    ``kmeans_fit`` (the 100 TB design is identical), but with rounded
+    centroid updates and a fixed iteration count so the whole
+    computation is SQL-replicable and hash-gated by the driver."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    c0 = emb.filter(F.col("vec_id") < K2).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    a1 = _assign_round(emb, c0)
+    c1 = (
+        a1.groupBy("cid")
+        .agg(*[F.round(F.avg(F.col("v")[i]), 6).alias(f"m{i}") for i in range(EMB_DIM)])
+        .select("cid", F.array(*[F.col(f"m{i}") for i in range(EMB_DIM)]).alias("cv"))
+    )
+    a2 = _assign_round(emb, c1)
+    return a2.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("d2"), 4).alias("mean_dist2"),
+    )
+
+
 @query("cluster_kmeans_embeddings",
        doc="distributed Lloyd's k-means over the embeddings table "
            "(iterative — rows-only; invariants in tests/test_clustering.py)")

@@ -175,6 +175,9 @@ def _signatures_from_sets(sets: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+_OBS_SEQ = 0  # suffix for per-call-unique observation names
+
+
 def _pairs_from_buckets(bands: DataFrame, id_col: str, max_bucket: int | None) -> DataFrame:
     """(id, band_id, band_hash) → distinct candidate (id_a < id_b) pairs.
 
@@ -194,9 +197,15 @@ def _pairs_from_buckets(bands: DataFrame, id_col: str, max_bucket: int | None) -
         # drop visibility without an extra job: the dropped-bucket count
         # rides the normal action as an observed metric (surfaced to any
         # QueryExecutionListener / the Spark UI) instead of an eager
-        # count() that would re-run the bucket aggregation
+        # count() that would re-run the bucket aggregation. The metric
+        # name is UNIQUE per call — Spark requires observation names to
+        # be unique within one query plan, and a single action can
+        # contain several capped candidate stages (e.g. a union of
+        # minhash_candidates and shared_span_pairs)
+        global _OBS_SEQ
+        _OBS_SEQ += 1
         buckets = buckets.observe(
-            "minhash_lsh_buckets",
+            f"minhash_lsh_buckets_{_OBS_SEQ}",
             F.sum(F.when(F.size("ids") > max_bucket, 1).otherwise(0)).alias(
                 "dropped_buckets"
             ),
@@ -252,7 +261,12 @@ do, so their arithmetic matches the uncapped SQL oracle)."""
 def minhash_candidates(
     docs: DataFrame, id_col: str = "doc_id", max_bucket: int | None = DEFAULT_MAX_BUCKET
 ) -> DataFrame:
-    """LSH banding: (band_id, band_hash) buckets → candidate id pairs."""
+    """LSH banding: (band_id, band_hash) buckets → candidate id pairs.
+
+    .. note:: BREAKING DEFAULT (round 4): ``max_bucket`` defaults to
+       ``DEFAULT_MAX_BUCKET`` (1000), not ``None`` — degenerate buckets
+       are silently dropped (count surfaced as an observed metric).
+       Pass ``max_bucket=None`` for the old uncapped behavior."""
     sigs = minhash_signatures(docs, id_col)
     return _pairs_from_buckets(_band_frame(sigs, id_col), id_col, max_bucket)
 
@@ -284,7 +298,11 @@ def minhash_dedup(
     """End-to-end fuzzy dedup: shingle once (persisted MEMORY_AND_DISK —
     it feeds the signature pass AND both sides of the verify join; at
     cluster scale this is the one intermediate worth materializing),
-    minhash → band → bucket pairs → exact-Jaccard verify ≥ threshold."""
+    minhash → band → bucket pairs → exact-Jaccard verify ≥ threshold.
+
+    .. note:: BREAKING DEFAULT (round 4): ``max_bucket`` defaults to
+       ``DEFAULT_MAX_BUCKET`` (1000), not ``None``; pass
+       ``max_bucket=None`` for uncapped candidate generation."""
     from pyspark import StorageLevel
 
     sets = shingle_sets(docs, id_col, hash_mode).persist(StorageLevel.MEMORY_AND_DISK)

@@ -600,7 +600,10 @@ def video_near_dup_pairs(
     thousands of videos) whose buckets would expand quadratically —
     the same degenerate-bucket cap the MinHash LSH path applies. The
     distinct hash frame is persisted — the cap scan and both join
-    sides would otherwise re-run the per-frame decode."""
+    sides would otherwise re-run the per-frame decode. The CALLER owns
+    the cache lifecycle: the persisted block lives until the session
+    ends (or ``spark.catalog.clearCache()``), so long-lived sessions
+    invoking this repeatedly should clear between runs."""
     from pyspark import StorageLevel
 
     fh = frame_hashes.select("doc_id", "dhash").distinct().persist(

@@ -119,8 +119,36 @@ def greedy_pack(toks: DataFrame, budget: int = BUDGET) -> DataFrame:
 
 @query(
     "packing_greedy",
-    doc="Greedy no-overflow sequence packing (rows-only check; "
-    "no-overflow/completeness/determinism proven in tests/test_packing.py)",
+    # The greedy state machine is sequential per shard, but over a
+    # DETERMINISTIC order (doc_id), so a DuckDB recursive CTE can walk
+    # the same order row-by-row and reproduce (seq_id, seq_fill)
+    # exactly: recursion step rn -> rn+1 carries the running fill,
+    # resetting when the next doc would overflow — the same transition
+    # as greedy_pack's loop.
+    oracle=rf"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, doc_id % {N_SHARDS} AS shard,
+             CAST(len(regexp_extract_all(text, '{BPE_ISH}')) AS BIGINT) AS n_tok,
+             row_number() OVER (PARTITION BY doc_id % {N_SHARDS} ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, shard, n_tok, rn,
+             CAST(0 AS BIGINT) AS seq_id, n_tok AS seq_fill
+      FROM toks WHERE rn = 1
+      UNION ALL
+      SELECT t.doc_id, t.shard, t.n_tok, t.rn,
+             CASE WHEN p.seq_fill > 0 AND p.seq_fill + t.n_tok > {BUDGET}
+                  THEN p.seq_id + 1 ELSE p.seq_id END AS seq_id,
+             CASE WHEN p.seq_fill > 0 AND p.seq_fill + t.n_tok > {BUDGET}
+                  THEN t.n_tok ELSE p.seq_fill + t.n_tok END AS seq_fill
+      FROM toks t JOIN packed p ON t.shard = p.shard AND t.rn = p.rn + 1
+    )
+    SELECT doc_id, shard, n_tok, seq_id, seq_fill FROM packed
+    """,
+    doc="Greedy no-overflow sequence packing, hash-gated vs a DuckDB "
+    "recursive-CTE replay of the same per-shard state machine; "
+    "no-overflow/completeness/determinism also in tests/test_packing.py",
 )
 def packing_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy first-fit packing of documents into ≤512-token training

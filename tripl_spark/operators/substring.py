@@ -75,7 +75,10 @@ def shared_span_pairs(
     """(id_a, id_b, n_shared_spans) for every doc pair sharing >= 1
     exact W-token span. The span frame is persisted: it feeds the
     bucket stage AND both sides of the counting join — unpersisted,
-    the tokenize+slice+hash pipeline would run three times."""
+    the tokenize+slice+hash pipeline would run three times. The CALLER
+    owns the cache lifecycle (the block lives until session end or
+    ``spark.catalog.clearCache()``); clear between repeated runs in a
+    long-lived session."""
     from pyspark import StorageLevel
 
     sp = (

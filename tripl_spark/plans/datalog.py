@@ -81,12 +81,22 @@ def _clause_df(facts: DataFrame, clause: list[Any]) -> tuple[DataFrame, list[str
 
 
 def _fold_clause_dfs(
-    clause_dfs: list[tuple[DataFrame, list[str]]]
+    clause_dfs: list[tuple[DataFrame, list[str]]],
+    clauses: list[list[Any]] | None = None,
+    allow_product: bool = False,
 ) -> tuple[DataFrame, set[str]]:
-    """Conjunction of clause frames: fold of equi-joins on shared vars."""
+    """Conjunction of clause frames: fold of equi-joins on shared vars.
+
+    A clause that shares NO variable with everything bound so far means
+    a cartesian product of independent binding sets. That is valid
+    datalog semantics, but in practice it is almost always a typo'd
+    variable name — and at scale it is a plan bomb — so it RAISES
+    unless the query opts in with ``allow_product=True`` (exception:
+    fully-ground existence-check clauses, whose one-row ``__exists``
+    frame is a cheap broadcast semijoin-shaped product by design)."""
     bound: DataFrame | None = None
     bound_vars: set[str] = set()
-    for cdf, cvars in clause_dfs:
+    for idx, (cdf, cvars) in enumerate(clause_dfs):
         if bound is None:
             bound, bound_vars = cdf, set(cvars)
             continue
@@ -101,6 +111,16 @@ def _fold_clause_dfs(
                 cond = c if cond is None else (cond & c)
             bound = bound.join(renamed, cond).drop(*[f"__r_{v}" for v in shared])
         else:
+            is_exists = "__exists" in cvars or bound_vars == {"__exists"}
+            if not (allow_product or is_exists):
+                at = f" at where[{idx}] {clauses[idx]!r}" if clauses else ""
+                raise ValueError(
+                    f"datalog clause{at} shares no variable with the "
+                    f"preceding clauses (bound: {sorted(bound_vars)}) — "
+                    "this plans a cartesian product of independent "
+                    "binding sets; check for a typo'd variable, or pass "
+                    "'allow_product': True to run it anyway"
+                )
             bound = bound.crossJoin(cdf)
         bound_vars |= set(cvars)
     assert bound is not None
@@ -114,7 +134,11 @@ def q_df(facts: DataFrame, query: dict[str, Any]) -> DataFrame:
     find = query["find"]
     find_vars = [find] if isinstance(find, str) else list(find)
 
-    bound, bound_vars = _fold_clause_dfs([_clause_df(facts, c) for c in where])
+    bound, bound_vars = _fold_clause_dfs(
+        [_clause_df(facts, c) for c in where],
+        clauses=where,
+        allow_product=bool(query.get("allow_product")),
+    )
 
     missing = [v for v in find_vars if v not in bound_vars]
     if missing:
@@ -131,14 +155,20 @@ def q_df(facts: DataFrame, query: dict[str, Any]) -> DataFrame:
                 # ATTRIBUTE sort — the reference sketch's literal
                 # ``'sort': 'db:ident'`` (tripl.py:583): order by that
                 # attribute of the FIRST find variable's entity. One
-                # value per entity (min canonical key) so card-many
-                # attrs can't duplicate result rows.
+                # value per entity so card-many attrs can't duplicate
+                # result rows; the representative is min_by the TYPED
+                # key (numbers numerically), not the lexicographic min
+                # of the canonical string — 'n:9.0' beats 'n:12.0'.
+                # NOTE: the anchor must be entity-valued; if find_vars[0]
+                # binds plain values the left join finds no attribute
+                # rows and those rows sort as nulls-first.
                 anchor = find_vars[0]
                 scol = f"__sort_{len(extra)}"
+                vk = _vkey_of_value()
                 sv = (
                     facts.filter(F.col("a") == s)
                     .groupBy(F.concat(F.lit("s:"), F.col("e")).alias("__se"))
-                    .agg(F.min(_vkey_of_value()).alias(scol))
+                    .agg(F.min_by(vk, _sort_key_expr(vk)).alias(scol))
                 )
                 out = out.join(sv, out[anchor] == sv["__se"], "left").drop("__se")
                 extra.append(scol)
@@ -152,17 +182,20 @@ def q_df(facts: DataFrame, query: dict[str, Any]) -> DataFrame:
     return out
 
 
-def _binding_sort_key(var: str) -> F.Column:
-    """Type-aware ordering for canonical keys: numbers numerically,
-    everything else by its key string (the raw 'n:12.0' key would sort
-    lexicographically and put 9 after 20)."""
-    col = F.col(var)
+def _sort_key_expr(col: F.Column) -> F.Column:
+    """Type-aware ordering for a canonical-key expression: numbers
+    numerically, everything else by its key string (the raw 'n:12.0'
+    key would sort lexicographically and put 9 after 20)."""
     is_num = col.startswith("n:")
     return F.struct(
         F.when(is_num, F.lit(0)).otherwise(F.lit(1)).alias("k"),
         F.when(is_num, F.substring(col, 3, 64).cast("double")).alias("n"),
         col.alias("s"),
     )
+
+
+def _binding_sort_key(var: str) -> F.Column:
+    return _sort_key_expr(F.col(var))
 
 
 def decode_binding(vkey: str | None) -> Any:

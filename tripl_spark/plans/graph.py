@@ -13,7 +13,7 @@ sizes it per-round as frontiers shrink.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -53,11 +53,13 @@ def reachability(
             (nxt.root == F.col("__vr")) & (nxt.node == F.col("__vn")),
             "left_anti",
         )
-        # materialize every round: the emptiness check is then free on
-        # checkpointed data instead of re-running the join, and lineage
-        # stays flat (without this, round N replays joins 1..N-1)
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
+        # materialize every round; the emptiness check rides the eager
+        # checkpoint's job as an observed metric (one action per round),
+        # and lineage stays flat (without the checkpoint, round N
+        # replays joins 1..N-1)
+        obs = Observation(f"reach_round_{i}")
+        nxt = nxt.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+        if obs.get["n"] == 0:
             break
         if checkpoint_every and i % checkpoint_every == 0:
             visited = visited.unionByName(nxt).localCheckpoint(eager=True)
@@ -81,10 +83,12 @@ def connected_components(
     O(diameter) — on a cluster, rounds are the dominant cost (a shuffle
     each), and halving-the-halving matters more than per-round work.
     Convergence detection is free: labels only ever DECREASE, so the
-    labeling is a fixpoint exactly when sum(comp) stops changing — one
-    tiny aggregation on the checkpointed frame, no comparison join.
-    Used by dedup pipelines to cluster candidate pairs into duplicate
-    groups."""
+    labeling is a fixpoint exactly when sum(comp) stops changing — and
+    that sum rides the per-round checkpoint materialization as an
+    ``observe()`` metric (the same in-plan treatment pagerank's
+    dangling mass got), so each round runs exactly ONE job: no separate
+    convergence-check action, no comparison join. Used by dedup
+    pipelines to cluster candidate pairs into duplicate groups."""
     # materialize the symmetrized edge list ONCE — every round joins
     # against it, and without the checkpoint each round re-runs the
     # union+distinct from the source scan
@@ -116,15 +120,18 @@ def connected_components(
             .join(labels.alias("b"), F.col("a.comp") == F.col("b.node"))
             .select(F.col("a.node").alias("node"), F.col("b.comp").alias("comp"))
         )
-        new_labels = (
+        # the convergence scalar is an observed metric of the eager
+        # checkpoint's own job — one action per round, no extra collect
+        obs = Observation(f"cc_round_{_i}")
+        labels = (
             neigh.unionByName(jump)
             .unionByName(labels.select("node", "comp"))
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
+            .observe(obs, F.sum("comp").alias("comp_sum"))
             .localCheckpoint(eager=True)
         )
-        labels = new_labels
-        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        cur_sum = obs.get["comp_sum"]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

@@ -67,69 +67,78 @@ _LOADED = False
 # representative TPC-H/analytics rows. Names listed here come first, in
 # this order; everything else follows in registration order.
 _PRIORITY = [
-    # Round-4 rotation: every query that has never had a driver
-    # correctness row (r1-r3 checked the first 50; these sat past the
-    # window) now leads, so by r5 every oracled query has at least one
-    # hard driver signal. Displaced rows keep local DuckDB parity
-    # coverage in tests/test_oracle_parity.py.
+    # Round-5 rotation. After r4, every registered query except
+    # multimodal_image_neardup / multimodal_video_neardup had at least
+    # one driver row, and the six rows-only queries that occupied r4
+    # window slots (dedup_minhash_lsh, dedup_simhash,
+    # cluster_kmeans_embeddings, packing_greedy, tokenizer_bpe_merges,
+    # sim_ann_hnsw) got their first hard run signal — rows-only slots
+    # yield weak signal forever, so they rotate OUT. The window now
+    # leads with (a) the two never-driver-checked queries, (b) queries
+    # whose oracle is NEW this round, (c) a refresh cohort of oracled
+    # queries whose driver rows predate the r4 code vintage, balanced
+    # across operator families. Displaced rows keep local DuckDB
+    # parity coverage in tests/test_oracle_parity.py.
     #
-    # never-driver-checked, oracled (14) + new stream join
-    "graph_pagerank_purchasers",
-    "graph_triangle_count",
-    "sim_ann_multiprobe",
-    "sim_embedding_stats",
-    "text_fingerprint",
-    "text_unigram_logprob",
-    "text_bpe_token_count",
-    "curation_top_quality_per_lang",
-    "curation_redacted_texts",
-    "mixing_temperature_sample",
-    "skew_salted_agg_events",
-    "dedup_incremental_minhash",
-    "pipeline_curation_end2end",
-    "text_chunking",
-    "sketch_countmin_terms",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_audio_features",
-    "multimodal_image_dhash",
-    "multimodal_audio_fingerprint",
-    "multimodal_video_frame_dhash",
-    "stream_join_error_followups",
-    # never-driver-checked, rows-only (weaker driver check, still a
-    # first hard signal; each has a dedicated local recall/golden test)
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "cluster_kmeans_embeddings",
+    # (a) first-ever driver rows (rows-only by nature: candidate-pair
+    # generators with dedicated local recall tests)
+    "multimodal_image_neardup",
+    "multimodal_video_neardup",
+    # (b) first driver rows under a NEW r5 oracle (previously rows-only)
     "packing_greedy",
-    "tokenizer_bpe_merges",
-    "sim_ann_hnsw",
-    # one flagship per family keeps every operator family inside the
-    # window (all driver-proven in r3)
-    "triple_match_nested",
-    "triple_pull_projection",
-    "triple_pull_recursive",
-    "triple_datalog_ancestor",
-    "triple_asof_snapshot",
-    "graph_components_purchasers",
-    "dedup_exact",
-    "dedup_minhash_oracled",
-    "dedup_substring_spans",
-    "sim_knn_bruteforce",
-    "sim_ann_ivfpq",
-    "text_tfidf_top_terms",
-    "text_repetition_filters",
-    "curation_quota_per_stratum",
-    "skew_salted_join_user_spend",
-    "range_join_error_followups",
-    "hypertable_rollup_daily",
-    "stateful_sessions_stream",
-    "mixing_split_assign",
-    "packing_bin_assign",
-    "tokenizer_first_merge",
-    # analytics / TPC-H representative (driver-proven r1-r3; the other
-    # 21 TPC-H queries keep local DuckDB parity + prior driver rows)
-    "q1_pricing_summary",
+    "cluster_kmeans_2iter",
+    # (c) refresh cohort — judge-named first, then family balance
+    "q2_min_cost_supplier",
+    "q18_large_volume_customers",
+    "q21_waiting_suppliers",
+    "events_funnel_conversion",
+    "search_bm25",
+    "dedup_groups_canonical",
+    "sim_ann_ivf",
+    "triple_pull_df_wildcard",
+    # TPC-H refresh (driver rows r1-r3)
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q12_ship_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q20_seasonal_shippers",
+    "q22_global_sales_opportunity",
+    # analytics / windows / events refresh
+    "top3_customers_per_nation",
+    "nation_year_rollup",
+    "order_status_pivot",
+    "customers_without_orders",
+    "events_hourly_tumbling",
+    "events_sessionization",
+    "events_user_props_stats",
+    "events_cube_type_year",
+    "events_moving_total_7d",
+    "part_price_unpivot",
+    "asof_last_purchase",
+    # triple engine / graph refresh
+    "triple_match_segment",
+    "triple_reverse_fanin",
+    "triple_datalog_join",
+    "graph_user_ancestry",
+    # text refresh
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_ngram_contamination",
+    # similarity / dedup / curation / multimodal refresh
+    "sim_ann_pq",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "curation_stratified_sample",
+    "multimodal_metadata",
 ]
 
 

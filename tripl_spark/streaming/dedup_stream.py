@@ -10,7 +10,14 @@ per-batch cost is O(batch), independent of corpus size and stream age.
 ``foreachBatch`` is the right hook (not a streaming join) because LSH
 banding needs a groupBy-collect per document and a two-sided Jaccard
 verification join — batch DataFrame operations — and it hands us a
-batch id for exactly-once idempotence under replay.
+batch id for idempotence under IN-PROCESS replays (a failed batch
+re-delivered within the same driver lifetime is skipped). The seen-set
+and accumulated matches are driver-local state, NOT checkpointed: after
+a driver restart from the stream checkpoint, replayed batch ids are
+reprocessed and prior matches are gone. For restart-safe exactly-once,
+write per-batch matches to a sink table keyed by batch_id inside
+``process`` and let the sink's idempotent-overwrite semantics dedupe —
+the in-memory accumulator here is the single-process test/demo shape.
 
 The correctness contract (``tests/test_stream_dedup.py``): after any
 micro-batch split of a shard, the accumulated match set is identical
