@@ -70,6 +70,81 @@ def test_bucketed_join_matches_shuffled_join(spark, sf_small, bucketed_tables):
     assert agg(bucketed) == agg(plain)
 
 
+def test_bucketed_minhash_index_join_skips_index_shuffle(spark, sf_small):
+    """The incremental-dedup contract minhash_index documents: persist
+    the corpus band index bucketed by (band_id, band_hash) and the
+    per-shard candidate join re-reads it WITHOUT an Exchange on the
+    index side — only the (small) shard side shuffles into the index's
+    bucketing. Asserted structurally: in the bucketed plan the path
+    from the index FileScan up to its band-key Sort contains no
+    Exchange, while the identical plan over a plain parquet copy of
+    the index must shuffle that same path."""
+    from pyspark import StorageLevel
+
+    from tripl_spark.operators.dedup import (
+        match_against_index,
+        minhash_index,
+        shingle_sets,
+    )
+    from tripl_spark.session import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    shard = docs.filter(F.col("doc_id") >= 400)
+    corpus_sets = shingle_sets(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS minhash_wh")
+    idx = minhash_index(corpus)
+    write_bucketed(idx, "minhash_wh.corpus_bands_b", ["band_id", "band_hash"], 8)
+    # structurally-identical control: same index, same catalog read
+    # path, just no bucket layout
+    idx.write.format("parquet").mode("overwrite").saveAsTable(
+        "minhash_wh.corpus_bands_p"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # max_bucket=None: a single candidate equi-join, so the ONE
+        # Exchange the layouts differ by is attributable to the index
+        # side of that join
+        bucketed = match_against_index(
+            corpus_sets, spark.table("minhash_wh.corpus_bands_b"), shard,
+            max_bucket=None,
+        )
+        plain = match_against_index(
+            corpus_sets, spark.table("minhash_wh.corpus_bands_p"), shard,
+            max_bucket=None,
+        )
+        def index_path_has_exchange(df, table):
+            # walk the simple-plan text from the index table's FileScan
+            # line upward to the first Sort (the SMJ's input); report
+            # whether an Exchange sits in between
+            lines = explain_str(df, "simple").splitlines()
+            scan = next(i for i, ln in enumerate(lines) if f"FileScan parquet {table}" in ln)
+            for ln in reversed(lines[:scan]):
+                if "Sort [" in ln:
+                    return False
+                if "Exchange" in ln:
+                    return True
+            return False
+
+        plan = explain_str(bucketed)
+        assert "Bucketed: true" in plan, plan
+        assert not index_path_has_exchange(bucketed, "spark_catalog.minhash_wh.corpus_bands_b"), plan
+        assert index_path_has_exchange(plain, "spark_catalog.minhash_wh.corpus_bands_p"), explain_str(plain)
+        # and the layout changes nothing about the answer
+        key = lambda df: sorted(  # noqa: E731
+            (r.id_a, r.id_b, r.jaccard) for r in df.collect()
+        )
+        assert key(bucketed) == key(plain)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS minhash_wh.corpus_bands_b")
+        spark.sql("DROP TABLE IF EXISTS minhash_wh.corpus_bands_p")
+        spark.sql("DROP DATABASE IF EXISTS minhash_wh")
+        corpus_sets.unpersist()
+
+
 def test_bucketed_groupby_has_no_exchange(spark, bucketed_tables):
     """The bucket layout is reused by aggregation too: groupBy on the
     bucket key needs no shuffle."""

@@ -188,6 +188,95 @@ def test_chunking_covers_every_token_within_width(spark, texts):
             assert ctoks == expected[i * 4 : i * 4 + 6]
 
 
+# -- datalog conjunctive queries vs brute-force evaluation -------------------
+#
+# Random store + random connected conjunctive pattern: TripleStore.q must
+# agree with a trivially-correct driver-side evaluator over the same
+# entity dicts; for the single-entity-variable subset it must also agree
+# with match() (and pull on the matched ids round-trips the idents).
+
+_ATTRS = ["x:n", "x:s"]
+_VALS = {"x:n": [0, 1, 2], "x:s": ["p", "q"]}
+
+entities_st = st.lists(
+    st.tuples(
+        st.sampled_from(_VALS["x:n"]),
+        st.sampled_from(_VALS["x:s"]),
+        st.integers(min_value=-1, max_value=5),  # ref target (clipped; -1 = none)
+    ),
+    min_size=2,
+    max_size=6,
+)
+
+query_shape_st = st.tuples(
+    st.sampled_from(_ATTRS),               # clause-0 attribute
+    st.booleans(),                         # clause-0 value: constant or ?v
+    st.integers(min_value=0, max_value=2),  # constant index
+    st.booleans(),                         # add a ref hop?
+    st.sampled_from(_ATTRS),               # hop clause attribute
+    st.integers(min_value=0, max_value=1),  # hop constant index
+)
+
+
+def _naive_q(triples, clauses, find_vars):
+    """Brute-force conjunctive evaluation over (e, a, v) tuples."""
+    bindings = [{}]
+    for e_t, a, v_t in clauses:
+        nxt = []
+        for b in bindings:
+            for (te, ta, tv) in triples:
+                if ta != a:
+                    continue
+                nb = dict(b)
+                ok = True
+                for term, actual in ((e_t, te), (v_t, tv)):
+                    if isinstance(term, str) and term.startswith("?"):
+                        if term in nb and nb[term] != actual:
+                            ok = False
+                        else:
+                            nb[term] = actual
+                    elif term != actual:
+                        ok = False
+                if ok:
+                    nxt.append(nb)
+        bindings = nxt
+    return {tuple(b[v] for v in find_vars) for b in bindings}
+
+
+@given(ents=entities_st, shape=query_shape_st)
+@settings(**SETTINGS)
+def test_datalog_q_equals_bruteforce_and_match(spark, ents, shape):
+    from tripl_spark import TripleStore
+
+    docs, triples = [], []
+    for i, (n, s, ref) in enumerate(ents):
+        doc = {"db:ident": f"e{i}", "x:n": n, "x:s": s}
+        if 0 <= ref < len(ents):
+            doc["x:ref"] = {"db:ident": f"e{ref}"}
+            triples.append((f"e{i}", "x:ref", f"e{ref}"))
+        triples += [(f"e{i}", "x:n", n), (f"e{i}", "x:s", s)]
+        docs.append(doc)
+    ts = TripleStore(default_cardinality="db.cardinality:one", spark=spark)
+    ts.assert_facts(docs)
+
+    a0, use_var, vi, hop, a1, vj = shape
+    clauses = [["?e", a0, "?v"] if use_var else ["?e", a0, _VALS[a0][vi]]]
+    find = ["?e", "?v"] if use_var else ["?e"]
+    if hop:
+        clauses += [["?e", "x:ref", "?f"], ["?f", a1, _VALS[a1][vj]]]
+        find.append("?f")
+    got = set(ts.q({"find": find, "where": clauses}))
+    assert got == _naive_q(triples, clauses, find)
+
+    if not hop and not use_var:
+        # single-entity-var constant pattern: q ≡ match, and pull on the
+        # matched ids round-trips the idents
+        eids = ts.match({a0: _VALS[a0][vi]})
+        assert {r[0] for r in got} == set(eids)
+        pulled = ts.pull_many(["db:ident"], eids)
+        assert {p["db:ident"] for p in pulled} == set(eids)
+
+
 @given(texts=texts_st)
 @settings(**SETTINGS)
 def test_span_pairs_match_bruteforce(spark, texts):
