@@ -105,6 +105,22 @@ def test_max_bucket_cap_drops_degenerate_bucket(spark):
     assert minhash_candidates(docs, max_bucket=None).count() == 30 * 29 // 2
 
 
+def test_two_capped_stages_in_one_action(spark):
+    # regression: _pairs_from_buckets used a FIXED observation name, and
+    # Spark requires observed-metric names to be unique per query — a
+    # single action whose plan contained two capped candidate stages
+    # (e.g. a union of two minhash_candidates calls) failed analysis
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta {i % 3}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    a = minhash_candidates(docs, max_bucket=50)
+    b = minhash_candidates(docs.withColumn("doc_id", F.col("doc_id") + 100), max_bucket=50)
+    assert a.unionByName(b).count() >= 0  # must not raise AnalysisException
+
+
 def test_max_bucket_default_keeps_honest_buckets(planted_docs):
     # the default cap (1000) must not disturb normal-size buckets:
     # identical candidate set with and without the cap

@@ -83,3 +83,26 @@ def test_chunking_is_shuffle_free(spark, sf_small):
 
     plan = _plan(spark, sf_small, "text_chunking")
     assert not re.findall(r"\(\d+\) Exchange\b", plan), plan
+
+
+def test_bloom_probe_is_broadcast(spark, sf_small):
+    # the ≤ m-row bit table must broadcast to the probe join — the
+    # corpus-scale side never shuffles for membership checks
+    plan = _plan(spark, sf_small, "sketch_bloom_membership")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_sketch_aggs_are_partial(spark, sf_small):
+    # count-min cells and HLL registers are algebraic partials: a
+    # map-side HashAggregate must combine before the one shuffle
+    for name in ("sketch_countmin_terms", "sketch_hll_registers"):
+        plan = _plan(spark, sf_small, name)
+        assert plan.count("HashAggregate") >= 2, (name, plan)
+
+
+def test_quantile_probe_is_broadcast_nested_loop(spark, sf_small):
+    # the 3-row probe frame joins the merged summary on an inequality:
+    # the right shape is a broadcast nested-loop over the ≤ (K+1)·shards
+    # sample rows, never a sort-merge over raw data
+    plan = _plan(spark, sf_small, "sketch_quantile_merge")
+    assert "BroadcastNestedLoopJoin" in plan, plan

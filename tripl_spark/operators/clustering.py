@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tripl_spark.operators.similarity import _ssq
+from tripl_spark.operators.similarity import N_QUERIES, TOP_K, _ssq, cosine
 from tripl_spark.queries.registry import query
 from tripl_spark.session import load_table
 
@@ -109,17 +109,13 @@ def _assign_round(emb: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "cluster_kmeans_2iter",
-    # Two Lloyd iterations from deterministic seeds are pure
-    # arithmetic: assignment = argmin over k centroid distances
-    # (4-dp-rounded, cid tie-break), update = per-cluster per-dimension
-    # mean rounded to 6 dp (absorbs summation-order FP noise across
-    # engines). Clusters left empty after iteration 1 drop out of the
-    # centroid set on both sides (with data-seeded centroids this is
-    # a theoretical edge, but the contract is explicit).
-    oracle=f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+# SQL CTEs replaying the seeded iteration-1 Lloyd step (shared by the
+# cluster_kmeans_2iter oracle and the trained-codebook IVF oracle in
+# operators/similarity.py): e = typed vectors, c0 = deterministic
+# seeds, a1 = rounded-argmin assignment, c1 = 6-dp-rounded per-dim
+# mean centroids.
+KMEANS2_CTES = f"""
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {K2}),
     a1 AS (
       SELECT vec_id, cid FROM (
@@ -138,7 +134,35 @@ def _assign_round(emb: DataFrame, cent: DataFrame) -> DataFrame:
         CROSS JOIN (SELECT unnest(range(1, {EMB_DIM} + 1)) AS i) dim
         GROUP BY a1.cid, dim.i
       ) GROUP BY cid
-    ),
+    )"""
+
+
+def kmeans_2iter_centroids(emb: DataFrame) -> DataFrame:
+    """(cid, cv) — the iteration-1 updated centroids from deterministic
+    seeds (first K2 vectors), 6-dp-rounded: the Spark twin of the
+    ``KMEANS2_CTES`` c1 relation."""
+    c0 = emb.filter(F.col("vec_id") < K2).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    a1 = _assign_round(emb, c0)
+    return (
+        a1.groupBy("cid")
+        .agg(*[F.round(F.avg(F.col("v")[i]), 6).alias(f"m{i}") for i in range(EMB_DIM)])
+        .select("cid", F.array(*[F.col(f"m{i}") for i in range(EMB_DIM)]).alias("cv"))
+    )
+
+
+@query(
+    "cluster_kmeans_2iter",
+    # Two Lloyd iterations from deterministic seeds are pure
+    # arithmetic: assignment = argmin over k centroid distances
+    # (4-dp-rounded, cid tie-break), update = per-cluster per-dimension
+    # mean rounded to 6 dp (absorbs summation-order FP noise across
+    # engines). Clusters left empty after iteration 1 drop out of the
+    # centroid set on both sides (with data-seeded centroids this is
+    # a theoretical edge, but the contract is explicit).
+    oracle=f"""
+    WITH {KMEANS2_CTES},
     a2 AS (
       SELECT vec_id, cid, d2 FROM (
         SELECT e.vec_id, c1.cid,
@@ -170,19 +194,110 @@ def cluster_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    c0 = emb.filter(F.col("vec_id") < K2).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
-    a1 = _assign_round(emb, c0)
-    c1 = (
-        a1.groupBy("cid")
-        .agg(*[F.round(F.avg(F.col("v")[i]), 6).alias(f"m{i}") for i in range(EMB_DIM)])
-        .select("cid", F.array(*[F.col(f"m{i}") for i in range(EMB_DIM)]).alias("cv"))
-    )
-    a2 = _assign_round(emb, c1)
+    a2 = _assign_round(emb, kmeans_2iter_centroids(emb))
     return a2.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.round(F.avg("d2"), 4).alias("mean_dist2"),
+    )
+
+
+KM_IVF_NPROBE = 2
+
+
+@query(
+    "sim_ann_ivf_kmeans",
+    # IVF with TRAINED coarse centroids: the codebook is the 2-iter
+    # k-means c1 relation (SQL-replicable), so the whole trained-index
+    # build + search is hash-gated — the production upgrade the
+    # deterministic-centroid sim_ann_ivf docstring promises ("swap for
+    # k-means cluster centers"), with identical index/search mechanics.
+    oracle=f"""
+    WITH {KMEANS2_CTES},
+    lists AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c1.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_sum([ (e.v[i]-c1.cv[i])*(e.v[i]-c1.cv[i])
+                                           for i in range(1, {EMB_DIM} + 1) ]), 4),
+                          c1.cid) AS rn
+        FROM e CROSS JOIN c1
+      ) WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT query_id, cid FROM (
+        SELECT q.vec_id AS query_id, c1.cid,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_sum([ (q.v[i]-c1.cv[i])*(q.v[i]-c1.cv[i])
+                                           for i in range(1, {EMB_DIM} + 1) ]), 4),
+                          c1.cid) AS prn
+        FROM e q CROSS JOIN c1 WHERE q.vec_id < {N_QUERIES}
+      ) WHERE prn <= {KM_IVF_NPROBE}
+    )
+    SELECT query_id, vec_id AS neighbor_id, cosine, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT qprobe.query_id, ev.vec_id,
+             round(list_cosine_similarity(qe.v, ev.v), 4) AS cosine,
+             row_number() OVER (PARTITION BY qprobe.query_id
+                                ORDER BY round(list_cosine_similarity(qe.v, ev.v), 4) DESC,
+                                         ev.vec_id) AS rk
+      FROM qprobe
+      JOIN lists ON lists.cid = qprobe.cid
+      JOIN e ev ON ev.vec_id = lists.vec_id AND ev.vec_id <> qprobe.query_id
+      JOIN e qe ON qe.vec_id = qprobe.query_id
+    )
+    WHERE rk <= {TOP_K}
+    """,
+    doc="IVF ANN with a TRAINED coarse codebook (2-iter k-means "
+    "centroids), fully hash-gated end-to-end: train + assign + "
+    "probe + score all replayed in SQL",
+)
+def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over k-means-trained coarse centroids: every vector
+    joins its nearest trained centroid's inverted list; each query
+    scores only its nprobe nearest lists.
+
+    Same 100 TB shape as ``sim_ann_ivf`` — the codebook (k×d doubles)
+    broadcasts, list assignment is one broadcast-join pass, lists are
+    the partitioning key — but the centroids come from the Lloyd
+    update instead of being the first k corpus vectors, which is what
+    a production IVF index actually does."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = kmeans_2iter_centroids(emb)
+    lists = _assign_round(emb, cent).select("vec_id", "v", "cid")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    qprobe = (
+        _assign_all_ranked(queries, cent)
+        .filter(F.col("rn") <= KM_IVF_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cid")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        lists.join(F.broadcast(qprobe), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            F.round(cosine(F.col("qv"), F.col("v")), 4).alias("cosine"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rk")
+    )
+
+
+def _assign_all_ranked(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, v, cid, d2, rn): every vector × centroid scored and
+    ranked (rounded d2, cid tie-break) — rn=1 is the assignment,
+    rn<=nprobe is the probe set."""
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    return (
+        emb.join(F.broadcast(cent))
+        .select(
+            "vec_id", "v", "cid",
+            F.round(_ssq(F.col("v"), F.col("cv")), 4).alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(w))
     )
 
 

@@ -85,6 +85,327 @@ def countmin_estimate(sketch: DataFrame, terms: DataFrame, term_col: str = "term
     )
 
 
+# ---------------------------------------------------------------------------
+# Bloom filter (membership sketch)
+# ---------------------------------------------------------------------------
+
+BLOOM_K = 4
+BLOOM_M = 4096
+_BLOOM_SALTS = [f"bf{i}:" for i in range(BLOOM_K)]
+
+
+def _bloom_pos(term: F.Column, i: int) -> F.Column:
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(_BLOOM_SALTS[i]), term)), 1, 15), 16, 10)
+    return F.pmod(h.cast("long"), F.lit(BLOOM_M))
+
+
+def _bloom_pos_sql(term_expr: str, i: int) -> str:
+    return (
+        f"CAST('0x' || substring(md5('{_BLOOM_SALTS[i]}' || {term_expr}), 1, 15) AS BIGINT)"
+        f" % {BLOOM_M}"
+    )
+
+
+def bloom_bits(terms: DataFrame, term_col: str = "term") -> DataFrame:
+    """(pos) — the set bit positions of a k-hash Bloom filter over the
+    term set. At most BLOOM_M rows however large the corpus: one
+    exploded projection + one distinct, and filters from different
+    shards merge by union (bit-OR is set-union on positions)."""
+    return (
+        terms.select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col(term_col), i) for i in range(BLOOM_K)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(bits: DataFrame, probes: DataFrame, term_col: str = "term") -> DataFrame:
+    """(term, in_bloom) — a probe is (maybe) present iff ALL of its k
+    positions are set. The bits table is ≤ BLOOM_M rows and broadcasts;
+    probing is a map-side join, the corpus is never touched."""
+    pp = probes.select(
+        term_col,
+        F.explode(
+            F.array(*[_bloom_pos(F.col(term_col), i) for i in range(BLOOM_K)])
+        ).alias("pos"),
+    )
+    return (
+        pp.join(F.broadcast(bits), "pos", "left_semi")
+        .groupBy(term_col)
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .join(probes, term_col, "right")
+        .select(term_col, (F.coalesce(F.col("_hits"), F.lit(0)) == BLOOM_K).alias("in_bloom"))
+    )
+
+
+@query(
+    "sketch_bloom_membership",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT DISTINCT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ),
+    bits AS (
+      SELECT DISTINCT pos FROM (
+        {" UNION ALL ".join(f"SELECT {_bloom_pos_sql('term', i)} AS pos FROM tok" for i in range(BLOOM_K))}
+      )
+    ),
+    freq AS (
+      SELECT term, count(*) AS n
+      FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+            FROM documents)
+      GROUP BY term
+    ),
+    probes AS (
+      SELECT term FROM (SELECT term FROM freq ORDER BY n DESC, term LIMIT 10)
+      UNION ALL
+      SELECT 'zz_absent_probe_' || CAST(i AS VARCHAR) AS term
+      FROM (SELECT unnest(range(10)) AS i)
+    ),
+    pp AS (
+      SELECT term, pos FROM (
+        {" UNION ALL ".join(f"SELECT term, {_bloom_pos_sql('term', i)} AS pos FROM probes" for i in range(BLOOM_K))}
+      )
+    )
+    SELECT p.term,
+           (p.term IN (SELECT term FROM tok)) AS present,
+           (count(b.pos) = {BLOOM_K}) AS in_bloom
+    FROM pp p LEFT JOIN bits b ON p.pos = b.pos
+    GROUP BY p.term
+    """,
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership over the corpus vocabulary, probed with
+    the 10 most frequent terms (present) and 10 synthetic absent terms:
+    (term, present, in_bloom). The filter guarantee — present implies
+    in_bloom, no false negatives — is asserted in tests/test_sketches.py;
+    the oracle rebuilds the identical k-hash filter in SQL, so one
+    mis-set bit hash-mismatches."""
+    docs = load_table(spark, sf_dir, "documents")
+    all_tokens = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")
+    )
+    vocab = all_tokens.distinct()
+    bits = bloom_bits(vocab)
+    top = (
+        all_tokens.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(10)
+        .select("term")
+    )
+    absent = spark.range(10).select(
+        F.concat(F.lit("zz_absent_probe_"), F.col("id").cast("string")).alias("term")
+    )
+    probes = top.unionByName(absent)
+    present = probes.join(vocab, "term", "left_semi").withColumn("present", F.lit(True))
+    flags = probes.join(present.select("term", "present"), "term", "left").select(
+        "term", F.coalesce(F.col("present"), F.lit(False)).alias("present")
+    )
+    return flags.join(bloom_probe(bits, probes), "term").select(
+        "term", "present", "in_bloom"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile summary (GK/KLL stand-in, SQL-replicable)
+# ---------------------------------------------------------------------------
+
+Q_SHARDS = 16
+Q_SAMPLES = 32  # kept samples per shard
+Q_PROBS = [0.5, 0.9, 0.99]
+
+
+def quantile_summary(vals: DataFrame, val_col: str, id_col: str) -> DataFrame:
+    """(shard, value, id, rn, weight) — per-shard equi-rank samples:
+    each shard keeps every ceil(n_s/K)-th value in (value, id) order
+    plus its maximum, each sample weighted by the ranks it covers.
+
+    This is the mergeable-summary pattern percentiles use at 100 TB
+    (GK/KLL in spirit): per-shard summaries are ≤ K+1 rows regardless
+    of shard size, weights are exact integer rank spans (rank error
+    ≤ n_s/K per shard, ≤ N/K after merging), and summaries from
+    different shards/days merge by plain union — no re-scan of the
+    data. Unlike percentile_approx's opaque internal state, every
+    number here is integer rank arithmetic, so the merged estimate is
+    SQL-replicable and driver-hash-gated."""
+    from pyspark.sql import Window
+
+    w_ord = Window.partitionBy("shard").orderBy("value", "id")
+    ranked = vals.select(
+        F.pmod(F.col(id_col), F.lit(Q_SHARDS)).alias("shard"),
+        F.col(val_col).alias("value"),
+        F.col(id_col).alias("id"),
+    ).select(
+        "*",
+        F.row_number().over(w_ord).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("shard")).alias("ns"),
+    )
+    step = F.greatest(F.lit(1), F.ceil(F.col("ns") / float(Q_SAMPLES)))
+    kept = ranked.filter((F.col("rn") % step == 0) | (F.col("rn") == F.col("ns")))
+    w_kept = Window.partitionBy("shard").orderBy("rn")
+    return kept.select(
+        "shard", "value", "id", "rn",
+        (F.col("rn") - F.coalesce(F.lag("rn").over(w_kept), F.lit(0))).alias("weight"),
+    )
+
+
+@query(
+    "sketch_quantile_merge",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_id % {Q_SHARDS} AS shard, value, event_id AS id,
+             row_number() OVER (PARTITION BY event_id % {Q_SHARDS}
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_id % {Q_SHARDS}) AS ns
+      FROM events
+    ),
+    kept AS (
+      SELECT * FROM ranked
+      WHERE rn % greatest(1, CAST(ceil(ns / {float(Q_SAMPLES)}) AS BIGINT)) = 0
+         OR rn = ns
+    ),
+    samples AS (
+      SELECT shard, value, id, rn,
+             rn - coalesce(lag(rn) OVER (PARTITION BY shard ORDER BY rn), 0) AS weight
+      FROM kept
+    ),
+    merged AS (
+      SELECT value, id,
+             sum(weight) OVER (ORDER BY value, id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+             sum(weight) OVER () AS total
+      FROM samples
+    )
+    SELECT q, value AS estimate FROM (
+      SELECT CAST(p.q AS DOUBLE) AS q, m.value,
+             row_number() OVER (PARTITION BY p.q ORDER BY m.cumw, m.value, m.id) AS pick
+      FROM (VALUES {", ".join(f"(CAST({p} AS DOUBLE))" for p in Q_PROBS)}) AS p(q)
+      JOIN merged m ON m.cumw >= CAST(ceil(p.q * m.total) AS BIGINT)
+    ) WHERE pick = 1
+    """,
+)
+def sketch_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q, estimate) for p50/p90/p99 of events.value via merged
+    per-shard equi-rank summaries — the distributed-percentile pattern
+    with exact integer rank arithmetic on both engines (rank error
+    bound asserted in tests/test_sketches.py). The merge runs over
+    ≤ (K+1)·shards sample rows, never the raw data."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    samples = quantile_summary(ev, "value", "event_id")
+    w_glob = Window.orderBy("value", "id").rowsBetween(Window.unboundedPreceding, 0)
+    merged = samples.select(
+        "value", "id",
+        F.sum("weight").over(w_glob).alias("cumw"),
+        F.sum("weight").over(Window.partitionBy()).alias("total"),
+    )
+    probes = spark.createDataFrame([(p,) for p in Q_PROBS], "q double")
+    w_pick = Window.partitionBy("q").orderBy("cumw", "value", "id")
+    return (
+        F.broadcast(probes)
+        .join(merged, F.col("cumw") >= F.ceil(F.col("q") * F.col("total")).cast("long"))
+        .withColumn("pick", F.row_number().over(w_pick))
+        .filter(F.col("pick") == 1)
+        .select("q", F.col("value").alias("estimate"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog registers (distinct-count sketch, SQL-replicable variant)
+# ---------------------------------------------------------------------------
+
+HLL_M = 64  # registers (p=6); the shiftright(6) below encodes log2(HLL_M)
+_HLL_VAL_BITS = 54  # 60-bit md5-prefix hash minus 6 register bits
+assert HLL_M == 1 << 6 and _HLL_VAL_BITS == 60 - 6
+_POW2 = [1 << i for i in range(_HLL_VAL_BITS)]
+
+
+def hll_registers(items: DataFrame, col: str = "term") -> DataFrame:
+    """(register, max_rho) — deterministic HLL over the DISTINCT items:
+    hash to 60 bits, low 6 bits pick a register, and rho = leading
+    zeros of the remaining 54-bit value + 1 (computed with an
+    integer-exact power-of-two count, no float log). The sketch is
+    ≤ HLL_M rows whatever the cardinality; shard sketches merge by
+    per-register MAX — the same algebraic-merge property as count-min.
+    Spark's own approx_count_distinct keeps its HLL state in opaque
+    binary (rows-only checkable); this variant trades its bias
+    corrections for SQL-replicable arithmetic, so the driver
+    hash-gates every register."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit("hll:"), F.col(col))), 1, 15), 16, 10).cast(
+        "long"
+    )
+    items = items.select(F.col(col)).distinct().select(h.alias("hv"))
+    # exact integer shift — hv/64 through double division would lose
+    # low bits above 2^53 and skew rho
+    w = F.shiftright(F.col("hv"), 6).cast("long")
+    powers = F.array(*[F.lit(p) for p in _POW2])
+    bitlen = F.size(F.filter(powers, lambda p: p <= F.col("w")))
+    rho = F.when(F.col("w") == 0, F.lit(_HLL_VAL_BITS + 1)).otherwise(
+        F.lit(_HLL_VAL_BITS + 1) - bitlen
+    )
+    return (
+        items.select(F.pmod(F.col("hv"), F.lit(HLL_M)).alias("register"), w.alias("w"))
+        .select("register", rho.cast("int").alias("rho"))
+        .groupBy("register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers: list[tuple[int, int]]) -> float:
+    """HLL estimate from (register, max_rho) rows (driver-side: the
+    sketch is ≤ HLL_M numbers). alpha_64 · m² / Σ 2^-M_j with unseen
+    registers contributing 2^0, plus the standard small-range
+    linear-counting correction (for n ≲ 2.5·m the raw estimator
+    overshoots badly; LC on the empty-register count is exact-ish
+    there — Flajolet et al. 2007, §4)."""
+    import math
+
+    rho = {r: mr for r, mr in registers}
+    denom = sum(2.0 ** -rho.get(j, 0) for j in range(HLL_M))
+    alpha = 0.709  # alpha_m for m=64
+    est = alpha * HLL_M * HLL_M / denom
+    zeros = HLL_M - len(rho)
+    if est <= 2.5 * HLL_M and zeros > 0:
+        return HLL_M * math.log(HLL_M / zeros)
+    return est
+
+
+@query(
+    "sketch_hll_registers",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT DISTINCT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ),
+    h AS (
+      SELECT CAST('0x' || substring(md5('hll:' || term), 1, 15) AS BIGINT) AS hv
+      FROM tok
+    ),
+    parts AS (SELECT hv % {HLL_M} AS register, hv // {HLL_M} AS w FROM h)
+    SELECT register,
+           CAST(max(CASE WHEN w = 0 THEN {_HLL_VAL_BITS + 1}
+                         ELSE {_HLL_VAL_BITS + 1}
+                              - len(list_filter({_POW2}, p -> p <= w))
+                    END) AS INT) AS max_rho
+    FROM parts GROUP BY register
+    """,
+)
+def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL register table over the corpus vocabulary: (register,
+    max_rho), hash-gated cell by cell against the SQL rebuild. The
+    derived cardinality estimate (and its error bound vs true distinct)
+    is asserted in tests/test_sketches.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")
+    )
+    return hll_registers(tokens)
+
+
 @query(
     "sketch_countmin_terms",
     oracle=rf"""

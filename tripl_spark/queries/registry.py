@@ -85,8 +85,13 @@ _PRIORITY = [
     "multimodal_image_neardup",
     "multimodal_video_neardup",
     # (b) first driver rows under a NEW r5 oracle (previously rows-only)
+    # or for operators NEW in r5
     "packing_greedy",
     "cluster_kmeans_2iter",
+    "sim_ann_ivf_kmeans",
+    "sketch_bloom_membership",
+    "sketch_hll_registers",
+    "sketch_quantile_merge",
     # (c) refresh cohort — judge-named first, then family balance
     "q2_min_cost_supplier",
     "q18_large_volume_customers",
@@ -103,9 +108,7 @@ _PRIORITY = [
     "q7_volume_shipping",
     "q9_product_profit",
     "q10_returned_items",
-    "q12_ship_priority",
     "q13_customer_distribution",
-    "q14_promo_revenue",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q19_discounted_revenue",
@@ -119,9 +122,7 @@ _PRIORITY = [
     "events_hourly_tumbling",
     "events_sessionization",
     "events_user_props_stats",
-    "events_cube_type_year",
     "events_moving_total_7d",
-    "part_price_unpivot",
     "asof_last_purchase",
     # triple engine / graph refresh
     "triple_match_segment",
