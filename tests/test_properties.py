@@ -260,10 +260,11 @@ def test_datalog_q_equals_bruteforce_and_match(spark, ents, shape):
     ts.assert_facts(docs)
 
     a0, use_var, vi, hop, a1, vj = shape
-    clauses = [["?e", a0, "?v"] if use_var else ["?e", a0, _VALS[a0][vi]]]
+    c0_val = _VALS[a0][vi % len(_VALS[a0])]
+    clauses = [["?e", a0, "?v"] if use_var else ["?e", a0, c0_val]]
     find = ["?e", "?v"] if use_var else ["?e"]
     if hop:
-        clauses += [["?e", "x:ref", "?f"], ["?f", a1, _VALS[a1][vj]]]
+        clauses += [["?e", "x:ref", "?f"], ["?f", a1, _VALS[a1][vj % len(_VALS[a1])]]]
         find.append("?f")
     got = set(ts.q({"find": find, "where": clauses}))
     assert got == _naive_q(triples, clauses, find)
@@ -271,7 +272,7 @@ def test_datalog_q_equals_bruteforce_and_match(spark, ents, shape):
     if not hop and not use_var:
         # single-entity-var constant pattern: q ≡ match, and pull on the
         # matched ids round-trips the idents
-        eids = ts.match({a0: _VALS[a0][vi]})
+        eids = ts.match({a0: c0_val})
         assert {r[0] for r in got} == set(eids)
         pulled = ts.pull_many(["db:ident"], eids)
         assert {p["db:ident"] for p in pulled} == set(eids)
