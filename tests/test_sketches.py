@@ -39,6 +39,72 @@ def test_bloom_no_false_negatives(spark, sf_small):
     assert any(not r.in_bloom for r in absent)
 
 
+def _tokens_df(spark, lo, hi):
+    return spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 11} shared") for i in range(lo, hi)],
+        "doc_id long, text string",
+    ).select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")
+    )
+
+
+def test_countmin_shard_merge_equals_whole(spark):
+    # the 100 TB contract: per-shard sketches merge by cell-wise ADD
+    from tripl_spark.operators.sketches import countmin_table
+
+    whole = countmin_table(_tokens_df(spark, 0, 60))
+    a = countmin_table(_tokens_df(spark, 0, 25))
+    b = countmin_table(_tokens_df(spark, 25, 60))
+    merged = (
+        a.unionByName(b).groupBy("row", "cell").agg(F.sum("n").alias("n"))
+    )
+    as_map = lambda df: {(r.row, r.cell): r.n for r in df.collect()}  # noqa: E731
+    assert as_map(merged) == as_map(whole)
+
+
+def test_hll_shard_merge_equals_whole(spark):
+    # per-register MAX merges shard HLLs into the whole-corpus HLL
+    from tripl_spark.operators.sketches import hll_registers
+
+    whole = hll_registers(_tokens_df(spark, 0, 60))
+    a = hll_registers(_tokens_df(spark, 0, 25))
+    b = hll_registers(_tokens_df(spark, 25, 60))
+    merged = (
+        a.unionByName(b).groupBy("register").agg(F.max("max_rho").alias("max_rho"))
+    )
+    as_map = lambda df: {r.register: r.max_rho for r in df.collect()}  # noqa: E731
+    assert as_map(merged) == as_map(whole)
+
+
+def test_bloom_shard_merge_equals_whole(spark):
+    # bit-OR is set-union on positions: bits(A∪B) == bits(A) ∪ bits(B)
+    from tripl_spark.operators.sketches import bloom_bits
+
+    whole = {r.pos for r in bloom_bits(_tokens_df(spark, 0, 60).distinct()).collect()}
+    a = {r.pos for r in bloom_bits(_tokens_df(spark, 0, 25).distinct()).collect()}
+    b = {r.pos for r in bloom_bits(_tokens_df(spark, 25, 60).distinct()).collect()}
+    assert a | b == whole
+
+
+def test_quantile_summary_merges_along_shards(spark):
+    # summaries are per-shard and merge by plain union: summarizing two
+    # shard-aligned dataset splits yields exactly the whole's summary
+    from tripl_spark.operators.sketches import Q_SHARDS, quantile_summary
+
+    vals = spark.createDataFrame(
+        [(i, float((i * 37) % 101)) for i in range(400)], "event_id long, value double"
+    )
+    half = Q_SHARDS // 2
+    lo = vals.filter(F.pmod(F.col("event_id"), Q_SHARDS) < half)
+    hi = vals.filter(F.pmod(F.col("event_id"), Q_SHARDS) >= half)
+    key = lambda df: sorted(  # noqa: E731
+        (r.shard, r.value, r.id, r.rn, r.weight)
+        for r in quantile_summary(df, "value", "event_id").collect()
+    )
+    whole = sorted(key(lo) + key(hi))
+    assert whole == key(vals)
+
+
 def test_quantile_merge_within_rank_error_bound(spark, sf_small):
     from tripl_spark.operators.sketches import Q_SAMPLES, Q_SHARDS
 
