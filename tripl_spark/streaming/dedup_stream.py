@@ -10,14 +10,18 @@ per-batch cost is O(batch), independent of corpus size and stream age.
 ``foreachBatch`` is the right hook (not a streaming join) because LSH
 banding needs a groupBy-collect per document and a two-sided Jaccard
 verification join — batch DataFrame operations — and it hands us a
-batch id for idempotence under IN-PROCESS replays (a failed batch
-re-delivered within the same driver lifetime is skipped). The seen-set
-and accumulated matches are driver-local state, NOT checkpointed: after
-a driver restart from the stream checkpoint, replayed batch ids are
-reprocessed and prior matches are gone. For restart-safe exactly-once,
-write per-batch matches to a sink table keyed by batch_id inside
-``process`` and let the sink's idempotent-overwrite semantics dedupe —
-the in-memory accumulator here is the single-process test/demo shape.
+batch id for idempotence. Two accumulation modes:
+
+* in-memory (default, ``sink_path=None``): the seen-set and matches are
+  driver-local, so idempotence only covers IN-PROCESS replays (a failed
+  batch re-delivered within the same driver lifetime is skipped); a
+  driver restart loses both. The single-process test/demo shape.
+* sink-backed (``sink_path=...``): each batch's matches overwrite the
+  ``batch_id=N`` partition of a parquet sink — partition overwrite is
+  idempotent, so replays (in-process OR after a driver restart from the
+  stream checkpoint) converge to the same sink state, and the seen-set
+  is recovered from the sink's existing partitions on construction.
+  This is the restart-safe exactly-once shape for production.
 
 The correctness contract (``tests/test_stream_dedup.py``): after any
 micro-batch split of a shard, the accumulated match set is identical
@@ -49,11 +53,13 @@ class StreamingDedup:
         id_col: str = "doc_id",
         threshold: float = 0.6,
         hash_mode: str = "xxhash64",
+        sink_path: str | None = None,
     ) -> None:
         self.spark = spark
         self.id_col = id_col
         self.threshold = threshold
         self.hash_mode = hash_mode
+        self.sink_path = sink_path
         # the one-time corpus cost: at scale these are written to
         # bucketed tables; localCheckpoint is the local stand-in. One
         # shingle pass feeds both frames — the band index derives from
@@ -66,10 +72,24 @@ class StreamingDedup:
             hash_bands=hash_mode != "md5",
         ).localCheckpoint(eager=True)
         self.matches: DataFrame | None = None
+        # sink-backed mode recovers processed batch ids from the sink's
+        # existing batch_id=N partitions, so a restarted driver skips
+        # (and would anyway idempotently overwrite) replayed batches.
+        # Local-path listing is the test stand-in for a Hadoop-FS
+        # listing / catalog partition query at cluster scale.
         self._seen: set[int] = set()
+        if sink_path is not None:
+            import os
+
+            if os.path.isdir(sink_path):
+                self._seen = {
+                    int(d.split("=", 1)[1])
+                    for d in os.listdir(sink_path)
+                    if d.startswith("batch_id=")
+                }
 
     def process(self, batch: DataFrame, batch_id: int) -> None:
-        if batch_id in self._seen:  # replay after failure: idempotent
+        if batch_id in self._seen:  # replay: idempotent skip
             return
         self._seen.add(batch_id)
         found = match_against_index(
@@ -80,6 +100,23 @@ class StreamingDedup:
             self.threshold,
             self.hash_mode,
         )
+        if self.sink_path is not None:
+            # partition overwrite: a replayed batch rewrites its own
+            # batch_id=N directory and nothing else — exactly-once per
+            # batch across driver restarts
+            found.write.mode("overwrite").parquet(
+                f"{self.sink_path}/batch_id={batch_id}"
+            )
+            return
         merged = found if self.matches is None else self.matches.unionByName(found)
         # cut lineage so N batches don't stack N plans
         self.matches = merged.localCheckpoint(eager=True)
+
+    def matches_df(self) -> DataFrame | None:
+        """Accumulated matches across all processed batches — from the
+        sink (restart-safe mode) or the in-memory accumulator."""
+        if self.sink_path is None:
+            return self.matches
+        if not self._seen:
+            return None
+        return self.spark.read.parquet(self.sink_path).drop("batch_id")
