@@ -427,10 +427,12 @@ SIMHASH_BITS = 60  # 4 chunks × 15 bits; stays clear of the long sign bit
 
 
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
-                       col: str = "text") -> DataFrame:
+                       col: str = "text", hash_mode: str = "xxhash64") -> DataFrame:
     """(id, sig long) 60-bit SimHash signatures, explode-style for the
-    same reason as minhash_signatures: one xxhash64 per distinct token,
-    60 codegen'd sign-sum aggregates, one shuffle on the id."""
+    same reason as minhash_signatures: one token hash per distinct
+    token, 60 codegen'd sign-sum aggregates, one shuffle on the id.
+    ``hash_mode='md5'`` swaps the per-token hash for the md5-prefix
+    60-bit construction so DuckDB can rebuild every signature bit."""
     par = docs.sparkSession.sparkContext.defaultParallelism
     toks = docs.repartition(par).select(
         F.col(id_col),
@@ -438,7 +440,10 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
             F.array_distinct(F.split(F.trim(F.lower(F.col(col))), r"\s+"))
         ).alias("__tok"),
     )
-    h = F.xxhash64("__tok")
+    if hash_mode == "md5":
+        h = F.conv(F.substring(F.md5("__tok"), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64("__tok")
     aggs = [
         F.sum(
             F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -451,13 +456,8 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     return toks.groupBy(id_col).agg(*aggs).select(id_col, sig.alias("sig"))
 
 
-@query("dedup_simhash", doc="SimHash near-dup pairs via pigeonhole banding "
-                            "(rows-only check; recall proven in tests)")
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 64-bit signatures, candidates via 4×16-bit
-    pigeonhole bands, verified with exact Hamming distance ≤ 6."""
-    docs = load_table(spark, sf_dir, "documents")
-    sigs = simhash_signatures(docs)
+def _simhash_pairs(sigs: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Pigeonhole banding + exact-Hamming verify over (doc_id, sig)."""
     chunk_structs = [
         F.struct(
             F.lit(c).alias("chunk_id"),
@@ -484,10 +484,81 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
     return cands.select("id_a", "id_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= 6
+        F.col("hamming") <= max_hamming
     )
+
+
+@query("dedup_simhash", doc="SimHash near-dup pairs via pigeonhole banding "
+                            "(rows-only check; recall proven in tests; the "
+                            "md5 twin dedup_simhash_oracled is hash-gated)")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 60-bit signatures, candidates via 4×15-bit
+    pigeonhole bands, verified with exact Hamming distance ≤ 6."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _simhash_pairs(simhash_signatures(docs))
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB rebuild of the md5-mode SimHash pipeline bit-for-bit:
+    per-token 60-bit hash, 60 sign-sum aggregates, signature
+    composition, pigeonhole chunks, exact Hamming verify."""
+    bit_sums = ",\n             ".join(
+        f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sig_terms = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS hv
+      FROM toks
+    ),
+    bits AS (
+      SELECT doc_id,
+             {bit_sums}
+      FROM h GROUP BY doc_id
+    ),
+    sigs AS (SELECT doc_id, {sig_terms} AS sig FROM bits),
+    chunks AS (
+      SELECT doc_id, sig, c.i AS chunk_id,
+             (sig >> (c.i * 15)) & 32767 AS chunk
+      FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS i) c
+    ),
+    cands AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+             l.sig AS sig_a, r.sig AS sig_b
+      FROM chunks l JOIN chunks r
+        ON l.chunk_id = r.chunk_id AND l.chunk = r.chunk
+           AND l.doc_id < r.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+    FROM cands
+    WHERE bit_count(xor(sig_a, sig_b)) <= 6
+    """
+
+
+@query(
+    "dedup_simhash_oracled",
+    oracle=_simhash_oracle_sql(),
+    doc="md5-mode SimHash near-dup — every signature bit, pigeonhole "
+    "chunk and Hamming distance hash-matches the SQL rebuild",
+)
+def dedup_simhash_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash-gated twin of ``dedup_simhash``: identical banding and
+    verification, md5-prefix token hashes so the oracle reproduces the
+    arithmetic exactly (same md5 family as the oracled MinHash path)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _simhash_pairs(simhash_signatures(docs, hash_mode="md5"))
 
 
 @query(

@@ -92,6 +92,7 @@ _PRIORITY = [
     "sketch_bloom_membership",
     "sketch_hll_registers",
     "sketch_quantile_merge",
+    "dedup_simhash_oracled",
     # (c) refresh cohort — judge-named first, then family balance
     "q2_min_cost_supplier",
     "q18_large_volume_customers",
@@ -109,7 +110,6 @@ _PRIORITY = [
     "q9_product_profit",
     "q10_returned_items",
     "q13_customer_distribution",
-    "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q19_discounted_revenue",
     "q20_seasonal_shippers",
