@@ -484,9 +484,40 @@ def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_dhash(image_table(spark, sf_dir))
 
 
+def _image_neardup_oracle() -> str:
+    """The pair stage composed over the dHash oracle: pigeonhole bands,
+    candidate equi-join, exact character-wise Hamming verify."""
+    return f"""
+    WITH sigs AS ({_dhash_oracle()}),
+    bands AS (
+      SELECT doc_id, dhash, b.i AS band_id,
+             substring(dhash, b.i * 16 + 1, 16) AS band_key
+      FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS i) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.dhash AS ha, b.dhash AS hb
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM (
+      SELECT id_a, id_b,
+             CAST(sum(CASE WHEN substring(ha, p.i + 1, 1)
+                            <> substring(hb, p.i + 1, 1)
+                      THEN 1 ELSE 0 END) AS INT) AS hamming
+      FROM cand CROSS JOIN (SELECT unnest(range(64)) AS i) p
+      GROUP BY id_a, id_b
+    ) WHERE hamming <= 3
+    """
+
+
 @query("multimodal_image_neardup",
-       doc="Image near-dup pairs via dHash pigeonhole banding (rows-only; "
-           "planted-perturbation recall in tests/test_image_dedup.py)")
+       oracle=_image_neardup_oracle(),
+       doc="Image near-dup pairs via dHash pigeonhole banding — banding, "
+           "candidates and the exact Hamming verify all hash-match the "
+           "SQL rebuild composed over the dHash oracle; planted-"
+           "perturbation recall additionally in tests/test_image_dedup.py")
 def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate image pairs (Hamming <= 3 on dHash) — banding
     bounds candidates exactly like SimHash text dedup."""
@@ -664,9 +695,28 @@ def multimodal_video_frame_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_frame_dhashes(video_table(spark, sf_dir))
 
 
+def _video_neardup_oracle() -> str:
+    """Shared-frame pair counting composed over the per-frame dHash
+    oracle, including the boilerplate-frame bucket cap."""
+    return f"""
+    WITH fsigs AS ({_frame_dhash_oracle()}),
+    fh AS (SELECT DISTINCT doc_id, dhash FROM fsigs),
+    small AS (SELECT dhash FROM fh GROUP BY dhash HAVING count(*) <= 1000),
+    fh2 AS (SELECT fh.doc_id, fh.dhash FROM fh JOIN small USING (dhash))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared_frames
+    FROM fh2 a JOIN fh2 b ON a.dhash = b.dhash AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 1
+    """
+
+
 @query("multimodal_video_neardup",
-       doc="Video near-dup pairs via shared frame hashes (rows-only; "
-           "planted shared-frame recall in tests/test_image_dedup.py)")
+       oracle=_video_neardup_oracle(),
+       doc="Video near-dup pairs via shared frame hashes — the distinct "
+           "frame table, bucket cap and pair counting all hash-match the "
+           "SQL rebuild composed over the frame-dHash oracle; planted "
+           "shared-frame recall additionally in tests/test_image_dedup.py")
 def multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video pairs sharing >= 1 exact frame hash."""
     return video_near_dup_pairs(video_frame_dhashes(video_table(spark, sf_dir)))

@@ -80,8 +80,9 @@ _PRIORITY = [
     # across operator families. Displaced rows keep local DuckDB
     # parity coverage in tests/test_oracle_parity.py.
     #
-    # (a) first-ever driver rows (rows-only by nature: candidate-pair
-    # generators with dedicated local recall tests)
+    # (a) first-ever driver rows — newly ORACLED in r5 (pair stage
+    # composed over the dHash oracles), so their first driver signal
+    # is a full hash gate rather than rows-only
     "multimodal_image_neardup",
     "multimodal_video_neardup",
     # (b) first driver rows under a NEW r5 oracle (previously rows-only)
