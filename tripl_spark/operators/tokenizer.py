@@ -128,6 +128,76 @@ def learn_bpe(wc_rows: list[tuple[str, int]], n_merges: int = N_MERGES) -> list[
 
 
 @query(
+    "tokenizer_bpe_2merges",
+    # Two merge rounds are pure arithmetic: round-1 pair stats are the
+    # tokenizer_first_merge aggregation; applying the winning merge
+    # greedily left-to-right IS SQL's literal replace() (non-overlapping,
+    # left-to-right — the same scan learn_bpe does), with chr(1) as the
+    # fused-symbol sentinel; round-2 stats then read 2-symbol windows of
+    # the sentinel-ed strings, tie-breaking on the EXPANDED (left, right)
+    # tuple exactly like the driver loop.
+    oracle=rf"""
+    WITH wc AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+            FROM documents)
+      GROUP BY term
+    ),
+    p1 AS (
+      SELECT pair, sum(cnt) AS weight FROM (
+        SELECT unnest([substring(term, i, 2) for i in range(1, length(term))]) AS pair,
+               cnt
+        FROM wc WHERE length(term) >= 2
+      ) GROUP BY pair
+    ),
+    m1 AS (SELECT pair, weight FROM p1 ORDER BY weight DESC, pair LIMIT 1),
+    w2 AS (
+      SELECT replace(term, (SELECT pair FROM m1), chr(1)) AS term2, cnt FROM wc
+    ),
+    p2 AS (
+      SELECT replace(substring(pair2, 1, 1), chr(1), (SELECT pair FROM m1)) AS left2,
+             replace(substring(pair2, 2, 1), chr(1), (SELECT pair FROM m1)) AS right2,
+             sum(cnt) AS weight
+      FROM (
+        SELECT unnest([substring(term2, i, 2) for i in range(1, length(term2))]) AS pair2,
+               cnt
+        FROM w2 WHERE length(term2) >= 2
+      ) GROUP BY left2, right2
+    ),
+    m2 AS (SELECT left2, right2, weight FROM p2 ORDER BY weight DESC, left2, right2 LIMIT 1)
+    SELECT CAST(1 AS BIGINT) AS rank,
+           substring(pair, 1, 1) AS left, substring(pair, 2, 1) AS right,
+           pair AS merged, CAST(weight AS BIGINT) AS weight
+    FROM m1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT) AS rank, left2 AS left, right2 AS right,
+           left2 || right2 AS merged, CAST(weight AS BIGINT) AS weight
+    FROM m2
+    """,
+    doc="first two BPE merges, hash-gated: pair selection AND greedy "
+    "merge application replayed in SQL (full loop stays in "
+    "tokenizer_bpe_merges)",
+)
+def tokenizer_bpe_2merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first two learned BPE merges — same distributed word-count
+    pass and driver merge loop as ``tokenizer_bpe_merges`` (bounded
+    vocab table), fixed at n=2 so the oracle can replay both the pair
+    argmax and the greedy merge application."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        word_counts(docs)
+        .orderBy(F.desc("cnt"), "term")
+        .limit(MAX_VOCAB)
+        .collect()
+    )
+    merges = learn_bpe([(r["term"], r["cnt"]) for r in wc], n_merges=2)
+    return spark.createDataFrame(
+        [(m["rank"], m["left"], m["right"], m["merged"], m["weight"]) for m in merges],
+        "rank long, left string, right string, merged string, weight long",
+    )
+
+
+@query(
     "tokenizer_bpe_merges",
     doc="Learned BPE merge table (rows-only; iterative — golden-tested "
     "on the classic BPE corpus in tests/test_tokenizer.py)",

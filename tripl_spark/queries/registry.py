@@ -94,6 +94,7 @@ _PRIORITY = [
     "sketch_hll_registers",
     "sketch_quantile_merge",
     "dedup_simhash_oracled",
+    "tokenizer_bpe_2merges",
     # (c) refresh cohort — judge-named first, then family balance
     "q2_min_cost_supplier",
     "q18_large_volume_customers",
@@ -136,7 +137,6 @@ _PRIORITY = [
     "text_lang_id",
     "text_ngram_contamination",
     # similarity / dedup / curation / multimodal refresh
-    "sim_ann_pq",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "curation_stratified_sample",
