@@ -1,0 +1,66 @@
+"""Streaming sketch maintenance ≡ one-shot batch sketches, for any
+micro-batch split, including via a real foreachBatch stream."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tripl_spark.operators.sketches import countmin_table, hll_registers
+from tripl_spark.session import load_table
+from tripl_spark.streaming.sketch_stream import StreamingSketches, _tokens
+
+
+def _cm_map(df):
+    return {(r.row, r.cell): r.n for r in df.collect()}
+
+
+def _hll_map(df):
+    return {r.register: r.max_rho for r in df.collect()}
+
+
+def _docs(spark, sf):
+    return load_table(spark, sf, "documents")
+
+
+def test_any_split_converges_to_batch_sketches(spark, sf_small):
+    docs = _docs(spark, sf_small)
+    sk = StreamingSketches(spark)
+    for i in range(3):
+        sk.process(docs.filter(F.col("doc_id") % 3 == i), batch_id=i)
+    toks = _tokens(docs, "text")
+    assert _cm_map(sk.cm) == _cm_map(countmin_table(toks))
+    assert _hll_map(sk.hll) == _hll_map(hll_registers(toks))
+
+
+def test_replay_is_idempotent(spark, sf_small):
+    docs = _docs(spark, sf_small)
+    sk = StreamingSketches(spark)
+    sk.process(docs, batch_id=0)
+    before = _cm_map(sk.cm), _hll_map(sk.hll)
+    sk.process(docs, batch_id=0)  # failure-recovery replay
+    assert (_cm_map(sk.cm), _hll_map(sk.hll)) == before
+
+
+def test_foreachbatch_stream_matches_batch(spark, sf_small, tmp_path):
+    docs = _docs(spark, sf_small)
+    src = str(tmp_path / "doc_stream")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).select("doc_id", "text").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    schema = docs.select("doc_id", "text").schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    sk = StreamingSketches(spark)
+    q = (
+        stream.writeStream.foreachBatch(sk.process)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(timeout=120)
+    assert not q.isActive
+    toks = _tokens(docs, "text")
+    assert _cm_map(sk.cm) == _cm_map(countmin_table(toks))
+    assert _hll_map(sk.hll) == _hll_map(hll_registers(toks))

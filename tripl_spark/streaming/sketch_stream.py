@@ -1,0 +1,75 @@
+"""Streaming sketch maintenance via ``foreachBatch``: count-min and
+HLL sketches kept current over a document stream.
+
+The batch operators (``operators/sketches.py``) prove the merge
+algebra — count-min cells add, HLL registers max — and this module is
+the streaming consumer of that algebra: each micro-batch is sketched
+in isolation (cost O(batch)) and merged into the maintained state by
+the algebraic rule, so the running sketch after ANY micro-batch split
+equals the one-shot sketch of everything seen (the same
+associativity contract ``streaming/incremental.py`` proves for the
+hypertable layer, here for sub-linear summaries).
+
+At 100 TB this is how sketches stay fresh: the corpus is never
+re-scanned — a day's increment contributes d×w cell deltas /
+m register candidates, and the merge is a groupBy over at most
+sketch-size keys. The state is tiny (d·w + m rows) whatever the
+stream has seen.
+
+In-memory accumulation with batch-id idempotent skip, mirroring
+``StreamingDedup``'s default mode; the sink-backed restart-safe shape
+there applies verbatim (overwrite a ``batch_id=N`` partition of cell
+deltas, aggregate at read) if needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tripl_spark.operators.sketches import countmin_table, hll_registers
+
+
+def _tokens(batch: DataFrame, col: str) -> DataFrame:
+    return batch.select(
+        F.explode(F.split(F.trim(F.lower(F.col(col))), r"\s+")).alias("term")
+    )
+
+
+class StreamingSketches:
+    """Maintains a count-min table and an HLL register table across
+    micro-batches (the ``foreachBatch(sk.process)`` target)."""
+
+    def __init__(self, spark: SparkSession, col: str = "text") -> None:
+        self.spark = spark
+        self.col = col
+        self.cm: DataFrame | None = None
+        self.hll: DataFrame | None = None
+        self._seen: set[int] = set()
+
+    def process(self, batch: DataFrame, batch_id: int) -> None:
+        if batch_id in self._seen:  # in-process replay: idempotent skip
+            return
+        self._seen.add(batch_id)
+        toks = _tokens(batch, self.col)
+        cm_delta = countmin_table(toks)
+        hll_delta = hll_registers(toks)
+        if self.cm is None:
+            self.cm, self.hll = cm_delta, hll_delta
+        else:
+            # the merge rules the batch layer proves associative:
+            # cells ADD, registers MAX
+            self.cm = (
+                self.cm.unionByName(cm_delta)
+                .groupBy("row", "cell")
+                .agg(F.sum("n").alias("n"))
+            )
+            self.hll = (
+                self.hll.unionByName(hll_delta)
+                .groupBy("register")
+                .agg(F.max("max_rho").alias("max_rho"))
+            )
+        # cut lineage so N batches don't stack N plans; state is at most
+        # d*w + m rows, so the checkpoint is trivially cheap
+        self.cm = self.cm.localCheckpoint(eager=True)
+        self.hll = self.hll.localCheckpoint(eager=True)
