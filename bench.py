@@ -69,6 +69,10 @@ HEADLINE = [
     "dedup_incremental_minhash",
     "dedup_substring_spans",
     "text_chunking",
+    # round-5 additions (trained-codebook ANN + the mergeable-sketch
+    # family's quantile representative)
+    "sim_ann_ivf_kmeans",
+    "sketch_quantile_merge",
 ]
 
 

@@ -264,7 +264,10 @@ def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cent = kmeans_2iter_centroids(emb)
+    # the trained codebook (k×d doubles) feeds BOTH the list assignment
+    # and the query probe; materialize it once or the whole training
+    # subtree (assignment pass + 64 avg aggregates) runs twice
+    cent = kmeans_2iter_centroids(emb).localCheckpoint(eager=True)
     lists = _assign_round(emb, cent).select("vec_id", "v", "cid")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     qprobe = (
