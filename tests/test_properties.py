@@ -188,6 +188,35 @@ def test_chunking_covers_every_token_within_width(spark, texts):
             assert ctoks == expected[i * 4 : i * 4 + 6]
 
 
+# -- mergeable quantile summary vs exact ranks on random data ----------------
+
+
+@given(
+    vals=st.lists(st.integers(min_value=-100, max_value=100), min_size=1, max_size=120)
+)
+@settings(**SETTINGS)
+def test_quantile_estimate_rank_bound_random(spark, vals):
+    from tripl_spark.operators.sketches import Q_SAMPLES, Q_SHARDS, quantile_estimates
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "event_id long, value double"
+    )
+    est = {
+        r.q: r.estimate
+        for r in quantile_estimates(df, "value", "event_id", [0.5, 0.9]).collect()
+    }
+    s = sorted(float(v) for v in vals)
+    n = len(s)
+    import bisect
+
+    for q, e in est.items():
+        # the estimate is an actual data value whose global rank is
+        # within the summary's rank-error bound of q*n
+        lo, hi = bisect.bisect_left(s, e), bisect.bisect_right(s, e)
+        slack = n / Q_SAMPLES + Q_SHARDS
+        assert lo - slack <= q * n <= hi + slack, (q, e, lo, hi, n)
+
+
 # -- datalog conjunctive queries vs brute-force evaluation -------------------
 #
 # Random store + random connected conjunctive pattern: TripleStore.q must

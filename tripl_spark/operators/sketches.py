@@ -293,17 +293,27 @@ def sketch_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     with exact integer rank arithmetic on both engines (rank error
     bound asserted in tests/test_sketches.py). The merge runs over
     ≤ (K+1)·shards sample rows, never the raw data."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    return quantile_estimates(ev, "value", "event_id", Q_PROBS)
+
+
+def quantile_estimates(
+    vals: DataFrame, val_col: str, id_col: str, probs: list[float]
+) -> DataFrame:
+    """(q, estimate) — merge the per-shard summaries and pick, for each
+    probe quantile, the first sample whose cumulative weight reaches
+    ceil(q·N). The merge window and the probe join touch only the
+    ≤ (K+1)·shards sample rows."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
-    samples = quantile_summary(ev, "value", "event_id")
+    samples = quantile_summary(vals, val_col, id_col)
     w_glob = Window.orderBy("value", "id").rowsBetween(Window.unboundedPreceding, 0)
     merged = samples.select(
         "value", "id",
         F.sum("weight").over(w_glob).alias("cumw"),
         F.sum("weight").over(Window.partitionBy()).alias("total"),
     )
-    probes = spark.createDataFrame([(p,) for p in Q_PROBS], "q double")
+    probes = vals.sparkSession.createDataFrame([(p,) for p in probs], "q double")
     w_pick = Window.partitionBy("q").orderBy("cumw", "value", "id")
     return (
         F.broadcast(probes)
