@@ -31,11 +31,14 @@ so every search hop is a co-located join. All arithmetic is Catalyst
 higher-order functions (no Python in the row path); iteration uses
 ``localCheckpoint`` to cut lineage exactly like ``plans/graph.py``.
 
-Registered rows-only: the build+search pipeline is deterministic
-(seeded planes, every rank tie-broken by vec_id) but an unrolled SQL
-replica of two join-iterations is not sane DuckDB; recall is instead
-pinned by ``tests/test_graph_ann.py`` (≥0.8 of exact top-k on the
-driver's own sf0.001 embeddings, and on clustered vectors).
+Correctness gating is split: the SEED graph stage (multiprobe
+candidates + exact cosine + top-m) is fully hash-gated via the
+``sim_ann_knn_graph`` oracle; the full build+search pipeline is
+deterministic (seeded planes, every rank tie-broken by vec_id) but an
+unrolled SQL replica of two join-iterations is not sane DuckDB, so
+``sim_ann_hnsw`` registers rows-only with recall pinned by
+``tests/test_graph_ann.py`` (≥0.8 of exact top-k on the driver's own
+sf0.001 embeddings, and on clustered vectors).
 """
 
 from __future__ import annotations
@@ -222,6 +225,73 @@ def beam_search(
             F.round(F.col("cos"), 4).alias("cosine"),
             "rk",
         )
+    )
+
+
+def _seed_graph_oracle() -> str:
+    from tripl_spark.operators.similarity import _bucket_sql
+
+    bucket = _bucket_sql("embedding::DOUBLE[]")
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(N_PLANES)]
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, {bucket} AS bucket
+      FROM embeddings
+    ),
+    probes AS (
+      SELECT vec_id AS src, v AS sv,
+             unnest(list_value({probe_list})) AS pb
+      FROM e
+    ),
+    cand AS (
+      SELECT p.src, e.vec_id AS dst,
+             round(list_cosine_similarity(p.sv, e.v), 4) AS cosine
+      FROM probes p JOIN e ON p.pb = e.bucket AND p.src <> e.vec_id
+    )
+    SELECT src, dst, cosine, CAST(rk AS INT) AS rk FROM (
+      SELECT src, dst, cosine,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY cosine DESC, dst) AS rk
+      FROM cand
+    ) WHERE rk <= {M_NEIGHBORS}
+    """
+
+
+@query(
+    "sim_ann_knn_graph",
+    oracle=_seed_graph_oracle(),
+    doc="the graph-ANN family's hash-gated building block: the "
+    "multiprobe-LSH seed k-NN graph (candidate generation + exact "
+    "cosine ranking + top-m) replayed edge-for-edge in SQL; the "
+    "NN-descent refinement and beam search on top stay recall-tested "
+    "in sim_ann_hnsw",
+)
+def sim_ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, cosine, rk) — the seed k-NN graph ``knn_graph``
+    starts from: every node meets its multiprobe bucket mates, exact
+    cosine ranks them, top-m survive. Same candidate bound as the
+    production build (~(1+planes)/2^planes of the corpus per node,
+    never all-pairs); scored with the JVM cosine so the SQL oracle
+    reproduces every edge."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    e = emb.withColumn("bucket", bucket_key(F.col("v")))
+    probes = _multiprobe(e).select(
+        F.col("vec_id").alias("src"), F.col("v").alias("sv"), "pb"
+    )
+    cand = probes.join(
+        e.select(F.col("vec_id").alias("dst"), F.col("v").alias("dv"), "bucket"),
+        (F.col("pb") == F.col("bucket")) & (F.col("src") != F.col("dst")),
+    ).select(
+        "src", "dst", F.round(cosine(F.col("sv"), F.col("dv")), 4).alias("cosine")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), "dst")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= M_NEIGHBORS)
     )
 
 

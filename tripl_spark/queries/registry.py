@@ -95,6 +95,7 @@ _PRIORITY = [
     "sketch_quantile_merge",
     "dedup_simhash_oracled",
     "tokenizer_bpe_2merges",
+    "sim_ann_knn_graph",
     # (c) refresh cohort — judge-named first, then family balance
     "q2_min_cost_supplier",
     "q18_large_volume_customers",
@@ -140,7 +141,6 @@ _PRIORITY = [
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "curation_stratified_sample",
-    "multimodal_metadata",
 ]
 
 
