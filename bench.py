@@ -73,6 +73,13 @@ HEADLINE = [
     # family's quantile representative)
     "sim_ann_ivf_kmeans",
     "sketch_quantile_merge",
+    # round-5b additions: heavy hitters (local-top-k merge) and
+    # SemDeDup-style semantic dedup — the two with real data-path
+    # cost; the sliding window / weighted sample / bigram LM are
+    # single-shuffle or scan-shaped and already covered by the same
+    # patterns above
+    "sketch_heavy_hitters",
+    "dedup_semantic_clusters",
 ]
 
 

@@ -8,7 +8,13 @@ import random
 import pytest
 from pyspark.sql import functions as F
 
-from tripl_spark.operators.clustering import kmeans_assign, kmeans_fit
+from tripl_spark.operators.clustering import (
+    _assign_round,
+    kmeans_2iter_centroids,
+    kmeans_assign,
+    kmeans_fit,
+)
+from tripl_spark.session import load_table
 
 
 @pytest.fixture(scope="module")
@@ -57,3 +63,40 @@ def test_registered_query_runs(spark, sf_small):
     out = REGISTRY["cluster_kmeans_embeddings"].fn(spark, sf_small).collect()
     assert len(out) >= 1
     assert sum(r.n_vectors for r in out) > 0
+
+
+def test_semantic_dedup_matches_within_cluster_bruteforce(spark, sf_small):
+    """Every emitted pair is same-cluster with cosine >= threshold, and
+    no qualifying same-cluster pair is missed (exact within clusters)."""
+    import itertools
+    import math
+
+    from tripl_spark.operators.clustering import SEM_THRESHOLD
+    from tripl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    got = {
+        (r.id_a, r.id_b): (r.cid, r.cosine)
+        for r in REGISTRY["dedup_semantic_clusters"].fn(spark, sf_small).collect()
+    }
+    emb = load_table(spark, sf_small, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = kmeans_2iter_centroids(emb)
+    assigned = {
+        r.vec_id: (r.cid, r.v) for r in _assign_round(emb, cent).collect()
+    }
+    expect = {}
+    for (ia, (ca, va)), (ib, (cb, vb)) in itertools.combinations(
+        sorted(assigned.items()), 2
+    ):
+        if ca != cb:
+            continue
+        dot = sum(x * y for x, y in zip(va, vb))
+        cos = round(dot / math.sqrt(sum(x * x for x in va) * sum(y * y for y in vb)), 4)
+        if cos >= SEM_THRESHOLD:
+            expect[(ia, ib)] = ca
+    assert set(got) == set(expect)
+    for pair, (cid, cos) in got.items():
+        assert cid == expect[pair]
+        assert cos >= SEM_THRESHOLD

@@ -106,3 +106,35 @@ def test_quantile_probe_is_broadcast_nested_loop(spark, sf_small):
     # sample rows, never a sort-merge over raw data
     plan = _plan(spark, sf_small, "sketch_quantile_merge")
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_heavy_hitter_counts_are_partial_aggs(spark, sf_small):
+    # the (shard, term) count — the only full-data shuffle — must
+    # map-side combine; everything downstream operates on summary rows
+    plan = _plan(spark, sf_small, "sketch_heavy_hitters")
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_semantic_dedup_pairs_only_within_clusters(spark, sf_small):
+    # the pair stage must be an equi-join on cid (never a corpus
+    # cross-product), and the trained codebook must broadcast for
+    # assignment
+    plan = _plan(spark, sf_small, "dedup_semantic_clusters")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_small):
+    # global top-k must plan TakeOrderedAndProject (per-partition
+    # heaps), not a full sort of the corpus
+    plan = _plan(spark, sf_small, "curation_weighted_sample")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan, plan
+
+
+def test_bigram_count_tables_broadcast(spark, sf_small):
+    # both LM count tables are vocabulary-sized and must broadcast
+    # back onto the bigram stream — the corpus never shuffles by doc
+    # for the scoring join
+    plan = _plan(spark, sf_small, "text_bigram_logprob")
+    assert plan.count("BroadcastHashJoin") >= 2, plan

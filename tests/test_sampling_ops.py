@@ -1,0 +1,52 @@
+"""Property tests for the round-5b pipeline additions: weighted
+sampling bias and bigram-LM ordering — properties the DuckDB hash
+parity (tests/test_oracle_parity.py) can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tripl_spark.queries.registry import REGISTRY, _ensure_loaded
+from tripl_spark.session import load_table
+
+_ensure_loaded()
+
+
+def test_weighted_sample_prefers_long_documents(spark, sf_small):
+    """Priority = hash/weight with weight = n_chars: the drawn sample's
+    mean length must exceed the corpus mean (weighting works), and the
+    draw must be reproducible."""
+    docs = load_table(spark, sf_small, "documents")
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    s1 = REGISTRY["curation_weighted_sample"].fn(spark, sf_small).collect()
+    s2 = REGISTRY["curation_weighted_sample"].fn(spark, sf_small).collect()
+    assert [r.doc_id for r in s1] == [r.doc_id for r in s2]  # deterministic
+    sample_mean = sum(r.n_chars for r in s1) / len(s1)
+    assert sample_mean > corpus_mean
+
+
+def test_bigram_logprob_ranks_repetitive_text_higher(spark):
+    """A document made of one repeated corpus-frequent bigram must
+    out-score a document of unique bigrams under the corpus bigram LM."""
+    from tripl_spark.operators.text import text_bigram_logprob  # noqa: F401  (registry entry)
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat " * 20),
+            (2, "aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp"),
+            (3, "the cat sat"),
+        ],
+        "doc_id long, text string",
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r.doc_id: r.avg_logprob
+            for r in REGISTRY["text_bigram_logprob"].fn(spark, d).collect()
+        }
+    # repeated frequent bigram > known-bigram tail doc > all-unique doc
+    assert out[1] > out[3] > out[2]
+    for v in out.values():
+        assert v < 0

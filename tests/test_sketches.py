@@ -144,3 +144,19 @@ def test_hll_estimate_within_error_envelope(spark, sf_small):
     # raw-HLL std error is 1.04/sqrt(64) ~ 13%; allow 3 sigma (this
     # variant skips the small/large-range bias corrections)
     assert abs(est - truth) / truth < 0.40, (est, truth)
+
+
+def test_heavy_hitters_lower_bound_and_exact_when_everywhere(spark, sf_small):
+    from tripl_spark.operators.sketches import HH_SHARDS, HH_TOP
+
+    rows = REGISTRY["sketch_heavy_hitters"].fn(spark, sf_small).collect()
+    assert len(rows) == HH_TOP
+    for r in rows:
+        # merged summary counts are a lower bound of the true count...
+        assert r.hh_estimate <= r.true_count, r
+        assert 1 <= r.n_shards <= HH_SHARDS, r
+        # ...and exact when the term survived every shard's local top-k
+        if r.n_shards == HH_SHARDS:
+            assert r.hh_estimate == r.true_count, r
+    # the very top of the distribution must be everywhere-exact
+    assert rows[0].n_shards == HH_SHARDS

@@ -322,3 +322,72 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("dist2"), 4).alias("mean_dist2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style): cluster, then near-dup only within
+# clusters
+# ---------------------------------------------------------------------------
+
+SEM_THRESHOLD = 0.4
+
+
+@query(
+    "dedup_semantic_clusters",
+    # Trained-cluster assignment = the same `lists` relation the
+    # IVF-kmeans oracle builds; the pair stage is a self-join on cid
+    # with the rounded cosine compared AFTER rounding on both engines
+    # so a boundary value can't flip membership.
+    oracle=f"""
+    WITH {KMEANS2_CTES},
+    lists AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c1.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_sum([ (e.v[i]-c1.cv[i])*(e.v[i]-c1.cv[i])
+                                           for i in range(1, {EMB_DIM} + 1) ]), 4),
+                          c1.cid) AS rn
+        FROM e CROSS JOIN c1
+      ) WHERE rn = 1
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cid,
+           round(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
+    FROM lists a
+    JOIN lists b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    JOIN e ea ON ea.vec_id = a.vec_id
+    JOIN e eb ON eb.vec_id = b.vec_id
+    WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= {SEM_THRESHOLD}
+    """,
+    doc="SemDeDup-style semantic dedup: k-means-trained cluster "
+    "assignment bounds the candidate space; exact cosine only within "
+    "clusters — fully hash-gated (train + assign + pair + score in SQL)",
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs a la SemDeDup (Abbas et al. 2023,
+    arXiv:2303.09540): assign every embedding to its k-means-trained
+    cluster, compute exact pairwise cosine ONLY within clusters, and
+    keep pairs above SEM_THRESHOLD. Emits (id_a, id_b, cid, cosine);
+    the pair list feeds the same connected-components canonicalizer
+    exact/MinHash dedup uses (operators/dedup_groups.py) to pick
+    keepers.
+
+    100 TB shape: the codebook (k×d) broadcasts for assignment — the
+    corpus shuffles ONCE on cid for the self-join; within-cluster
+    all-pairs cost is Σ|cluster|², bounded by choosing k ≈ n/1000 in
+    production so clusters stay ~10³ vectors (here k=8 matches the
+    oracled trainer). Degenerate clusters get capped the same way LSH
+    buckets do. No all-pairs over the corpus ever materializes."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = kmeans_2iter_centroids(emb).localCheckpoint(eager=True)
+    lists = _assign_round(emb, cent).select("vec_id", "v", "cid")
+    a = lists.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "cid")
+    b = lists.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "cid")
+    return (
+        a.join(b, ["cid"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cosine") >= SEM_THRESHOLD)
+        .select("id_a", "id_b", "cid", "cosine")
+    )

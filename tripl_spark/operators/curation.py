@@ -172,3 +172,55 @@ def curation_redacted_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_entities"),
     )
+
+
+WS_TOP = 100  # weighted-sample size
+
+
+@query(
+    "curation_weighted_sample",
+    # Priority = (hash60(doc_id)+1) DIV n_chars — pure BIGINT
+    # arithmetic (no doubles anywhere), so the ordering and hence the
+    # LIMIT contents are engine-exact. The u^(1/w) exponential-keys
+    # form of weighted sampling would hit pow() rounding skew, and
+    # even plain double division rounds differently once round(x, n)
+    # is applied to 1e14-magnitude values.
+    oracle=f"""
+    SELECT doc_id, source, n_chars, pri AS priority
+    FROM (
+      SELECT doc_id, source, n_chars,
+             (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+              + 1) // n_chars AS pri
+      FROM documents
+    )
+    ORDER BY pri, doc_id LIMIT {WS_TOP}
+    """,
+)
+def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (sequential
+    Poisson / Ohlsson scheme): priority = uniform-hash / weight, keep
+    the WS_TOP smallest — longer documents (weight = n_chars) are
+    proportionally more likely to be drawn, and the draw is
+    reproducible run-to-run because the uniform comes from md5(doc_id)
+    rather than a RNG. Integer division stands in for real division:
+    it only coarsens ties (broken by doc_id), keeps the scheme's
+    weighting, and is bit-exact across engines.
+
+    100 TB shape: priority is a scan-side expression; the global top-k
+    executes as TakeOrderedAndProject (per-partition heaps merged at
+    the driver, k rows each) — no full sort, no shuffle of the
+    corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    # DIV (integral division) exists only in SQL expression syntax;
+    # hash60 exceeds 2^53, so floor(double-division) could be off by
+    # one ulp — this must stay in BIGINT arithmetic end-to-end
+    pri = F.expr(
+        "(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+        " + 1L) DIV n_chars"
+    )
+    return (
+        docs.withColumn("pri", pri)
+        .orderBy("pri", "doc_id")
+        .limit(WS_TOP)
+        .select("doc_id", "source", "n_chars", F.col("pri").alias("priority"))
+    )

@@ -464,3 +464,118 @@ def sketch_countmin_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = truth.orderBy(F.desc("true_count"), "term").limit(20)
     est = countmin_estimate(sketch, top.select("term"))
     return top.join(est, "term").select("term", "true_count", "cm_estimate")
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: per-shard truncated summaries, algebraic merge
+# ---------------------------------------------------------------------------
+
+HH_SHARDS = 8
+HH_LOCAL_K = 200  # summary size kept per shard (the SpaceSaving "k")
+HH_TOP = 25  # heavy hitters reported
+
+
+def _shard_of(doc_id: F.Column) -> F.Column:
+    h = F.conv(F.substring(F.md5(doc_id.cast("string")), 1, 15), 16, 10)
+    return F.pmod(h.cast("long"), F.lit(HH_SHARDS))
+
+
+def heavy_hitter_summaries(
+    tokens: DataFrame, shard_col: str = "shard", term_col: str = "term"
+) -> DataFrame:
+    """(shard, term, c) — each shard's exact term counts truncated to
+    its HH_LOCAL_K most frequent terms (count desc, term tie-break).
+
+    This is the mergeable-summary shape of Misra-Gries / SpaceSaving:
+    a BOUNDED table per shard regardless of vocabulary size. The
+    truncation here keeps top-k by count (deterministic, so the DuckDB
+    oracle replays it exactly) rather than MG's decrement rule; the
+    guarantee is the standard local-top-k one — any term whose global
+    frequency exceeds the sum of the shards' k-th-place counts
+    appears in at least one summary (tests/test_sketches.py pins the
+    lower-bound property and exactness on in-all-summaries terms)."""
+    from pyspark.sql import Window
+
+    counts = tokens.groupBy(shard_col, term_col).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = Window.partitionBy(shard_col).orderBy(F.desc("c"), term_col)
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= HH_LOCAL_K)
+        .drop("rk")
+    )
+
+
+def heavy_hitter_merge(summaries: DataFrame, term_col: str = "term") -> DataFrame:
+    """(term, hh_estimate, n_shards) — cell-wise merge of per-shard
+    summaries: sum the surviving counts. The estimate is a LOWER bound
+    of the true frequency (a shard where the term fell below its local
+    top-k contributes 0); n_shards says how many summaries carried it,
+    so n_shards = HH_SHARDS ⇒ the estimate is exact."""
+    return summaries.groupBy(term_col).agg(
+        F.sum("c").cast("long").alias("hh_estimate"),
+        F.count(F.lit(1)).cast("long").alias("n_shards"),
+    )
+
+
+@query(
+    "sketch_heavy_hitters",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % {HH_SHARDS} AS shard,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ),
+    local AS (
+      SELECT shard, term, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY shard, term
+    ),
+    summaries AS (
+      SELECT shard, term, c FROM (
+        SELECT *, row_number() OVER (PARTITION BY shard ORDER BY c DESC, term) AS rk
+        FROM local
+      ) WHERE rk <= {HH_LOCAL_K}
+    ),
+    merged AS (
+      SELECT term, CAST(sum(c) AS BIGINT) AS hh_estimate,
+             CAST(count(*) AS BIGINT) AS n_shards
+      FROM summaries GROUP BY term
+    ),
+    truth AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS true_count FROM tok GROUP BY term
+    )
+    SELECT m.term, t.true_count, m.hh_estimate, m.n_shards
+    FROM merged m JOIN truth t USING (term)
+    ORDER BY m.hh_estimate DESC, m.term LIMIT {HH_TOP}
+    """,
+)
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed heavy hitters by local-top-k-then-merge: shard the
+    corpus deterministically by doc id, keep each shard's top
+    HH_LOCAL_K term counts (the bounded SpaceSaving-style summary),
+    merge summaries by summation, report the top HH_TOP terms with
+    their true counts alongside the merged estimate.
+
+    100 TB shape: the only full-data shuffle is the (shard, term)
+    groupBy, which map-side-combines; the per-shard top-k window runs
+    over vocabulary-sized count tables, not the corpus; everything
+    after operates on ≤ HH_SHARDS × HH_LOCAL_K rows. In production
+    HH_SHARDS tracks the executor count and summaries persist per
+    ingest batch, merging across days exactly like the count-min
+    table. The truth join is the evaluation harness (same pattern as
+    sketch_countmin_terms) — at scale you'd skip it."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        _shard_of(F.col("doc_id")).alias("shard"),
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    )
+    merged = heavy_hitter_merge(heavy_hitter_summaries(tokens))
+    truth = tokens.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("true_count"))
+    return (
+        merged.join(truth, "term")
+        .select("term", "true_count", "hh_estimate", "n_shards")
+        .orderBy(F.desc("hh_estimate"), "term")
+        .limit(HH_TOP)
+    )

@@ -300,3 +300,78 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_words.alias("n_words"),
         F.round(n_bpe * 1.0 / n_words, 4).alias("tokens_per_word"),
     )
+
+
+BIGRAM_ALPHA = 0.5  # add-k smoothing constant
+
+
+@query(
+    "text_bigram_logprob",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id,
+             unnest([ t[i] || ' ' || t[i+1] for i in range(1, len(t)) ]) AS bg
+      FROM toks
+    ),
+    uni AS (
+      SELECT unnest(t) AS term FROM toks
+    ),
+    c1 AS (SELECT term, count(*) AS c FROM uni GROUP BY term),
+    c2 AS (SELECT bg, count(*) AS c FROM big GROUP BY bg),
+    v AS (SELECT count(DISTINCT term) AS vsz FROM uni)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(sum(ln((c2.c + {BIGRAM_ALPHA})
+                        / (c1.c + {BIGRAM_ALPHA} * v.vsz))) / count(*), 4)
+             AS avg_logprob
+    FROM big
+    JOIN c2 USING (bg)
+    JOIN c1 ON c1.term = string_split(big.bg, ' ')[1]
+    CROSS JOIN v
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram-LM quality signal with add-k smoothing: each
+    document's mean log p(w2 | w1) where p = (c(w1 w2) + a) /
+    (c(w1) + a*V) over corpus counts — one step up the n-gram ladder
+    from ``text_unigram_logprob`` and the cheap stand-in for
+    perplexity-based filtering (CCNet-style).
+
+    Shuffle shape at 100 TB: the bigram stream shuffles once to count
+    bigrams and once per doc-aggregation; both count tables broadcast
+    back onto the stream (vocabulary-sized, not corpus-sized). Docs
+    with fewer than two tokens produce no bigrams and drop out on
+    both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t"))
+    # guard: sequence(0, -1) runs DESCENDING in Spark, so a 1-token doc
+    # would fabricate bigrams; DuckDB's range(1, 1) is empty
+    big = toks.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))")
+        ).alias("bg"),
+    )
+    uni = toks.select(F.explode("t").alias("term"))
+    c1 = uni.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    vsz = uni.select(F.countDistinct("term")).first()[0]
+    prev = F.split(F.col("bg"), " ")[0]
+    return (
+        big.join(F.broadcast(c2), "bg")
+        .withColumn("term", prev)
+        .join(F.broadcast(c1), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(F.log((F.col("c2") + BIGRAM_ALPHA) / (F.col("c1") + BIGRAM_ALPHA * vsz)))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_logprob"),
+        )
+    )

@@ -96,6 +96,13 @@ _PRIORITY = [
     "dedup_simhash_oracled",
     "tokenizer_bpe_2merges",
     "sim_ann_knn_graph",
+    # (b2) NEW operators added late in r5 — first driver rows, all
+    # fully oracled (heavy hitters, SemDeDup, bigram LM, weighted
+    # sampling)
+    "sketch_heavy_hitters",
+    "dedup_semantic_clusters",
+    "text_bigram_logprob",
+    "curation_weighted_sample",
     # (c) refresh cohort — judge-named first, then family balance
     "q2_min_cost_supplier",
     "q18_large_volume_customers",
