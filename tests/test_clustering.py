@@ -100,3 +100,18 @@ def test_semantic_dedup_matches_within_cluster_bruteforce(spark, sf_small):
     for pair, (cid, cos) in got.items():
         assert cid == expect[pair]
         assert cos >= SEM_THRESHOLD
+
+
+def test_semantic_dedup_max_cluster_cap(spark):
+    """Clusters above the cap are dropped from the pair stage; capped
+    output is exactly the uncapped output minus the fat cluster."""
+    from tripl_spark.operators.clustering import semantic_dedup_pairs
+
+    # cid 0: 6 identical vectors (a degenerate blob), cid 1: 2 identical
+    rows = [(i, [1.0, 0.0], 0) for i in range(6)] + [(10, [0.0, 1.0], 1), (11, [0.0, 1.0], 1)]
+    assigned = spark.createDataFrame(rows, "vec_id long, v array<double>, cid int")
+    uncapped = semantic_dedup_pairs(assigned, threshold=0.9)
+    capped = semantic_dedup_pairs(assigned, threshold=0.9, max_cluster=5)
+    assert uncapped.count() == 15 + 1  # C(6,2) + C(2,2)
+    got = [(r.id_a, r.id_b) for r in capped.collect()]
+    assert got == [(10, 11)]

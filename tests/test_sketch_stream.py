@@ -64,3 +64,51 @@ def test_foreachbatch_stream_matches_batch(spark, sf_small, tmp_path):
     toks = _tokens(docs, "text")
     assert _cm_map(sk.cm) == _cm_map(countmin_table(toks))
     assert _hll_map(sk.hll) == _hll_map(hll_registers(toks))
+
+
+def test_streaming_heavy_hitters_bounds_and_top_exactness(spark, sf_small):
+    """Streamed heavy-hitter estimates are lower bounds of the true
+    counts, exact on the head of the distribution, and replay-
+    idempotent; state stays bounded at shards x state_k rows."""
+    from tripl_spark.operators.sketches import (
+        HH_LOCAL_K,
+        HH_SHARDS,
+        _shard_of,
+        heavy_hitter_merge,
+        heavy_hitter_summaries,
+    )
+    from tripl_spark.streaming.sketch_stream import StreamingHeavyHitters
+
+    docs = _docs(spark, sf_small).select("doc_id", "text")
+    hh = StreamingHeavyHitters(spark)
+    for i in range(3):
+        hh.process(docs.filter(F.col("doc_id") % 3 == i), batch_id=i)
+    assert hh.state.count() <= HH_SHARDS * hh.state_k
+
+    streamed = {r.term: r.hh_estimate for r in hh.heavy_hitters().collect()}
+
+    toks = docs.select(
+        _shard_of(F.col("doc_id")).alias("shard"),
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    )
+    truth = {
+        r.term: r.c
+        for r in toks.groupBy("term").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    oneshot = {
+        r.term: r.hh_estimate
+        for r in heavy_hitter_merge(heavy_hitter_summaries(toks)).collect()
+    }
+    for term, est in streamed.items():
+        assert est <= truth[term], term  # lower bound always
+    # the head of the distribution never leaves any shard's state, so
+    # the streamed estimate must equal the one-shot summary estimate
+    top = sorted(oneshot, key=lambda t: (-oneshot[t], t))[:10]
+    for term in top:
+        assert streamed.get(term) == oneshot[term], term
+
+    # replay idempotence
+    before = dict(streamed)
+    hh.process(docs.filter(F.col("doc_id") % 3 == 0), batch_id=0)
+    after = {r.term: r.hh_estimate for r in hh.heavy_hitters().collect()}
+    assert after == before

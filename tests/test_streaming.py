@@ -12,6 +12,7 @@ from tripl_spark.streaming.events import (
     read_events_stream,
     run_to_memory,
     session_aggregates,
+    sliding_counts,
     stream_facts,
 )
 
@@ -25,6 +26,13 @@ def test_streaming_hourly_equals_batch(spark, sf_small):
     stream = read_events_stream(spark, sf_small)
     streamed = run_to_memory(hourly_counts(stream), "hourly_stream").toPandas()
     batch = all_queries()["events_hourly_tumbling"](spark, sf_small).toPandas()
+    pd.testing.assert_frame_equal(_canon(streamed), _canon(batch))
+
+
+def test_streaming_sliding_equals_batch(spark, sf_small):
+    stream = read_events_stream(spark, sf_small)
+    streamed = run_to_memory(sliding_counts(stream), "sliding_stream").toPandas()
+    batch = all_queries()["events_sliding_hourly"](spark, sf_small).toPandas()
     pd.testing.assert_frame_equal(_canon(streamed), _canon(batch))
 
 

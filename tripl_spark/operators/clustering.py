@@ -332,6 +332,49 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEM_THRESHOLD = 0.4
 
 
+def semantic_dedup_pairs(
+    assigned: DataFrame,
+    threshold: float = SEM_THRESHOLD,
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, cid, cosine) — within-cluster cosine pairs above
+    ``threshold`` from an ``assigned`` frame of (vec_id, v, cid).
+
+    ``max_cluster`` drops clusters bigger than the cap before the pair
+    join — the same degenerate-bucket guard the MinHash LSH path
+    applies (a near-duplicate blob or an under-trained codebook can
+    funnel a corpus slice into one cid, whose pair stage would expand
+    quadratically). Norms are computed once per vector before the
+    join; each pair then does a single dot product."""
+    from tripl_spark.operators.similarity import dot, norm
+
+    lists = assigned.select("vec_id", "v", "cid", norm(F.col("v")).alias("nrm"))
+    if max_cluster is not None:
+        small = (
+            lists.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_cluster)
+            .select("cid")
+        )
+        lists = lists.join(F.broadcast(small), "cid")
+    a = lists.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "cid"
+    )
+    b = lists.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "cid"
+    )
+    return (
+        a.join(b, ["cid"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cid", "cosine")
+    )
+
+
 @query(
     "dedup_semantic_clusters",
     # Trained-cluster assignment = the same `lists` relation the
@@ -375,19 +418,18 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus shuffles ONCE on cid for the self-join; within-cluster
     all-pairs cost is Σ|cluster|², bounded by choosing k ≈ n/1000 in
     production so clusters stay ~10³ vectors (here k=8 matches the
-    oracled trainer). Degenerate clusters get capped the same way LSH
-    buckets do. No all-pairs over the corpus ever materializes."""
+    oracled trainer). ``semantic_dedup_pairs(max_cluster=...)`` is the
+    degenerate-cluster cap for production (the registered query runs
+    uncapped so the oracle enumerates identical pairs; with k=8 on
+    this data no cluster is degenerate). Norms are computed once per
+    vector before the pair join — recomputing them per pair tripled
+    the array work (measured ~2x wall-clock on the sf0.1 pair stage);
+    sqrt(dot(v,v)) reused is bit-identical, so the oracle's
+    list_cosine_similarity still hash-matches. No all-pairs over the
+    corpus ever materializes."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     cent = kmeans_2iter_centroids(emb).localCheckpoint(eager=True)
-    lists = _assign_round(emb, cent).select("vec_id", "v", "cid")
-    a = lists.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "cid")
-    b = lists.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "cid")
-    return (
-        a.join(b, ["cid"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 4))
-        .filter(F.col("cosine") >= SEM_THRESHOLD)
-        .select("id_a", "id_b", "cid", "cosine")
-    )
+    assigned = _assign_round(emb, cent).select("vec_id", "v", "cid")
+    return semantic_dedup_pairs(assigned)

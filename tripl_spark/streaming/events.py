@@ -73,6 +73,25 @@ def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def sliding_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked SLIDING window (1 hour / 15-minute slide) counts per
+    event type — the streaming twin of the batch ``events_sliding_hourly``
+    query; each event lands in exactly 4 overlapping windows, carried
+    through the watermark as the same Expand fan-out the batch plan
+    uses."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def session_aggregates(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Native session windows: per-user sessions closed after `gap` of
     inactivity (streaming equivalent of the batch lag/cumsum query)."""

@@ -73,3 +73,99 @@ class StreamingSketches:
         # d*w + m rows, so the checkpoint is trivially cheap
         self.cm = self.cm.localCheckpoint(eager=True)
         self.hll = self.hll.localCheckpoint(eager=True)
+
+
+class StreamingHeavyHitters:
+    """Maintains per-shard truncated term-count summaries (the
+    ``operators/sketches.heavy_hitter_summaries`` shape) across
+    micro-batches.
+
+    The merge is summation of partial counts — exact while a term stays
+    in its shard's state — followed by re-truncation to ``state_k``
+    rows per shard, so state stays bounded at shards × state_k rows
+    whatever the stream has seen. ``state_k`` over-provisions the
+    read-time summary size (4× by default): a term must fall below a
+    shard's top ``state_k`` in EVERY window of batches to lose mass, so
+    estimates stay exact for everything near the top and remain lower
+    bounds everywhere (tests/test_sketch_stream.py pins both against
+    the one-shot batch summaries)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        id_col: str = "doc_id",
+        col: str = "text",
+        state_k: int | None = None,
+    ) -> None:
+        from tripl_spark.operators.sketches import HH_LOCAL_K
+
+        self.spark = spark
+        self.id_col = id_col
+        self.col = col
+        self.state_k = state_k or 4 * HH_LOCAL_K
+        self.state: DataFrame | None = None  # (shard, term, c)
+        self._seen: set[int] = set()
+
+    def _sharded_tokens(self, batch: DataFrame) -> DataFrame:
+        from tripl_spark.operators.sketches import _shard_of
+
+        return batch.select(
+            _shard_of(F.col(self.id_col)).alias("shard"),
+            F.explode(
+                F.split(F.trim(F.lower(F.col(self.col))), r"\s+")
+            ).alias("term"),
+        )
+
+    def _truncate(self, counts: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("shard").orderBy(F.desc("c"), "term")
+        return (
+            counts.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= self.state_k)
+            .drop("rk")
+        )
+
+    def process(self, batch: DataFrame, batch_id: int) -> None:
+        if batch_id in self._seen:  # in-process replay: idempotent skip
+            return
+        self._seen.add(batch_id)
+        delta = (
+            self._sharded_tokens(batch)
+            .groupBy("shard", "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        merged = (
+            delta
+            if self.state is None
+            else self.state.unionByName(delta)
+            .groupBy("shard", "term")
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
+        # bounded state: shards × state_k rows, checkpointed so N
+        # batches don't stack N plans
+        self.state = self._truncate(merged).localCheckpoint(eager=True)
+
+    def summaries(self) -> DataFrame | None:
+        """Read-time summaries truncated to the batch operator's
+        HH_LOCAL_K — directly comparable to
+        ``heavy_hitter_summaries`` over everything seen."""
+        from pyspark.sql import Window
+
+        from tripl_spark.operators.sketches import HH_LOCAL_K
+
+        if self.state is None:
+            return None
+        w = Window.partitionBy("shard").orderBy(F.desc("c"), "term")
+        return (
+            self.state.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= HH_LOCAL_K)
+            .drop("rk")
+        )
+
+    def heavy_hitters(self) -> DataFrame | None:
+        """(term, hh_estimate, n_shards) over everything seen."""
+        from tripl_spark.operators.sketches import heavy_hitter_merge
+
+        s = self.summaries()
+        return None if s is None else heavy_hitter_merge(s)
