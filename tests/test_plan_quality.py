@@ -138,3 +138,19 @@ def test_bigram_count_tables_broadcast(spark, sf_small):
     # for the scoring join
     plan = _plan(spark, sf_small, "text_bigram_logprob")
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_semantic_pipeline_antijoin_broadcasts(spark, sf_small):
+    # the dropped-id list (distinct pair projection, << corpus) must
+    # broadcast into the survivors anti-join; the pipeline's only
+    # corpus-sized shuffle is the doc⋈embedding equi-join
+    plan = _plan(spark, sf_small, "pipeline_semantic_curation")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_token_budget_mixing_broadcasts_tiny_tables(spark, sf_small):
+    # bucket offsets (sources x buckets rows) and per-source budgets
+    # (sources rows) must broadcast onto the corpus-sized stream; the
+    # prefix-sum windows are the only shuffles of real data
+    plan = _plan(spark, sf_small, "mixing_token_budget")
+    assert plan.count("BroadcastHashJoin") >= 2, plan

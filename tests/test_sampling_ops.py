@@ -50,3 +50,35 @@ def test_bigram_logprob_ranks_repetitive_text_higher(spark):
     assert out[1] > out[3] > out[2]
     for v in out.values():
         assert v < 0
+
+
+def test_token_budget_greedy_prefix_is_maximal(spark, sf_small):
+    """Per source: selected docs are a prefix of the hash order, their
+    token total fits the budget, and the first excluded doc would
+    exceed it (greedy maximality)."""
+    from tripl_spark.operators.curation import _md5_hash60
+    from tripl_spark.operators.mixing import mixing_token_budget
+
+    out = mixing_token_budget(spark, sf_small).toPandas()
+    docs = (
+        load_table(spark, sf_small, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+            _md5_hash60(F.col("doc_id").cast("string")).alias("h"),
+        )
+        .toPandas()
+    )
+    budgets = out.groupby("source")["budget_tokens"].first()
+    for src, grp in docs.groupby("source"):
+        order = grp.sort_values(["h", "doc_id"]).reset_index(drop=True)
+        chosen = set(out[out.source == src].doc_id)
+        cum, expect = 0, set()
+        for r in order.itertuples():
+            if cum + r.n_tokens <= budgets[src]:
+                cum += r.n_tokens
+                expect.add(r.doc_id)
+            else:
+                break  # greedy PREFIX: stop at the first overflow
+        assert chosen == expect, src

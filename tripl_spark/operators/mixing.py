@@ -112,3 +112,113 @@ def mixing_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket.alias("bucket"),
         F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").alias("split"),
     )
+
+
+TOKEN_BUDGET = 10_000  # total training tokens in the mix
+PFX_BUCKETS = 32  # order-range buckets for the two-level prefix sum
+_BUCKET_DIV = (1 << 60) // PFX_BUCKETS  # hash60 range per bucket (exact)
+
+
+@query(
+    "mixing_token_budget",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      FROM documents
+    ),
+    totals AS (SELECT source, sum(n_tokens) AS src_tokens FROM toks GROUP BY source),
+    z AS (SELECT sum(power(src_tokens, {ALPHA})) AS z FROM totals),
+    budget AS (
+      SELECT source,
+             CAST(floor({TOKEN_BUDGET} * power(src_tokens, {ALPHA}) / z) AS BIGINT)
+               AS budget_tokens
+      FROM totals, z
+    ),
+    bucketed AS (SELECT *, h // {_BUCKET_DIV} AS bkt FROM toks),
+    bucket_sums AS (
+      SELECT source, bkt, sum(n_tokens) AS bkt_tokens
+      FROM bucketed GROUP BY source, bkt
+    ),
+    offsets AS (
+      SELECT source, bkt,
+             CAST(coalesce(sum(bkt_tokens) OVER (
+               PARTITION BY source ORDER BY bkt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS bkt_offset
+      FROM bucket_sums
+    ),
+    running AS (
+      SELECT b.doc_id, b.source, b.n_tokens,
+             CAST(o.bkt_offset + sum(b.n_tokens) OVER (
+               PARTITION BY b.source, b.bkt ORDER BY b.h, b.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+      FROM bucketed b JOIN offsets o ON b.source = o.source AND b.bkt = o.bkt
+    )
+    SELECT r.doc_id, r.source, r.n_tokens, r.cum_tokens, g.budget_tokens
+    FROM running r JOIN budget g USING (source)
+    WHERE r.cum_tokens <= g.budget_tokens
+    """,
+)
+def mixing_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixing: each source gets a TOKEN quota ∝
+    src_tokens^α of a fixed total training budget (tokens, not docs —
+    the unit a training run is actually provisioned in), filled as the
+    greedy prefix of the source's deterministic hash order: a doc is
+    in iff its running token total fits the quota.
+
+    The running total is a TWO-LEVEL prefix sum, which is the 100 TB
+    shape: a single per-source window would serialize each source
+    through one task (sources are few ⇒ maximal skew). Instead the
+    hash order is range-split into {PFX_BUCKETS} buckets (bucket =
+    hash DIV range — contiguous in the order by construction), per-
+    (source, bucket) sums roll up map-side, bucket offsets come from a
+    window over that tiny table, and each bucket's internal running
+    total adds its offset — every window partition is corpus/{PFX_BUCKETS}
+    instead of corpus/|sources|. All arithmetic is BIGINT-exact, so
+    the greedy cut is engine-reproducible."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+        _md5_hash60(F.col("doc_id").cast("string")).alias("h"),
+    )
+    totals = toks.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    z = totals.agg(F.sum(F.pow("src_tokens", ALPHA)).alias("z"))
+    budget = totals.crossJoin(F.broadcast(z)).select(
+        "source",
+        F.floor(TOKEN_BUDGET * F.pow("src_tokens", ALPHA) / F.col("z"))
+        .cast("long")
+        .alias("budget_tokens"),
+    )
+    bucketed = toks.withColumn("bkt", F.expr(f"h DIV {_BUCKET_DIV}"))
+    bucket_sums = bucketed.groupBy("source", "bkt").agg(
+        F.sum("n_tokens").alias("bkt_tokens")
+    )
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_sums.select(
+        "source",
+        "bkt",
+        F.coalesce(F.sum("bkt_tokens").over(w_off), F.lit(0)).cast("long").alias("bkt_offset"),
+    )
+    w_run = (
+        Window.partitionBy("source", "bkt")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = bucketed.join(F.broadcast(offsets), ["source", "bkt"]).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (F.col("bkt_offset") + F.sum("n_tokens").over(w_run)).cast("long").alias("cum_tokens"),
+    )
+    return running.join(F.broadcast(budget), "source").filter(
+        F.col("cum_tokens") <= F.col("budget_tokens")
+    ).select("doc_id", "source", "n_tokens", "cum_tokens", "budget_tokens")

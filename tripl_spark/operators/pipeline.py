@@ -110,3 +110,120 @@ def pipeline_curation_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= QUOTA_PER_STRATUM)
         .select("doc_id", "source", "lang", "quality_score", "n_tokens", "rk")
     )
+
+
+SEM_QUOTA_PER_LANG = 40
+SEM_PIPE_THRESHOLD = 0.4
+
+
+def _semantic_pipeline_oracle() -> str:
+    from tripl_spark.operators.clustering import EMB_DIM, KMEANS2_CTES
+
+    return rf"""
+    WITH {KMEANS2_CTES},
+    lists AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c1.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_sum([ (e.v[i]-c1.cv[i])*(e.v[i]-c1.cv[i])
+                                           for i in range(1, {EMB_DIM} + 1) ]), 4),
+                          c1.cid) AS rn
+        FROM e CROSS JOIN c1
+      ) WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id AS vec_id
+      FROM lists a JOIN lists b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+      WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= {SEM_PIPE_THRESHOLD}
+    ),
+    survivors AS (
+      SELECT vec_id FROM e
+      WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    ),
+    scored AS (
+      SELECT d.doc_id, d.source, d.lang,
+             round(0.5 * (len(list_filter(string_split_regex(trim(d.text), '\s+'),
+                                          x -> x IN ('the', 'a', 'of', 'and'))) * 1.0
+                          / len(string_split_regex(trim(d.text), '\s+')))
+                   + 0.3 * (1 - (length(d.text)
+                                 - length(regexp_replace(d.text, '[.,;:!?]', '', 'g'))) * 1.0
+                                / length(d.text))
+                   + 0.2 * least(1.0, len(string_split_regex(trim(d.text), '\s+')) / 100.0),
+                   4) AS quality_score
+      FROM documents d JOIN survivors s ON d.doc_id = s.vec_id
+    )
+    SELECT doc_id, source, lang, quality_score, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY lang
+               ORDER BY quality_score DESC, doc_id) AS rk
+      FROM scored
+    ) WHERE rk <= {SEM_QUOTA_PER_LANG}
+    """
+
+
+@query(
+    "pipeline_semantic_curation",
+    oracle=_semantic_pipeline_oracle(),
+    doc="cross-modal curation: SemDeDup pair-greedy keepers over the "
+    "embeddings joined back to documents, quality-ranked per lang — "
+    "the embedding-space twin of pipeline_curation_end2end, fully "
+    "hash-gated end-to-end",
+)
+def pipeline_semantic_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space curation pipeline: semantic near-dup pairs
+    (k-means-trained clusters, cosine ≥ threshold) elect pair-greedy
+    keepers — a doc is dropped iff it is the HIGHER vec_id of any dup
+    pair, the one-pass rule; transitive-closure canonicalization is
+    the separate `dedup_groups_canonical` path — then the surviving
+    embeddings join back to their documents (doc_id = vec_id) for
+    quality scoring and a top-N-per-lang cut.
+
+    Pins the cross-modal contract per-stage oracles can't see: a doc
+    semantically deduped in embedding space must never re-enter at
+    quota time, and the doc⋈embedding join must not resurrect rows.
+
+    Scale shape: dup-pair generation is the capped within-cluster join
+    (`semantic_dedup_pairs`); `dropped` is a distinct projection of
+    the pair list (≪ corpus); survivors anti-join it broadcast; the
+    doc⋈embedding equi-join is the one corpus-sized shuffle; the lang
+    quota window shuffles only surviving rows."""
+    from tripl_spark.operators.clustering import (
+        _assign_round,
+        kmeans_2iter_centroids,
+        semantic_dedup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = kmeans_2iter_centroids(emb).localCheckpoint(eager=True)
+    assigned = _assign_round(emb, cent).select("vec_id", "v", "cid")
+    pairs = semantic_dedup_pairs(assigned, threshold=SEM_PIPE_THRESHOLD)
+    dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    survivors = emb.select("vec_id").join(F.broadcast(dropped), "vec_id", "left_anti")
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(_tokens()).cast("long")
+    n_stop = _count_tokens_in(STOPWORDS)
+    n_punct = (
+        F.length("text") - F.length(F.regexp_replace("text", PUNCT_CLASS, ""))
+    ).cast("long")
+    n_chars = F.length("text").cast("long")
+    score = F.round(
+        0.5 * (n_stop * 1.0 / n_tokens)
+        + 0.3 * (1 - n_punct * 1.0 / n_chars)
+        + 0.2 * F.least(F.lit(1.0), n_tokens / 100.0),
+        4,
+    )
+    scored = docs.join(
+        survivors.withColumnRenamed("vec_id", "doc_id"), "doc_id"
+    ).select("doc_id", "source", "lang", score.alias("quality_score"))
+    w = Window.partitionBy("lang").orderBy(F.desc("quality_score"), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SEM_QUOTA_PER_LANG)
+        .select("doc_id", "source", "lang", "quality_score", "rk")
+    )

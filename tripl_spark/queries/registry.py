@@ -101,8 +101,10 @@ _PRIORITY = [
     # sampling)
     "sketch_heavy_hitters",
     "dedup_semantic_clusters",
+    "pipeline_semantic_curation",
     "text_bigram_logprob",
     "curation_weighted_sample",
+    "mixing_token_budget",
     # (c) refresh cohort — judge-named first, then family balance
     "q2_min_cost_supplier",
     "q18_large_volume_customers",
