@@ -95,18 +95,24 @@ EMB_DIM = 64
 def _assign_round(emb: DataFrame, cent: DataFrame) -> DataFrame:
     """Assignment with 4-dp-rounded distances and cid tie-break —
     deterministic across engines (same rounding + tie rule as the IVF
-    oracle). Returns (vec_id, v, cid, d2)."""
-    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
-    return (
-        emb.join(F.broadcast(cent))
-        .select(
-            "vec_id", "v", "cid",
-            F.round(_ssq(F.col("v"), F.col("cv")), 4).alias("d2"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    oracle). Returns (vec_id, v, cid, d2).
+
+    argmin is a ``min_by`` over the (d2, cid) struct (lexicographic =
+    the oracle's row_number ORDER BY d2, cid), not a ranking window:
+    the aggregate partial-combines map-side, so the one shuffle moves
+    at most one candidate row per (vector, partition) instead of all
+    k scored rows, and there is no per-vector sort. ``v`` rides in the
+    payload struct (constant per vec_id, any winner carries it)."""
+    scored = emb.join(F.broadcast(cent)).select(
+        "vec_id", "v", "cid",
+        F.round(_ssq(F.col("v"), F.col("cv")), 4).alias("d2"),
     )
+    best = scored.groupBy("vec_id").agg(
+        F.min_by(
+            F.struct("v", "cid", "d2"), F.struct("d2", "cid")
+        ).alias("b")
+    )
+    return best.select("vec_id", "b.v", "b.cid", "b.d2")
 
 
 # SQL CTEs replaying the seeded iteration-1 Lloyd step (shared by the
