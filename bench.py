@@ -73,13 +73,14 @@ HEADLINE = [
     # family's quantile representative)
     "sim_ann_ivf_kmeans",
     "sketch_quantile_merge",
-    # round-5b additions: heavy hitters (local-top-k merge) and
-    # SemDeDup-style semantic dedup — the two with real data-path
-    # cost; the sliding window / weighted sample / bigram LM are
-    # single-shuffle or scan-shaped and already covered by the same
-    # patterns above
+    # round-5b additions: heavy hitters (local-top-k merge),
+    # SemDeDup-style semantic dedup, and the cross-modal curation
+    # pipeline — the ones with real data-path cost; the weighted
+    # sample / bigram LM / token-budget mix are single-shuffle or
+    # scan-shaped and already covered by the same patterns above
     "sketch_heavy_hitters",
     "dedup_semantic_clusters",
+    "pipeline_semantic_curation",
 ]
 
 

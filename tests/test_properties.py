@@ -335,3 +335,55 @@ def test_span_pairs_match_bruteforce(spark, texts):
         if a < b and spans[a] & spans[b]
     }
     assert got == want
+
+
+# --- heavy hitters: lower bound + everywhere-exact on random corpora ---
+
+hh_corpus_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=200),  # doc_id (drives the shard)
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e", "f", "zz"]),
+            min_size=1,
+            max_size=12,
+        ),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(corpus=hh_corpus_st)
+@settings(**SETTINGS)
+def test_heavy_hitter_merge_bounds_random(spark, corpus):
+    """For ANY corpus/sharding: merged summary estimates never exceed
+    the true count, and a term present in every shard's summary is
+    estimated exactly. (Tiny vocab → every term survives each shard's
+    top-k, so everywhere-present terms must be exact.)"""
+    from tripl_spark.operators.sketches import (
+        HH_SHARDS,
+        _shard_of,
+        heavy_hitter_merge,
+        heavy_hitter_summaries,
+    )
+
+    tokens = spark.createDataFrame(
+        [(i, t) for i, toks in corpus for t in toks], "doc_id long, term string"
+    ).select(_shard_of(F.col("doc_id")).alias("shard"), "term")
+    merged = {
+        r.term: (r.hh_estimate, r.n_shards)
+        for r in heavy_hitter_merge(heavy_hitter_summaries(tokens)).collect()
+    }
+    truth: dict[str, int] = {}
+    shards: dict[str, set] = {}
+    for r in tokens.collect():
+        truth[r.term] = truth.get(r.term, 0) + 1
+        shards.setdefault(r.term, set()).add(r.shard)
+    n_shards_total = tokens.select("shard").distinct().count()
+    assert set(merged) == set(truth)
+    for term, (est, ns) in merged.items():
+        assert est <= truth[term], term
+        assert ns == len(shards[term]), term
+        # vocab << HH_LOCAL_K: nothing is ever truncated, so exact
+        assert est == truth[term], term
+    assert n_shards_total <= HH_SHARDS
