@@ -115,3 +115,31 @@ def test_semantic_dedup_max_cluster_cap(spark):
     assert uncapped.count() == 15 + 1  # C(6,2) + C(2,2)
     got = [(r.id_a, r.id_b) for r in capped.collect()]
     assert got == [(10, 11)]
+
+
+def test_semantic_dedup_arrow_twin_matches_expression_path(spark, sf_small):
+    """The numpy-GEMM production twin emits the same pairs (and 4-dp
+    cosines) as the oracled expression path on the real embeddings."""
+    from tripl_spark.operators.clustering import (
+        semantic_dedup_pairs,
+        semantic_dedup_pairs_arrow,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    assigned = _assign_round(emb, kmeans_2iter_centroids(emb)).select(
+        "vec_id", "v", "cid"
+    )
+    expr = {
+        (r.id_a, r.id_b): (r.cid, r.cosine)
+        for r in semantic_dedup_pairs(assigned).collect()
+    }
+    arrow = {
+        (r.id_a, r.id_b): (r.cid, r.cosine)
+        for r in semantic_dedup_pairs_arrow(assigned).collect()
+    }
+    assert set(expr) == set(arrow)
+    for k in expr:
+        assert expr[k][0] == arrow[k][0], k
+        assert abs(expr[k][1] - arrow[k][1]) < 1e-9, k
