@@ -131,3 +131,30 @@ def test_pq_recall_on_clustered_data(clustered):
     approx = {(r.query_id, r.vec_id) for r in pq.collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"PQ recall on clustered data too low: {recall}"
+
+
+def test_knn_bruteforce_arrow_twin_matches_expression_path(spark, sf_small):
+    """The mapInPandas GEMM twin returns the identical ranked top-k
+    (neighbor ids, 4-dp cosines, ranks) as the oracled expression path."""
+    from pyspark.sql import functions as F
+
+    from tripl_spark.operators.similarity import knn_bruteforce_arrow
+    from tripl_spark.queries.registry import REGISTRY, _ensure_loaded
+    from tripl_spark.session import load_table
+
+    _ensure_loaded()
+    expr = {
+        (r.query_id, r.rk): (r.neighbor_id, r.cosine)
+        for r in REGISTRY["sim_knn_bruteforce"].fn(spark, sf_small).collect()
+    }
+    emb = load_table(spark, sf_small, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    arrow = {
+        (r.query_id, r.rk): (r.neighbor_id, r.cosine)
+        for r in knn_bruteforce_arrow(emb).collect()
+    }
+    assert set(expr) == set(arrow)
+    for k in expr:
+        assert expr[k][0] == arrow[k][0], k
+        assert abs(expr[k][1] - arrow[k][1]) < 1e-9, k

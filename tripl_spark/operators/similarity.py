@@ -653,3 +653,72 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select("query_id", "vec_id", F.round("d2", 4).alias("dist2"), "rk")
     )
+
+
+def knn_bruteforce_arrow(
+    emb: DataFrame, n_queries: int = N_QUERIES, top_k: int = TOP_K
+) -> DataFrame:
+    """Production twin of ``sim_knn_bruteforce``: score the corpus
+    against the query set as numpy GEMMs inside Arrow-batched
+    ``mapInPandas``, then merge per-partition top-k candidates.
+
+    Shape: the query matrix (n_queries×d — small by definition) ships
+    to every task; each Arrow batch of corpus vectors is one
+    normalized-matrix multiply; a task emits at most
+    n_queries × top_k candidate rows per batch, pre-pruned under the
+    SAME total order the global window uses (rounded cosine desc,
+    vec_id asc), so pruning can never change the final top-k. The
+    global window then ranks candidates only — partitions × queries ×
+    k rows, not corpus-sized. Same twin pattern as
+    ``semantic_dedup_pairs_arrow``: the expression path keeps the
+    DuckDB hash gate; equivalence is pinned in
+    tests/test_similarity_recall.py."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    qrows = sorted(
+        (r.vec_id, r.v)
+        for r in emb.filter(F.col("vec_id") < n_queries).collect()
+    )
+    qids = np.array([i for i, _ in qrows])
+    qm = np.stack([np.asarray(v, dtype=np.float64) for _, v in qrows])
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy()
+            m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = np.round(qn @ mn.T, 4)  # n_queries x batch
+            out = []
+            for qi in range(len(qids)):
+                mask = ids != qids[qi]
+                cand_ids, cand = ids[mask], sims[qi][mask]
+                # local top-k under (cosine desc, vec_id asc)
+                order = np.lexsort((cand_ids, -cand))[:top_k]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(len(order), qids[qi]),
+                            "neighbor_id": cand_ids[order],
+                            "cosine": cand[order],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    cand = emb.select("vec_id", "v").mapInPandas(score, schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+    )
