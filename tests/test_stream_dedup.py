@@ -82,3 +82,35 @@ def test_foreachbatch_stream_matches_batch(spark, sf_small, tmp_path):
     q.awaitTermination(timeout=120)
     assert not q.isActive
     assert _rows(sd.matches) == _rows(minhash_match_new(corpus, shard))
+
+
+def test_streaming_semantic_any_split_equals_oneshot(spark, sf_small):
+    """Any micro-batch split of the embedding increment accumulates the
+    same matches as one-shot semantic_match_new; replays are skipped."""
+    from pyspark.sql import functions as F
+
+    from tripl_spark.operators.clustering import semantic_match_new
+    from tripl_spark.session import load_table
+    from tripl_spark.streaming.semantic_stream import StreamingSemanticDedup
+
+    emb = load_table(spark, sf_small, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    corpus = emb.filter(F.col("vec_id") % 7 != 0)
+    shard = emb.filter(F.col("vec_id") % 7 == 0)
+    sd = StreamingSemanticDedup(spark, corpus)
+    for i in range(3):
+        sd.process(shard.filter(F.col("vec_id") % 3 == i), batch_id=i)
+    streamed = {
+        (r.new_id, r.corpus_id): (r.cid, r.cosine) for r in sd.matches.collect()
+    }
+    oneshot = {
+        (r.new_id, r.corpus_id): (r.cid, r.cosine)
+        for r in semantic_match_new(shard, sd.index, sd.cent).collect()
+    }
+    assert streamed == oneshot and len(oneshot) > 0
+    before = dict(streamed)
+    sd.process(shard.filter(F.col("vec_id") % 3 == 0), batch_id=0)  # replay
+    assert {
+        (r.new_id, r.corpus_id): (r.cid, r.cosine) for r in sd.matches.collect()
+    } == before

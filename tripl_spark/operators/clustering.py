@@ -502,3 +502,101 @@ def semantic_dedup_pairs_arrow(
         )
 
     return assigned.groupBy("cid").applyInPandas(pairs_of, schema)
+
+
+# ---------------------------------------------------------------------------
+# Incremental semantic dedup: new vectors vs a materialized cluster index
+# ---------------------------------------------------------------------------
+
+
+def semantic_index(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, v, nrm, cid) — the materializable semantic-dedup index
+    of a corpus under a FROZEN codebook: cluster assignment plus the
+    precomputed norm. At 100 TB this is what you persist (bucketed by
+    cid, the join key) so daily embedding increments match against it
+    without re-scoring the corpus — the semantic analog of
+    ``dedup.minhash_index``."""
+    from tripl_spark.operators.similarity import norm
+
+    return _assign_round(emb, cent).select(
+        "vec_id", "v", "cid", norm(F.col("v")).alias("nrm")
+    )
+
+
+def semantic_match_new(
+    new_emb: DataFrame,
+    index: DataFrame,
+    cent: DataFrame,
+    threshold: float = SEM_THRESHOLD,
+) -> DataFrame:
+    """(new_id, corpus_id, cid, cosine) — incoming vectors matched
+    against the corpus index, same-cluster candidates only. Cost
+    scales with the increment: the codebook broadcasts onto the new
+    vectors, and the equi-join on cid touches only the index clusters
+    the increment lands in — corpus vectors are never re-scored
+    against each other."""
+    from tripl_spark.operators.similarity import dot, norm
+
+    nw = _assign_round(new_emb, cent).select(
+        F.col("vec_id").alias("new_id"),
+        F.col("v").alias("nv"),
+        "cid",
+        norm(F.col("v")).alias("nn"),
+    )
+    return (
+        nw.join(index, "cid")
+        .withColumn(
+            "cosine",
+            F.round(dot(F.col("nv"), F.col("v")) / (F.col("nn") * F.col("nrm")), 4),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("new_id", F.col("vec_id").alias("corpus_id"), "cid", "cosine")
+    )
+
+
+@query(
+    "dedup_incremental_semantic",
+    # The codebook is FROZEN at snapshot time (trained on the full
+    # snapshot via the shared KMEANS2 CTEs — how production coarse
+    # quantizers work: retrain offline, reuse across increments), so
+    # the whole incremental path stays SQL-replicable.
+    oracle=f"""
+    WITH {KMEANS2_CTES},
+    lists AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c1.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_sum([ (e.v[i]-c1.cv[i])*(e.v[i]-c1.cv[i])
+                                           for i in range(1, {EMB_DIM} + 1) ]), 4),
+                          c1.cid) AS rn
+        FROM e CROSS JOIN c1
+      ) WHERE rn = 1
+    )
+    SELECT a.vec_id AS new_id, b.vec_id AS corpus_id, a.cid,
+           round(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
+    FROM lists a
+    JOIN lists b ON a.cid = b.cid
+    JOIN e ea ON ea.vec_id = a.vec_id
+    JOIN e eb ON eb.vec_id = b.vec_id
+    WHERE a.vec_id % 7 = 0 AND b.vec_id % 7 != 0
+      AND round(list_cosine_similarity(ea.v, eb.v), 4) >= {SEM_THRESHOLD}
+    """,
+    doc="incremental semantic dedup: an increment (vec_id % 7 = 0) "
+    "matched against the materialized cluster index of the corpus "
+    "(vec_id % 7 != 0) under a frozen codebook — fully hash-gated",
+)
+def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup: the corpus partition (6/7 of vectors) is
+    indexed once via ``semantic_index``; the increment (1/7) assigns
+    under the same frozen codebook and matches only within its
+    clusters. Mirrors ``dedup_incremental_minhash``'s shape — index
+    cost amortizes across increments, per-increment cost is
+    O(increment × cluster residency), corpus text/vectors never
+    rescanned pairwise."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = kmeans_2iter_centroids(emb).localCheckpoint(eager=True)
+    corpus = emb.filter(F.col("vec_id") % 7 != 0)
+    shard = emb.filter(F.col("vec_id") % 7 == 0)
+    return semantic_match_new(shard, semantic_index(corpus, cent), cent)

@@ -105,6 +105,7 @@ _PRIORITY = [
     "text_bigram_logprob",
     "curation_weighted_sample",
     "mixing_token_budget",
+    "dedup_incremental_semantic",
     # (c) refresh cohort — judge-named first, then family balance
     "q2_min_cost_supplier",
     "q18_large_volume_customers",
