@@ -600,3 +600,91 @@ def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.filter(F.col("vec_id") % 7 != 0)
     shard = emb.filter(F.col("vec_id") % 7 == 0)
     return semantic_match_new(shard, semantic_index(corpus, cent), cent)
+
+
+@query(
+    "dedup_semantic_groups",
+    # The semantic pair graph closed transitively (recursive CTE on
+    # the DuckDB side, pointer-jumping CC on the Spark side), then a
+    # per-group election. Keep = the vector FARTHEST from its cluster
+    # centroid (max d2, vec_id tie-break) — SemDeDup's
+    # diversity-preserving rule: within a family of semantic
+    # duplicates, retain the least prototypical example.
+    oracle=f"""
+    WITH RECURSIVE {KMEANS2_CTES},
+    lists AS (
+      SELECT vec_id, cid, d2 FROM (
+        SELECT e.vec_id, c1.cid,
+               round(list_sum([ (e.v[i]-c1.cv[i])*(e.v[i]-c1.cv[i])
+                                for i in range(1, {EMB_DIM} + 1) ]), 4) AS d2,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_sum([ (e.v[i]-c1.cv[i])*(e.v[i]-c1.cv[i])
+                                           for i in range(1, {EMB_DIM} + 1) ]), 4),
+                          c1.cid) AS rn
+        FROM e CROSS JOIN c1
+      ) WHERE rn = 1
+    ),
+    prs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM lists a JOIN lists b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+      WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= {SEM_THRESHOLD}
+    ),
+    sym AS (
+      SELECT id_a AS s, id_b AS d FROM prs
+      UNION SELECT id_b, id_a FROM prs
+    ),
+    reach AS (
+      SELECT vec_id AS root, vec_id AS node FROM e
+      UNION
+      SELECT r.root, sym.d AS node FROM reach r JOIN sym ON r.node = sym.s
+    ),
+    comp AS (SELECT root AS vec_id, min(node) AS group_id FROM reach GROUP BY root)
+    SELECT l.vec_id, group_id,
+           CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size,
+           l.cid,
+           (row_number() OVER (PARTITION BY group_id
+                               ORDER BY l.d2 DESC, l.vec_id) = 1) AS keep
+    FROM lists l JOIN comp ON l.vec_id = comp.vec_id
+    """,
+    doc="semantic duplicate families: within-cluster pairs closed "
+    "transitively to groups, keeping the least prototypical member "
+    "per family (SemDeDup's diversity rule) — fully hash-gated",
+)
+def dedup_semantic_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-level semantic dedup: semantic pairs → connected
+    components (near-duplication chains transitively: A≈B, B≈C ⇒ one
+    family) → one survivor per family. The survivor is the member
+    FARTHEST from its cluster centroid (max d2, vec_id tie-break),
+    SemDeDup's diversity-preserving election — prototypical members
+    are the redundant ones.
+
+    Scale shape mirrors ``dedup_groups_canonical``: CC iterates over
+    the pair graph only (dup rate × corpus edges), the corpus is
+    touched for assignment and the final labeled join, never iterated;
+    the election window partitions by family (bounded by family
+    size)."""
+    from tripl_spark.plans.graph import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = kmeans_2iter_centroids(emb).localCheckpoint(eager=True)
+    assigned = _assign_round(emb, cent)  # vec_id, v, cid, d2
+    pairs = semantic_dedup_pairs(assigned.select("vec_id", "v", "cid"))
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    comp = connected_components(edges, nodes=nodes).select(
+        F.col("node").alias("vec_id"), F.col("comp").alias("group_id")
+    )
+    labeled = assigned.select("vec_id", "cid", "d2").join(comp, "vec_id")
+    w = Window.partitionBy("group_id")
+    elect = Window.partitionBy("group_id").orderBy(F.desc("d2"), "vec_id")
+    return labeled.select(
+        "vec_id",
+        "group_id",
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        "cid",
+        (F.row_number().over(elect) == 1).alias("keep"),
+    )

@@ -106,6 +106,7 @@ _PRIORITY = [
     "curation_weighted_sample",
     "mixing_token_budget",
     "dedup_incremental_semantic",
+    "dedup_semantic_groups",
     # (c) refresh cohort — judge-named first, then family balance
     "q2_min_cost_supplier",
     "q18_large_volume_customers",
