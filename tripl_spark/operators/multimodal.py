@@ -30,7 +30,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tripl_spark.operators import media_codecs as mc
@@ -720,3 +720,70 @@ def _video_neardup_oracle() -> str:
 def multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video pairs sharing >= 1 exact frame hash."""
     return video_near_dup_pairs(video_frame_dhashes(video_table(spark, sf_dir)))
+
+
+SCENE_CUT_BITS = 4  # Hamming threshold between consecutive frame hashes
+
+
+def scene_cuts(frame_hashes: DataFrame, cut_bits: int = SCENE_CUT_BITS) -> DataFrame:
+    """(doc_id, frame_idx, hamming, is_cut) for every frame with a
+    predecessor: the Hamming distance between consecutive frames'
+    perceptual hashes, flagged as a scene cut at ≥ ``cut_bits``.
+
+    Scene detection over dHashes (not pixels) is the scale trick: the
+    decode+hash pass already ran for near-dup detection, so cuts cost
+    one per-video lag window over 64-char strings — frames per video
+    bounds the window partition, the corpus never re-decodes. Cut
+    frames are what a frame-sampling curriculum keeps (sample at scene
+    boundaries instead of fixed stride)."""
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    # materialize prev BEFORE the filter: an expression that embeds the
+    # lag window would re-evaluate it over the filtered frame and null
+    # out each partition's new first row
+    ham = F.size(
+        F.filter(
+            F.zip_with(
+                F.split(F.col("dhash"), ""),
+                F.split(F.col("prev"), ""),
+                lambda a, b: a != b,
+            ),
+            lambda x: x,
+        )
+    )
+    return (
+        frame_hashes.withColumn("prev", F.lag("dhash").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "doc_id",
+            "frame_idx",
+            ham.cast("int").alias("hamming"),
+            (ham >= cut_bits).alias("is_cut"),
+        )
+    )
+
+
+def _scene_cut_oracle() -> str:
+    return f"""
+    WITH fh AS ({_frame_dhash_oracle()}),
+    lagd AS (
+      SELECT doc_id, frame_idx, dhash,
+             lag(dhash) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+      FROM fh
+    )
+    SELECT doc_id, frame_idx,
+           CAST(len(list_filter([substring(dhash, i, 1) != substring(prev, i, 1)
+                                 for i in range(1, 65)], x -> x)) AS INT) AS hamming,
+           len(list_filter([substring(dhash, i, 1) != substring(prev, i, 1)
+                            for i in range(1, 65)], x -> x)) >= {SCENE_CUT_BITS}
+             AS is_cut
+    FROM lagd WHERE prev IS NOT NULL
+    """
+
+
+@query("multimodal_video_scene_cuts", oracle=_scene_cut_oracle())
+def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection per video: consecutive-frame dHash Hamming
+    distance with a cut flag — composed over the hash-gated per-frame
+    pipeline, so the whole decode → resize → hash → lag → popcount
+    chain is oracled end-to-end."""
+    return scene_cuts(video_frame_dhashes(video_table(spark, sf_dir)))

@@ -107,6 +107,7 @@ _PRIORITY = [
     "mixing_token_budget",
     "dedup_incremental_semantic",
     "dedup_semantic_groups",
+    "multimodal_video_scene_cuts",
     # (c) refresh cohort — judge-named first, then family balance
     "q2_min_cost_supplier",
     "q18_large_volume_customers",
