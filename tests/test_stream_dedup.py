@@ -114,3 +114,43 @@ def test_streaming_semantic_any_split_equals_oneshot(spark, sf_small):
     assert {
         (r.new_id, r.corpus_id): (r.cid, r.cosine) for r in sd.matches.collect()
     } == before
+
+
+def test_streaming_semantic_real_stream_matches_oneshot(spark, sf_small, tmp_path):
+    """Same contract through a real availableNow parquet stream +
+    foreachBatch, not direct process() calls."""
+    from pyspark.sql import functions as F
+
+    from tripl_spark.operators.clustering import semantic_match_new
+    from tripl_spark.session import load_table
+    from tripl_spark.streaming.semantic_stream import StreamingSemanticDedup
+
+    emb = load_table(spark, sf_small, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    corpus = emb.filter(F.col("vec_id") % 7 != 0)
+    shard = emb.filter(F.col("vec_id") % 7 == 0)
+    src = str(tmp_path / "emb_stream")
+    for i in range(3):
+        shard.filter(F.col("vec_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    sd = StreamingSemanticDedup(spark, corpus)
+    stream = spark.readStream.schema(shard.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(sd.process)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r.new_id, r.corpus_id): r.cosine for r in sd.matches.collect()
+    }
+    oneshot = {
+        (r.new_id, r.corpus_id): r.cosine
+        for r in semantic_match_new(shard, sd.index, sd.cent).collect()
+    }
+    assert streamed == oneshot and len(oneshot) > 0
