@@ -318,3 +318,50 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conv_rate"),
         )
     )
+
+
+@query(
+    "events_retention_cohorts",
+    # date_trunc('week') is ISO-Monday in both engines; week_offset is
+    # an exact multiple of 7 days, so integral division is engine-safe.
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+      FROM events
+    ),
+    cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, c.cohort_wk, e.wk
+      FROM e JOIN cohort c USING (user_id)
+    )
+    SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', cohort_wk, wk) // 7 AS BIGINT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM activity GROUP BY cohort_wk, week_offset
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity week,
+    counted in every subsequent week they return — the
+    (cohort_week, week_offset) → n_users triangle every growth
+    dashboard draws.
+
+    Shuffle shape: the cohort table is one user-keyed aggregation; the
+    activity join re-shuffles on user_id (AQE reuses the partitioning)
+    and the cell aggregation shuffles distinct (user, cohort, week)
+    rows — bounded by users × active weeks, far below raw events, and
+    the per-cell counts partial-combine."""
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    )
+    cohort = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    activity = e.join(cohort, "user_id").select("user_id", "cohort_wk", "wk").distinct()
+    return (
+        activity.groupBy(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            F.expr("datediff(wk, cohort_wk) DIV 7").cast("long").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

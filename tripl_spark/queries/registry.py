@@ -108,6 +108,7 @@ _PRIORITY = [
     "dedup_incremental_semantic",
     "dedup_semantic_groups",
     "multimodal_video_scene_cuts",
+    "events_retention_cohorts",
     # (c) refresh cohort — judge-named first, then family balance
     "q2_min_cost_supplier",
     "q18_large_volume_customers",
