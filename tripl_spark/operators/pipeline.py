@@ -227,3 +227,110 @@ def pipeline_semantic_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= SEM_QUOTA_PER_LANG)
         .select("doc_id", "source", "lang", "quality_score", "rk")
     )
+
+
+DECON_MIN_SHARED = 5
+DECON_QUOTA_PER_SOURCE = 25
+
+
+@query(
+    "pipeline_decontaminated_corpus",
+    # Contamination detection (the text_ngram_contamination stage) →
+    # anti-join → quality ranking, as one plan. The oracle matches
+    # grams as strings; the Spark side joins 64-bit gram hashes — the
+    # same equivalence the oracled contamination query already pins.
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                   for i in range(1, greatest(len(t) - 2, 1) + 1)]))
+               AS g
+      FROM toks
+    ),
+    contaminated AS (
+      SELECT DISTINCT tr.doc_id
+      FROM (SELECT * FROM grams WHERE doc_id % 97 != 0) tr
+      JOIN (SELECT * FROM grams WHERE doc_id % 97 = 0) be ON tr.g = be.g
+      GROUP BY tr.doc_id, be.doc_id
+      HAVING count(*) >= {DECON_MIN_SHARED}
+    ),
+    scored AS (
+      SELECT d.doc_id, d.source, d.lang,
+             round(0.5 * (len(list_filter(string_split_regex(trim(d.text), '\s+'),
+                                          x -> x IN ('the', 'a', 'of', 'and'))) * 1.0
+                          / len(string_split_regex(trim(d.text), '\s+')))
+                   + 0.3 * (1 - (length(d.text)
+                                 - length(regexp_replace(d.text, '[.,;:!?]', '', 'g'))) * 1.0
+                                / length(d.text))
+                   + 0.2 * least(1.0, len(string_split_regex(trim(d.text), '\s+')) / 100.0),
+                   4) AS quality_score
+      FROM documents d
+      WHERE d.doc_id % 97 != 0
+        AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT doc_id, source, lang, quality_score, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY source
+               ORDER BY quality_score DESC, doc_id) AS rk
+      FROM scored
+    ) WHERE rk <= {DECON_QUOTA_PER_SOURCE}
+    """,
+)
+def pipeline_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination as a pipeline stage: drop every training doc
+    sharing >= DECON_MIN_SHARED distinct 3-grams with the held-out
+    benchmark slice (doc_id % 97 = 0 — the text_ngram_contamination
+    stage), then quality-rank the survivors per source. Pins the
+    contract a benchmark-honest corpus build needs: a contaminated doc
+    must never reach ranking, and the benchmark slice itself is
+    excluded from the training output.
+
+    Scale shape: the benchmark gram set broadcasts (eval sets are
+    small by definition); the contaminated-id list — dup rate ×
+    corpus, tiny — broadcasts into the anti-join; the only
+    corpus-sized work is the gram scan and the per-source ranking
+    window over survivors."""
+    from tripl_spark.operators.dedup import shingle_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = shingle_frame(docs, 3).select("doc_id", F.xxhash64("g").alias("gh"))
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "gh"
+    )
+    contaminated = (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "gh")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= DECON_MIN_SHARED)
+        .select("doc_id")
+        .distinct()
+    )
+    n_tokens = F.size(_tokens()).cast("long")
+    n_stop = _count_tokens_in(STOPWORDS)
+    n_punct = (
+        F.length("text") - F.length(F.regexp_replace("text", PUNCT_CLASS, ""))
+    ).cast("long")
+    n_chars = F.length("text").cast("long")
+    score = F.round(
+        0.5 * (n_stop * 1.0 / n_tokens)
+        + 0.3 * (1 - n_punct * 1.0 / n_chars)
+        + 0.2 * F.least(F.lit(1.0), n_tokens / 100.0),
+        4,
+    )
+    scored = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .select("doc_id", "source", "lang", score.alias("quality_score"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("quality_score"), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= DECON_QUOTA_PER_SOURCE)
+        .select("doc_id", "source", "lang", "quality_score", "rk")
+    )

@@ -218,3 +218,63 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["rank"], m["left"], m["right"], m["merged"], m["weight"]) for m in merges],
         "rank long, left string, right string, merged string, weight long",
     )
+
+
+VOCAB_SIZE = 20  # fixed-vocab size: below the corpus vocabulary (31
+# distinct terms in the synthetic docs), so OOV rates are non-trivial
+
+
+@query(
+    "tokenizer_vocab_coverage",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, count(*) AS c FROM tok GROUP BY term
+        ORDER BY c DESC, term LIMIT {VOCAB_SIZE}
+      )
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) - count(v.term) AS BIGINT) AS n_oov,
+           round((count(*) - count(v.term)) * 1.0 / count(*), 4) AS oov_rate
+    FROM tok LEFT JOIN vocab v USING (term)
+    GROUP BY doc_id
+    """,
+)
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage evaluation: per-document out-of-vocabulary
+    token counts under a fixed top-N corpus vocabulary — the metric a
+    tokenizer/vocab choice is judged by before a training run (high
+    OOV ⇒ the vocab truncates this slice of the corpus).
+
+    Scale shape: the vocabulary is one corpus token pass (the same
+    groupBy ``learn_bpe`` starts from) truncated to VOCAB_SIZE rows,
+    which BROADCASTS back onto the token stream for the left join —
+    the corpus shuffles once for the vocab count and once per
+    doc-aggregation, never for membership."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    )
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "term")
+        .limit(VOCAB_SIZE)
+        .select("term", F.lit(1).alias("_in"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.count(F.lit(1)) - F.count("_in")).alias("n_oov"),
+            F.round(
+                (F.count(F.lit(1)) - F.count("_in")) * 1.0 / F.count(F.lit(1)), 4
+            ).alias("oov_rate"),
+        )
+    )

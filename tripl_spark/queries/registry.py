@@ -109,6 +109,8 @@ _PRIORITY = [
     "dedup_semantic_groups",
     "multimodal_video_scene_cuts",
     "events_retention_cohorts",
+    "tokenizer_vocab_coverage",
+    "pipeline_decontaminated_corpus",
     # (c) refresh cohort — judge-named first, then family balance
     "q2_min_cost_supplier",
     "q18_large_volume_customers",
