@@ -278,3 +278,99 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+@query(
+    "tokenizer_bpe2_compression",
+    # Encode-side companion of tokenizer_bpe_2merges: the same m1/m2
+    # learning CTEs, then every word of every document is encoded by
+    # the two literal replaces (chr(1)/chr(2) sentinels = fused
+    # symbols) and the per-doc symbol counts compare pre- vs
+    # post-merge. Greedy left-to-right replace IS the merge scan.
+    oracle=rf"""
+    WITH wc AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+            FROM documents)
+      GROUP BY term
+    ),
+    p1 AS (
+      SELECT pair, sum(cnt) AS weight FROM (
+        SELECT unnest([substring(term, i, 2) for i in range(1, length(term))]) AS pair,
+               cnt
+        FROM wc WHERE length(term) >= 2
+      ) GROUP BY pair
+    ),
+    m1 AS (SELECT pair, weight FROM p1 ORDER BY weight DESC, pair LIMIT 1),
+    w2 AS (
+      SELECT replace(term, (SELECT pair FROM m1), chr(1)) AS term2, cnt FROM wc
+    ),
+    p2 AS (
+      SELECT pair2, sum(cnt) AS weight FROM (
+        SELECT unnest([substring(term2, i, 2) for i in range(1, length(term2))]) AS pair2,
+               cnt
+        FROM w2 WHERE length(term2) >= 2
+      ) GROUP BY pair2
+    ),
+    m2 AS (
+      SELECT pair2, weight FROM p2
+      ORDER BY weight DESC,
+               replace(substring(pair2, 1, 1), chr(1), (SELECT pair FROM m1)),
+               replace(substring(pair2, 2, 1), chr(1), (SELECT pair FROM m1))
+      LIMIT 1
+    ),
+    doctok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(sum(length(term)) AS BIGINT) AS n_char_symbols,
+           CAST(sum(length(replace(replace(term, (SELECT pair FROM m1), chr(1)),
+                                   (SELECT pair2 FROM m2), chr(2)))) AS BIGINT)
+             AS n_bpe2_symbols,
+           round(sum(length(replace(replace(term, (SELECT pair FROM m1), chr(1)),
+                                    (SELECT pair2 FROM m2), chr(2)))) * 1.0
+                 / sum(length(term)), 4) AS compression
+    FROM doctok GROUP BY doc_id
+    """,
+    doc="train->encode->measure under the first two learned BPE "
+    "merges, hash-gated end-to-end: per-doc symbol counts before/"
+    "after applying the merges the corpus itself selected",
+)
+def tokenizer_bpe2_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression measurement of the learned tokenizer: encode every
+    document under the first two corpus-learned BPE merges and report
+    per-doc symbol counts before/after — the metric a tokenizer is
+    ultimately judged by (symbols per character).
+
+    Scale shape: learning is the bounded driver loop over the
+    vocabulary table (one corpus shuffle); encoding broadcasts the two
+    merge literals into a map-only replace chain over the token
+    stream — the corpus is scanned, never shuffled, for encoding. The
+    sentinel trick (chr(1)/chr(2) = fused symbols) makes symbol count
+    = string length on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        word_counts(docs)
+        .orderBy(F.desc("cnt"), "term")
+        .limit(MAX_VOCAB)
+        .collect()
+    )
+    merges = learn_bpe([(r["term"], r["cnt"]) for r in wc], n_merges=2)
+    m1 = merges[0]["left"] + merges[0]["right"]
+    # the second merge in sentinel space: chr(1) stands for merge 1
+    m2s = merges[1]["left"].replace(m1, "\x01") + merges[1]["right"].replace(m1, "\x01")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    )
+    enc = F.replace(
+        F.replace(F.col("term"), F.lit(m1), F.lit("\x01")), F.lit(m2s), F.lit("\x02")
+    )
+    return tok.groupBy("doc_id").agg(
+        F.sum(F.length("term")).cast("long").alias("n_char_symbols"),
+        F.sum(F.length(enc)).cast("long").alias("n_bpe2_symbols"),
+        F.round(F.sum(F.length(enc)) * 1.0 / F.sum(F.length("term")), 4).alias(
+            "compression"
+        ),
+    )

@@ -111,6 +111,7 @@ _PRIORITY = [
     "events_retention_cohorts",
     "tokenizer_vocab_coverage",
     "pipeline_decontaminated_corpus",
+    "tokenizer_bpe2_compression",
     # (c) refresh cohort — judge-named first, then family balance
     "q2_min_cost_supplier",
     "q18_large_volume_customers",
