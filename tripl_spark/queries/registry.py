@@ -121,7 +121,12 @@ _PRIORITY = [
     "dedup_groups_canonical",
     "sim_ann_ivf",
     "triple_pull_df_wildcard",
-    # TPC-H refresh (driver rows r1-r3)
+    # family balance ahead of the deep TPC-H refresh: keep one triple
+    # and one graph refresh in the 50-row window (their other family
+    # members hold green r4 rows)
+    "triple_match_segment",
+    "graph_user_ancestry",
+    # TPC-H refresh (driver rows r1-r3; bench-flagged queries first)
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
@@ -143,11 +148,9 @@ _PRIORITY = [
     "events_user_props_stats",
     "events_moving_total_7d",
     "asof_last_purchase",
-    # triple engine / graph refresh
-    "triple_match_segment",
+    # triple engine / graph refresh (beyond the in-window pair above)
     "triple_reverse_fanin",
     "triple_datalog_join",
-    "graph_user_ancestry",
     # text refresh
     "text_token_stats",
     "text_quality_score",
