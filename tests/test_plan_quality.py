@@ -154,3 +154,19 @@ def test_token_budget_mixing_broadcasts_tiny_tables(spark, sf_small):
     # prefix-sum windows are the only shuffles of real data
     plan = _plan(spark, sf_small, "mixing_token_budget")
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_decontamination_broadcasts_bench_and_dropped(spark, sf_small):
+    # both small sides must broadcast: the benchmark gram set into the
+    # overlap join and the contaminated-id list into the anti-join —
+    # the training corpus never shuffles for either
+    plan = _plan(spark, sf_small, "pipeline_decontaminated_corpus")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_vocab_coverage_membership_is_broadcast(spark, sf_small):
+    # the fixed vocabulary broadcasts onto the token stream; membership
+    # must never shuffle the corpus
+    plan = _plan(spark, sf_small, "tokenizer_vocab_coverage")
+    assert "BroadcastHashJoin" in plan, plan
