@@ -143,3 +143,32 @@ def test_semantic_dedup_arrow_twin_matches_expression_path(spark, sf_small):
     for k in expr:
         assert expr[k][0] == arrow[k][0], k
         assert abs(expr[k][1] - arrow[k][1]) < 1e-9, k
+
+
+def test_semantic_pipeline_handles_tiny_corpora(spark):
+    """Fewer vectors than K2 seeds: training, assignment, pair stages
+    and the arrow twin must all degrade gracefully, not crash."""
+    from tripl_spark.operators.clustering import (
+        semantic_dedup_pairs,
+        semantic_dedup_pairs_arrow,
+        semantic_index,
+        semantic_match_new,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0] * 64), (1, [1.0] * 64), (2, [-1.0] * 64)],
+        "vec_id long, v array<double>",
+    )
+    cent = kmeans_2iter_centroids(emb)
+    assert cent.count() <= 3
+    assigned = _assign_round(emb, cent).select("vec_id", "v", "cid")
+    assert assigned.count() == 3
+    pairs = semantic_dedup_pairs(assigned, threshold=0.9).collect()
+    arrow = semantic_dedup_pairs_arrow(assigned, threshold=0.9).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(r.id_a, r.id_b) for r in arrow}
+    # identical vectors 0/1 match; the opposite vector never does
+    assert (0, 1) in {(r.id_a, r.id_b) for r in pairs}
+    # incremental path over the tiny index
+    idx = semantic_index(emb.filter(F.col("vec_id") < 2), cent)
+    m = semantic_match_new(emb.filter(F.col("vec_id") >= 2), idx, cent, threshold=0.9)
+    assert m.count() == 0

@@ -82,3 +82,45 @@ def test_token_budget_greedy_prefix_is_maximal(spark, sf_small):
             else:
                 break  # greedy PREFIX: stop at the first overflow
         assert chosen == expect, src
+
+
+def test_weighted_sample_priority_engine_matches_python_random():
+    """Hypothesis: DuckDB's md5-prefix + integer-division priority (the
+    exact arithmetic the oracle AND the Spark operator share) equals a
+    pure Python replay for arbitrary (id, weight) corpora — pinning
+    that the cross-engine determinism claim isn't data-luck."""
+    import hashlib
+
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def h60(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=10_000),
+                st.integers(min_value=1, max_value=9_999),
+            ),
+            min_size=1,
+            max_size=30,
+            unique_by=lambda t: t[0],
+        )
+    )
+    @settings(max_examples=30, deadline=None)
+    def check(rows):
+        vals = ", ".join(f"({i}, {w})" for i, w in rows)
+        got = duckdb.sql(
+            f"""
+            SELECT doc_id FROM (VALUES {vals}) AS t(doc_id, w)
+            ORDER BY (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                           AS BIGINT) + 1) // w,
+                     doc_id
+            """
+        ).fetchall()
+        expect = sorted(rows, key=lambda t: ((h60(t[0]) + 1) // t[1], t[0]))
+        assert [r[0] for r in got] == [i for i, _ in expect]
+
+    check()
