@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from tripl_spark.queries.registry import query
 from tripl_spark.session import load_table
-from tripl_spark.operators.text import PUNCT_CLASS, _count_tokens_in, _tokens
+from tripl_spark.operators.text import quality_score_expr
 
 # deterministic 60-bit hash of a column, reproducible in DuckDB as
 # CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)
@@ -124,18 +124,7 @@ def curation_top_quality_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame
     as text_quality_score), keep the top 25 per language. Score is a
     codegen projection; the only shuffle is the per-lang top-k."""
     docs = load_table(spark, sf_dir, "documents")
-    n_tokens = F.size(_tokens()).cast("long")
-    n_stop = _count_tokens_in(["the", "a", "of", "and"])
-    n_punct = (
-        F.length("text") - F.length(F.regexp_replace("text", PUNCT_CLASS, ""))
-    ).cast("long")
-    n_chars = F.length("text").cast("long")
-    score = F.round(
-        0.5 * (n_stop * 1.0 / n_tokens)
-        + 0.3 * (1 - n_punct * 1.0 / n_chars)
-        + 0.2 * F.least(F.lit(1.0), n_tokens / 100.0),
-        4,
-    )
+    score = quality_score_expr()
     scored = docs.select("doc_id", "lang", score.alias("quality_score"))
     w = Window.partitionBy("lang").orderBy(F.desc("quality_score"), "doc_id")
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 25)

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from tripl_spark.operators.curation import _md5_hash60
 from tripl_spark.operators.dedup import normalized_text
-from tripl_spark.operators.text import PUNCT_CLASS, STOPWORDS, _count_tokens_in, _tokens
+from tripl_spark.operators.text import _tokens, quality_score_expr
 from tripl_spark.queries.registry import query
 from tripl_spark.session import load_table
 
@@ -86,17 +86,7 @@ def pipeline_curation_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage 2: quality scoring (map-side projection, same formula as
     # text_quality_score) + filter
     n_tokens = F.size(_tokens()).cast("long")
-    n_stop = _count_tokens_in(STOPWORDS)
-    n_punct = (
-        F.length("text") - F.length(F.regexp_replace("text", PUNCT_CLASS, ""))
-    ).cast("long")
-    n_chars = F.length("text").cast("long")
-    score = F.round(
-        0.5 * (n_stop * 1.0 / n_tokens)
-        + 0.3 * (1 - n_punct * 1.0 / n_chars)
-        + 0.2 * F.least(F.lit(1.0), n_tokens / 100.0),
-        4,
-    )
+    score = quality_score_expr()
     scored = deduped.select(
         "doc_id", "source", "lang",
         n_tokens.alias("n_tokens"), score.alias("quality_score"),
@@ -206,18 +196,7 @@ def pipeline_semantic_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = emb.select("vec_id").join(F.broadcast(dropped), "vec_id", "left_anti")
 
     docs = load_table(spark, sf_dir, "documents")
-    n_tokens = F.size(_tokens()).cast("long")
-    n_stop = _count_tokens_in(STOPWORDS)
-    n_punct = (
-        F.length("text") - F.length(F.regexp_replace("text", PUNCT_CLASS, ""))
-    ).cast("long")
-    n_chars = F.length("text").cast("long")
-    score = F.round(
-        0.5 * (n_stop * 1.0 / n_tokens)
-        + 0.3 * (1 - n_punct * 1.0 / n_chars)
-        + 0.2 * F.least(F.lit(1.0), n_tokens / 100.0),
-        4,
-    )
+    score = quality_score_expr()
     scored = docs.join(
         survivors.withColumnRenamed("vec_id", "doc_id"), "doc_id"
     ).select("doc_id", "source", "lang", score.alias("quality_score"))
@@ -311,18 +290,7 @@ def pipeline_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFram
         .select("doc_id")
         .distinct()
     )
-    n_tokens = F.size(_tokens()).cast("long")
-    n_stop = _count_tokens_in(STOPWORDS)
-    n_punct = (
-        F.length("text") - F.length(F.regexp_replace("text", PUNCT_CLASS, ""))
-    ).cast("long")
-    n_chars = F.length("text").cast("long")
-    score = F.round(
-        0.5 * (n_stop * 1.0 / n_tokens)
-        + 0.3 * (1 - n_punct * 1.0 / n_chars)
-        + 0.2 * F.least(F.lit(1.0), n_tokens / 100.0),
-        4,
-    )
+    score = quality_score_expr()
     scored = (
         docs.filter(F.col("doc_id") % 97 != 0)
         .join(F.broadcast(contaminated), "doc_id", "left_anti")

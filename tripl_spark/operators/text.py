@@ -116,6 +116,24 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_score_expr() -> F.Column:
+    """The shared document-quality formula (stopword ratio +
+    punctuation ratio + length saturation), 4-dp rounded — exactly
+    ``text_quality_score``'s score column, factored out so every
+    pipeline stage that filters or ranks on quality uses the one
+    definition (and one oracle formula)."""
+    n_tokens = F.size(_tokens()).cast("long")
+    n_stop = _count_tokens_in(STOPWORDS)
+    n_punct = (F.length("text") - F.length(F.regexp_replace("text", PUNCT_CLASS, ""))).cast("long")
+    n_chars = F.length("text").cast("long")
+    return F.round(
+        0.5 * (n_stop * 1.0 / n_tokens)
+        + 0.3 * (1 - n_punct * 1.0 / n_chars)
+        + 0.2 * F.least(F.lit(1.0), n_tokens / 100.0),
+        4,
+    )
+
+
 def _lang_oracle() -> str:
     """Generate the DuckDB replica of the marker-count argmax."""
     cnt = {
