@@ -143,6 +143,29 @@ KMEANS2_CTES = f"""
     )"""
 
 
+# Shared SQL relation: every vector's nearest TRAINED (c1) centroid —
+# the rounded-argmin assignment each trained-codebook oracle reuses.
+# {d2} optionally carries the rounded distance into the output.
+def _lists_cte(with_d2: bool = False) -> str:
+    d2_col = ", d2" if with_d2 else ""
+    d2_sel = (
+        f"round(list_sum([ (e.v[i]-c1.cv[i])*(e.v[i]-c1.cv[i])"
+        f" for i in range(1, {EMB_DIM} + 1) ]), 4) AS d2," if with_d2 else ""
+    )
+    return f"""
+    lists AS (
+      SELECT vec_id, cid{d2_col} FROM (
+        SELECT e.vec_id, c1.cid,
+               {d2_sel}
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_sum([ (e.v[i]-c1.cv[i])*(e.v[i]-c1.cv[i])
+                                           for i in range(1, {EMB_DIM} + 1) ]), 4),
+                          c1.cid) AS rn
+        FROM e CROSS JOIN c1
+      ) WHERE rn = 1
+    )"""
+
+
 def kmeans_2iter_centroids(emb: DataFrame) -> DataFrame:
     """(cid, cv) — the iteration-1 updated centroids from deterministic
     seeds (first K2 vectors), 6-dp-rounded: the Spark twin of the
@@ -219,16 +242,7 @@ KM_IVF_NPROBE = 2
     # k-means cluster centers"), with identical index/search mechanics.
     oracle=f"""
     WITH {KMEANS2_CTES},
-    lists AS (
-      SELECT vec_id, cid FROM (
-        SELECT e.vec_id, c1.cid,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY round(list_sum([ (e.v[i]-c1.cv[i])*(e.v[i]-c1.cv[i])
-                                           for i in range(1, {EMB_DIM} + 1) ]), 4),
-                          c1.cid) AS rn
-        FROM e CROSS JOIN c1
-      ) WHERE rn = 1
-    ),
+{_lists_cte()},
     qprobe AS (
       SELECT query_id, cid FROM (
         SELECT q.vec_id AS query_id, c1.cid,
@@ -389,16 +403,7 @@ def semantic_dedup_pairs(
     # so a boundary value can't flip membership.
     oracle=f"""
     WITH {KMEANS2_CTES},
-    lists AS (
-      SELECT vec_id, cid FROM (
-        SELECT e.vec_id, c1.cid,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY round(list_sum([ (e.v[i]-c1.cv[i])*(e.v[i]-c1.cv[i])
-                                           for i in range(1, {EMB_DIM} + 1) ]), 4),
-                          c1.cid) AS rn
-        FROM e CROSS JOIN c1
-      ) WHERE rn = 1
-    )
+{_lists_cte()}
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cid,
            round(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
     FROM lists a
@@ -562,16 +567,7 @@ def semantic_match_new(
     # the whole incremental path stays SQL-replicable.
     oracle=f"""
     WITH {KMEANS2_CTES},
-    lists AS (
-      SELECT vec_id, cid FROM (
-        SELECT e.vec_id, c1.cid,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY round(list_sum([ (e.v[i]-c1.cv[i])*(e.v[i]-c1.cv[i])
-                                           for i in range(1, {EMB_DIM} + 1) ]), 4),
-                          c1.cid) AS rn
-        FROM e CROSS JOIN c1
-      ) WHERE rn = 1
-    )
+{_lists_cte()}
     SELECT a.vec_id AS new_id, b.vec_id AS corpus_id, a.cid,
            round(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
     FROM lists a
@@ -612,18 +608,7 @@ def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # duplicates, retain the least prototypical example.
     oracle=f"""
     WITH RECURSIVE {KMEANS2_CTES},
-    lists AS (
-      SELECT vec_id, cid, d2 FROM (
-        SELECT e.vec_id, c1.cid,
-               round(list_sum([ (e.v[i]-c1.cv[i])*(e.v[i]-c1.cv[i])
-                                for i in range(1, {EMB_DIM} + 1) ]), 4) AS d2,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY round(list_sum([ (e.v[i]-c1.cv[i])*(e.v[i]-c1.cv[i])
-                                           for i in range(1, {EMB_DIM} + 1) ]), 4),
-                          c1.cid) AS rn
-        FROM e CROSS JOIN c1
-      ) WHERE rn = 1
-    ),
+{_lists_cte(with_d2=True)},
     prs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM lists a JOIN lists b ON a.cid = b.cid AND a.vec_id < b.vec_id

@@ -107,20 +107,11 @@ SEM_PIPE_THRESHOLD = 0.4
 
 
 def _semantic_pipeline_oracle() -> str:
-    from tripl_spark.operators.clustering import EMB_DIM, KMEANS2_CTES
+    from tripl_spark.operators.clustering import KMEANS2_CTES, _lists_cte
 
     return rf"""
     WITH {KMEANS2_CTES},
-    lists AS (
-      SELECT vec_id, cid FROM (
-        SELECT e.vec_id, c1.cid,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY round(list_sum([ (e.v[i]-c1.cv[i])*(e.v[i]-c1.cv[i])
-                                           for i in range(1, {EMB_DIM} + 1) ]), 4),
-                          c1.cid) AS rn
-        FROM e CROSS JOIN c1
-      ) WHERE rn = 1
-    ),
+{_lists_cte()},
     dropped AS (
       SELECT DISTINCT b.vec_id AS vec_id
       FROM lists a JOIN lists b ON a.cid = b.cid AND a.vec_id < b.vec_id
