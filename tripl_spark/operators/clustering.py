@@ -464,7 +464,14 @@ def semantic_dedup_pairs_arrow(
     tests/test_clustering.py). Cluster sizes are bounded by k (and
     ``max_cluster``), so each group's |cluster|² similarity matrix is
     small by construction — the group, not the corpus, is the unit of
-    memory."""
+    memory.
+
+    Rounding discipline: numpy emits RAW cosines pre-filtered with a
+    half-ulp-of-4dp margin; the 4-dp rounding and the exact threshold
+    test run JVM-side with ``F.round`` — numpy's round-half-to-EVEN
+    disagrees with Spark/DuckDB's HALF_UP on boundary values (e.g.
+    0.40005), which would let twin and gated path disagree on pair
+    membership."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -482,10 +489,13 @@ def semantic_dedup_pairs_arrow(
         [
             T.StructField("id_a", T.LongType()),
             T.StructField("id_b", T.LongType()),
-            T.StructField("cid", T.IntegerType()),
+            T.StructField("cid", T.LongType()),
             T.StructField("cosine", T.DoubleType()),
         ]
     )
+    # any raw value >= threshold - 0.5e-4 can still round UP across the
+    # threshold; prune only what provably cannot survive
+    prefilter = threshold - 5.1e-5
 
     def pairs_of(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy()
@@ -495,18 +505,21 @@ def semantic_dedup_pairs_arrow(
         u = m / np.linalg.norm(m, axis=1, keepdims=True)
         sims = u @ u.T
         ia, ib = np.triu_indices(len(ids), k=1)
-        cos = np.round(sims[ia, ib], 4)
-        keep = cos >= threshold
+        cos = sims[ia, ib]
+        keep = cos >= prefilter
         return pd.DataFrame(
             {
                 "id_a": ids[ia[keep]],
                 "id_b": ids[ib[keep]],
-                "cid": np.full(int(keep.sum()), pdf["cid"].iloc[0], dtype=np.int32),
+                "cid": np.full(int(keep.sum()), pdf["cid"].iloc[0], dtype=np.int64),
                 "cosine": cos[keep],
             }
         )
 
-    return assigned.groupBy("cid").applyInPandas(pairs_of, schema)
+    raw = assigned.groupBy("cid").applyInPandas(pairs_of, schema)
+    return raw.withColumn("cosine", F.round("cosine", 4)).filter(
+        F.col("cosine") >= threshold
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -181,6 +181,7 @@ WS_TOP = 100  # weighted-sample size
              (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
               + 1) // n_chars AS pri
       FROM documents
+      WHERE n_chars > 0
     )
     ORDER BY pri, doc_id LIMIT {WS_TOP}
     """,
@@ -193,22 +194,25 @@ def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible run-to-run because the uniform comes from md5(doc_id)
     rather than a RNG. Integer division stands in for real division:
     it only coarsens ties (broken by doc_id), keeps the scheme's
-    weighting, and is bit-exact across engines.
+    weighting, and is bit-exact across engines. Zero-weight rows are
+    excluded up front — semantically they have draw probability 0, and
+    a NULL priority (x DIV 0) would sort NULLS FIRST on Spark but
+    NULLS LAST on DuckDB, silently diverging the sample.
 
     100 TB shape: priority is a scan-side expression; the global top-k
     executes as TakeOrderedAndProject (per-partition heaps merged at
     the driver, k rows each) — no full sort, no shuffle of the
     corpus."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     # DIV (integral division) exists only in SQL expression syntax;
     # hash60 exceeds 2^53, so floor(double-division) could be off by
-    # one ulp — this must stay in BIGINT arithmetic end-to-end
-    pri = F.expr(
-        "(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
-        " + 1L) DIV n_chars"
-    )
+    # one ulp — this must stay in BIGINT arithmetic end-to-end. The
+    # hash itself comes from the shared helper so the 60-bit formula
+    # has one definition.
+    pri = F.expr("(h + 1L) DIV n_chars")
     return (
-        docs.withColumn("pri", pri)
+        docs.withColumn("h", _md5_hash60(F.col("doc_id").cast("string")))
+        .withColumn("pri", pri)
         .orderBy("pri", "doc_id")
         .limit(WS_TOP)
         .select("doc_id", "source", "n_chars", F.col("pri").alias("priority"))

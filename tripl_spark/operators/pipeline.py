@@ -28,7 +28,12 @@ from pyspark.sql import functions as F
 
 from tripl_spark.operators.curation import _md5_hash60
 from tripl_spark.operators.dedup import normalized_text
-from tripl_spark.operators.text import _tokens, quality_score_expr
+from tripl_spark.operators.text import (
+    _tokens,
+    contamination_pairs,
+    quality_score_expr,
+    quality_score_sql,
+)
 from tripl_spark.queries.registry import query
 from tripl_spark.session import load_table
 
@@ -47,14 +52,7 @@ QUOTA_PER_STRATUM = 30
     scored AS (
       SELECT d.doc_id, d.source, d.lang,
              CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT) AS n_tokens,
-             round(0.5 * (len(list_filter(string_split_regex(trim(d.text), '\s+'),
-                                          x -> x IN ('the', 'a', 'of', 'and'))) * 1.0
-                          / len(string_split_regex(trim(d.text), '\s+')))
-                   + 0.3 * (1 - (length(d.text)
-                                 - length(regexp_replace(d.text, '[.,;:!?]', '', 'g'))) * 1.0
-                                / length(d.text))
-                   + 0.2 * least(1.0, len(string_split_regex(trim(d.text), '\s+')) / 100.0),
-                   4) AS quality_score
+             {quality_score_sql('d.')} AS quality_score
       FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
     ),
     quota AS (
@@ -125,14 +123,7 @@ def _semantic_pipeline_oracle() -> str:
     ),
     scored AS (
       SELECT d.doc_id, d.source, d.lang,
-             round(0.5 * (len(list_filter(string_split_regex(trim(d.text), '\s+'),
-                                          x -> x IN ('the', 'a', 'of', 'and'))) * 1.0
-                          / len(string_split_regex(trim(d.text), '\s+')))
-                   + 0.3 * (1 - (length(d.text)
-                                 - length(regexp_replace(d.text, '[.,;:!?]', '', 'g'))) * 1.0
-                                / length(d.text))
-                   + 0.2 * least(1.0, len(string_split_regex(trim(d.text), '\s+')) / 100.0),
-                   4) AS quality_score
+             {quality_score_sql('d.')} AS quality_score
       FROM documents d JOIN survivors s ON d.doc_id = s.vec_id
     )
     SELECT doc_id, source, lang, quality_score, CAST(rk AS INT) AS rk
@@ -230,14 +221,7 @@ DECON_QUOTA_PER_SOURCE = 25
     ),
     scored AS (
       SELECT d.doc_id, d.source, d.lang,
-             round(0.5 * (len(list_filter(string_split_regex(trim(d.text), '\s+'),
-                                          x -> x IN ('the', 'a', 'of', 'and'))) * 1.0
-                          / len(string_split_regex(trim(d.text), '\s+')))
-                   + 0.3 * (1 - (length(d.text)
-                                 - length(regexp_replace(d.text, '[.,;:!?]', '', 'g'))) * 1.0
-                                / length(d.text))
-                   + 0.2 * least(1.0, len(string_split_regex(trim(d.text), '\s+')) / 100.0),
-                   4) AS quality_score
+             {quality_score_sql('d.')} AS quality_score
       FROM documents d
       WHERE d.doc_id % 97 != 0
         AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
@@ -265,19 +249,9 @@ def pipeline_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFram
     corpus, tiny — broadcasts into the anti-join; the only
     corpus-sized work is the gram scan and the per-source ranking
     window over survivors."""
-    from tripl_spark.operators.dedup import shingle_frame
-
     docs = load_table(spark, sf_dir, "documents")
-    grams = shingle_frame(docs, 3).select("doc_id", F.xxhash64("g").alias("gh"))
-    bench = grams.filter(F.col("doc_id") % 97 == 0).select(
-        F.col("doc_id").alias("bench_id"), "gh"
-    )
     contaminated = (
-        grams.filter(F.col("doc_id") % 97 != 0)
-        .join(F.broadcast(bench), "gh")
-        .groupBy("doc_id", "bench_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= DECON_MIN_SHARED)
+        contamination_pairs(docs, n=3, min_shared=DECON_MIN_SHARED)
         .select("doc_id")
         .distinct()
     )

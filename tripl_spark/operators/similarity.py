@@ -664,15 +664,17 @@ def knn_bruteforce_arrow(
 
     Shape: the query matrix (n_queries×d — small by definition) ships
     to every task; each Arrow batch of corpus vectors is one
-    normalized-matrix multiply; a task emits at most
-    n_queries × top_k candidate rows per batch, pre-pruned under the
-    SAME total order the global window uses (rounded cosine desc,
-    vec_id asc), so pruning can never change the final top-k. The
-    global window then ranks candidates only — partitions × queries ×
-    k rows, not corpus-sized. Same twin pattern as
-    ``semantic_dedup_pairs_arrow``: the expression path keeps the
-    DuckDB hash gate; equivalence is pinned in
-    tests/test_similarity_recall.py."""
+    normalized-matrix multiply; a task emits RAW-cosine candidates
+    pruned to the per-batch top-k plus every value within half an ulp
+    of 4 dp of the k-th (rounding is monotone, so nothing outside that
+    tie window can overtake after rounding). The 4-dp rounding and the
+    final (cosine desc, vec_id) ranking run JVM-side with ``F.round``
+    — numpy's round-half-to-EVEN disagrees with Spark/DuckDB's HALF_UP
+    on boundary values, which would let the twin's ranks diverge from
+    the gated path. The global window ranks candidates only —
+    partitions × queries × ~k rows, not corpus-sized. Same twin
+    pattern as ``semantic_dedup_pairs_arrow``; equivalence is pinned
+    in tests/test_similarity_recall.py."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -698,27 +700,35 @@ def knn_bruteforce_arrow(
             ids = pdf["vec_id"].to_numpy()
             m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
             mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-            sims = np.round(qn @ mn.T, 4)  # n_queries x batch
+            sims = qn @ mn.T  # n_queries x batch, RAW
             out = []
             for qi in range(len(qids)):
                 mask = ids != qids[qi]
                 cand_ids, cand = ids[mask], sims[qi][mask]
-                # local top-k under (cosine desc, vec_id asc)
-                order = np.lexsort((cand_ids, -cand))[:top_k]
+                if len(cand) == 0:
+                    continue
+                order = np.lexsort((cand_ids, -cand))
+                kth = cand[order[min(top_k, len(order)) - 1]]
+                # keep the raw top-k AND the 4-dp tie window below the
+                # k-th — only those can still reach the top-k after
+                # HALF_UP rounding
+                keep = order[cand[order] >= kth - 1.01e-4]
                 out.append(
                     pd.DataFrame(
                         {
-                            "query_id": np.full(len(order), qids[qi]),
-                            "neighbor_id": cand_ids[order],
-                            "cosine": cand[order],
+                            "query_id": np.full(len(keep), qids[qi]),
+                            "neighbor_id": cand_ids[keep],
+                            "cosine": cand[keep],
                         }
                     )
                 )
-            yield pd.concat(out, ignore_index=True)
+            if out:
+                yield pd.concat(out, ignore_index=True)
 
     cand = emb.select("vec_id", "v").mapInPandas(score, schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
-        cand.withColumn("rk", F.row_number().over(w))
+        cand.withColumn("cosine", F.round("cosine", 4))
+        .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= top_k)
     )

@@ -134,6 +134,52 @@ def quality_score_expr() -> F.Column:
     )
 
 
+def quality_score_sql(prefix: str = "") -> str:
+    """The quality formula as an inline DuckDB expression over
+    ``{prefix}text`` — the SQL twin of ``quality_score_expr``, so
+    pipeline oracles interpolate the one formula instead of hand-copied
+    blocks."""
+    t = f"{prefix}text"
+    return (
+        f"round(0.5 * (len(list_filter(string_split_regex(trim({t}), '\\s+'),"
+        f" x -> x IN ('the', 'a', 'of', 'and'))) * 1.0"
+        f" / len(string_split_regex(trim({t}), '\\s+')))"
+        f" + 0.3 * (1 - (length({t})"
+        f" - length(regexp_replace({t}, '[.,;:!?]', '', 'g'))) * 1.0"
+        f" / length({t}))"
+        f" + 0.2 * least(1.0, len(string_split_regex(trim({t}), '\\s+')) / 100.0),"
+        f" 4)"
+    )
+
+
+def contamination_pairs(
+    docs: DataFrame, n: int = 3, min_shared: int = 5
+) -> DataFrame:
+    """(doc_id, bench_id, n_shared) — training docs (doc_id % 97 != 0)
+    sharing >= min_shared distinct word n-grams with the held-out
+    benchmark slice (doc_id % 97 == 0). The single definition of the
+    contamination stage, shared by the standalone query and the
+    decontamination pipeline.
+
+    Grams join as 64-bit hashes, not strings: the broadcast table and
+    the probe keys shrink ~4x and hash-compare (collision odds at
+    corpus vocab sizes: ~1e-9); the benchmark gram set broadcasts, so
+    the training corpus is scanned once and never shuffled."""
+    from tripl_spark.operators.dedup import shingle_frame
+
+    grams = shingle_frame(docs, n).select("doc_id", F.xxhash64("g").alias("gh"))
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "gh"
+    )
+    train = grams.filter(F.col("doc_id") % 97 != 0)
+    return (
+        train.join(F.broadcast(bench), "gh")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def _lang_oracle() -> str:
     """Generate the DuckDB replica of the marker-count argmax."""
     cnt = {
@@ -224,22 +270,7 @@ def text_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     training side is 100 TB. Reuses dedup's shingle builder
     (`shingle_frame`), oracled gram-for-gram against DuckDB."""
     docs = load_table(spark, sf_dir, "documents")
-    # join on the 64-bit gram hash, not the gram string: the broadcast
-    # table and the probe keys shrink ~4x and hash-compare instead of
-    # string-compare (collision odds at corpus vocab sizes: ~1e-9)
-    from tripl_spark.operators.dedup import shingle_frame
-
-    grams = shingle_frame(docs, 3).select("doc_id", F.xxhash64("g").alias("gh"))
-    bench = grams.filter(F.col("doc_id") % 97 == 0).select(
-        F.col("doc_id").alias("bench_id"), "gh"
-    )
-    train = grams.filter(F.col("doc_id") % 97 != 0)
-    return (
-        train.join(F.broadcast(bench), "gh")
-        .groupBy("doc_id", "bench_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= 5)
-    )
+    return contamination_pairs(docs, n=3, min_shared=5)
 
 
 @query(
