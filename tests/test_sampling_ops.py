@@ -124,3 +124,42 @@ def test_weighted_sample_priority_engine_matches_python_random():
         assert [r[0] for r in got] == [i for i, _ in expect]
 
     check()
+
+
+def test_retention_cohort_semantics(spark, sf_small):
+    """Independent of the DuckDB parity: every user appears in their
+    cohort's offset-0 cell, so offset-0 counts sum to the distinct
+    user count, and no offset is negative."""
+    out = REGISTRY["events_retention_cohorts"].fn(spark, sf_small).toPandas()
+    ev = load_table(spark, sf_small, "events")
+    n_users = ev.select("user_id").distinct().count()
+    assert out[out.week_offset == 0].n_users.sum() == n_users
+    assert (out.week_offset >= 0).all()
+    # retention never exceeds the cohort's size
+    base = out[out.week_offset == 0].set_index("cohort_week").n_users
+    for _, r in out.iterrows():
+        assert r.n_users <= base[r.cohort_week]
+
+
+def test_vocab_coverage_semantics(spark, sf_small):
+    """Independent of the DuckDB parity: OOV counts are consistent with
+    a pure-Python replay of the top-N vocabulary."""
+    from collections import Counter
+
+    from tripl_spark.operators.tokenizer import VOCAB_SIZE
+
+    out = {
+        r.doc_id: (r.n_tokens, r.n_oov)
+        for r in REGISTRY["tokenizer_vocab_coverage"].fn(spark, sf_small).collect()
+    }
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text").collect()
+    counts = Counter()
+    toks = {}
+    for r in docs:
+        t = r.text.strip().lower().split()
+        toks[r.doc_id] = t
+        counts.update(t)
+    vocab = {t for t, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:VOCAB_SIZE]}
+    for doc_id, t in toks.items():
+        n_oov = sum(1 for x in t if x not in vocab)
+        assert out[doc_id] == (len(t), n_oov), doc_id
