@@ -1,0 +1,175 @@
+"""Quality-classifier training — distributed logistic regression over
+document features, the trainable upgrade of the heuristic
+``quality_score_expr`` filter (the GPT-3-style "quality classifier"
+pattern: label a slice, train a linear model, score the corpus).
+
+Scale shape per training step (the same split k-means uses): the
+gradient is ONE map-side-combined aggregation — each row contributes
+``x * (y - sigmoid(w.x))`` as codegen'd expression columns, so a 100 TB
+corpus reduces to d partial sums per partition and the weight vector
+(d doubles) round-trips through the driver between steps, which is the
+textbook design: weights are the only global state and they are tiny.
+Scoring a corpus under trained weights is a pure scan projection.
+
+Determinism discipline (the ``cluster_kmeans_2iter`` pattern): features
+are 4-dp-rounded, weights 6-dp-rounded after every step, so a
+fixed-step run is replayable in SQL and hash-gated
+(``classifier_logreg_2step``); the free-running convergence path stays
+rows-only with loss-decrease and planted-separation tests
+(tests/test_classifier.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from tripl_spark.queries.registry import query
+from tripl_spark.session import load_table
+
+LR = 1.0  # learning rate (features are bounded, so 1.0 is stable)
+N_FEATURES = 4  # bias, stopword_ratio, punct_ratio, saturated length
+
+
+def doc_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, y, x0..x3): label = doc is English; features = bias,
+    stopword ratio, punctuation ratio, length saturation — each ratio
+    4-dp-rounded so both engines train on identical inputs."""
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    n_stop = F.size(
+        F.filter(
+            F.split(F.trim(F.col("text")), r"\s+"),
+            lambda x: (x == "the") | (x == "a") | (x == "of") | (x == "and"),
+        )
+    ).cast("long")
+    n_punct = (
+        F.length("text") - F.length(F.regexp_replace("text", "[.,;:!?]", ""))
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("int").alias("y"),
+        F.lit(1.0).alias("x0"),
+        F.round(n_stop * 1.0 / n_tokens, 4).alias("x1"),
+        F.round(n_punct * 1.0 / F.length("text"), 4).alias("x2"),
+        F.round(F.least(F.lit(1.0), n_tokens / 100.0), 4).alias("x3"),
+    )
+
+
+def _margin(w: list[float]) -> F.Column:
+    return sum((F.col(f"x{i}") * float(w[i]) for i in range(1, N_FEATURES)),
+               F.col("x0") * float(w[0]))
+
+
+def logreg_step(feats: DataFrame, w: list[float], lr: float = LR) -> tuple[list[float], float]:
+    """One batch-gradient step. Returns (new 6-dp-rounded weights,
+    4-dp-rounded mean log-loss under the INCOMING weights). One
+    aggregation: d gradient partials + the loss, all map-side
+    combined."""
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(w)))
+    grad_cols = [
+        F.avg(F.col(f"x{i}") * (F.col("y") - p)).alias(f"g{i}")
+        for i in range(N_FEATURES)
+    ]
+    loss_col = F.avg(
+        -(F.col("y") * F.log(p) + (1 - F.col("y")) * F.log(1 - p))
+    ).alias("loss")
+    r = feats.agg(*grad_cols, loss_col).first()
+    new_w = [round(w[i] + lr * r[f"g{i}"], 6) for i in range(N_FEATURES)]
+    return new_w, round(float(r["loss"]), 4)
+
+
+def logreg_fit(feats: DataFrame, n_steps: int) -> list[Row]:
+    """Run ``n_steps`` from w = 0. Returns one Row per step:
+    (step, w0..w3, loss) where loss is measured under the PRE-update
+    weights (step 1's loss is exactly ln 2)."""
+    w = [0.0] * N_FEATURES
+    out = []
+    for step in range(1, n_steps + 1):
+        w, loss = logreg_step(feats, w)
+        out.append(Row(step=step, **{f"w{i}": w[i] for i in range(N_FEATURES)}, loss=loss))
+    return out
+
+
+def _feature_sql() -> str:
+    return r"""
+    feats AS (
+      SELECT doc_id,
+             CAST(lang = 'en' AS INT) AS y,
+             1.0 AS x0,
+             round(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                   x -> x IN ('the', 'a', 'of', 'and'))) * 1.0
+                   / len(string_split_regex(trim(text), '\s+')), 4) AS x1,
+             round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                   * 1.0 / length(text), 4) AS x2,
+             round(least(1.0, len(string_split_regex(trim(text), '\s+')) / 100.0), 4)
+               AS x3
+      FROM documents
+    )"""
+
+
+@query(
+    "classifier_logreg_2step",
+    # Step 1 from w = 0 has sigmoid(0) = 0.5 exactly (no transcendental
+    # at all); step 2's sigmoid runs on 6-dp-rounded weights and its
+    # gradient is re-rounded to 6 dp, absorbing the <=1-ulp exp()
+    # discrepancy between engines — the kmeans_2iter determinism
+    # discipline applied to gradient descent.
+    oracle=rf"""
+    WITH {_feature_sql()},
+    g1 AS (
+      SELECT round(avg(x0 * (y - 0.5)) * {LR}, 6) AS w0,
+             round(avg(x1 * (y - 0.5)) * {LR}, 6) AS w1,
+             round(avg(x2 * (y - 0.5)) * {LR}, 6) AS w2,
+             round(avg(x3 * (y - 0.5)) * {LR}, 6) AS w3
+      FROM feats
+    ),
+    s2 AS (
+      SELECT f.*, 1.0 / (1.0 + exp(-(g1.w0*f.x0 + g1.w1*f.x1 + g1.w2*f.x2 + g1.w3*f.x3)))
+               AS p
+      FROM feats f CROSS JOIN g1
+    ),
+    g2 AS (
+      SELECT round(any_value(g1.w0) + {LR} * avg(x0 * (y - p)), 6) AS w0,
+             round(any_value(g1.w1) + {LR} * avg(x1 * (y - p)), 6) AS w1,
+             round(any_value(g1.w2) + {LR} * avg(x2 * (y - p)), 6) AS w2,
+             round(any_value(g1.w3) + {LR} * avg(x3 * (y - p)), 6) AS w3,
+             round(avg(-(y * ln(p) + (1 - y) * ln(1 - p))), 4) AS loss
+      FROM s2 CROSS JOIN g1
+    )
+    SELECT CAST(1 AS BIGINT) AS step, w0, w1, w2, w3,
+           round(ln(2), 4) AS loss
+    FROM g1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT) AS step, w0, w1, w2, w3, loss FROM g2
+    """,
+    doc="two batch-gradient steps of the logistic quality classifier, "
+    "hash-gated: features, gradients, weights and losses replayed in "
+    "SQL (convergence path stays in classifier_quality_train)",
+)
+def classifier_logreg_2step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly two gradient steps of the is-English classifier from
+    w = 0: per-step weight vector and pre-update mean log-loss."""
+    feats = doc_features(load_table(spark, sf_dir, "documents"))
+    return spark.createDataFrame(logreg_fit(feats, n_steps=2))
+
+
+@query(
+    "classifier_quality_train",
+    doc="free-running logistic-regression training (iterative — "
+    "rows-only; loss-decrease + planted-separation invariants in "
+    "tests/test_classifier.py)",
+)
+def classifier_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20 gradient steps; emits the per-step loss curve, which must be
+    non-increasing (asserted in tests)."""
+    feats = doc_features(load_table(spark, sf_dir, "documents"))
+    return spark.createDataFrame(logreg_fit(feats, n_steps=20))
+
+
+def score_docs(docs: DataFrame, w: list[float]) -> DataFrame:
+    """(doc_id, score) — corpus scoring under trained weights: a pure
+    scan projection, zero shuffles, the filter you'd apply to 100 TB."""
+    feats = doc_features(docs)
+    return feats.select(
+        "doc_id", F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(w))), 4).alias("score")
+    )
