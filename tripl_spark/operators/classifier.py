@@ -173,3 +173,107 @@ def score_docs(docs: DataFrame, w: list[float]) -> DataFrame:
     return feats.select(
         "doc_id", F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(w))), 4).alias("score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear probe over embeddings: the standard representation-quality eval
+# ---------------------------------------------------------------------------
+
+PROBE_DIM = 64
+PROBE_LR = 1.0
+
+
+def _probe_margin(w0: float, w: list[float]) -> F.Column:
+    wv = F.array(*[F.lit(float(x)) for x in w])
+    return F.lit(float(w0)) + F.aggregate(
+        F.zip_with(F.col("v"), wv, lambda a, b: a * b), F.lit(0.0), lambda s, z: s + z
+    )
+
+
+def probe_step(
+    feats: DataFrame, w0: float, w: list[float], lr: float = PROBE_LR
+) -> tuple[float, list[float], float]:
+    """One batch-gradient step of the embedding probe. Gradient = ONE
+    aggregation with PROBE_DIM + 2 avg columns (same shape as the
+    k-means centroid update); weights 6-dp-rounded, loss 4-dp."""
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_probe_margin(w0, w)))
+    r = feats.agg(
+        F.avg(F.col("y") - p).alias("g0"),
+        *[F.avg(F.col("v")[i] * (F.col("y") - p)).alias(f"g{i + 1}") for i in range(PROBE_DIM)],
+        F.avg(-(F.col("y") * F.log(p) + (1 - F.col("y")) * F.log(1 - p))).alias("loss"),
+    ).first()
+    new_w0 = round(w0 + lr * r["g0"], 6)
+    new_w = [round(w[i] + lr * r[f"g{i + 1}"], 6) for i in range(PROBE_DIM)]
+    return new_w0, new_w, round(float(r["loss"]), 4)
+
+
+@query(
+    "classifier_linear_probe_2step",
+    # Per-dim gradients replay as a dims CROSS JOIN + GROUP BY (the
+    # kmeans c1 pattern); sigmoid only appears in step 2, on
+    # 6-dp-rounded weights. Output is one row per (step, dim) with
+    # dim 0 = bias, so the value hash never compares array renderings.
+    oracle=f"""
+    WITH feats AS (
+      SELECT vec_id, CAST(label = 0 AS INT) AS y, embedding::DOUBLE[] AS v
+      FROM embeddings
+    ),
+    dims AS (SELECT unnest(range(1, {PROBE_DIM} + 1)) AS i),
+    g1d AS (
+      SELECT d.i, round(avg(f.v[d.i] * (f.y - 0.5)) * {PROBE_LR}, 6) AS w
+      FROM feats f CROSS JOIN dims d GROUP BY d.i
+    ),
+    g1b AS (SELECT round(avg(y - 0.5) * {PROBE_LR}, 6) AS w0 FROM feats),
+    w1 AS (SELECT (SELECT w0 FROM g1b) AS w0, list(w ORDER BY i) AS wv FROM g1d),
+    s2 AS (
+      SELECT f.*, 1.0 / (1.0 + exp(-(w1.w0 + list_sum(
+               [ w1.wv[i] * f.v[i] for i in range(1, {PROBE_DIM} + 1) ])))) AS p
+      FROM feats f CROSS JOIN w1
+    ),
+    loss2 AS (
+      SELECT round(avg(-(y * ln(p) + (1 - y) * ln(1 - p))), 4) AS loss FROM s2
+    ),
+    g2d AS (
+      SELECT d.i,
+             round(any_value(w1.wv[d.i]) + {PROBE_LR} * avg(s2.v[d.i] * (s2.y - s2.p)), 6)
+               AS w
+      FROM s2 CROSS JOIN dims d CROSS JOIN w1 GROUP BY d.i
+    ),
+    g2b AS (
+      SELECT round(any_value(w1.w0) + {PROBE_LR} * avg(y - p), 6) AS w0
+      FROM s2 CROSS JOIN w1
+    )
+    SELECT CAST(1 AS BIGINT) AS step, CAST(0 AS BIGINT) AS dim, w0 AS w,
+           round(ln(2), 4) AS loss FROM g1b
+    UNION ALL
+    SELECT 1, CAST(i AS BIGINT), w, round(ln(2), 4) FROM g1d
+    UNION ALL
+    SELECT 2, 0, w0, (SELECT loss FROM loss2) FROM g2b
+    UNION ALL
+    SELECT 2, CAST(i AS BIGINT), w, (SELECT loss FROM loss2) FROM g2d
+    """,
+    doc="two gradient steps of a linear probe (label=0 vs rest) over "
+    "the raw embeddings — the standard representation-quality eval, "
+    "hash-gated per (step, dim) weight",
+)
+def classifier_linear_probe_2step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear probe on the embeddings table: logistic regression from
+    w = 0 predicting label = 0, exactly two batch-gradient steps.
+    Emits one row per (step, dim): dim 0 is the bias, dims 1..64 the
+    per-dimension weights, with the pre-update mean log-loss repeated
+    per row (step 1's is exactly ln 2)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        (F.col("label") == 0).cast("int").alias("y"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    w0, w = 0.0, [0.0] * PROBE_DIM
+    out = []
+    for step in (1, 2):
+        nw0, nw, loss = probe_step(feats, w0, w)
+        out.append(Row(step=step, dim=0, w=nw0, loss=loss))
+        out.extend(
+            Row(step=step, dim=i + 1, w=nw[i], loss=loss) for i in range(PROBE_DIM)
+        )
+        w0, w = nw0, nw
+    return spark.createDataFrame(out)
