@@ -277,3 +277,97 @@ def classifier_linear_probe_2step(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         w0, w = nw0, nw
     return spark.createDataFrame(out)
+
+
+@query(
+    "classifier_auc_eval",
+    # Exact tie-averaged AUC from rank algebra: avg rank of a score
+    # class = rank() + (ties - 1)/2; AUC = (sum of positives' average
+    # ranks - P(P+1)/2) / (P*N) — the one-pass rank-sum (Mann-Whitney)
+    # form, no pairwise comparisons. Scores come from the hash-gated
+    # 2-step weights (g1/g2 replayed as in classifier_logreg_2step).
+    oracle=rf"""
+    WITH {_feature_sql()},
+    g1 AS (
+      SELECT round(avg(x0 * (y - 0.5)) * {LR}, 6) AS w0,
+             round(avg(x1 * (y - 0.5)) * {LR}, 6) AS w1,
+             round(avg(x2 * (y - 0.5)) * {LR}, 6) AS w2,
+             round(avg(x3 * (y - 0.5)) * {LR}, 6) AS w3
+      FROM feats
+    ),
+    s2 AS (
+      SELECT f.*, 1.0 / (1.0 + exp(-(g1.w0*f.x0 + g1.w1*f.x1 + g1.w2*f.x2 + g1.w3*f.x3)))
+               AS p
+      FROM feats f CROSS JOIN g1
+    ),
+    g2 AS (
+      SELECT round(any_value(g1.w0) + {LR} * avg(x0 * (y - p)), 6) AS w0,
+             round(any_value(g1.w1) + {LR} * avg(x1 * (y - p)), 6) AS w1,
+             round(any_value(g1.w2) + {LR} * avg(x2 * (y - p)), 6) AS w2,
+             round(any_value(g1.w3) + {LR} * avg(x3 * (y - p)), 6) AS w3
+      FROM s2 CROSS JOIN g1
+    ),
+    scored AS (
+      SELECT f.doc_id, f.y,
+             round(1.0 / (1.0 + exp(-(g2.w0*f.x0 + g2.w1*f.x1 + g2.w2*f.x2 + g2.w3*f.x3))), 6)
+               AS s
+      FROM feats f CROSS JOIN g2
+    ),
+    ranked AS (
+      SELECT y, s,
+             rank() OVER (ORDER BY s) AS mn,
+             count(*) OVER (PARTITION BY s) AS ties
+      FROM scored
+    )
+    SELECT CAST(sum(y) AS BIGINT) AS n_pos,
+           CAST(count(*) - sum(y) AS BIGINT) AS n_neg,
+           round((sum(CASE WHEN y = 1 THEN mn + (ties - 1) / 2.0 ELSE 0 END)
+                  - sum(y) * (sum(y) + 1) / 2.0)
+                 / (sum(y) * (count(*) - sum(y))), 4) AS auc,
+           round(avg(CASE WHEN (s >= 0.5) = (y = 1) THEN 1.0 ELSE 0.0 END), 4)
+             AS accuracy
+    FROM ranked
+    """,
+    doc="exact tie-averaged AUC + accuracy of the 2-step classifier "
+    "via the Mann-Whitney rank sum — distributed eval without "
+    "pairwise comparisons, hash-gated end-to-end incl. training",
+)
+def classifier_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluate the 2-step is-English classifier on its training
+    corpus: exact AUC by the rank-sum identity (avg rank of each
+    positive vs P(P+1)/2 baseline — tie-averaged, so equal scores
+    contribute 0.5) and accuracy at the 0.5 threshold.
+
+    Scale shape: scoring is a scan projection; the rank window is ONE
+    global sort of (score) — at 100 TB you'd pre-aggregate ranks per
+    score bucket (scores are 6-dp-rounded, so ≤10⁶ distinct keys)
+    instead; the identity is the same. No pairwise pos×neg join ever
+    happens."""
+    feats = doc_features(load_table(spark, sf_dir, "documents"))
+    w = logreg_fit(feats, n_steps=2)[-1]
+    wvec = [w[f"w{i}"] for i in range(N_FEATURES)]
+    scored = feats.select(
+        "doc_id", "y",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(wvec))), 6).alias("s"),
+    )
+    from pyspark.sql import Window
+
+    mn = F.rank().over(Window.orderBy("s"))
+    ties = F.count(F.lit(1)).over(Window.partitionBy("s"))
+    ranked = scored.select("y", "s", mn.alias("mn"), ties.alias("ties"))
+    n_pos = F.sum("y")
+    n = F.count(F.lit(1))
+    pos_ranksum = F.sum(
+        F.when(F.col("y") == 1, F.col("mn") + (F.col("ties") - 1) / 2.0).otherwise(0.0)
+    )
+    return ranked.agg(
+        n_pos.cast("long").alias("n_pos"),
+        (n - n_pos).cast("long").alias("n_neg"),
+        F.round(
+            (pos_ranksum - n_pos * (n_pos + 1) / 2.0) / (n_pos * (n - n_pos)), 4
+        ).alias("auc"),
+        F.round(
+            F.avg(F.when((F.col("s") >= 0.5) == (F.col("y") == 1), 1.0).otherwise(0.0)),
+            4,
+        ).alias("accuracy"),
+    )

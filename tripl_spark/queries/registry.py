@@ -114,6 +114,7 @@ _PRIORITY = [
     "tokenizer_bpe2_compression",
     "classifier_logreg_2step",
     "classifier_linear_probe_2step",
+    "classifier_auc_eval",
     # (c) refresh cohort — judge-named first, then family balance
     "q2_min_cost_supplier",
     "q18_large_volume_customers",
