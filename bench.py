@@ -81,6 +81,9 @@ HEADLINE = [
     "sketch_heavy_hitters",
     "dedup_semantic_clusters",
     "pipeline_semantic_curation",
+    # classifier family representative: training (2 gradient-step
+    # aggregations) + corpus scoring + the rank-sum AUC window
+    "classifier_auc_eval",
 ]
 
 

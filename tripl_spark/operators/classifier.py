@@ -371,3 +371,81 @@ def classifier_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("accuracy"),
     )
+
+
+CLS_QUOTA_PER_SOURCE = 10
+
+
+@query(
+    "pipeline_classifier_curation",
+    # Train (g1/g2, hash-gated as in classifier_logreg_2step) → score →
+    # per-source quota as one replayable chain: the trained-filter
+    # upgrade of pipeline_curation_end2end's heuristic quality cut.
+    # Selection is the quota (relative), not an absolute threshold —
+    # 2-step scores cluster in a narrow band whose location shifts
+    # with the corpus, so a fixed cut would keep everything or
+    # nothing.
+    oracle=rf"""
+    WITH {_feature_sql()},
+    g1 AS (
+      SELECT round(avg(x0 * (y - 0.5)) * {LR}, 6) AS w0,
+             round(avg(x1 * (y - 0.5)) * {LR}, 6) AS w1,
+             round(avg(x2 * (y - 0.5)) * {LR}, 6) AS w2,
+             round(avg(x3 * (y - 0.5)) * {LR}, 6) AS w3
+      FROM feats
+    ),
+    s2 AS (
+      SELECT f.*, 1.0 / (1.0 + exp(-(g1.w0*f.x0 + g1.w1*f.x1 + g1.w2*f.x2 + g1.w3*f.x3)))
+               AS p
+      FROM feats f CROSS JOIN g1
+    ),
+    g2 AS (
+      SELECT round(any_value(g1.w0) + {LR} * avg(x0 * (y - p)), 6) AS w0,
+             round(any_value(g1.w1) + {LR} * avg(x1 * (y - p)), 6) AS w1,
+             round(any_value(g1.w2) + {LR} * avg(x2 * (y - p)), 6) AS w2,
+             round(any_value(g1.w3) + {LR} * avg(x3 * (y - p)), 6) AS w3
+      FROM s2 CROSS JOIN g1
+    ),
+    scored AS (
+      SELECT d.doc_id, d.source, d.lang,
+             round(1.0 / (1.0 + exp(-(g2.w0*f.x0 + g2.w1*f.x1 + g2.w2*f.x2 + g2.w3*f.x3))), 6)
+               AS score
+      FROM documents d
+      JOIN feats f USING (doc_id)
+      CROSS JOIN g2
+    )
+    SELECT doc_id, source, lang, score, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY source ORDER BY score DESC, doc_id) AS rk
+      FROM scored
+    ) WHERE rk <= {CLS_QUOTA_PER_SOURCE}
+    """,
+    doc="curation under the TRAINED quality filter: 2-step training → "
+    "corpus scoring → threshold → per-source quota, hash-gated as one "
+    "chain — the trained-filter upgrade of pipeline_curation_end2end",
+)
+def pipeline_classifier_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-driven curation: train the 2-step classifier, score every
+    document (scan projection under the broadcast 4-double weight
+    vector), keep the top CLS_QUOTA_PER_SOURCE per source by trained
+    score. Pins the train→apply contract per-stage oracles can't see:
+    the quota ranks documents by the SAME trained score the filter
+    used, and training-set membership never leaks extra columns into
+    the output."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = doc_features(docs)
+    w = logreg_fit(feats, n_steps=2)[-1]
+    wvec = [w[f"w{i}"] for i in range(N_FEATURES)]
+    scored = feats.join(docs.select("doc_id", "source", "lang"), "doc_id").select(
+        "doc_id", "source", "lang",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(wvec))), 6).alias("score"),
+    )
+    win = Window.partitionBy("source").orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= CLS_QUOTA_PER_SOURCE)
+        .select("doc_id", "source", "lang", "score", "rk")
+    )

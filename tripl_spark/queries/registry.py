@@ -115,6 +115,7 @@ _PRIORITY = [
     "classifier_logreg_2step",
     "classifier_linear_probe_2step",
     "classifier_auc_eval",
+    "pipeline_classifier_curation",
     # (c) refresh cohort — judge-named first, then family balance
     "q2_min_cost_supplier",
     "q18_large_volume_customers",
