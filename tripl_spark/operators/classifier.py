@@ -31,10 +31,12 @@ LR = 1.0  # learning rate (features are bounded, so 1.0 is stable)
 N_FEATURES = 4  # bias, stopword_ratio, punct_ratio, saturated length
 
 
-def doc_features(docs: DataFrame) -> DataFrame:
-    """(doc_id, y, x0..x3): label = doc is English; features = bias,
-    stopword ratio, punctuation ratio, length saturation — each ratio
-    4-dp-rounded so both engines train on identical inputs."""
+def doc_features(docs: DataFrame, passthrough: list[str] | None = None) -> DataFrame:
+    """(doc_id, y, x0..x3 [, passthrough...]): label = doc is English;
+    features = bias, stopword ratio, punctuation ratio, length
+    saturation — each ratio 4-dp-rounded so both engines train on
+    identical inputs. ``passthrough`` carries extra columns through
+    the projection so consumers don't re-scan/join the source."""
     n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
     n_stop = F.size(
         F.filter(
@@ -52,6 +54,7 @@ def doc_features(docs: DataFrame) -> DataFrame:
         F.round(n_stop * 1.0 / n_tokens, 4).alias("x1"),
         F.round(n_punct * 1.0 / F.length("text"), 4).alias("x2"),
         F.round(F.least(F.lit(1.0), n_tokens / 100.0), 4).alias("x3"),
+        *(passthrough or []),
     )
 
 
@@ -107,15 +110,11 @@ def _feature_sql() -> str:
     )"""
 
 
-@query(
-    "classifier_logreg_2step",
-    # Step 1 from w = 0 has sigmoid(0) = 0.5 exactly (no transcendental
-    # at all); step 2's sigmoid runs on 6-dp-rounded weights and its
-    # gradient is re-rounded to 6 dp, absorbing the <=1-ulp exp()
-    # discrepancy between engines — the kmeans_2iter determinism
-    # discipline applied to gradient descent.
-    oracle=rf"""
-    WITH {_feature_sql()},
+def _train2_sql(extra_g2: str = "") -> str:
+    """The g1/s2/g2 CTE chain replaying both gradient steps — shared by
+    every oracle that needs the trained 2-step weights. ``extra_g2``
+    appends additional aggregate columns (e.g. the loss) to g2."""
+    return f"""
     g1 AS (
       SELECT round(avg(x0 * (y - 0.5)) * {LR}, 6) AS w0,
              round(avg(x1 * (y - 0.5)) * {LR}, 6) AS w1,
@@ -132,10 +131,26 @@ def _feature_sql() -> str:
       SELECT round(any_value(g1.w0) + {LR} * avg(x0 * (y - p)), 6) AS w0,
              round(any_value(g1.w1) + {LR} * avg(x1 * (y - p)), 6) AS w1,
              round(any_value(g1.w2) + {LR} * avg(x2 * (y - p)), 6) AS w2,
-             round(any_value(g1.w3) + {LR} * avg(x3 * (y - p)), 6) AS w3,
-             round(avg(-(y * ln(p) + (1 - y) * ln(1 - p))), 4) AS loss
+             round(any_value(g1.w3) + {LR} * avg(x3 * (y - p)), 6) AS w3{extra_g2}
       FROM s2 CROSS JOIN g1
-    )
+    )"""
+
+
+_LOSS_G2 = (
+    ",\n             round(avg(-(y * ln(p) + (1 - y) * ln(1 - p))), 4) AS loss"
+)
+
+
+@query(
+    "classifier_logreg_2step",
+    # Step 1 from w = 0 has sigmoid(0) = 0.5 exactly (no transcendental
+    # at all); step 2's sigmoid runs on 6-dp-rounded weights and its
+    # gradient is re-rounded to 6 dp, absorbing the <=1-ulp exp()
+    # discrepancy between engines — the kmeans_2iter determinism
+    # discipline applied to gradient descent.
+    oracle=rf"""
+    WITH {_feature_sql()},
+    {_train2_sql(extra_g2=_LOSS_G2)}
     SELECT CAST(1 AS BIGINT) AS step, w0, w1, w2, w3,
            round(ln(2), 4) AS loss
     FROM g1
@@ -288,25 +303,7 @@ def classifier_linear_probe_2step(spark: SparkSession, sf_dir: str) -> DataFrame
     # 2-step weights (g1/g2 replayed as in classifier_logreg_2step).
     oracle=rf"""
     WITH {_feature_sql()},
-    g1 AS (
-      SELECT round(avg(x0 * (y - 0.5)) * {LR}, 6) AS w0,
-             round(avg(x1 * (y - 0.5)) * {LR}, 6) AS w1,
-             round(avg(x2 * (y - 0.5)) * {LR}, 6) AS w2,
-             round(avg(x3 * (y - 0.5)) * {LR}, 6) AS w3
-      FROM feats
-    ),
-    s2 AS (
-      SELECT f.*, 1.0 / (1.0 + exp(-(g1.w0*f.x0 + g1.w1*f.x1 + g1.w2*f.x2 + g1.w3*f.x3)))
-               AS p
-      FROM feats f CROSS JOIN g1
-    ),
-    g2 AS (
-      SELECT round(any_value(g1.w0) + {LR} * avg(x0 * (y - p)), 6) AS w0,
-             round(any_value(g1.w1) + {LR} * avg(x1 * (y - p)), 6) AS w1,
-             round(any_value(g1.w2) + {LR} * avg(x2 * (y - p)), 6) AS w2,
-             round(any_value(g1.w3) + {LR} * avg(x3 * (y - p)), 6) AS w3
-      FROM s2 CROSS JOIN g1
-    ),
+    {_train2_sql()},
     scored AS (
       SELECT f.doc_id, f.y,
              round(1.0 / (1.0 + exp(-(g2.w0*f.x0 + g2.w1*f.x1 + g2.w2*f.x2 + g2.w3*f.x3))), 6)
@@ -387,25 +384,7 @@ CLS_QUOTA_PER_SOURCE = 10
     # nothing.
     oracle=rf"""
     WITH {_feature_sql()},
-    g1 AS (
-      SELECT round(avg(x0 * (y - 0.5)) * {LR}, 6) AS w0,
-             round(avg(x1 * (y - 0.5)) * {LR}, 6) AS w1,
-             round(avg(x2 * (y - 0.5)) * {LR}, 6) AS w2,
-             round(avg(x3 * (y - 0.5)) * {LR}, 6) AS w3
-      FROM feats
-    ),
-    s2 AS (
-      SELECT f.*, 1.0 / (1.0 + exp(-(g1.w0*f.x0 + g1.w1*f.x1 + g1.w2*f.x2 + g1.w3*f.x3)))
-               AS p
-      FROM feats f CROSS JOIN g1
-    ),
-    g2 AS (
-      SELECT round(any_value(g1.w0) + {LR} * avg(x0 * (y - p)), 6) AS w0,
-             round(any_value(g1.w1) + {LR} * avg(x1 * (y - p)), 6) AS w1,
-             round(any_value(g1.w2) + {LR} * avg(x2 * (y - p)), 6) AS w2,
-             round(any_value(g1.w3) + {LR} * avg(x3 * (y - p)), 6) AS w3
-      FROM s2 CROSS JOIN g1
-    ),
+    {_train2_sql()},
     scored AS (
       SELECT d.doc_id, d.source, d.lang,
              round(1.0 / (1.0 + exp(-(g2.w0*f.x0 + g2.w1*f.x1 + g2.w2*f.x2 + g2.w3*f.x3))), 6)
@@ -422,8 +401,9 @@ CLS_QUOTA_PER_SOURCE = 10
     ) WHERE rk <= {CLS_QUOTA_PER_SOURCE}
     """,
     doc="curation under the TRAINED quality filter: 2-step training → "
-    "corpus scoring → threshold → per-source quota, hash-gated as one "
-    "chain — the trained-filter upgrade of pipeline_curation_end2end",
+    "corpus scoring → per-source quota by trained score, hash-gated "
+    "as one chain — the trained-filter upgrade of "
+    "pipeline_curation_end2end",
 )
 def pipeline_classifier_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-driven curation: train the 2-step classifier, score every
@@ -436,10 +416,11 @@ def pipeline_classifier_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    feats = doc_features(docs)
-    w = logreg_fit(feats, n_steps=2)[-1]
+    feats = doc_features(docs, passthrough=["source", "lang"])
+    w = logreg_fit(feats.drop("source", "lang"), n_steps=2)[-1]
     wvec = [w[f"w{i}"] for i in range(N_FEATURES)]
-    scored = feats.join(docs.select("doc_id", "source", "lang"), "doc_id").select(
+    # one scan, no self-join: source/lang ride the feature projection
+    scored = feats.select(
         "doc_id", "source", "lang",
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(wvec))), 6).alias("score"),
     )
