@@ -168,3 +168,34 @@ def test_sort_by_attribute(store):
          "sort": "cft.seq:len", "take": 2}
     )
     assert [r[1] for r in rows] == [9, 12]
+
+
+def test_connected_but_reordered_clauses_fold_without_error(spark):
+    """A conjunction whose clauses are connected only through a LATER
+    clause must evaluate (folding follows connectivity, not written
+    order) — only a genuinely disconnected set raises."""
+    import pytest
+
+    from tripl_spark.core.store import TripleStore
+
+    ts = TripleStore()
+    ts.assert_facts([
+        {"db:ident": "a1", "x:a": "y1"},
+        {"db:ident": "y1", "x:b": "z1"},
+    ])
+    # where[1] shares nothing with where[0]'s vars; where[2] connects them
+    rows = ts.q({
+        "find": ["?e", "?z"],
+        "where": [
+            ["?e", "x:a", "?y"],
+            ["?w", "x:b", "?z"],
+            ["?y", "x:b", "?z"],
+        ],
+    })
+    assert len(rows) == 1
+    # truly disconnected still raises
+    with pytest.raises(ValueError, match="cartesian product"):
+        ts.q({
+            "find": ["?e", "?w"],
+            "where": [["?e", "x:a", "?y"], ["?w", "x:b", "?v"]],
+        })

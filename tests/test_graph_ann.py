@@ -79,3 +79,39 @@ def test_pagerank_empty_edges(spark):
     edges = spark.createDataFrame([], "src string, dst string")
     out = pagerank(edges)
     assert out.count() == 0 and set(out.columns) == {"node", "rank"}
+
+
+def test_cosine_udf_matches_jvm_cosine(spark, sf_small):
+    """The Arrow-batched numpy cosine (the production build's scorer)
+    must agree with the JVM expression cosine (the oracle gate's
+    scorer) on the real embeddings — this is the check that covers the
+    numpy arithmetic the sim_ann_knn_graph oracle cannot see."""
+    from pyspark.sql import functions as F
+
+    from tripl_spark.operators.graph_ann import _cosine_batch
+    from tripl_spark.operators.similarity import cosine
+    from tripl_spark.session import load_table
+
+    emb = load_table(spark, sf_small, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("ia"), F.col("v").alias("va")
+    )
+    b = emb.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 80)).select(
+        F.col("vec_id").alias("ib"), F.col("v").alias("vb")
+    )
+    both = (
+        a.join(b, F.col("ia") != F.col("ib"))
+        .select(
+            _cosine_batch(F.col("va"), F.col("vb")).alias("np_cos"),
+            cosine(F.col("va"), F.col("vb")).alias("jvm_cos"),
+        )
+        .collect()
+    )
+    assert len(both) > 1000
+    # _cosine_batch rounds to 6 dp internally, so agreement with the
+    # raw JVM value is bounded by half the rounding quantum (plus ulp
+    # noise) — still far below anything a real arithmetic bug produces
+    for r in both:
+        assert abs(r.np_cos - r.jvm_cos) < 1e-6, (r.np_cos, r.jvm_cos)

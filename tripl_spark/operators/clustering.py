@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tripl_spark.operators.similarity import N_QUERIES, TOP_K, _ssq, cosine
+from tripl_spark.operators.similarity import DIM, N_QUERIES, TOP_K, _ssq, cosine
 from tripl_spark.queries.registry import query
 from tripl_spark.session import load_table
 
@@ -89,7 +89,9 @@ def kmeans_fit(
 
 
 K2 = 8
-EMB_DIM = 64
+# the embeddings table dimensionality — one definition (similarity.DIM),
+# re-exported under the name the SQL CTEs were written against
+EMB_DIM = DIM
 
 
 def _assign_round(emb: DataFrame, cent: DataFrame) -> DataFrame:

@@ -175,7 +175,9 @@ def _signatures_from_sets(sets: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-_OBS_SEQ = 0  # suffix for per-call-unique observation names
+import itertools as _it
+
+_OBS_SEQ = _it.count(1)  # atomic per-call-unique observation suffixes
 
 
 def _pairs_from_buckets(bands: DataFrame, id_col: str, max_bucket: int | None) -> DataFrame:
@@ -202,10 +204,9 @@ def _pairs_from_buckets(bands: DataFrame, id_col: str, max_bucket: int | None) -
         # be unique within one query plan, and a single action can
         # contain several capped candidate stages (e.g. a union of
         # minhash_candidates and shared_span_pairs)
-        global _OBS_SEQ
-        _OBS_SEQ += 1
+        seq = next(_OBS_SEQ)  # itertools.count is atomic under the GIL
         buckets = buckets.observe(
-            f"minhash_lsh_buckets_{_OBS_SEQ}",
+            f"minhash_lsh_buckets_{seq}",
             F.sum(F.when(F.size("ids") > max_bucket, 1).otherwise(0)).alias(
                 "dropped_buckets"
             ),

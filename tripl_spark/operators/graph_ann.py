@@ -33,7 +33,13 @@ higher-order functions (no Python in the row path); iteration uses
 
 Correctness gating is split: the SEED graph stage (multiprobe
 candidates + exact cosine + top-m) is fully hash-gated via the
-``sim_ann_knn_graph`` oracle; the full build+search pipeline is
+``sim_ann_knn_graph`` oracle — note the oracle path scores with the
+JVM cosine (4 dp), while the production build scores with the
+Arrow-batched numpy ``_cosine_batch`` (6 dp); the two scorers are
+pinned equivalent on the real embeddings by
+``tests/test_graph_ann.py::test_cosine_udf_matches_jvm_cosine``, which
+is what actually covers the numpy arithmetic. The full build+search
+pipeline is
 deterministic (seeded planes, every rank tie-broken by vec_id) but an
 unrolled SQL replica of two join-iterations is not sane DuckDB, so
 ``sim_ann_hnsw`` registers rows-only with recall pinned by

@@ -184,18 +184,21 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle rebuilds the identical k-hash filter in SQL, so one
     mis-set bit hash-mismatches."""
     docs = load_table(spark, sf_dir, "documents")
-    all_tokens = docs.select(
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")
-    )
-    vocab = all_tokens.distinct()
-    bits = bloom_bits(vocab)
-    top = (
-        all_tokens.groupBy("term")
+    # ONE corpus token pass: the vocabulary-sized count table is
+    # checkpointed and feeds the filter bits, the present semi-join
+    # AND the top-10 probes (three consumers that would otherwise each
+    # re-run the scan + explode)
+    counts = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")
+        )
+        .groupBy("term")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), "term")
-        .limit(10)
-        .select("term")
+        .localCheckpoint(eager=True)
     )
+    vocab = counts.select("term")
+    bits = bloom_bits(vocab)
+    top = counts.orderBy(F.desc("n"), "term").limit(10).select("term")
     absent = spark.range(10).select(
         F.concat(F.lit("zz_absent_probe_"), F.col("id").cast("string")).alias("term")
     )

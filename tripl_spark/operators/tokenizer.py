@@ -138,10 +138,15 @@ def learn_bpe(wc_rows: list[tuple[str, int]], n_merges: int = N_MERGES) -> list[
     # tuple exactly like the driver loop.
     oracle=rf"""
     WITH wc AS (
-      SELECT term, CAST(count(*) AS BIGINT) AS cnt
-      FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
-            FROM documents)
-      GROUP BY term
+      -- the SAME MAX_VOCAB cap the Spark side applies before learning:
+      -- without it the oracle would aggregate pair weights over the
+      -- full vocabulary and diverge once a corpus exceeds the cap
+      SELECT term, cnt FROM (
+        SELECT term, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+              FROM documents)
+        GROUP BY term
+      ) ORDER BY cnt DESC, term LIMIT {MAX_VOCAB}
     ),
     p1 AS (
       SELECT pair, sum(cnt) AS weight FROM (
@@ -289,10 +294,15 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # post-merge. Greedy left-to-right replace IS the merge scan.
     oracle=rf"""
     WITH wc AS (
-      SELECT term, CAST(count(*) AS BIGINT) AS cnt
-      FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
-            FROM documents)
-      GROUP BY term
+      -- the SAME MAX_VOCAB cap the Spark side applies before learning:
+      -- without it the oracle would aggregate pair weights over the
+      -- full vocabulary and diverge once a corpus exceeds the cap
+      SELECT term, cnt FROM (
+        SELECT term, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+              FROM documents)
+        GROUP BY term
+      ) ORDER BY cnt DESC, term LIMIT {MAX_VOCAB}
     ),
     p1 AS (
       SELECT pair, sum(cnt) AS weight FROM (

@@ -87,19 +87,34 @@ def _fold_clause_dfs(
 ) -> tuple[DataFrame, set[str]]:
     """Conjunction of clause frames: fold of equi-joins on shared vars.
 
-    A clause that shares NO variable with everything bound so far means
-    a cartesian product of independent binding sets. That is valid
-    datalog semantics, but in practice it is almost always a typo'd
-    variable name — and at scale it is a plan bomb — so it RAISES
-    unless the query opts in with ``allow_product=True`` (exception:
-    fully-ground existence-check clauses, whose one-row ``__exists``
-    frame is a cheap broadcast semijoin-shaped product by design)."""
+    Clauses are folded in CONNECTIVITY order, not written order: after
+    each join, the next clause is the first remaining one that shares a
+    variable with the bound set (conjunction is order-independent, so
+    this changes only the plan, never the result). A clause set where
+    NO remaining clause connects is a genuine cartesian product of
+    independent binding sets — valid datalog semantics, but in practice
+    almost always a typo'd variable name, and at scale a plan bomb —
+    so it RAISES unless the query opts in with ``allow_product=True``
+    (exception: fully-ground existence-check clauses, whose one-row
+    ``__exists`` frame is a cheap broadcast semijoin-shaped product by
+    design)."""
+    remaining = list(enumerate(clause_dfs))
     bound: DataFrame | None = None
     bound_vars: set[str] = set()
-    for idx, (cdf, cvars) in enumerate(clause_dfs):
+    while remaining:
         if bound is None:
+            idx, (cdf, cvars) = remaining.pop(0)
             bound, bound_vars = cdf, set(cvars)
             continue
+        pick = next(
+            (
+                k
+                for k, (_, (_, cv)) in enumerate(remaining)
+                if any(v in bound_vars for v in cv)
+            ),
+            0,  # nothing connects: fall through to the product guard
+        )
+        idx, (cdf, cvars) = remaining.pop(pick)
         shared = [v for v in cvars if v in bound_vars]
         if shared:
             renamed = cdf
@@ -115,8 +130,8 @@ def _fold_clause_dfs(
             if not (allow_product or is_exists):
                 at = f" at where[{idx}] {clauses[idx]!r}" if clauses else ""
                 raise ValueError(
-                    f"datalog clause{at} shares no variable with the "
-                    f"preceding clauses (bound: {sorted(bound_vars)}) — "
+                    f"datalog clause{at} shares no variable with any "
+                    f"connected clause (bound: {sorted(bound_vars)}) — "
                     "this plans a cartesian product of independent "
                     "binding sets; check for a typo'd variable, or pass "
                     "'allow_product': True to run it anyway"

@@ -82,10 +82,16 @@ class StreamingDedup:
             import os
 
             if os.path.isdir(sink_path):
+                # only COMMITTED partitions count as processed: a crash
+                # mid-write leaves batch_id=N without a _SUCCESS marker,
+                # and treating it as done would silently drop the
+                # checkpoint-replayed batch's matches (the overwrite
+                # below makes re-processing such a partition safe)
                 self._seen = {
                     int(d.split("=", 1)[1])
                     for d in os.listdir(sink_path)
                     if d.startswith("batch_id=")
+                    and os.path.exists(os.path.join(sink_path, d, "_SUCCESS"))
                 }
 
     def process(self, batch: DataFrame, batch_id: int) -> None:
@@ -119,4 +125,12 @@ class StreamingDedup:
             return self.matches
         if not self._seen:
             return None
-        return self.spark.read.parquet(self.sink_path).drop("batch_id")
+        try:
+            return self.spark.read.parquet(self.sink_path).drop("batch_id")
+        except Exception:
+            # every processed batch wrote an EMPTY partition: the
+            # directories hold only _SUCCESS markers, which defeats
+            # schema inference — an empty frame IS the correct answer
+            return self.spark.createDataFrame(
+                [], "id_a long, id_b long, jaccard double"
+            )
