@@ -154,3 +154,53 @@ def test_streaming_semantic_real_stream_matches_oneshot(spark, sf_small, tmp_pat
         for r in semantic_match_new(shard, sd.index, sd.cent).collect()
     }
     assert streamed == oneshot and len(oneshot) > 0
+
+
+def test_sink_mode_committed_only_semantics(spark, sf_small, tmp_path):
+    """The committed-only invariant end to end: all-empty committed
+    partitions yield a TYPED empty frame; an uncommitted (marker-less)
+    partition is neither recovered as seen nor read into results."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from tripl_spark.session import load_table
+    from tripl_spark.streaming.dedup_stream import StreamingDedup
+
+    docs = load_table(spark, sf_small, "documents")
+    corpus = docs.filter(F.col("doc_id") < 100)
+    sink = str(tmp_path / "sink")
+    sd = StreamingDedup(spark, corpus, sink_path=sink)
+    # a batch with no near-dups vs the corpus: empty committed partition
+    no_dups = docs.filter(F.col("doc_id") == 499).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    sd.process(no_dups, batch_id=0)
+    out = sd.matches_df()
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id_a", "id_b", "jaccard"]
+    assert dict(out.dtypes)["id_a"] == dict(corpus.dtypes)["doc_id"]
+
+    # a real match commits alongside
+    dup = corpus.filter(F.col("doc_id") == 5).withColumn(
+        "doc_id", F.col("doc_id") + 200000
+    )
+    sd.process(dup, batch_id=1)
+    assert sd.matches_df().count() >= 1
+
+    # fabricate a crashed half-write: partition dir without _SUCCESS
+    crashed = os.path.join(sink, "batch_id=9")
+    os.makedirs(crashed)
+    shutil.copy(
+        next(
+            os.path.join(sink, "batch_id=1", f)
+            for f in os.listdir(os.path.join(sink, "batch_id=1"))
+            if f.endswith(".parquet")
+        ),
+        os.path.join(crashed, "part-stale.parquet"),
+    )
+    n_before = sd.matches_df().count()
+    sd2 = StreamingDedup(spark, corpus, sink_path=sink)  # driver restart
+    assert 9 not in sd2._seen  # not recovered as processed...
+    assert sd2.matches_df().count() == n_before  # ...and not read

@@ -27,6 +27,8 @@ recall on planted near-duplicates.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -175,9 +177,7 @@ def _signatures_from_sets(sets: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-import itertools as _it
-
-_OBS_SEQ = _it.count(1)  # atomic per-call-unique observation suffixes
+_OBS_SEQ = itertools.count(1)  # atomic per-call-unique observation suffixes
 
 
 def _pairs_from_buckets(bands: DataFrame, id_col: str, max_bucket: int | None) -> DataFrame:

@@ -73,31 +73,33 @@ class StreamingDedup:
         ).localCheckpoint(eager=True)
         self.matches: DataFrame | None = None
         # sink-backed mode recovers processed batch ids from the sink's
-        # existing batch_id=N partitions, so a restarted driver skips
-        # (and would anyway idempotently overwrite) replayed batches.
+        # COMMITTED batch_id=N partitions. "Committed" means carrying
+        # the _SUCCESS marker the default FileOutputCommitter writes —
+        # a crash mid-write leaves the directory marker-less, and
+        # counting it as done would silently drop the
+        # checkpoint-replayed batch's matches. NOTE: committers
+        # configured with marksuccessfuljobs=false (common on object
+        # stores) never write markers; this mode requires them — at
+        # that scale use a transactional table format instead.
         # Local-path listing is the test stand-in for a Hadoop-FS
         # listing / catalog partition query at cluster scale.
-        self._seen: set[int] = set()
-        if sink_path is not None:
-            import os
+        self._seen: set[int] = self._committed_batches() if sink_path else set()
 
-            if os.path.isdir(sink_path):
-                # only COMMITTED partitions count as processed: a crash
-                # mid-write leaves batch_id=N without a _SUCCESS marker,
-                # and treating it as done would silently drop the
-                # checkpoint-replayed batch's matches (the overwrite
-                # below makes re-processing such a partition safe)
-                self._seen = {
-                    int(d.split("=", 1)[1])
-                    for d in os.listdir(sink_path)
-                    if d.startswith("batch_id=")
-                    and os.path.exists(os.path.join(sink_path, d, "_SUCCESS"))
-                }
+    def _committed_batches(self) -> set[int]:
+        import os
+
+        if self.sink_path is None or not os.path.isdir(self.sink_path):
+            return set()
+        return {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.sink_path)
+            if d.startswith("batch_id=")
+            and os.path.exists(os.path.join(self.sink_path, d, "_SUCCESS"))
+        }
 
     def process(self, batch: DataFrame, batch_id: int) -> None:
         if batch_id in self._seen:  # replay: idempotent skip
             return
-        self._seen.add(batch_id)
         found = match_against_index(
             self.corpus_sets,
             self.corpus_bands,
@@ -109,28 +111,49 @@ class StreamingDedup:
         if self.sink_path is not None:
             # partition overwrite: a replayed batch rewrites its own
             # batch_id=N directory and nothing else — exactly-once per
-            # batch across driver restarts
+            # batch across driver restarts. The batch only counts as
+            # seen AFTER the write commits, so a failed write leaves it
+            # eligible for the engine's retry/replay.
             found.write.mode("overwrite").parquet(
                 f"{self.sink_path}/batch_id={batch_id}"
             )
+            self._seen.add(batch_id)
             return
         merged = found if self.matches is None else self.matches.unionByName(found)
         # cut lineage so N batches don't stack N plans
         self.matches = merged.localCheckpoint(eager=True)
+        self._seen.add(batch_id)
+
+    def _empty_matches(self) -> DataFrame:
+        id_type = dict(self.corpus_sets.dtypes)[self.id_col]
+        return self.spark.createDataFrame(
+            [], f"id_a {id_type}, id_b {id_type}, jaccard double"
+        )
 
     def matches_df(self) -> DataFrame | None:
         """Accumulated matches across all processed batches — from the
-        sink (restart-safe mode) or the in-memory accumulator."""
+        sink (restart-safe mode) or the in-memory accumulator. Sink
+        mode reads ONLY committed partitions, so a concurrent or
+        crashed half-written batch never leaks partial rows into the
+        result."""
         if self.sink_path is None:
             return self.matches
-        if not self._seen:
-            return None
+        committed = sorted(self._committed_batches())
+        if not committed:
+            return None if not self._seen else self._empty_matches()
+        paths = [f"{self.sink_path}/batch_id={b}" for b in committed]
         try:
-            return self.spark.read.parquet(self.sink_path).drop("batch_id")
-        except Exception:
-            # every processed batch wrote an EMPTY partition: the
-            # directories hold only _SUCCESS markers, which defeats
-            # schema inference — an empty frame IS the correct answer
-            return self.spark.createDataFrame(
-                [], "id_a long, id_b long, jaccard double"
+            return (
+                self.spark.read.option("basePath", self.sink_path)
+                .parquet(*paths)
+                .drop("batch_id")
             )
+        except Exception as ex:
+            # distinguishable from data: the only benign failure here is
+            # schema inference over partitions that are ALL empty
+            # (directories holding just _SUCCESS) — anything else on a
+            # committed-only path list is real corruption and must
+            # surface, not be swallowed
+            if "infer schema" in str(ex).lower():
+                return self._empty_matches()
+            raise
