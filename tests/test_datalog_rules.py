@@ -107,3 +107,35 @@ def test_store_q_with_rules(spark):
         (eid["b"], eid["c"]),
         (eid["a"], eid["c"]),
     }
+
+
+def test_derived_clause_same_var_is_intra_row_equality(spark):
+    """A derived-predicate clause with the same variable in BOTH
+    positions inside a rule body must bind only self-pairs —
+    previously _derived_clause_df silently dropped the e==v constraint
+    and bound the variable to v alone, admitting every reach target."""
+    from tripl_spark.core.store import TripleStore
+    from tripl_spark.plans import datalog
+
+    ts = TripleStore()
+    ts.assert_facts([
+        {"db:ident": "a", "g:to": {"db:ident": "b"}},
+        {"db:ident": "b", "g:to": {"db:ident": "a"}},
+        {"db:ident": "c", "g:to": {"db:ident": "d"}},
+        {"db:ident": "d", "g:to": {"db:ident": "e"}},
+    ])
+    rules = [
+        (["?x", "reach", "?y"], [["?x", "g:to", "?y"]]),
+        (["?x", "reach", "?y"], [["?x", "g:to", "?z"], ["?z", "reach", "?y"]]),
+        # cycle members' outgoing edges: the body's ["?x","reach","?x"]
+        # is the derived same-var clause under test — without the
+        # intra-row equality, ?x would bind every reach TARGET (incl.
+        # d), wrongly admitting (d, e)
+        (["?x", "cyc_out", "?y"], [["?x", "reach", "?x"], ["?x", "g:to", "?y"]]),
+    ]
+    rel = datalog.eval_rules(ts.current_facts(), rules)
+    pairs = sorted((r.e, r.v) for r in rel["cyc_out"].collect())
+    assert pairs == [("a", "b"), ("b", "a")]
+    # and the query path over the same self-clause agrees
+    rows = ts.q({"find": "?x", "where": [["?x", "reach", "?x"]]}, rules=rules)
+    assert sorted(r[0] for r in rows) == ["a", "b"]

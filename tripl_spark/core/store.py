@@ -531,8 +531,9 @@ class TripleStore:
         find = query["find"]
         find_vars = [find] if isinstance(find, str) else list(find)
         df = datalog.q_df(extended, query)
-        if not query.get("sort") and not query.get("take"):
-            df = df.orderBy(*find_vars)
+        if not query.get("sort"):
+            df = df.orderBy(*find_vars)  # presentation order (take is
+            # already deterministic inside q_df)
         return [
             tuple(datalog.decode_binding(row[v]) for v in find_vars)
             for row in df.collect()

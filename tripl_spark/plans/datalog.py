@@ -36,15 +36,12 @@ def _is_var(term: Any) -> bool:
 
 
 def _vkey_of_value() -> F.Column:
-    return (
-        F.when(F.col("vtype") == "null", F.lit("z"))
-        .when(F.col("vtype").isin("int", "float"),
-              F.concat(F.lit("n:"), F.col("v_num").cast("string")))
-        .when(F.col("vtype") == "bool",
-              F.concat(F.lit("b:"),
-                       F.when(F.col("v_bool"), F.lit("True")).otherwise(F.lit("False"))))
-        .otherwise(F.concat(F.lit("s:"), F.col("v_str")))
-    )
+    """The canonical value key — ONE definition, shared with the
+    store's compaction keys (late import: store itself imports this
+    module for ``q``)."""
+    from tripl_spark.core.store import _vkey_col
+
+    return _vkey_col()
 
 
 def _clause_df(facts: DataFrame, clause: list[Any]) -> tuple[DataFrame, list[str]]:
@@ -74,8 +71,11 @@ def _clause_df(facts: DataFrame, clause: list[Any]) -> tuple[DataFrame, list[str
             df = df.filter(cols[var] == expr)
         else:
             cols[var] = expr
-    if not cols:  # fully ground clause: existence check → empty-schema row
-        cols["__exists"] = F.lit(1)
+    if not cols:  # fully ground clause: existence check — ONE row at
+        # most (a re-asserted triple appears N times in a non-compacted
+        # frame; without the limit each copy would cross-join into the
+        # bound set, multiplying every binding N-fold)
+        return df.limit(1).select(F.lit(1).alias("__exists")), ["__exists"]
     out = df.select(*[c.alias(v) for v, c in cols.items()])
     return out, [v for v in cols]
 
@@ -193,6 +193,10 @@ def q_df(facts: DataFrame, query: dict[str, Any]) -> DataFrame:
             out = out.select(*find_vars)
     take = query.get("take")
     if take:
+        if not sort:
+            # deterministic LIMIT: without this, WHICH rows survive the
+            # take would vary with partitioning/AQE run to run
+            out = out.orderBy(*[_binding_sort_key(v) for v in find_vars])
         out = out.limit(int(take))
     return out
 
@@ -233,8 +237,9 @@ def q(store: Any, query: dict[str, Any]) -> list[tuple]:
     find = query["find"]
     find_vars = [find] if isinstance(find, str) else list(find)
     df = q_df(store.current_facts(), query)
-    if not query.get("sort") and not query.get("take"):
-        df = df.orderBy(*find_vars)
+    if not query.get("sort"):
+        df = df.orderBy(*find_vars)  # presentation order (take is
+        # already deterministic inside q_df)
     return [tuple(decode_binding(row[v]) for v in find_vars) for row in df.collect()]
 
 
@@ -245,7 +250,11 @@ def _derived_clause_df(
     rel: DataFrame, clause: list[Any]
 ) -> tuple[DataFrame, list[str]]:
     """A body clause over a derived predicate: rel is its (e, v) pair
-    set; bindings use the same canonical keys as base clauses."""
+    set; bindings use the same canonical keys as base clauses —
+    including the two base-clause edge shapes: the same variable in
+    both positions is an intra-row equality, and a fully-ground clause
+    is a one-row ``__exists`` check (the shapes ``_clause_df`` handles
+    at lines 72-78)."""
     e_term, _pred, v_term = clause
     df = rel
     cols: dict[str, F.Column] = {}
@@ -254,9 +263,14 @@ def _derived_clause_df(
     else:
         df = df.filter(F.col("e") == str(e_term))
     if _is_var(v_term):
-        cols[v_term] = F.concat(F.lit("s:"), F.col("v"))
+        if v_term in cols:  # same var twice → intra-row equality
+            df = df.filter(F.col("e") == F.col("v"))
+        else:
+            cols[v_term] = F.concat(F.lit("s:"), F.col("v"))
     else:
         df = df.filter(F.col("v") == str(v_term))
+    if not cols:  # fully ground: existence check, one row at most
+        return df.limit(1).select(F.lit(1).alias("__exists")), ["__exists"]
     return df.select(*[c.alias(n) for n, c in cols.items()]), list(cols)
 
 
@@ -287,7 +301,6 @@ def eval_rules(
 
     Returns {pred: DataFrame(e, v)} of derived pairs."""
     preds = {head[1] for head, _ in rules}
-    empty = None
     known: dict[str, DataFrame] = {}
     delta: dict[str, DataFrame] = {}
 
@@ -375,6 +388,18 @@ def eval_rules(
                 known[pred] = known[pred].union(fresh).localCheckpoint(eager=True)
         if not progressed:
             break
+    else:  # max_iters exhausted with fresh tuples still arriving
+        import warnings
+
+        warnings.warn(
+            f"eval_rules stopped after max_iters={max_iters} rounds "
+            "WITHOUT reaching a fixpoint — the returned derived "
+            "relations are truncated (deep recursion needs a larger "
+            "max_iters; each semi-naive round extends linear "
+            "derivations by one hop)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return known
 
 

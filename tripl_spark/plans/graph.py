@@ -121,14 +121,26 @@ def connected_components(
             .select(F.col("a.node").alias("node"), F.col("b.comp").alias("comp"))
         )
         # the convergence scalar is an observed metric of the eager
-        # checkpoint's own job — one action per round, no extra collect
+        # checkpoint's own job — one action per round, no extra collect.
+        # Summing xxhash64(comp) is TYPE-AGNOSTIC: node ids (and hence
+        # labels) are frequently strings (edges_df emits uuid eids),
+        # where sum("comp") would crash under ANSI or null out and
+        # falsely converge under non-ANSI. Labels only ever decrease
+        # (min-combining), so an unchanged hash sum across rounds means
+        # an unchanged labeling up to a vanishing collision-cancel
+        # probability (~2^-64 per pair of changed labels).
         obs = Observation(f"cc_round_{_i}")
         labels = (
             neigh.unionByName(jump)
             .unionByName(labels.select("node", "comp"))
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .observe(obs, F.sum("comp").alias("comp_sum"))
+            .observe(
+                obs,
+                # decimal(38,0) accumulator: random 64-bit hashes overflow
+                # a LONG sum (ANSI arithmetic) after a handful of rows
+                F.sum(F.xxhash64("comp").cast("decimal(38,0)")).alias("comp_sum"),
+            )
             .localCheckpoint(eager=True)
         )
         cur_sum = obs.get["comp_sum"]

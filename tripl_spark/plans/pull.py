@@ -112,7 +112,6 @@ class PullRun:
         self.attrs: dict[tuple[int, str], dict[str, list[Any]]] = {}
         self.fwd_edges: dict[tuple[int, str, str], list[str]] = {}
         self.rev_edges: dict[tuple[int, str, str], list[str]] = {}
-        self.known_entities: set[str] = set()
         self._fetched: set[tuple[int, str]] = set()
 
     # ------------------------------------------------------------- fetch --
@@ -145,7 +144,6 @@ class PullRun:
             for row in base.select("e", "a", "vtype", "v_str", "v_num", "v_bool").collect():
                 val = decode_value(row.vtype, row.v_str, row.v_num, row.v_bool)
                 self.attrs.setdefault((pos.pos, row.e), {}).setdefault(row.a, []).append(val)
-                self.known_entities.add(row.e)
 
     def _fetch_edges(
         self, pos: PullPos, nodes_df: DataFrame, nodes: list[str]
@@ -197,7 +195,14 @@ class PullRun:
     @staticmethod
     def _sort_key(v: Any) -> tuple:
         # numbers sort numerically (9 before 10), everything else by
-        # string — matches sort_array in the distributed pull_df path
+        # string. NOTE: for multi-value attrs of a SINGLE type this
+        # yields the same order as sort_array in the distributed
+        # pull_df path; for HETEROGENEOUSLY-typed value sets the two
+        # paths order across types differently (this key groups by
+        # type tag, pull_df sorts by null-ordering + JSON fragment) —
+        # a documented divergence, since mixed-type card-many values
+        # have no reference-sanctioned order to begin with (the
+        # reference returns an unordered set, SURVEY.md §0.2).
         if isinstance(v, bool):
             return ("bool", 0.0, str(v))
         if isinstance(v, (int, float)):
