@@ -172,3 +172,84 @@ def test_semantic_pipeline_handles_tiny_corpora(spark):
     idx = semantic_index(emb.filter(F.col("vec_id") < 2), cent)
     m = semantic_match_new(emb.filter(F.col("vec_id") >= 2), idx, cent, threshold=0.9)
     assert m.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Scale gates: the registered semantic-dedup paths are bounded BY DEFAULT
+# (VERDICT r5 §What's-wrong #1) — no within-cluster join runs uncapped
+# unless a caller explicitly passes max_cluster=None.
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_default_max_cluster_is_bounded():
+    """Introspection gate: every semantic pair/index entry point caps
+    at SEM_MAX_CLUSTER by default. A regression to None here silently
+    reintroduces the Σ|cluster|² quadratic blowup at scale."""
+    import inspect
+
+    from tripl_spark.operators.clustering import (
+        SEM_MAX_CLUSTER,
+        semantic_dedup_pairs,
+        semantic_dedup_pairs_arrow,
+        semantic_index,
+    )
+
+    for fn in (semantic_dedup_pairs, semantic_dedup_pairs_arrow, semantic_index):
+        default = inspect.signature(fn).parameters["max_cluster"].default
+        assert default == SEM_MAX_CLUSTER, fn.__name__
+
+
+@pytest.fixture(scope="module")
+def fat_cluster(spark):
+    """cid 0: SEM_MAX_CLUSTER+1 members (degenerate), cid 1: 2 members."""
+    from tripl_spark.operators.clustering import SEM_MAX_CLUSTER
+
+    rows = [(i, [1.0, 0.0], 0) for i in range(SEM_MAX_CLUSTER + 1)]
+    rows += [(100_000, [0.0, 1.0], 1), (100_001, [0.0, 1.0], 1)]
+    return spark.createDataFrame(rows, "vec_id long, v array<double>, cid int")
+
+
+def test_semantic_pairs_default_drops_degenerate_cluster(fat_cluster):
+    from tripl_spark.operators.clustering import (
+        semantic_dedup_pairs,
+        semantic_dedup_pairs_arrow,
+    )
+
+    got = [(r.id_a, r.id_b) for r in semantic_dedup_pairs(fat_cluster, threshold=0.9).collect()]
+    assert got == [(100_000, 100_001)]
+    got_arrow = [
+        (r.id_a, r.id_b)
+        for r in semantic_dedup_pairs_arrow(fat_cluster, threshold=0.9).collect()
+    ]
+    assert got_arrow == [(100_000, 100_001)]
+
+
+def test_semantic_index_default_excludes_degenerate_cluster(spark, fat_cluster):
+    """The materialized index is the capped artifact: a degenerate
+    cluster never enters it, so every consumer inherits the bound."""
+    from tripl_spark.operators.clustering import semantic_index
+
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cid int, cv array<double>"
+    )
+    idx = semantic_index(fat_cluster.select("vec_id", "v"), cent)
+    assert sorted(r.vec_id for r in idx.collect()) == [100_000, 100_001]
+
+
+def test_semantic_oracles_replicate_the_cap():
+    """Every registered semantic-dedup oracle carries the
+    HAVING count(*) <= SEM_MAX_CLUSTER replica of the Spark-side cap,
+    so the driver hash gate pins the BOUNDED shape."""
+    from tripl_spark.operators.clustering import SEM_MAX_CLUSTER
+    from tripl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    for name in (
+        "dedup_semantic_clusters",
+        "dedup_semantic_groups",
+        "dedup_incremental_semantic",
+        "pipeline_semantic_curation",
+    ):
+        oracle = REGISTRY[name].oracle
+        assert oracle is not None, name
+        assert f"count(*) <= {SEM_MAX_CLUSTER}" in oracle, name

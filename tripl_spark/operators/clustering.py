@@ -330,12 +330,15 @@ def _assign_all_ranked(emb: DataFrame, cent: DataFrame) -> DataFrame:
        doc="distributed Lloyd's k-means over the embeddings table "
            "(iterative — rows-only; invariants in tests/test_clustering.py)")
 def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-means (k=8) over the embeddings table: cluster sizes and
-    mean within-cluster distance per cluster."""
+    """k-means over the embeddings table: cluster sizes and mean
+    within-cluster distance per cluster. k comes from the production
+    ``codebook_k`` rule (k ≈ n/1000, floor K2) — at test scales it
+    resolves to K2, at 100 TB it keeps clusters ~10³ vectors so every
+    downstream within-cluster stage stays linear in n."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    centroids, _ = kmeans_fit(emb, k=8, max_iters=5)
+    centroids, _ = kmeans_fit(emb, k=codebook_k(emb.count()), max_iters=5)
     return (
         kmeans_assign(emb, centroids)
         .groupBy("cid")
@@ -352,22 +355,56 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 SEM_THRESHOLD = 0.4
+# Default within-cluster pair-join cap: clusters above this size are
+# dropped (with the production k ≈ n/1000 rule below, clusters are ~10³
+# vectors, so at the default nothing degenerate survives to the pair
+# stage and Σ|cluster|² stays ~linear in n). Mirrors the MinHash path's
+# DEFAULT_MAX_BUCKET and is replicated in every registered oracle as
+# ``HAVING count(*) <= SEM_MAX_CLUSTER`` so the gate pins the BOUNDED
+# shape, not an uncapped test-only variant.
+SEM_MAX_CLUSTER = 1000
+
+
+def codebook_k(n: int, per_cluster: int = 1000, k_min: int = K2) -> int:
+    """Production codebook-size rule: k ≈ n / per_cluster, never below
+    ``k_min`` — clusters stay ~10³ vectors so the SemDeDup pair stage
+    is linear in corpus size. The driver-gated queries pin k = K2
+    because the KMEANS2 oracle CTEs replay training with literal seeds;
+    at the driver's test scales n // per_cluster < K2, so this rule
+    resolves to K2 there anyway (same constant, now derived)."""
+    return max(k_min, n // per_cluster)
+
+
+def _capped_cte(src: str = "lists", name: str = "cl", cap: int = SEM_MAX_CLUSTER) -> str:
+    """SQL fragment: ``name`` = the rows of ``src`` whose cluster has at
+    most ``cap`` members — the oracle-side replica of the
+    ``max_cluster`` guard every registered semantic-dedup path applies,
+    so the driver hash gate pins the BOUNDED production shape."""
+    return f"""
+    {name} AS (
+      SELECT {src}.* FROM {src}
+      JOIN (SELECT cid FROM {src} GROUP BY cid
+            HAVING count(*) <= {cap}) _ok_{name} USING (cid)
+    )"""
 
 
 def semantic_dedup_pairs(
     assigned: DataFrame,
     threshold: float = SEM_THRESHOLD,
-    max_cluster: int | None = None,
+    max_cluster: int | None = SEM_MAX_CLUSTER,
 ) -> DataFrame:
     """(id_a, id_b, cid, cosine) — within-cluster cosine pairs above
     ``threshold`` from an ``assigned`` frame of (vec_id, v, cid).
 
-    ``max_cluster`` drops clusters bigger than the cap before the pair
-    join — the same degenerate-bucket guard the MinHash LSH path
+    ``max_cluster`` (DEFAULT ``SEM_MAX_CLUSTER`` — pass ``None`` to
+    uncap, test-only) drops clusters bigger than the cap before the
+    pair join — the same degenerate-bucket guard the MinHash LSH path
     applies (a near-duplicate blob or an under-trained codebook can
     funnel a corpus slice into one cid, whose pair stage would expand
-    quadratically). Norms are computed once per vector before the
-    join; each pair then does a single dot product."""
+    quadratically). The cluster-size filter is a tiny aggregate
+    broadcast back onto the lists, so the guard costs one map-side
+    combine, not a shuffle. Norms are computed once per vector before
+    the join; each pair then does a single dot product."""
     from tripl_spark.operators.similarity import dot, norm
 
     lists = assigned.select("vec_id", "v", "cid", norm(F.col("v")).alias("nrm"))
@@ -400,16 +437,19 @@ def semantic_dedup_pairs(
 @query(
     "dedup_semantic_clusters",
     # Trained-cluster assignment = the same `lists` relation the
-    # IVF-kmeans oracle builds; the pair stage is a self-join on cid
-    # with the rounded cosine compared AFTER rounding on both engines
-    # so a boundary value can't flip membership.
+    # IVF-kmeans oracle builds; the pair stage is a self-join on cid —
+    # over the CAPPED cluster list (cl), replicating the max_cluster
+    # guard the Spark path applies by default — with the rounded cosine
+    # compared AFTER rounding on both engines so a boundary value can't
+    # flip membership.
     oracle=f"""
     WITH {KMEANS2_CTES},
-{_lists_cte()}
+{_lists_cte()},
+{_capped_cte()}
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cid,
            round(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
-    FROM lists a
-    JOIN lists b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    FROM cl a
+    JOIN cl b ON a.cid = b.cid AND a.vec_id < b.vec_id
     JOIN e ea ON ea.vec_id = a.vec_id
     JOIN e eb ON eb.vec_id = b.vec_id
     WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= {SEM_THRESHOLD}
@@ -429,17 +469,18 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: the codebook (k×d) broadcasts for assignment — the
     corpus shuffles ONCE on cid for the self-join; within-cluster
-    all-pairs cost is Σ|cluster|², bounded by choosing k ≈ n/1000 in
-    production so clusters stay ~10³ vectors (here k=8 matches the
-    oracled trainer). ``semantic_dedup_pairs(max_cluster=...)`` is the
-    degenerate-cluster cap for production (the registered query runs
-    uncapped so the oracle enumerates identical pairs; with k=8 on
-    this data no cluster is degenerate). Norms are computed once per
-    vector before the pair join — recomputing them per pair tripled
-    the array work (measured ~2x wall-clock on the sf0.1 pair stage);
-    sqrt(dot(v,v)) reused is bit-identical, so the oracle's
-    list_cosine_similarity still hash-matches. No all-pairs over the
-    corpus ever materializes."""
+    all-pairs cost is Σ|cluster|², bounded two ways: choose k by the
+    ``codebook_k`` rule (k ≈ n/1000 so clusters stay ~10³ vectors;
+    here k=K2 matches the oracled trainer and equals the rule's output
+    at this n), AND the ``SEM_MAX_CLUSTER`` cap — applied BY DEFAULT
+    in ``semantic_dedup_pairs`` and replicated in the oracle's ``cl``
+    CTE — drops any degenerate cluster before the pair join, so the
+    registered query carries the bounded production shape end to end.
+    Norms are computed once per vector before the pair join —
+    recomputing them per pair tripled the array work (measured ~2x
+    wall-clock on the sf0.1 pair stage); sqrt(dot(v,v)) reused is
+    bit-identical, so the oracle's list_cosine_similarity still
+    hash-matches. No all-pairs over the corpus ever materializes."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -451,7 +492,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def semantic_dedup_pairs_arrow(
     assigned: DataFrame,
     threshold: float = SEM_THRESHOLD,
-    max_cluster: int | None = None,
+    max_cluster: int | None = SEM_MAX_CLUSTER,
 ) -> DataFrame:
     """Production twin of ``semantic_dedup_pairs``: per-cluster pairwise
     cosine as ONE numpy GEMM inside Arrow-batched ``applyInPandas``.
@@ -529,18 +570,36 @@ def semantic_dedup_pairs_arrow(
 # ---------------------------------------------------------------------------
 
 
-def semantic_index(emb: DataFrame, cent: DataFrame) -> DataFrame:
+def semantic_index(
+    emb: DataFrame,
+    cent: DataFrame,
+    max_cluster: int | None = SEM_MAX_CLUSTER,
+) -> DataFrame:
     """(vec_id, v, nrm, cid) — the materializable semantic-dedup index
     of a corpus under a FROZEN codebook: cluster assignment plus the
     precomputed norm. At 100 TB this is what you persist (bucketed by
     cid, the join key) so daily embedding increments match against it
     without re-scoring the corpus — the semantic analog of
-    ``dedup.minhash_index``."""
+    ``dedup.minhash_index``.
+
+    ``max_cluster`` (default ``SEM_MAX_CLUSTER``) excludes degenerate
+    clusters AT BUILD TIME — the materialized index is the capped
+    artifact, so every consumer (incremental match, the streaming
+    class) inherits the bound without its own guard."""
     from tripl_spark.operators.similarity import norm
 
-    return _assign_round(emb, cent).select(
+    idx = _assign_round(emb, cent).select(
         "vec_id", "v", "cid", norm(F.col("v")).alias("nrm")
     )
+    if max_cluster is not None:
+        small = (
+            idx.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_cluster)
+            .select("cid")
+        )
+        idx = idx.join(F.broadcast(small), "cid").select("vec_id", "v", "cid", "nrm")
+    return idx
 
 
 def semantic_match_new(
@@ -579,17 +638,22 @@ def semantic_match_new(
     # The codebook is FROZEN at snapshot time (trained on the full
     # snapshot via the shared KMEANS2 CTEs — how production coarse
     # quantizers work: retrain offline, reuse across increments), so
-    # the whole incremental path stays SQL-replicable.
+    # the whole incremental path stays SQL-replicable. The index side
+    # (idx = corpus members only) carries the max_cluster build-time
+    # cap, counted over CORPUS residency — exactly what
+    # ``semantic_index`` materializes.
     oracle=f"""
     WITH {KMEANS2_CTES},
-{_lists_cte()}
+{_lists_cte()},
+    idx AS (SELECT * FROM lists WHERE vec_id % 7 != 0),
+{_capped_cte(src="idx", name="cidx")}
     SELECT a.vec_id AS new_id, b.vec_id AS corpus_id, a.cid,
            round(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
     FROM lists a
-    JOIN lists b ON a.cid = b.cid
+    JOIN cidx b ON a.cid = b.cid
     JOIN e ea ON ea.vec_id = a.vec_id
     JOIN e eb ON eb.vec_id = b.vec_id
-    WHERE a.vec_id % 7 = 0 AND b.vec_id % 7 != 0
+    WHERE a.vec_id % 7 = 0
       AND round(list_cosine_similarity(ea.v, eb.v), 4) >= {SEM_THRESHOLD}
     """,
     doc="incremental semantic dedup: an increment (vec_id % 7 = 0) "
@@ -598,12 +662,13 @@ def semantic_match_new(
 )
 def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental SemDeDup: the corpus partition (6/7 of vectors) is
-    indexed once via ``semantic_index``; the increment (1/7) assigns
-    under the same frozen codebook and matches only within its
-    clusters. Mirrors ``dedup_incremental_minhash``'s shape — index
-    cost amortizes across increments, per-increment cost is
-    O(increment × cluster residency), corpus text/vectors never
-    rescanned pairwise."""
+    indexed once via ``semantic_index`` (which applies the
+    ``SEM_MAX_CLUSTER`` build-time cap, replicated in the oracle's
+    ``cidx`` CTE); the increment (1/7) assigns under the same frozen
+    codebook and matches only within its clusters. Mirrors
+    ``dedup_incremental_minhash``'s shape — index cost amortizes
+    across increments, per-increment cost is O(increment × cluster
+    residency), corpus text/vectors never rescanned pairwise."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -624,9 +689,10 @@ def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE {KMEANS2_CTES},
 {_lists_cte(with_d2=True)},
+{_capped_cte()},
     prs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM lists a JOIN lists b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      FROM cl a JOIN cl b ON a.cid = b.cid AND a.vec_id < b.vec_id
       JOIN e ea ON ea.vec_id = a.vec_id
       JOIN e eb ON eb.vec_id = b.vec_id
       WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= {SEM_THRESHOLD}

@@ -36,7 +36,7 @@ BUDGET = 200  # total docs in the mixed sample
     tot AS (SELECT sum(power(n, {ALPHA})) AS z FROM counts),
     quota AS (
       SELECT lang, CAST(n AS BIGINT) AS lang_total,
-             CAST(floor({BUDGET} * power(n, {ALPHA}) / z) AS BIGINT) AS quota
+             CAST(floor(round({BUDGET} * power(n, {ALPHA}) / z, 6)) AS BIGINT) AS quota
       FROM counts, tot
     ),
     ranked AS (
@@ -58,14 +58,17 @@ def mixing_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (α=0.5) of a fixed document budget, filled in deterministic
     md5-hash order. Up-weights low-resource languages relative to their
     raw share — e.g. a lang with 13% of docs gets ~18% of the sample.
-    floor() (not round) keeps the quota integer boundary engine-safe."""
+    The quota quotient is 6-dp-rounded BEFORE floor() on both engines
+    so a 1-ulp pow/division skew cannot flip the integer boundary."""
     docs = load_table(spark, sf_dir, "documents")
     counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     tot = counts.agg(F.sum(F.pow("n", ALPHA)).alias("z"))
     quota = counts.crossJoin(F.broadcast(tot)).select(
         "lang",
         F.col("n").cast("long").alias("lang_total"),
-        F.floor(BUDGET * F.pow("n", ALPHA) / F.col("z")).cast("long").alias("quota"),
+        F.floor(F.round(BUDGET * F.pow("n", ALPHA) / F.col("z"), 6))
+        .cast("long")
+        .alias("quota"),
     )
     w = Window.partitionBy("lang").orderBy(
         _md5_hash60(F.col("doc_id").cast("string")), F.col("doc_id")
@@ -132,8 +135,8 @@ _BUCKET_DIV = (1 << 60) // PFX_BUCKETS  # hash60 range per bucket (exact)
     z AS (SELECT sum(power(src_tokens, {ALPHA})) AS z FROM totals),
     budget AS (
       SELECT source,
-             CAST(floor({TOKEN_BUDGET} * power(src_tokens, {ALPHA}) / z) AS BIGINT)
-               AS budget_tokens
+             CAST(floor(round({TOKEN_BUDGET} * power(src_tokens, {ALPHA}) / z, 6))
+                  AS BIGINT) AS budget_tokens
       FROM totals, z
     ),
     bucketed AS (SELECT *, h // {_BUCKET_DIV} AS bkt FROM toks),
@@ -188,9 +191,13 @@ def mixing_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     totals = toks.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
     z = totals.agg(F.sum(F.pow("src_tokens", ALPHA)).alias("z"))
+    # round the double quotient to 6 dp BEFORE floor on both engines:
+    # a 1-ulp pow/division skew between the JVM and DuckDB's libm can
+    # otherwise flip floor() at an integer boundary (the realistic case
+    # is a mathematically-integer quota landing at k±ulp)
     budget = totals.crossJoin(F.broadcast(z)).select(
         "source",
-        F.floor(TOKEN_BUDGET * F.pow("src_tokens", ALPHA) / F.col("z"))
+        F.floor(F.round(TOKEN_BUDGET * F.pow("src_tokens", ALPHA) / F.col("z"), 6))
         .cast("long")
         .alias("budget_tokens"),
     )

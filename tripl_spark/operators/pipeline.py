@@ -105,14 +105,17 @@ SEM_PIPE_THRESHOLD = 0.4
 
 
 def _semantic_pipeline_oracle() -> str:
-    from tripl_spark.operators.clustering import KMEANS2_CTES, _lists_cte
+    from tripl_spark.operators.clustering import KMEANS2_CTES, _capped_cte, _lists_cte
 
+    # `cl` replicates the SEM_MAX_CLUSTER cap the Spark pair stage
+    # applies by default, so the gate pins the bounded production shape
     return rf"""
     WITH {KMEANS2_CTES},
 {_lists_cte()},
+{_capped_cte()},
     dropped AS (
       SELECT DISTINCT b.vec_id AS vec_id
-      FROM lists a JOIN lists b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      FROM cl a JOIN cl b ON a.cid = b.cid AND a.vec_id < b.vec_id
       JOIN e ea ON ea.vec_id = a.vec_id
       JOIN e eb ON eb.vec_id = b.vec_id
       WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= {SEM_PIPE_THRESHOLD}
@@ -157,8 +160,10 @@ def pipeline_semantic_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantically deduped in embedding space must never re-enter at
     quota time, and the doc⋈embedding join must not resurrect rows.
 
-    Scale shape: dup-pair generation is the capped within-cluster join
-    (`semantic_dedup_pairs`); `dropped` is a distinct projection of
+    Scale shape: dup-pair generation is the within-cluster join with
+    the DEFAULT `SEM_MAX_CLUSTER` cap (`semantic_dedup_pairs`),
+    replicated in the oracle's `cl` CTE so the hash gate pins the
+    bounded shape; `dropped` is a distinct projection of
     the pair list (≪ corpus); survivors anti-join it broadcast; the
     doc⋈embedding equi-join is the one corpus-sized shuffle; the lang
     quota window shuffles only surviving rows."""

@@ -142,18 +142,17 @@ class StreamingDedup:
         if not committed:
             return None if not self._seen else self._empty_matches()
         paths = [f"{self.sink_path}/batch_id={b}" for b in committed]
-        try:
-            return (
-                self.spark.read.option("basePath", self.sink_path)
-                .parquet(*paths)
-                .drop("batch_id")
-            )
-        except Exception as ex:
-            # distinguishable from data: the only benign failure here is
-            # schema inference over partitions that are ALL empty
-            # (directories holding just _SUCCESS) — anything else on a
-            # committed-only path list is real corruption and must
-            # surface, not be swallowed
-            if "infer schema" in str(ex).lower():
-                return self._empty_matches()
-            raise
+        # explicit schema: no sampling-based inference, so committed
+        # partitions that are ALL empty (directories holding just
+        # _SUCCESS) read as zero rows instead of raising
+        # UNABLE_TO_INFER_SCHEMA — and a genuinely corrupt file still
+        # fails loudly at scan time rather than being swallowed by a
+        # message-text match
+        id_type = dict(self.corpus_sets.dtypes)[self.id_col]
+        schema = f"id_a {id_type}, id_b {id_type}, jaccard double, batch_id bigint"
+        return (
+            self.spark.read.schema(schema)
+            .option("basePath", self.sink_path)
+            .parquet(*paths)
+            .drop("batch_id")
+        )

@@ -55,8 +55,11 @@ class StreamingSemanticDedup:
     def process(self, batch: DataFrame, batch_id: int) -> None:
         if batch_id in self._seen:  # in-process replay: idempotent skip
             return
-        self._seen.add(batch_id)
         found = semantic_match_new(batch, self.index, self.cent, self.threshold)
         merged = found if self.matches is None else self.matches.unionByName(found)
         # cut lineage so N batches don't stack N plans
         self.matches = merged.localCheckpoint(eager=True)
+        # the batch counts as seen only AFTER its results are merged and
+        # checkpointed — a failure above leaves it eligible for the
+        # engine's replay (same invariant as StreamingDedup.process)
+        self._seen.add(batch_id)

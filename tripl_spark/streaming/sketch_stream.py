@@ -129,7 +129,6 @@ class StreamingHeavyHitters:
     def process(self, batch: DataFrame, batch_id: int) -> None:
         if batch_id in self._seen:  # in-process replay: idempotent skip
             return
-        self._seen.add(batch_id)
         delta = (
             self._sharded_tokens(batch)
             .groupBy("shard", "term")
@@ -145,6 +144,10 @@ class StreamingHeavyHitters:
         # bounded state: shards × state_k rows, checkpointed so N
         # batches don't stack N plans
         self.state = self._truncate(merged).localCheckpoint(eager=True)
+        # seen only AFTER the merged state commits — a mid-computation
+        # failure leaves the batch eligible for replay (same invariant
+        # as StreamingDedup.process)
+        self._seen.add(batch_id)
 
     def summaries(self) -> DataFrame | None:
         """Read-time summaries truncated to the batch operator's
