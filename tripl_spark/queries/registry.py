@@ -67,103 +67,82 @@ _LOADED = False
 # representative TPC-H/analytics rows. Names listed here come first, in
 # this order; everything else follows in registration order.
 _PRIORITY = [
-    # Round-5 rotation. After r4, every registered query except
-    # multimodal_image_neardup / multimodal_video_neardup had at least
-    # one driver row, and the six rows-only queries that occupied r4
-    # window slots (dedup_minhash_lsh, dedup_simhash,
-    # cluster_kmeans_embeddings, packing_greedy, tokenizer_bpe_merges,
-    # sim_ann_hnsw) got their first hard run signal — rows-only slots
-    # yield weak signal forever, so they rotate OUT. The window now
-    # leads with (a) the two never-driver-checked queries, (b) queries
-    # whose oracle is NEW this round, (c) a refresh cohort of oracled
-    # queries whose driver rows predate the r4 code vintage, balanced
-    # across operator families. Displaced rows keep local DuckDB
-    # parity coverage in tests/test_oracle_parity.py.
+    # Round-6 rotation. After r5 the registry was 50/50 green and every
+    # entry except classifier_quality_train had ≥1 driver row, but 44
+    # oracled queries' LATEST rows date from r1–r3 code vintages
+    # (VERDICT r5 §What's-missing #3 names this the r6 refresh cohort).
+    # The window therefore leads with (a) the four semantic-dedup
+    # queries whose REGISTERED SHAPE changed this round (the
+    # SEM_MAX_CLUSTER cap is now default and replicated in the oracles
+    # — the r6 rows must prove the bounded shape green), (b) the two
+    # mixing queries whose oracle arithmetic changed (round-before-
+    # floor quota boundaries), (c) the first-ever driver row for
+    # classifier_quality_train (rows-only by nature), then (d) the
+    # full stale cohort, family-grouped. The two simple stats
+    # aggregates sit at the tail as the lowest-divergence-risk rows —
+    # they slide out first if a newly-oracled query claims a slot.
+    # Displaced rows keep local DuckDB parity coverage in
+    # tests/test_oracle_parity.py.
     #
-    # (a) first-ever driver rows — newly ORACLED in r5 (pair stage
-    # composed over the dHash oracles), so their first driver signal
-    # is a full hash gate rather than rows-only
-    "multimodal_image_neardup",
-    "multimodal_video_neardup",
-    # (b) first driver rows under a NEW r5 oracle (previously rows-only)
-    # or for operators NEW in r5
-    "packing_greedy",
-    "cluster_kmeans_2iter",
-    "sim_ann_ivf_kmeans",
-    "sketch_bloom_membership",
-    "sketch_hll_registers",
-    "sketch_quantile_merge",
-    "dedup_simhash_oracled",
-    "tokenizer_bpe_2merges",
-    "sim_ann_knn_graph",
-    # (b2) NEW operators added late in r5 — first driver rows, all
-    # fully oracled (heavy hitters, SemDeDup, bigram LM, weighted
-    # sampling)
-    "sketch_heavy_hitters",
+    # (a) registered shape changed in r6 — re-gate under the cap
     "dedup_semantic_clusters",
-    "pipeline_semantic_curation",
-    "text_bigram_logprob",
-    "curation_weighted_sample",
-    "mixing_token_budget",
-    "dedup_incremental_semantic",
     "dedup_semantic_groups",
-    "multimodal_video_scene_cuts",
-    "events_retention_cohorts",
-    "tokenizer_vocab_coverage",
-    "pipeline_decontaminated_corpus",
-    "tokenizer_bpe2_compression",
-    "classifier_logreg_2step",
-    "classifier_linear_probe_2step",
-    "classifier_auc_eval",
-    "pipeline_classifier_curation",
-    # (c) refresh cohort — judge-named first, then family balance
-    "q2_min_cost_supplier",
-    "q18_large_volume_customers",
-    "q21_waiting_suppliers",
-    "events_funnel_conversion",
-    "search_bm25",
-    "dedup_groups_canonical",
-    "sim_ann_ivf",
-    "triple_pull_df_wildcard",
-    # family balance ahead of the deep TPC-H refresh: keep one triple
-    # and one graph refresh in the 50-row window (their other family
-    # members hold green r4 rows)
-    "triple_match_segment",
-    "graph_user_ancestry",
-    # TPC-H refresh (driver rows r1-r3; bench-flagged queries first)
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "q20_seasonal_shippers",
-    "q22_global_sales_opportunity",
-    # analytics / windows / events refresh
-    "top3_customers_per_nation",
-    "nation_year_rollup",
-    "order_status_pivot",
-    "customers_without_orders",
+    "dedup_incremental_semantic",
+    "pipeline_semantic_curation",
+    # (b) oracle arithmetic changed in r6 — re-gate the quota boundary
+    "mixing_token_budget",
+    "mixing_temperature_sample",
+    # (c) only registry entry with zero driver rows across r1–r5
+    "classifier_quality_train",
+    # (d) the stale refresh cohort: latest driver rows r1–r3.
+    # TPC-H first (bench-visible), then events/windows/analytics,
+    # triple/datalog, text, similarity/dedup/curation, multimodal.
+    "q4_order_priority",
+    "q8_market_share",
+    "q11_important_parts",
+    "q12_ship_priority",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_relationship",
     "events_hourly_tumbling",
+    "events_sliding_hourly",
     "events_sessionization",
     "events_user_props_stats",
     "events_moving_total_7d",
+    "events_running_total",
+    "events_daily_active_users",
+    "events_type_share",
+    "events_cube_type_year",
     "asof_last_purchase",
-    # triple engine / graph refresh (beyond the in-window pair above)
+    "nation_year_rollup",
+    "order_status_pivot",
+    "part_price_unpivot",
+    "order_count_distribution",
+    "customers_without_orders",
+    "repeat_buyers_intersect",
+    "lapsed_buyers_except",
+    "churned_buyers_1995_vs_2001",
+    "top5_parts_per_brand",
+    "window_functions_showcase",
+    "scalar_functions_showcase",
+    "approx_distinct_users",
+    "approx_quantiles_value",
     "triple_reverse_fanin",
     "triple_datalog_join",
-    # text refresh
     "text_token_stats",
     "text_quality_score",
     "text_lang_id",
     "text_ngram_contamination",
-    # similarity / dedup / curation / multimodal refresh
+    "sim_ann_lsh",
+    "sim_ann_pq",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "curation_stratified_sample",
+    "multimodal_metadata",
+    # tail: lowest-risk simple aggregates — first to slide out of the
+    # 50-row window if a newly-oracled query is inserted above
+    "stats_corr_value_k",
+    "stats_value_by_type",
 ]
 
 
