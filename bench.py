@@ -87,6 +87,39 @@ HEADLINE = [
 ]
 
 
+def _canary(spark) -> dict[str, float]:
+    """Host-throughput calibration recorded alongside the timings: a
+    pinned numpy GEMM (1024x1024, seeded) and a trivial 32-partition
+    Spark sum over a fixed range. Both are constant work, so
+    cross-round totals can be normalized by them to separate code
+    regressions from host drift — the r4/r5 same-day A/B showed this
+    host's multi-thread throughput drifts >=1.4x between runs, and
+    without a canary every cross-round comparison re-litigates that.
+    Best-of-N timing (min, not median): the canary estimates the
+    host's CEILING, and only downward noise exists for fixed work."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    a = rng.standard_normal((1024, 1024))
+    b = rng.standard_normal((1024, 1024))
+    a @ b  # warm BLAS threads / allocator
+    gemm = min(
+        _timed(lambda: a @ b) for _ in range(5)
+    )
+    counter = lambda: spark.range(0, 100_000_000, 1, 32).selectExpr(  # noqa: E731
+        "sum(id % 7) AS s"
+    ).collect()
+    counter()  # warm
+    spark_sum = min(_timed(counter) for _ in range(3))
+    return {"gemm_sec": round(gemm, 4), "spark_sum_sec": round(spark_sum, 4)}
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -116,6 +149,7 @@ def main() -> None:
     spreads = {n: round(max(s) - min(s), 3) for n, s in samples.items()}
 
     total = round(sum(timings.values()), 3)
+    canary = _canary(spark)
     # Diagnostics (per-query spread across runs) go to stderr: the driver
     # captures only the last ~2000 chars of stdout and parses the JSON line
     # out of that tail, so the stdout line must stay short and be last.
@@ -130,6 +164,7 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf,
+            "canary": canary,
         }
     )
     if len(line) > 1800:
@@ -144,6 +179,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": slim,
                 "sf": sf,
+                "canary": canary,
                 "truncated": True,
                 "dropped_queries": len(timings) - len(slim),
             }

@@ -95,3 +95,25 @@ def test_video_shared_frame_detected(spark):
              for r in video_near_dup_pairs(video_frame_dhashes(videos)).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] >= 1
     assert all(p == (1, 2) for p in pairs), pairs
+
+
+def test_video_pair_cache_does_not_outlive_the_call(spark):
+    """Long-lived-session invariant: video_near_dup_pairs unpersists
+    its distinct-hash intermediate before returning — after the call,
+    at most the localCheckpoint block backing the RETURNED pair list
+    remains, never the frame-hash cache."""
+    from tripl_spark.operators.multimodal import video_near_dup_pairs
+
+    sc = spark.sparkContext
+
+    def n_cached() -> int:
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    fh = spark.createDataFrame(
+        [(1, 0, "0101"), (2, 0, "0101"), (3, 0, "1111")],
+        "doc_id long, frame_idx int, dhash string",
+    )
+    before = n_cached()
+    res = video_near_dup_pairs(fh)
+    assert {(r.id_a, r.id_b) for r in res.collect()} == {(1, 2)}
+    assert n_cached() <= before + 1, sc._jsc.sc().getRDDStorageInfo()

@@ -170,3 +170,27 @@ def test_vocab_coverage_membership_is_broadcast(spark, sf_small):
     # must never shuffle the corpus
     plan = _plan(spark, sf_small, "tokenizer_vocab_coverage")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_per_group_topk_has_partial_window_group_limit(spark, sf_small):
+    # The per-group top-k windows' scale safety depends on Spark's
+    # WindowGroupLimit PARTIAL pushdown: each map task ships only k
+    # rows per group to the exchange instead of the whole group
+    # (otherwise a skewed stratum serializes through one task). This
+    # held on Spark 4.1.2 but nothing gated it — a conf or version
+    # change could silently reintroduce per-group skew, so pin it.
+    import re
+
+    partial_wgl = re.compile(
+        r"\(\d+\) WindowGroupLimit\nInput[^\n]*\nArguments: [^\n]*, Partial\n"
+    )
+    for name in (
+        "top3_customers_per_nation",
+        "top5_parts_per_brand",
+        "curation_quota_per_stratum",
+        "pipeline_curation_end2end",
+        "pipeline_semantic_curation",
+        "pipeline_decontaminated_corpus",
+    ):
+        plan = _plan(spark, sf_small, name)
+        assert partial_wgl.search(plan), (name, plan)

@@ -32,3 +32,22 @@ def test_short_docs_skipped(spark):
         [(1, "tiny doc"), (2, "tiny doc")], "doc_id long, text string"
     )
     assert shared_span_pairs(docs).count() == 0
+
+
+def test_span_pair_cache_does_not_outlive_the_call(spark):
+    """Long-lived-session invariant: shared_span_pairs unpersists its
+    span-frame intermediate before returning — after the call, at most
+    the (GC-managed) localCheckpoint block backing the RETURNED result
+    remains in block storage, never the corpus-sized span cache."""
+    sc = spark.sparkContext
+
+    def n_cached() -> int:
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * 64) for i in range(4)], "doc_id long, text string"
+    )
+    before = n_cached()
+    res = shared_span_pairs(docs)
+    res.collect()
+    assert n_cached() <= before + 1, sc._jsc.sc().getRDDStorageInfo()

@@ -630,33 +630,39 @@ def video_near_dup_pairs(
     drops boilerplate frames (intros/logos/test cards shared by
     thousands of videos) whose buckets would expand quadratically —
     the same degenerate-bucket cap the MinHash LSH path applies. The
-    distinct hash frame is persisted — the cap scan and both join
-    sides would otherwise re-run the per-frame decode. The CALLER owns
-    the cache lifecycle: the persisted block lives until the session
-    ends (or ``spark.catalog.clearCache()``), so long-lived sessions
-    invoking this repeatedly should clear between runs."""
+    distinct hash frame is persisted for the duration of THIS call —
+    the cap scan and both join sides would otherwise re-run the
+    per-frame decode — and unpersisted before returning: the (small)
+    pair result is eagerly materialized via localCheckpoint, so no
+    MEMORY_AND_DISK block outlives the call in a long-lived session
+    (gated by tests/test_image_dedup.py)."""
     from pyspark import StorageLevel
 
-    fh = frame_hashes.select("doc_id", "dhash").distinct().persist(
+    cached = frame_hashes.select("doc_id", "dhash").distinct().persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    if max_bucket is not None:
-        small = (
-            fh.groupBy("dhash")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") <= max_bucket)
-            .select("dhash")
+    try:
+        fh = cached
+        if max_bucket is not None:
+            small = (
+                fh.groupBy("dhash")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") <= max_bucket)
+                .select("dhash")
+            )
+            fh = fh.join(small, "dhash")
+        a = fh.select(F.col("doc_id").alias("id_a"), "dhash")
+        b = fh.select(F.col("doc_id").alias("id_b"), "dhash")
+        return (
+            a.join(b, "dhash")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared_frames"))
+            .filter(F.col("n_shared_frames") >= min_shared)
+            .localCheckpoint(eager=True)
         )
-        fh = fh.join(small, "dhash")
-    a = fh.select(F.col("doc_id").alias("id_a"), "dhash")
-    b = fh.select(F.col("doc_id").alias("id_b"), "dhash")
-    return (
-        a.join(b, "dhash")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_frames"))
-        .filter(F.col("n_shared_frames") >= min_shared)
-    )
+    finally:
+        cached.unpersist()
 
 
 def _frame_dhash_oracle() -> str:

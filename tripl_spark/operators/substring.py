@@ -73,12 +73,13 @@ def shared_span_pairs(
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """(id_a, id_b, n_shared_spans) for every doc pair sharing >= 1
-    exact W-token span. The span frame is persisted: it feeds the
-    bucket stage AND both sides of the counting join — unpersisted,
-    the tokenize+slice+hash pipeline would run three times. The CALLER
-    owns the cache lifecycle (the block lives until session end or
-    ``spark.catalog.clearCache()``); clear between repeated runs in a
-    long-lived session."""
+    exact W-token span. The span frame is persisted for the duration
+    of THIS call — it feeds the bucket stage AND both sides of the
+    counting join; unpersisted, the tokenize+slice+hash pipeline would
+    run three times — then unpersisted before returning: the (small)
+    pair result is eagerly materialized via localCheckpoint, so no
+    MEMORY_AND_DISK block outlives the call in a long-lived session
+    (gated by tests/test_substring.py)."""
     from pyspark import StorageLevel
 
     sp = (
@@ -87,21 +88,24 @@ def shared_span_pairs(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # reuse the LSH bucket-pair expansion: bucket key = the span hash
-    bands = sp.select(
-        id_col, F.lit(0).alias("band_id"), F.col("span_hash").cast("string").alias("band_hash")
-    )
-    pairs = _pairs_from_buckets(bands, id_col, max_bucket)
-    # n_shared_spans: count distinct span hashes both docs contain
-    a = sp.select(F.col(id_col).alias("id_a"), "span_hash")
-    b = sp.select(F.col(id_col).alias("id_b"), "span_hash")
-    counted = (
-        pairs.join(a, "id_a")
-        .join(b, ["id_b", "span_hash"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_spans"))
-    )
-    return counted
+    try:
+        # reuse the LSH bucket-pair expansion: bucket key = the span hash
+        bands = sp.select(
+            id_col, F.lit(0).alias("band_id"), F.col("span_hash").cast("string").alias("band_hash")
+        )
+        pairs = _pairs_from_buckets(bands, id_col, max_bucket)
+        # n_shared_spans: count distinct span hashes both docs contain
+        a = sp.select(F.col(id_col).alias("id_a"), "span_hash")
+        b = sp.select(F.col(id_col).alias("id_b"), "span_hash")
+        return (
+            pairs.join(a, "id_a")
+            .join(b, ["id_b", "span_hash"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared_spans"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        sp.unpersist()
 
 
 @query(
