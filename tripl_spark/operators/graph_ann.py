@@ -31,20 +31,18 @@ so every search hop is a co-located join. All arithmetic is Catalyst
 higher-order functions (no Python in the row path); iteration uses
 ``localCheckpoint`` to cut lineage exactly like ``plans/graph.py``.
 
-Correctness gating is split: the SEED graph stage (multiprobe
-candidates + exact cosine + top-m) is fully hash-gated via the
-``sim_ann_knn_graph`` oracle — note the oracle path scores with the
-JVM cosine (4 dp), while the production build scores with the
-Arrow-batched numpy ``_cosine_batch`` (6 dp); the two scorers are
-pinned equivalent on the real embeddings by
-``tests/test_graph_ann.py::test_cosine_udf_matches_jvm_cosine``, which
-is what actually covers the numpy arithmetic. The full build+search
-pipeline is
-deterministic (seeded planes, every rank tie-broken by vec_id) but an
-unrolled SQL replica of two join-iterations is not sane DuckDB, so
-``sim_ann_hnsw`` registers rows-only with recall pinned by
-``tests/test_graph_ann.py`` (≥0.8 of exact top-k on the driver's own
-sf0.001 embeddings, and on clustered vectors).
+Correctness gating: the SEED graph stage (multiprobe candidates +
+exact cosine + top-m) is hash-gated via the ``sim_ann_knn_graph``
+oracle, and since r6 the FULL pipeline — seed graph, one NN-descent
+round, symmetrize, 2-hop beam search — is hash-gated too:
+``sim_ann_hnsw`` scores every site with the JVM cosine at 4 dp
+(``_jvm_cos4``) and its oracle unrolls the fixed-round iteration into
+CTEs, the same replay pattern as the 2-iter k-means. The production
+build keeps the Arrow-batched numpy ``_cosine_batch`` (6 dp) as
+``knn_graph``'s default scorer; the two scorers are pinned equivalent
+on the real embeddings by
+``tests/test_graph_ann.py::test_cosine_udf_matches_jvm_cosine``, and
+recall ≥0.8 of exact top-k stays pinned there as well.
 """
 
 from __future__ import annotations
@@ -107,7 +105,18 @@ def _top_m(edges: DataFrame, m: int) -> DataFrame:
     )
 
 
-def knn_graph(emb: DataFrame, m: int = M_NEIGHBORS, refine_rounds: int = 1) -> DataFrame:
+def _jvm_cos4(a: F.Column, b: F.Column) -> F.Column:
+    """JVM cosine at 4 dp — the deterministic scorer the SQL oracle can
+    replay exactly (list_cosine_similarity + round on the DuckDB side)."""
+    return F.round(cosine(a, b), 4)
+
+
+def knn_graph(
+    emb: DataFrame,
+    m: int = M_NEIGHBORS,
+    refine_rounds: int = 1,
+    score_fn=None,
+) -> DataFrame:
     """(src, dst, cos) approximate k-NN graph.
 
     Build: multi-probe LSH bucket join proposes candidate pairs (each
@@ -115,7 +124,14 @@ def knn_graph(emb: DataFrame, m: int = M_NEIGHBORS, refine_rounds: int = 1) -> D
     exact cosine ranks them, top-m survive. Refinement: NN-descent
     rounds propose neighbors-of-neighbors through a self-join of the
     adjacency list, re-ranked with the originals back down to m.
+
+    ``score_fn`` (default: the Arrow-batched numpy ``_cosine_batch``,
+    6 dp — the production fast path) scores candidate edges; the
+    hash-gated ``sim_ann_hnsw`` passes ``_jvm_cos4`` so every edge is
+    SQL-replayable at 4 dp.
     """
+    if score_fn is None:
+        score_fn = _cosine_batch
     e = emb.select("vec_id", "v").withColumn("bucket", bucket_key(F.col("v")))
     # multiprobe candidates are load-bearing for UNIFORM corpora: with
     # own-bucket-only candidates the initial graph is too disconnected
@@ -128,7 +144,7 @@ def knn_graph(emb: DataFrame, m: int = M_NEIGHBORS, refine_rounds: int = 1) -> D
     cand = probes.join(
         e.select(F.col("vec_id").alias("dst"), F.col("v").alias("dv"), "bucket"),
         (F.col("pb") == F.col("bucket")) & (F.col("src") != F.col("dst")),
-    ).select("src", "dst", _cosine_batch(F.col("sv"), F.col("dv")).alias("cos"))
+    ).select("src", "dst", score_fn(F.col("sv"), F.col("dv")).alias("cos"))
     adj = _top_m(cand, m).localCheckpoint(eager=True)
 
     vecs = emb.select("vec_id", "v")
@@ -144,7 +160,7 @@ def knn_graph(emb: DataFrame, m: int = M_NEIGHBORS, refine_rounds: int = 1) -> D
             .distinct()
             .join(vecs.select(F.col("vec_id").alias("src"), F.col("v").alias("sv")), "src")
             .join(vecs.select(F.col("vec_id").alias("dst"), F.col("v").alias("dv")), "dst")
-            .select("src", "dst", _cosine_batch(F.col("sv"), F.col("dv")).alias("cos"))
+            .select("src", "dst", score_fn(F.col("sv"), F.col("dv")).alias("cos"))
         )
         adj = _top_m(adj.unionByName(proposals), m).localCheckpoint(eager=True)
 
@@ -162,12 +178,17 @@ def beam_search(
     k: int = TOP_K,
     beam: int = BEAM,
     hops: int = HOPS,
+    round_dp: int = 6,
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine, rk) top-k via NSW beam search.
 
     ``queries`` is (query_id, qv) and is broadcast at every scoring
     join — the corpus-sized frames are only ever joined on node keys.
     Visited state is capped to 4·beam rows per query each round.
+    ``round_dp`` sets the scoring precision (default 6; the hash-gated
+    ``sim_ann_hnsw`` uses 4 so beam membership is SQL-replayable —
+    ties at the coarser precision break on the node id on both
+    engines).
     """
     vecs = emb.select("vec_id", "v")
     e = vecs.withColumn("bucket", bucket_key(F.col("v")))
@@ -179,7 +200,7 @@ def beam_search(
         .select(
             "query_id",
             F.col("vec_id").alias("node"),
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+            F.round(cosine(F.col("qv"), F.col("v")), round_dp).alias("cos"),
         )
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("cos"), "node")
@@ -203,7 +224,7 @@ def beam_search(
             .select(
                 "query_id",
                 "node",
-                F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+                F.round(cosine(F.col("qv"), F.col("v")), round_dp).alias("cos"),
             )
         )
         frontier = (
@@ -301,20 +322,153 @@ def sim_ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _topq(src: str, cols: str, limit: int) -> str:
+    """SQL fragment: top-``limit`` rows of ``src`` per query_id by
+    (cos DESC, node) — the beam/visited cap both engines share."""
+    return f"""(
+      SELECT {cols} FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, node) AS _rk
+        FROM {src}
+      ) WHERE _rk <= {limit}
+    )"""
+
+
+def _hnsw_oracle() -> str:
+    """Full build+search replay: seed graph (the sim_ann_knn_graph
+    oracle's relations), ONE unrolled NN-descent round, symmetrize,
+    then the 2-hop beam search unrolled CTE-per-round — the same
+    fixed-iteration-replay pattern the 2-iter k-means oracle uses.
+    Every scoring site is round(list_cosine_similarity, 4) with node-id
+    tie-breaks, matching the Spark side's _jvm_cos4 scorer exactly."""
+    from tripl_spark.operators.similarity import _bucket_sql
+
+    bucket = _bucket_sql("embedding::DOUBLE[]")
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(N_PLANES)]
+    )
+    m, beam = M_NEIGHBORS, BEAM
+
+    def hop(frontier: str, best: str, n: int) -> str:
+        return f"""
+    hop{n} AS (
+      SELECT DISTINCT f.query_id, adj.dst AS node
+      FROM {frontier} f JOIN adj ON f.node = adj.src
+      WHERE NOT EXISTS (SELECT 1 FROM {best} b
+                        WHERE b.query_id = f.query_id AND b.node = adj.dst)
+    ),
+    sc{n} AS (
+      SELECT h.query_id, h.node,
+             round(list_cosine_similarity(q.qv, e.v), 4) AS cos
+      FROM hop{n} h
+      JOIN e ON e.vec_id = h.node
+      JOIN q ON q.query_id = h.query_id
+    ),
+    front{n} AS {_topq(f"sc{n}", "query_id, node, cos", beam)},
+    best{n} AS {_topq(f"(SELECT * FROM {best} UNION ALL SELECT * FROM sc{n})",
+                      "query_id, node, cos", 4 * beam)}"""
+
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, {bucket} AS bucket
+      FROM embeddings
+    ),
+    probes AS (
+      SELECT vec_id AS src, v AS sv, unnest(list_value({probe_list})) AS pb
+      FROM e
+    ),
+    cand AS (
+      SELECT p.src, e.vec_id AS dst,
+             round(list_cosine_similarity(p.sv, e.v), 4) AS cos
+      FROM probes p JOIN e ON p.pb = e.bucket AND p.src <> e.vec_id
+    ),
+    adj0 AS (
+      SELECT src, dst, cos FROM (
+        SELECT src, dst, cos,
+               row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
+        FROM cand
+      ) WHERE rk <= {m}
+    ),
+    prop AS (
+      SELECT DISTINCT a.src, b.dst
+      FROM adj0 a JOIN adj0 b ON a.dst = b.src
+      WHERE a.src <> b.dst
+        AND NOT EXISTS (SELECT 1 FROM adj0 x
+                        WHERE x.src = a.src AND x.dst = b.dst)
+    ),
+    propsc AS (
+      SELECT p.src, p.dst,
+             round(list_cosine_similarity(es.v, ed.v), 4) AS cos
+      FROM prop p
+      JOIN e es ON es.vec_id = p.src
+      JOIN e ed ON ed.vec_id = p.dst
+    ),
+    adj1 AS (
+      SELECT src, dst, cos FROM (
+        SELECT src, dst, cos,
+               row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
+        FROM (SELECT * FROM adj0 UNION ALL SELECT * FROM propsc)
+      ) WHERE rk <= {m}
+    ),
+    sym AS (
+      SELECT src, dst, cos FROM adj1
+      UNION
+      SELECT dst AS src, src AS dst, cos FROM adj1
+    ),
+    adj AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
+        FROM sym
+      ) WHERE rk <= {2 * m}
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket
+          FROM e WHERE vec_id < {N_QUERIES}),
+    qprobes AS (
+      SELECT query_id, qv, unnest(list_value({probe_list})) AS pb FROM q
+    ),
+    seeds AS (
+      SELECT qp.query_id, e.vec_id AS node,
+             round(list_cosine_similarity(qp.qv, e.v), 4) AS cos
+      FROM qprobes qp JOIN e ON qp.pb = e.bucket
+    ),
+    best0 AS {_topq("seeds", "query_id, node, cos", 4 * beam)},
+    front0 AS {_topq("seeds", "query_id, node, cos", beam)},
+{hop("front0", "best0", 1)},
+{hop("front1", "best1", 2)}
+    SELECT query_id, node AS neighbor_id, cos AS cosine, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT query_id, node, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, node) AS rk
+      FROM best2 WHERE query_id <> node
+    ) WHERE rk <= {TOP_K}
+    """
+
+
 @query(
     "sim_ann_hnsw",
-    doc="Graph ANN (HNSW-lite): LSH-seeded k-NN graph + NN-descent refine "
-    "+ beam search (rows-only; recall ≥0.8 vs brute force pinned in "
-    "tests/test_graph_ann.py)",
+    oracle=_hnsw_oracle(),
+    doc="Graph ANN (HNSW-lite): LSH-seeded k-NN graph + one NN-descent "
+    "round + symmetrize + 2-hop beam search, HASH-GATED end-to-end — "
+    "the whole fixed-round pipeline unrolled into SQL the way the "
+    "2-iter k-means was; recall ≥0.8 vs brute force additionally "
+    "pinned in tests/test_graph_ann.py",
 )
 def sim_ann_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k neighbors for the standard query set via the navigable
-    small-world graph — the fourth ANN family next to LSH/IVF/PQ."""
+    small-world graph — the fourth ANN family next to LSH/IVF/PQ.
+
+    This registered path scores every site with the JVM cosine at 4 dp
+    (``_jvm_cos4``) so build and search are SQL-replayable; the
+    production build keeps the Arrow-batched numpy scorer (6 dp) via
+    ``knn_graph``'s default ``score_fn`` — the two scorers are pinned
+    equivalent on the real embeddings in tests/test_graph_ann.py."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    adj = knn_graph(emb)
+    adj = knn_graph(emb, score_fn=_jvm_cos4)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    return beam_search(emb, adj, queries)
+    return beam_search(emb, adj, queries, round_dp=4)

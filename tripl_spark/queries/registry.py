@@ -94,6 +94,9 @@ _PRIORITY = [
     "mixing_temperature_sample",
     # (c) only registry entry with zero driver rows across r1–r5
     "classifier_quality_train",
+    # (c2) newly HASH-GATED in r6 (was rows-only): full HNSW build +
+    # beam search unrolled into SQL — its first gated driver row
+    "sim_ann_hnsw",
     # (d) the stale refresh cohort: latest driver rows r1–r3.
     # TPC-H first (bench-visible), then events/windows/analytics,
     # triple/datalog, text, similarity/dedup/curation, multimodal.
