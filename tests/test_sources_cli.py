@@ -233,3 +233,120 @@ def test_cli_datalog_q(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert json.loads(out.read_text()) == [["Alpha"], ["Beta"]]
+
+
+def test_cli_readme_walkthrough_end_to_end(tmp_path):
+    """The reference README's cft walkthrough (subjects / timepoints /
+    sequences, /root/reference/README.md:49-120) driven through the
+    console entrypoint as ONE chained session: two partial ingests
+    joined with id_attrs upserts, pull of a subject's sequences, a
+    datalog q over the merged store, and a diff between the partial
+    and merged stores. Pins the cross-command contract (a store dumped
+    by `join` is readable by `pull`/`q`/`diff` with identities intact)
+    that the per-command tests cannot see."""
+    subjects = [
+        {"cft.subject:id": "QA255", "cft:type": "cft.type:subject"},
+        {"cft.subject:id": "QA344", "cft:type": "cft.type:subject"},
+    ]
+    seqs = [
+        {
+            "cft.seq:id": "QA255-092.Vh",
+            "cft:type": "cft.type:seq",
+            "cft.seq:string": "AGCGGTGAGCTGA",
+            "cft.seq:subject": {"cft.subject:id": "QA255"},
+            "cft.seq:timepoint": [
+                {"cft.timepoint:id": "seed-sample", "cft:type": "cft.type:timepoint"},
+                {"cft.timepoint:id": "dpi1204", "cft:type": "cft.type:timepoint"},
+            ],
+        },
+        {
+            "cft.seq:id": "15423-1",
+            "cft:type": "cft.type:seq",
+            "cft.seq:string": "AGCGGTGAGCTGA",
+            "cft.seq:subject": {"cft.subject:id": "QA255"},
+            "cft.seq:timepoint": [
+                {"cft.timepoint:id": "dpi234", "cft:type": "cft.type:timepoint"},
+                {"cft.timepoint:id": "dpi1204", "cft:type": "cft.type:timepoint"},
+            ],
+        },
+        {
+            "cft.seq:id": "1534-2",
+            "cft:type": "cft.type:seq",
+            "cft.seq:string": "AGCGGTGAGCTGA",
+            "cft.seq:subject": {"cft.subject:id": "QA344"},
+            "cft.seq:timepoint": [
+                {"cft.timepoint:id": "L1", "cft:type": "cft.type:timepoint"}
+            ],
+        },
+    ]
+    f_subj = tmp_path / "subjects.json"
+    f_seqs = tmp_path / "seqs.json"
+    f_subj.write_text(json.dumps(subjects))
+    f_seqs.write_text(json.dumps(seqs))
+    merged = tmp_path / "merged.json"
+    id_attrs = ["cft.subject:id", "cft.timepoint:id", "cft.seq:id"]
+
+    def run(*args):
+        r = subprocess.run(
+            [sys.executable, "-m", "tripl_spark.cli", *args],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return r
+
+    # join: multi-file merge with id_attrs upserts — the subject
+    # entities referenced from seqs must unify with the subject file's
+    run("join", "-i", str(f_subj), str(f_seqs), "-o", str(merged),
+        "--id-attrs", *id_attrs)
+    store = json.loads(merged.read_text())
+    subj_entities = [
+        avs for avs in store.values()
+        if avs.get("cft:type") == ["cft.type:subject"]
+    ]
+    assert len(subj_entities) == 2  # upserted, not duplicated
+
+    # pull: QA255's sequences with their timepoint refs resolved
+    pulled = tmp_path / "pulled.json"
+    run("pull", "-i", str(merged), "-o", str(pulled),
+        "-p", json.dumps(["cft.seq:id", {"cft.seq:timepoint": ["cft.timepoint:id"]}]),
+        "-e", json.dumps({"cft:type": "cft.type:seq"}))
+    seq_docs = json.loads(pulled.read_text())
+    assert sorted(d["cft.seq:id"][0] for d in seq_docs) == [
+        "1534-2", "15423-1", "QA255-092.Vh"
+    ]
+    tp_ids = {
+        t["cft.timepoint:id"][0]
+        for d in seq_docs
+        for t in d.get("cft.seq:timepoint", [])
+    }
+    assert tp_ids == {"seed-sample", "dpi1204", "dpi234", "L1"}
+
+    # q: datalog join over the MERGED store — sequences per subject
+    qout = tmp_path / "q.json"
+    query = json.dumps({
+        "find": ["?sid", "?seq"],
+        "where": [
+            ["?s", "cft.subject:id", "?sid"],
+            ["?e", "cft.seq:subject", "?s"],
+            ["?e", "cft.seq:id", "?seq"],
+        ],
+        "sort": "?seq",
+    })
+    run("q", "-i", str(merged), "-o", str(qout), "-q", query,
+        "--id-attrs", *id_attrs)
+    assert json.loads(qout.read_text()) == [
+        ["QA344", "1534-2"],
+        ["QA255", "15423-1"],
+        ["QA255", "QA255-092.Vh"],
+    ]
+
+    # diff: the merged store vs the subjects-only ingest — every
+    # difference must be an addition from the seqs file
+    dout = tmp_path / "diff.json"
+    subj_store = tmp_path / "subj_store.json"
+    run("join", "-i", str(f_subj), "-o", str(subj_store),
+        "--id-attrs", *id_attrs)
+    run("diff", "-i", str(subj_store), str(merged), "-o", str(dout),
+        "--id-attrs", *id_attrs)
+    d = json.loads(dout.read_text())
+    assert d  # non-empty: the seq entities are new on the right side
