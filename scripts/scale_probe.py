@@ -1,0 +1,231 @@
+"""Empirical scaling probe for the quadratic-risk operator families.
+
+Generates seeded synthetic embeddings/documents at 1x and 10x with
+CONSTANT distributional density (cluster occupancy, dup rate, doc
+length do not change with n — only n does), times the at-risk
+operators warm at both sizes, and prints observed scaling exponents
+alpha = log(t_10x / t_1x) / log(10).  alpha ~ 1 is linear, ~ 2 is
+quadratic.  Results are recorded in SCALE.md ("Measured scaling
+exponents"); re-run with:
+
+    python scripts/scale_probe.py
+
+Data lands under .scaleprobe/ (gitignored, inside the repo tree) and
+is regenerated on each run.  The probe measures:
+
+* semantic pair stage, FIXED k=8, uncapped      -> the hazard (~n^2)
+* semantic pair stage, FIXED k=8, default cap   -> bounded (guard works)
+* semantic pair stage, k = codebook_k(n), cap   -> production (~n)
+* sim_ann_ivf_kmeans (registered query)         -> ~n (fixed queries)
+* minhash_match_new 80/20 production split      -> ~n (shard-driven)
+* dedup_incremental_minhash (registered query)  -> ~n (shard-driven)
+
+The pair stages are timed through the Arrow GEMM twin
+(`semantic_dedup_pairs_arrow`) so the uncapped 10x point finishes in
+seconds instead of minutes — the twin is equivalence-tested against
+the expression path, and Sigma|cluster|^2 drives both identically.
+
+Two exponents are reported per operator: alpha_t on wall time and
+alpha_w on the result row count (the work driver).  At probe sizes
+fixed Spark job overhead (~0.3-0.5s) dominates wall time, so alpha_t
+understates asymptotic behavior; alpha_w is exact and noise-free —
+the pair stages get an extra 30x point so the time trend is visible
+past the overhead floor.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+PROBE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scaleprobe")
+EMB_N1, DOC_N1, SCALE = 2_000, 5_000, 10
+DIM = 64
+PER_CLUSTER = 250  # probe-size analog of the k ~ n/1000 rule
+
+
+def _gen(out_dir: str, n_emb: int, n_doc: int, seed: int = 7) -> None:
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    # embeddings: gaussian mixture, centers scale with n (constant
+    # occupancy), 2% near-duplicates of earlier vectors
+    g = max(4, n_emb // PER_CLUSTER)
+    centers = rng.standard_normal((g, DIM)) * 2.0
+    v = centers[rng.integers(0, g, n_emb)] + rng.standard_normal((n_emb, DIM)) * 0.5
+    dup_idx = rng.choice(n_emb - 1, size=n_emb // 50, replace=False) + 1
+    v[dup_idx] = v[dup_idx - rng.integers(1, dup_idx + 1)] + rng.standard_normal(
+        (len(dup_idx), DIM)
+    ) * 0.01
+    pd.DataFrame(
+        {
+            "vec_id": np.arange(n_emb, dtype=np.int64),
+            "embedding": [row.astype(np.float32) for row in v],
+            "label": rng.integers(0, 4, n_emb).astype(np.int32),
+        }
+    ).to_parquet(os.path.join(out_dir, "embeddings.parquet"), index=False)
+    # documents: 80-token docs over a 2000-word vocab, 5% near-dups
+    vocab = np.array([f"w{i:04d}" for i in range(2000)])
+    toks = vocab[rng.integers(0, 2000, (n_doc, 80))]
+    texts = [" ".join(row) for row in toks]
+    for i in rng.choice(n_doc - 1, size=n_doc // 20, replace=False) + 1:
+        base = texts[rng.integers(0, i)].split()
+        for p in rng.integers(0, 80, 3):
+            base[p] = vocab[rng.integers(0, 2000)]
+        texts[i] = " ".join(base)
+    pd.DataFrame(
+        {
+            "doc_id": np.arange(n_doc, dtype=np.int64),
+            "text": texts,
+            "lang": [["en", "de", "fr"][i % 3] for i in range(n_doc)],
+            "source": [["web", "book", "code"][i % 3] for i in range(n_doc)],
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(os.path.join(out_dir, "documents.parquet"), index=False)
+
+
+def timed(fn, reps: int = 1, work: int | None = None) -> tuple[float, int]:
+    """Warm once, then min over reps (downward noise only for fixed
+    work on a shared host; min tracks the achievable time). Returns
+    (best_secs, work) — ``work`` defaults to fn()'s row count, but the
+    pair stages pass Sigma|cluster|^2 (the candidate-pair space their
+    GEMM actually evaluates): output rows stay ~linear even when the
+    internal work is quadratic, so rows alone would hide the hazard."""
+    rows = fn()  # warm
+    best = math.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best, int(rows if work is None else work)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from tripl_spark.operators.clustering import (
+        _assign_round,
+        codebook_k,
+        semantic_dedup_pairs_arrow,
+    )
+    from tripl_spark.operators.dedup import minhash_match_new
+    from tripl_spark.queries.registry import REGISTRY, _ensure_loaded
+    from tripl_spark.session import get_spark, load_table
+
+    _ensure_loaded()
+    spark = get_spark("scale_probe", cpus=16)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if os.path.isdir(PROBE_DIR):
+        shutil.rmtree(PROBE_DIR)
+    PAIR_MULTS = (1, SCALE, 30)  # extra 30x point for the pair stages
+    dirs = {}
+    for mult in sorted(set((1, SCALE) + PAIR_MULTS)):
+        d = os.path.join(PROBE_DIR, f"x{mult}")
+        _gen(d, EMB_N1 * mult, DOC_N1 * mult if mult in (1, SCALE) else 100, seed=7)
+        dirs[mult] = d
+
+    results: dict[str, dict[int, tuple[float, int]]] = {}
+
+    def record(name: str, mult: int, tr: tuple[float, int], note: str = "") -> None:
+        results.setdefault(name, {})[mult] = tr
+        print(f"  {name:44s} x{mult:<3d} {tr[0]:8.2f}s {tr[1]:>10d} rows  {note}",
+              flush=True)
+
+    for mult, d in dirs.items():
+        n = EMB_N1 * mult
+        emb = load_table(spark, d, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        # seeded centroids (first k vectors), k fixed vs k by the rule
+        def seeds(k: int):
+            return emb.filter(F.col("vec_id") < k).select(
+                F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+            )
+
+        a8 = _assign_round(emb, seeds(8)).select("vec_id", "v", "cid") \
+            .localCheckpoint(eager=True)
+        krule = codebook_k(n, per_cluster=PER_CLUSTER)
+        ar = _assign_round(emb, seeds(krule)).select("vec_id", "v", "cid") \
+            .localCheckpoint(eager=True)
+
+        from tripl_spark.operators.clustering import SEM_MAX_CLUSTER
+
+        def pair_space(assigned, cap=None) -> int:
+            """Sigma over eligible clusters of |cluster|^2 — the
+            candidate-pair space the within-cluster GEMM evaluates."""
+            sizes = assigned.groupBy("cid").count()
+            if cap is not None:
+                sizes = sizes.filter(F.col("count") <= cap)
+            row = sizes.agg(F.sum(F.col("count") * F.col("count"))).first()[0]
+            return int(row or 0)
+
+        record(
+            "semantic_pairs fixed-k8 UNCAPPED", mult,
+            timed(lambda: semantic_dedup_pairs_arrow(a8, max_cluster=None).count(),
+                  work=pair_space(a8)),
+            "(the hazard)",
+        )
+        record(
+            "semantic_pairs fixed-k8 capped(default)", mult,
+            timed(lambda: semantic_dedup_pairs_arrow(a8).count(),
+                  work=pair_space(a8, SEM_MAX_CLUSTER)),
+            "(degenerate clusters dropped)",
+        )
+        record(
+            "semantic_pairs k=codebook_k(n) capped", mult,
+            timed(lambda: semantic_dedup_pairs_arrow(ar).count(),
+                  work=pair_space(ar, SEM_MAX_CLUSTER)),
+            f"(production recipe, k={krule})",
+        )
+        if mult not in (1, SCALE):
+            continue  # docs-side + registered queries: 1x/10x only
+        record(
+            "sim_ann_ivf_kmeans (registered)", mult,
+            timed(lambda: REGISTRY["sim_ann_ivf_kmeans"].fn(spark, d).count()),
+        )
+
+        docs = load_table(spark, d, "documents")
+        cut = int(DOC_N1 * mult * 0.8)
+        corpus = docs.filter(F.col("doc_id") < cut)
+        shard = docs.filter(F.col("doc_id") >= cut)
+        record(
+            "minhash_match_new 80/20 (production)", mult,
+            timed(lambda: minhash_match_new(corpus, shard).count()),
+        )
+        record(
+            "dedup_incremental_minhash (registered)", mult,
+            timed(lambda: REGISTRY["dedup_incremental_minhash"].fn(spark, d).count()),
+        )
+
+    print("\nObserved scaling exponents (1=linear, 2=quadratic):")
+    print(f"  {'operator':44s} {'alpha_time':>10s} {'alpha_work':>10s}  points")
+
+    def slope(xs: list[float], ys: list[float]) -> float:
+        lx = [math.log(x) for x in xs]
+        ly = [math.log(max(y, 1e-9)) for y in ys]
+        mx, my = sum(lx) / len(lx), sum(ly) / len(ly)
+        num = sum((a - mx) * (b - my) for a, b in zip(lx, ly))
+        den = sum((a - mx) ** 2 for a in lx)
+        return num / den
+
+    for name, by_mult in results.items():
+        mults = sorted(by_mult)
+        at = slope(mults, [by_mult[m][0] for m in mults])
+        aw = slope(mults, [by_mult[m][1] for m in mults])
+        pts = " ".join(
+            f"x{m}:{by_mult[m][0]:.2f}s/{by_mult[m][1]}r" for m in mults
+        )
+        print(f"  {name:44s} {at:10.2f} {aw:10.2f}  {pts}")
+
+
+if __name__ == "__main__":
+    main()

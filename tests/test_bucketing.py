@@ -155,3 +155,65 @@ def test_bucketed_groupby_has_no_exchange(spark, bucketed_tables):
         .agg(F.sum("l_quantity").alias("q"))
     )
     assert n_exchanges(grouped) == 0, explain_str(grouped)
+
+
+def test_bucketed_semantic_index_join_skips_index_shuffle(spark, sf_small):
+    """The incremental-semantic-dedup contract semantic_index
+    documents: persist the (capped) cluster index bucketed by cid and
+    the per-increment match join re-reads it WITHOUT an Exchange on
+    the index side — only the (small) increment side shuffles into the
+    index's bucketing. Same structural assertion as the MinHash index
+    gate above."""
+    from tripl_spark.operators.clustering import (
+        kmeans_2iter_centroids,
+        semantic_index,
+        semantic_match_new,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = kmeans_2iter_centroids(emb).localCheckpoint(eager=True)
+    corpus = emb.filter(F.col("vec_id") % 7 != 0)
+    shard = emb.filter(F.col("vec_id") % 7 == 0)
+    idx = semantic_index(corpus, cent)
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS sem_wh")
+    write_bucketed(idx, "sem_wh.sem_index_b", "cid", 8)
+    idx.write.format("parquet").mode("overwrite").saveAsTable("sem_wh.sem_index_p")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketed = semantic_match_new(shard, spark.table("sem_wh.sem_index_b"), cent)
+        plain = semantic_match_new(shard, spark.table("sem_wh.sem_index_p"), cent)
+
+        def index_path_has_exchange(df, table):
+            lines = explain_str(df, "simple").splitlines()
+            scan = next(
+                i for i, ln in enumerate(lines) if f"FileScan parquet {table}" in ln
+            )
+            for ln in reversed(lines[:scan]):
+                if "Sort [" in ln:
+                    return False
+                if "Exchange" in ln:
+                    return True
+            return False
+
+        plan = explain_str(bucketed)
+        assert "Bucketed: true" in plan, plan
+        assert not index_path_has_exchange(
+            bucketed, "spark_catalog.sem_wh.sem_index_b"
+        ), plan
+        assert index_path_has_exchange(
+            plain, "spark_catalog.sem_wh.sem_index_p"
+        ), explain_str(plain)
+        key = lambda df: sorted(  # noqa: E731
+            (r.new_id, r.corpus_id, r.cosine) for r in df.collect()
+        )
+        assert key(bucketed) == key(plain)
+        assert len(key(bucketed)) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS sem_wh.sem_index_b")
+        spark.sql("DROP TABLE IF EXISTS sem_wh.sem_index_p")
+        spark.sql("DROP DATABASE IF EXISTS sem_wh")

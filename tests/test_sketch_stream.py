@@ -3,6 +3,7 @@ micro-batch split, including via a real foreachBatch stream."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from tripl_spark.operators.sketches import countmin_table, hll_registers
@@ -112,3 +113,21 @@ def test_streaming_heavy_hitters_bounds_and_top_exactness(spark, sf_small):
     hh.process(docs.filter(F.col("doc_id") % 3 == 0), batch_id=0)
     after = {r.term: r.hh_estimate for r in hh.heavy_hitters().collect()}
     assert after == before
+
+
+def test_streaming_heavy_hitters_failed_batch_is_replayable(spark, sf_small):
+    """Same ADVICE-r5 invariant as the semantic stream: a batch whose
+    processing failed is not marked seen, so its replay is processed
+    rather than silently skipped (which would lose its counts)."""
+    from tripl_spark.session import load_table
+    from tripl_spark.streaming.sketch_stream import StreamingHeavyHitters
+
+    docs = load_table(spark, sf_small, "documents")
+    hh = StreamingHeavyHitters(spark)
+    bad = docs.select("doc_id")  # no text column -> fails in process()
+    with pytest.raises(Exception):
+        hh.process(bad, batch_id=0)
+    assert 0 not in hh._seen
+    hh.process(docs, batch_id=0)
+    assert 0 in hh._seen
+    assert hh.state is not None and hh.state.count() > 0

@@ -3,6 +3,7 @@ micro-batch split, including via a real foreachBatch stream."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from tripl_spark.operators.dedup import minhash_match_new
@@ -204,3 +205,30 @@ def test_sink_mode_committed_only_semantics(spark, sf_small, tmp_path):
     sd2 = StreamingDedup(spark, corpus, sink_path=sink)  # driver restart
     assert 9 not in sd2._seen  # not recovered as processed...
     assert sd2.matches_df().count() == n_before  # ...and not read
+
+
+def test_streaming_semantic_failed_batch_is_replayable(spark, sf_small):
+    """The ADVICE-r5 invariant: a batch is marked seen only AFTER its
+    results commit, so a batch whose processing FAILED mid-computation
+    can be replayed into the same object and its matches are not lost."""
+    from pyspark.sql import functions as F
+
+    from tripl_spark.session import load_table
+    from tripl_spark.streaming.semantic_stream import StreamingSemanticDedup
+
+    emb = load_table(spark, sf_small, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    corpus = emb.filter(F.col("vec_id") % 7 != 0)
+    shard = emb.filter(F.col("vec_id") % 7 == 0)
+    sd = StreamingSemanticDedup(spark, corpus)
+    # a malformed batch (missing the vector column) fails inside
+    # process() before any state commit ...
+    bad = shard.select("vec_id")
+    with pytest.raises(Exception):
+        sd.process(bad, batch_id=0)
+    assert 0 not in sd._seen  # ... so the batch is NOT marked seen
+    # ... and the engine's replay of the same batch_id then lands
+    sd.process(shard, batch_id=0)
+    assert 0 in sd._seen
+    assert sd.matches is not None and sd.matches.count() > 0

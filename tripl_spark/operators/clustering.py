@@ -580,7 +580,10 @@ def semantic_index(
     precomputed norm. At 100 TB this is what you persist (bucketed by
     cid, the join key) so daily embedding increments match against it
     without re-scoring the corpus — the semantic analog of
-    ``dedup.minhash_index``.
+    ``dedup.minhash_index``. The bucketed layout is plan-asserted:
+    the increment join re-reads the index with zero Exchange on the
+    index side (``tests/test_bucketing.py::
+    test_bucketed_semantic_index_join_skips_index_shuffle``).
 
     ``max_cluster`` (default ``SEM_MAX_CLUSTER``) excludes degenerate
     clusters AT BUILD TIME — the materialized index is the capped
