@@ -84,6 +84,9 @@ HEADLINE = [
     # classifier family representative: training (2 gradient-step
     # aggregations) + corpus scoring + the rank-sum AUC window
     "classifier_auc_eval",
+    # round-6 addition: CCNet-style LM bucketing (bigram-LM train +
+    # score + per-lang ntile — the perplexity-filter data path)
+    "pipeline_perplexity_buckets",
 ]
 
 

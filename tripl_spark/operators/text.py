@@ -15,7 +15,7 @@ linear-time character classes).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tripl_spark.queries.registry import query
@@ -353,11 +353,12 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BIGRAM_ALPHA = 0.5  # add-k smoothing constant
 
-
-@query(
-    "text_bigram_logprob",
-    oracle=rf"""
-    WITH toks AS (
+# Shared CTE chain ending in `scored` = (doc_id, n_bigrams,
+# avg_logprob): the corpus bigram LM replayed in SQL — reused by the
+# text_bigram_logprob oracle and the CCNet-style perplexity-bucketing
+# pipeline oracle below.
+BIGRAM_SCORED_CTES = rf"""
+    toks AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
       FROM documents
     ),
@@ -371,31 +372,26 @@ BIGRAM_ALPHA = 0.5  # add-k smoothing constant
     ),
     c1 AS (SELECT term, count(*) AS c FROM uni GROUP BY term),
     c2 AS (SELECT bg, count(*) AS c FROM big GROUP BY bg),
-    v AS (SELECT count(DISTINCT term) AS vsz FROM uni)
-    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-           round(sum(ln((c2.c + {BIGRAM_ALPHA})
-                        / (c1.c + {BIGRAM_ALPHA} * v.vsz))) / count(*), 4)
-             AS avg_logprob
-    FROM big
-    JOIN c2 USING (bg)
-    JOIN c1 ON c1.term = string_split(big.bg, ' ')[1]
-    CROSS JOIN v
-    GROUP BY doc_id
-    """,
-)
-def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus bigram-LM quality signal with add-k smoothing: each
-    document's mean log p(w2 | w1) where p = (c(w1 w2) + a) /
-    (c(w1) + a*V) over corpus counts — one step up the n-gram ladder
-    from ``text_unigram_logprob`` and the cheap stand-in for
-    perplexity-based filtering (CCNet-style).
+    v AS (SELECT count(DISTINCT term) AS vsz FROM uni),
+    scored AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(sum(ln((c2.c + {BIGRAM_ALPHA})
+                          / (c1.c + {BIGRAM_ALPHA} * v.vsz))) / count(*), 4)
+               AS avg_logprob
+      FROM big
+      JOIN c2 USING (bg)
+      JOIN c1 ON c1.term = string_split(big.bg, ' ')[1]
+      CROSS JOIN v
+      GROUP BY doc_id
+    )"""
 
-    Shuffle shape at 100 TB: the bigram stream shuffles once to count
-    bigrams and once per doc-aggregation; both count tables broadcast
-    back onto the stream (vocabulary-sized, not corpus-sized). Docs
-    with fewer than two tokens produce no bigrams and drop out on
-    both engines."""
-    docs = load_table(spark, sf_dir, "documents")
+
+def bigram_logprob_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logprob) — each document's mean add-k
+    bigram log-likelihood under the corpus LM; the Spark twin of the
+    ``scored`` relation in ``BIGRAM_SCORED_CTES``. Scale shape is in
+    the ``text_bigram_logprob`` docstring (both count tables broadcast
+    back onto the bigram stream)."""
     toks = docs.select("doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t"))
     # guard: sequence(0, -1) runs DESCENDING in Spark, so a 1-token doc
     # would fabricate bigrams; DuckDB's range(1, 1) is empty
@@ -423,4 +419,82 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("avg_logprob"),
         )
+    )
+
+
+@query(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH {BIGRAM_SCORED_CTES}
+    SELECT doc_id, n_bigrams, avg_logprob FROM scored
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram-LM quality signal with add-k smoothing: each
+    document's mean log p(w2 | w1) where p = (c(w1 w2) + a) /
+    (c(w1) + a*V) over corpus counts — one step up the n-gram ladder
+    from ``text_unigram_logprob`` and the cheap stand-in for
+    perplexity-based filtering (CCNet-style).
+
+    Shuffle shape at 100 TB: the bigram stream shuffles once to count
+    bigrams and once per doc-aggregation; both count tables broadcast
+    back onto the stream (vocabulary-sized, not corpus-sized). Docs
+    with fewer than two tokens produce no bigrams and drop out on
+    both engines."""
+    return bigram_logprob_scores(load_table(spark, sf_dir, "documents"))
+
+
+PPL_KEEP_BUCKETS = 2  # CCNet keeps head+middle, drops the tail third
+
+
+@query(
+    "pipeline_perplexity_buckets",
+    # The scored relation is the gated bigram LM; bucketing is ntile(3)
+    # per lang over (avg_logprob DESC, doc_id) — pure rank arithmetic,
+    # identical on both engines (no float percentile interpolation to
+    # diverge), with the 4-dp-rounded score making the order itself
+    # engine-stable.
+    oracle=f"""
+    WITH {BIGRAM_SCORED_CTES},
+    lbl AS (
+      SELECT s.doc_id, d.lang, s.avg_logprob,
+             ntile(3) OVER (PARTITION BY d.lang
+                            ORDER BY s.avg_logprob DESC, s.doc_id) AS ppl_bucket
+      FROM scored s JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, lang, avg_logprob, CAST(ppl_bucket AS INT) AS ppl_bucket
+    FROM lbl WHERE ppl_bucket <= {PPL_KEEP_BUCKETS}
+    """,
+    doc="CCNet-style perplexity bucketing: per-lang head/middle/tail "
+    "thirds by bigram-LM score, tail dropped — fully hash-gated "
+    "(LM training + scoring + bucketing in SQL)",
+)
+def pipeline_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based corpus filtering a la CCNet (Wenzek et al. 2020,
+    arXiv:1911.00359): score every document under the corpus bigram
+    LM, split each language into head/middle/tail thirds by score
+    (ntile — best scores land in bucket 1), and keep head+middle.
+    The standard pre-training cleanup step between dedup and mixing:
+    the tail third is where boilerplate/garbled text concentrates.
+
+    Scale shape: scoring is ``bigram_logprob_scores`` (count tables
+    broadcast; the corpus never shuffles by doc for scoring); the
+    per-lang ntile window shuffles only (doc_id, lang, score) rows,
+    not text. ntile needs a global per-lang sort — at 100 TB with few
+    languages, swap the exact ntile for sampled score cutoffs
+    broadcast into a scan-side bucket assignment (the CCNet paper's
+    own approach), the same window-skew escape the token-budget mix
+    documents; the exact ntile is kept here because it is
+    engine-reproducible rank arithmetic with no float-percentile
+    interpolation to diverge."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = bigram_logprob_scores(docs)
+    lbl = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.desc("avg_logprob"), "doc_id")
+    return (
+        lbl.select(
+            "doc_id", "lang", "avg_logprob",
+            F.ntile(3).over(w).alias("ppl_bucket"),
+        )
+        .filter(F.col("ppl_bucket") <= PPL_KEEP_BUCKETS)
     )

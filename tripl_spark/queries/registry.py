@@ -97,6 +97,8 @@ _PRIORITY = [
     # (c2) newly HASH-GATED in r6 (was rows-only): full HNSW build +
     # beam search unrolled into SQL — its first gated driver row
     "sim_ann_hnsw",
+    # (c3) NEW operator in r6 (CCNet-style LM bucketing) — first row
+    "pipeline_perplexity_buckets",
     # (d) the stale refresh cohort: latest driver rows r1–r3.
     # TPC-H first (bench-visible), then events/windows/analytics,
     # triple/datalog, text, similarity/dedup/curation, multimodal.
@@ -141,9 +143,12 @@ _PRIORITY = [
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "curation_stratified_sample",
+    # tail: first to slide out of the 50-row window as newly-oracled
+    # queries claim slots above (r6: the two stats aggregates and
+    # multimodal_metadata sit at 51-53 — all three keep local DuckDB
+    # parity coverage; metadata is a pure scan projection, lowest
+    # divergence risk of the multimodal family)
     "multimodal_metadata",
-    # tail: lowest-risk simple aggregates — first to slide out of the
-    # 50-row window if a newly-oracled query is inserted above
     "stats_corr_value_k",
     "stats_value_by_type",
 ]
