@@ -335,11 +335,16 @@ def classifier_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     positive vs P(P+1)/2 baseline — tie-averaged, so equal scores
     contribute 0.5) and accuracy at the 0.5 threshold.
 
-    Scale shape: scoring is a scan projection; the rank window is ONE
-    global sort of (score) — at 100 TB you'd pre-aggregate ranks per
-    score bucket (scores are 6-dp-rounded, so ≤10⁶ distinct keys)
-    instead; the identity is the same. No pairwise pos×neg join ever
-    happens."""
+    Scale shape: scoring is a scan projection, and the ranks come from
+    PER-SCORE aggregates, not a row-level sort — scores are
+    6-dp-rounded so there are ≤10⁶ distinct keys whatever the corpus
+    size. The corpus shuffles once into the map-side-combined
+    (score → count, positives) table; the only global window runs over
+    those summary rows (the tie-averaged rank of every row with score
+    s is rows_below(s) + (count(s)+1)/2, so the rank-sum identity
+    needs nothing row-level). No pairwise pos×neg join ever happens.
+    The oracle replays the row-level rank definition — same identity,
+    same values — so the summary-level rewrite stays hash-gated."""
     feats = doc_features(load_table(spark, sf_dir, "documents"))
     w = logreg_fit(feats, n_steps=2)[-1]
     wvec = [w[f"w{i}"] for i in range(N_FEATURES)]
@@ -349,24 +354,28 @@ def classifier_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    mn = F.rank().over(Window.orderBy("s"))
-    ties = F.count(F.lit(1)).over(Window.partitionBy("s"))
-    ranked = scored.select("y", "s", mn.alias("mn"), ties.alias("ties"))
-    n_pos = F.sum("y")
-    n = F.count(F.lit(1))
-    pos_ranksum = F.sum(
-        F.when(F.col("y") == 1, F.col("mn") + (F.col("ties") - 1) / 2.0).otherwise(0.0)
+    by_s = scored.groupBy("s").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
     )
-    return ranked.agg(
+    w_below = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    lvl = by_s.select(
+        "s", "cnt", "pos",
+        F.coalesce(F.sum("cnt").over(w_below), F.lit(0)).alias("below"),
+    )
+    n = F.sum("cnt")
+    n_pos = F.sum("pos")
+    # tie-averaged rank of every row at score s: below + (cnt+1)/2
+    pos_ranksum = F.sum(F.col("pos") * (F.col("below") + (F.col("cnt") + 1) / 2.0))
+    correct = F.sum(
+        F.when(F.col("s") >= 0.5, F.col("pos")).otherwise(F.col("cnt") - F.col("pos"))
+    )
+    return lvl.agg(
         n_pos.cast("long").alias("n_pos"),
         (n - n_pos).cast("long").alias("n_neg"),
         F.round(
             (pos_ranksum - n_pos * (n_pos + 1) / 2.0) / (n_pos * (n - n_pos)), 4
         ).alias("auc"),
-        F.round(
-            F.avg(F.when((F.col("s") >= 0.5) == (F.col("y") == 1), 1.0).otherwise(0.0)),
-            4,
-        ).alias("accuracy"),
+        F.round(correct * 1.0 / n, 4).alias("accuracy"),
     )
 
 
