@@ -194,3 +194,13 @@ def test_per_group_topk_has_partial_window_group_limit(spark, sf_small):
     ):
         plan = _plan(spark, sf_small, name)
         assert partial_wgl.search(plan), (name, plan)
+
+
+def test_semantic_decontamination_is_broadcast_bounded(spark, sf_small):
+    # the benchmark embeddings (tiny by definition) must broadcast into
+    # a nested-loop cosine match — bench x corpus, linear in the corpus
+    # — and the contaminated-id list must broadcast into the anti-join;
+    # a CartesianProduct here would be corpus x corpus
+    plan = _plan(spark, sf_small, "pipeline_semantic_decontamination")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "LeftAnti" in plan, plan

@@ -272,3 +272,94 @@ def pipeline_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("rk") <= DECON_QUOTA_PER_SOURCE)
         .select("doc_id", "source", "lang", "quality_score", "rk")
     )
+
+
+SEM_DECON_THRESHOLD = 0.3
+SEM_DECON_QUOTA_PER_SOURCE = 25
+
+
+@query(
+    "pipeline_semantic_decontamination",
+    # Embedding-space decontamination: the n-gram pass above catches
+    # verbatim leakage; this catches PARAPHRASED benchmark content the
+    # token-overlap scan is blind to. The benchmark slice (vec_id % 97
+    # = 0) is tiny by definition, so the match stage is bench x corpus
+    # (linear in the corpus) — never corpus x corpus.
+    oracle=rf"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT * FROM e WHERE vec_id % 97 = 0),
+    c AS (SELECT * FROM e WHERE vec_id % 97 != 0),
+    contaminated AS (
+      SELECT DISTINCT c.vec_id
+      FROM c JOIN b
+        ON round(list_cosine_similarity(c.v, b.v), 4) >= {SEM_DECON_THRESHOLD}
+    ),
+    scored AS (
+      SELECT d.doc_id, d.source, d.lang,
+             {quality_score_sql('d.')} AS quality_score
+      FROM documents d JOIN c ON c.vec_id = d.doc_id
+      WHERE d.doc_id NOT IN (SELECT vec_id FROM contaminated)
+    )
+    SELECT doc_id, source, lang, quality_score, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY source
+               ORDER BY quality_score DESC, doc_id) AS rk
+      FROM scored
+    ) WHERE rk <= {SEM_DECON_QUOTA_PER_SOURCE}
+    """,
+    doc="embedding-space decontamination: drop training docs whose "
+    "embedding matches any held-out benchmark embedding above a cosine "
+    "threshold (catches the paraphrased leakage n-gram overlap "
+    "misses), then quality-rank survivors per source — fully "
+    "hash-gated",
+)
+def pipeline_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination: the embedding-space twin of
+    ``pipeline_decontaminated_corpus``. N-gram overlap only catches
+    verbatim benchmark leakage; paraphrased or translated eval content
+    survives it — matching in embedding space (cosine >= threshold to
+    ANY held-out benchmark vector) is the standard second pass. Docs
+    whose embedding matches the benchmark slice (vec_id % 97 = 0) are
+    dropped before quality ranking; the benchmark slice itself never
+    reaches the output (the corpus side excludes it by construction).
+
+    Scale shape: the benchmark embeddings broadcast (eval sets are
+    small by definition) into a BroadcastNestedLoopJoin against the
+    corpus — bench x corpus comparisons, LINEAR in corpus size, the
+    same bounded shape as the quantile probe; at larger eval sets,
+    pre-bucket both sides with the trained codebook and match within
+    clusters only (``semantic_match_new`` is exactly that machinery).
+    The contaminated-id list (tiny) broadcasts into the anti-join;
+    the per-source ranking window shuffles only survivor rows."""
+    from tripl_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bench = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("bv")
+    )
+    corpus = emb.filter(F.col("vec_id") % 97 != 0)
+    contaminated = (
+        corpus.join(
+            F.broadcast(bench),
+            F.round(cosine(F.col("v"), F.col("bv")), 4) >= SEM_DECON_THRESHOLD,
+        )
+        .select("vec_id")
+        .distinct()
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    score = quality_score_expr()
+    scored = (
+        docs.join(corpus.select("vec_id").withColumnRenamed("vec_id", "doc_id"), "doc_id")
+        .join(F.broadcast(contaminated.withColumnRenamed("vec_id", "doc_id")),
+              "doc_id", "left_anti")
+        .select("doc_id", "source", "lang", score.alias("quality_score"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("quality_score"), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SEM_DECON_QUOTA_PER_SOURCE)
+        .select("doc_id", "source", "lang", "quality_score", "rk")
+    )

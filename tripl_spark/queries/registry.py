@@ -97,8 +97,10 @@ _PRIORITY = [
     # (c2) newly HASH-GATED in r6 (was rows-only): full HNSW build +
     # beam search unrolled into SQL — its first gated driver row
     "sim_ann_hnsw",
-    # (c3) NEW operator in r6 (CCNet-style LM bucketing) — first row
+    # (c3) NEW operators in r6 (CCNet-style LM bucketing; embedding-
+    # space decontamination) — first rows
     "pipeline_perplexity_buckets",
+    "pipeline_semantic_decontamination",
     # (d) the stale refresh cohort: latest driver rows r1–r3.
     # TPC-H first (bench-visible), then events/windows/analytics,
     # triple/datalog, text, similarity/dedup/curation, multimodal.
