@@ -84,9 +84,11 @@ HEADLINE = [
     # classifier family representative: training (2 gradient-step
     # aggregations) + corpus scoring + the rank-sum AUC window
     "classifier_auc_eval",
-    # round-6 addition: CCNet-style LM bucketing (bigram-LM train +
-    # score + per-lang ntile — the perplexity-filter data path)
+    # round-6 additions: CCNet-style LM bucketing (bigram-LM train +
+    # score + per-lang ntile — the perplexity-filter data path) and
+    # the all-stage corpus-build composition
     "pipeline_perplexity_buckets",
+    "pipeline_full_curation",
 ]
 
 

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from tripl_spark.operators.curation import _md5_hash60
 from tripl_spark.operators.dedup import normalized_text
 from tripl_spark.operators.text import (
+    PPL_KEEP_BUCKETS,
     _tokens,
     contamination_pairs,
     quality_score_expr,
@@ -362,4 +363,170 @@ def pipeline_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataF
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= SEM_DECON_QUOTA_PER_SOURCE)
         .select("doc_id", "source", "lang", "quality_score", "rk")
+    )
+
+
+FULL_QUOTA_PER_SOURCE = 20
+
+
+def _full_curation_oracle() -> str:
+    from tripl_spark.operators.clustering import (
+        KMEANS2_CTES,
+        SEM_THRESHOLD,
+        _capped_cte,
+        _lists_cte,
+    )
+    from tripl_spark.operators.text import bigram_scored_ctes
+
+    # the LM chain is prefixed lm_ to avoid CTE-name collisions with
+    # the k-means chain (both define c1); lm_toks carries the same
+    # lower/trim/split normalization the contamination stage uses, so
+    # the gram CTEs build on it directly.
+    return rf"""
+    WITH {KMEANS2_CTES},
+{_lists_cte()},
+{_capped_cte()},
+{bigram_scored_ctes('lm_')},
+    keepers AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents
+      GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                   for i in range(1, greatest(len(t) - 2, 1) + 1)]))
+               AS g
+      FROM lm_toks
+    ),
+    contaminated AS (
+      SELECT DISTINCT tr.doc_id
+      FROM (SELECT * FROM grams WHERE doc_id % 97 != 0) tr
+      JOIN (SELECT * FROM grams WHERE doc_id % 97 = 0) be ON tr.g = be.g
+      GROUP BY tr.doc_id, be.doc_id
+      HAVING count(*) >= {DECON_MIN_SHARED}
+    ),
+    semdropped AS (
+      SELECT DISTINCT b.vec_id AS doc_id
+      FROM cl a JOIN cl b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+      WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= {SEM_THRESHOLD}
+    ),
+    survivors AS (
+      SELECT d.doc_id, d.source, d.lang,
+             {quality_score_sql('d.')} AS quality_score
+      FROM documents d
+      JOIN keepers k ON d.doc_id = k.doc_id
+      WHERE d.doc_id % 97 != 0
+        AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        AND d.doc_id NOT IN (SELECT doc_id FROM semdropped)
+    ),
+    lbl AS (
+      SELECT sv.doc_id, sv.source, sv.lang, sv.quality_score, sc.avg_logprob,
+             ntile(3) OVER (PARTITION BY sv.lang
+                            ORDER BY sc.avg_logprob DESC, sv.doc_id) AS ppl_bucket
+      FROM survivors sv JOIN lm_scored sc USING (doc_id)
+    )
+    SELECT doc_id, source, lang, quality_score, avg_logprob,
+           CAST(ppl_bucket AS INT) AS ppl_bucket, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY source
+               ORDER BY quality_score DESC, doc_id) AS rk
+      FROM lbl WHERE ppl_bucket <= {PPL_KEEP_BUCKETS}
+    ) WHERE rk <= {FULL_QUOTA_PER_SOURCE}
+    """
+
+
+@query(
+    "pipeline_full_curation",
+    oracle=_full_curation_oracle(),
+    doc="the complete corpus build as ONE plan: exact dedup -> n-gram "
+    "decontamination -> semantic dedup (capped clusters) -> "
+    "perplexity tail-drop -> per-source quality quota, every stage's "
+    "training replayed in SQL — fully hash-gated end-to-end",
+)
+def pipeline_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grand composition — every curation family this engine
+    implements, chained the way a production corpus build runs them,
+    as ONE declarative plan:
+
+    1. exact-dedup keepers (smallest doc_id per normalized-content
+       class — a duplicate never re-enters downstream);
+    2. n-gram decontamination (docs sharing >= DECON_MIN_SHARED
+       3-grams with the held-out benchmark slice drop; the slice
+       itself never reaches the output);
+    3. semantic dedup (SemDeDup pair-greedy: the higher vec_id of any
+       within-cluster cosine pair drops — the capped trained-cluster
+       stage; docs without embeddings pass through unchecked);
+    4. perplexity tail-drop (corpus bigram LM scores SURVIVORS —
+       stage order is the contract — per-lang ntile thirds, tail
+       dropped);
+    5. per-source quality quota on what remains.
+
+    Per-stage oracles can't see cross-stage contracts (a deduped doc
+    re-entering at LM-bucketing time, a contaminated doc reaching the
+    quota, bucketing computed over the wrong population); this pins
+    the whole chain, training included.
+
+    Scale shape: stages fuse into one Catalyst plan — the fingerprint
+    groupBy, the capped within-cluster pair join, and the LM bigram
+    count are the corpus-sized shuffles; benchmark grams, dropped-id
+    lists, and both LM count tables broadcast; the ntile and quota
+    windows shuffle only survivor stub rows (id + stratum + scores,
+    never text)."""
+    from tripl_spark.operators.clustering import (
+        SEM_THRESHOLD,
+        _assign_round,
+        kmeans_2iter_centroids,
+        semantic_dedup_pairs,
+    )
+    from tripl_spark.operators.text import bigram_logprob_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    keepers = (
+        docs.groupBy(F.md5(normalized_text()).alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    contaminated = (
+        contamination_pairs(docs, n=3, min_shared=DECON_MIN_SHARED)
+        .select("doc_id")
+        .distinct()
+    )
+    cent = kmeans_2iter_centroids(emb).localCheckpoint(eager=True)
+    assigned = _assign_round(emb, cent).select("vec_id", "v", "cid")
+    semdropped = (
+        semantic_dedup_pairs(assigned, threshold=SEM_THRESHOLD)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    score = quality_score_expr()
+    survivors = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .join(keepers, "doc_id")
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .join(F.broadcast(semdropped), "doc_id", "left_anti")
+        .select("doc_id", "source", "lang", score.alias("quality_score"))
+    )
+    lm = bigram_logprob_scores(docs).select("doc_id", "avg_logprob")
+    w_ppl = Window.partitionBy("lang").orderBy(F.desc("avg_logprob"), "doc_id")
+    lbl = (
+        survivors.join(lm, "doc_id")
+        .withColumn("ppl_bucket", F.ntile(3).over(w_ppl))
+        .filter(F.col("ppl_bucket") <= PPL_KEEP_BUCKETS)
+    )
+    w_q = Window.partitionBy("source").orderBy(F.desc("quality_score"), "doc_id")
+    return (
+        lbl.withColumn("rk", F.row_number().over(w_q))
+        .filter(F.col("rk") <= FULL_QUOTA_PER_SOURCE)
+        .select(
+            "doc_id", "source", "lang", "quality_score", "avg_logprob",
+            "ppl_bucket", "rk",
+        )
     )

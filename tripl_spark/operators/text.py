@@ -353,37 +353,42 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BIGRAM_ALPHA = 0.5  # add-k smoothing constant
 
-# Shared CTE chain ending in `scored` = (doc_id, n_bigrams,
+# Shared CTE chain ending in `{p}scored` = (doc_id, n_bigrams,
 # avg_logprob): the corpus bigram LM replayed in SQL — reused by the
-# text_bigram_logprob oracle and the CCNet-style perplexity-bucketing
-# pipeline oracle below.
-BIGRAM_SCORED_CTES = rf"""
-    toks AS (
+# text_bigram_logprob oracle, the CCNet-style perplexity-bucketing
+# pipeline oracle below, and (prefixed, to avoid CTE-name collisions
+# with the k-means chain) the full-curation pipeline oracle.
+def bigram_scored_ctes(p: str = "") -> str:
+    return rf"""
+    {p}toks AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
       FROM documents
     ),
-    big AS (
+    {p}big AS (
       SELECT doc_id,
              unnest([ t[i] || ' ' || t[i+1] for i in range(1, len(t)) ]) AS bg
-      FROM toks
+      FROM {p}toks
     ),
-    uni AS (
-      SELECT unnest(t) AS term FROM toks
+    {p}uni AS (
+      SELECT unnest(t) AS term FROM {p}toks
     ),
-    c1 AS (SELECT term, count(*) AS c FROM uni GROUP BY term),
-    c2 AS (SELECT bg, count(*) AS c FROM big GROUP BY bg),
-    v AS (SELECT count(DISTINCT term) AS vsz FROM uni),
-    scored AS (
+    {p}c1 AS (SELECT term, count(*) AS c FROM {p}uni GROUP BY term),
+    {p}c2 AS (SELECT bg, count(*) AS c FROM {p}big GROUP BY bg),
+    {p}v AS (SELECT count(DISTINCT term) AS vsz FROM {p}uni),
+    {p}scored AS (
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-             round(sum(ln((c2.c + {BIGRAM_ALPHA})
-                          / (c1.c + {BIGRAM_ALPHA} * v.vsz))) / count(*), 4)
+             round(sum(ln(({p}c2.c + {BIGRAM_ALPHA})
+                          / ({p}c1.c + {BIGRAM_ALPHA} * {p}v.vsz))) / count(*), 4)
                AS avg_logprob
-      FROM big
-      JOIN c2 USING (bg)
-      JOIN c1 ON c1.term = string_split(big.bg, ' ')[1]
-      CROSS JOIN v
+      FROM {p}big
+      JOIN {p}c2 USING (bg)
+      JOIN {p}c1 ON {p}c1.term = string_split({p}big.bg, ' ')[1]
+      CROSS JOIN {p}v
       GROUP BY doc_id
     )"""
+
+
+BIGRAM_SCORED_CTES = bigram_scored_ctes()
 
 
 def bigram_logprob_scores(docs: DataFrame) -> DataFrame:

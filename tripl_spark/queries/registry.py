@@ -98,9 +98,11 @@ _PRIORITY = [
     # beam search unrolled into SQL — its first gated driver row
     "sim_ann_hnsw",
     # (c3) NEW operators in r6 (CCNet-style LM bucketing; embedding-
-    # space decontamination) — first rows
+    # space decontamination; the all-stage flagship composition) —
+    # first rows
     "pipeline_perplexity_buckets",
     "pipeline_semantic_decontamination",
+    "pipeline_full_curation",
     # (d) the stale refresh cohort: latest driver rows r1–r3.
     # TPC-H first (bench-visible), then events/windows/analytics,
     # triple/datalog, text, similarity/dedup/curation, multimodal.
