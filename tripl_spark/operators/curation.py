@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from tripl_spark.queries.registry import query
 from tripl_spark.session import load_table
-from tripl_spark.operators.text import quality_score_expr
+from tripl_spark.operators.text import quality_score_expr, quality_score_sql
 
 # deterministic 60-bit hash of a column, reproducible in DuckDB as
 # CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)
@@ -216,4 +216,66 @@ def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pri", "doc_id")
         .limit(WS_TOP)
         .select("doc_id", "source", "n_chars", F.col("pri").alias("priority"))
+    )
+
+
+@query(
+    "corpus_datacard",
+    # One row of corpus-level facts — the "data card" a training run
+    # is documented with. Exact distincts so the oracle hash-matches;
+    # the docstring names the sketch substitutions for cluster scale.
+    oracle=rf"""
+    WITH s AS (
+      SELECT doc_id, source, lang,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+             {{quality}} AS q
+      FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           round(1.0 - count(DISTINCT fp) * 1.0 / count(*), 4) AS exact_dup_rate,
+           round(avg(n_tokens), 2) AS avg_doc_tokens,
+           round(avg(q), 4) AS avg_quality
+    FROM s
+    """.replace("{quality}", quality_score_sql("")),
+    doc="one-row corpus data card: doc/token totals, lang/source "
+    "cardinalities, exact-dup rate, mean quality — the dataset "
+    "documentation a training run ships with; fully hash-gated",
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level summary statistics in one aggregation pass — the
+    numbers a dataset card reports: document and token counts,
+    language/source cardinalities, the exact-duplicate rate (1 −
+    distinct fingerprints / docs), and mean heuristic quality.
+
+    Scale shape: ONE map-side-combined aggregation over a single scan.
+    The exact fingerprint distinct is the only corpus-cardinality
+    term — at 100 TB swap it for the HLL register sketch
+    (`sketch_hll_registers` machinery) and the lang/source distincts
+    stay tiny; exact is kept here because the oracle hash gate wants
+    bit-equal values."""
+    from tripl_spark.operators.dedup import normalized_text
+    from tripl_spark.operators.text import quality_score_expr, quality_score_sql
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    s = docs.select(
+        "source", "lang",
+        n_tokens.alias("n_tokens"),
+        F.md5(normalized_text()).alias("fp"),
+        quality_score_expr().alias("q"),
+    )
+    return s.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.round(F.lit(1.0) - F.countDistinct("fp") * 1.0 / F.count(F.lit(1)), 4).alias(
+            "exact_dup_rate"
+        ),
+        F.round(F.avg("n_tokens"), 2).alias("avg_doc_tokens"),
+        F.round(F.avg("q"), 4).alias("avg_quality"),
     )
