@@ -148,10 +148,12 @@ _PRIORITY = [
     "dedup_embedding_cosine",
     "curation_stratified_sample",
     # tail: first to slide out of the 50-row window as newly-oracled
-    # queries claim slots above (r6: the two stats aggregates and
-    # multimodal_metadata sit at 51-53 — all three keep local DuckDB
-    # parity coverage; metadata is a pure scan projection, lowest
-    # divergence risk of the multimodal family)
+    # queries claim slots above. With the three r6 first-row inserts,
+    # five stale names sit at 51-55 (dedup_embedding_cosine,
+    # curation_stratified_sample, multimodal_metadata, stats_corr,
+    # stats_value) — all bounded-slice/scan-shaped with past green
+    # rows, and all keep local DuckDB parity coverage in
+    # tests/test_oracle_parity.py.
     "multimodal_metadata",
     "stats_corr_value_k",
     "stats_value_by_type",
