@@ -115,3 +115,41 @@ def test_cosine_udf_matches_jvm_cosine(spark, sf_small):
     # noise) — still far below anything a real arithmetic bug produces
     for r in both:
         assert abs(r.np_cos - r.jvm_cos) < 1e-6, (r.np_cos, r.jvm_cos)
+
+
+def test_knn_graph_default_bucket_cap_is_bounded(spark):
+    """Scale gate (the sign-LSH analog of the semantic-dedup cap): the
+    graph BUILD draws candidates only from buckets at most
+    MAX_LSH_BUCKET by default, so a halfspace-degenerate embedding
+    distribution cannot make the candidate join quadratic."""
+    import inspect
+
+    from tripl_spark.operators.graph_ann import MAX_LSH_BUCKET, knn_graph
+
+    default = inspect.signature(knn_graph).parameters["max_bucket"].default
+    assert default == MAX_LSH_BUCKET
+
+    # all-positive vectors -> every sign bit 1 -> ONE bucket holding
+    # everything; with a tiny cap the build yields no candidate edges
+    rows = [(i, [1.0 + 0.001 * i] * 16) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    assert knn_graph(emb, max_bucket=5).count() == 0
+    assert knn_graph(emb, max_bucket=None).count() > 0
+
+
+def test_n_planes_rule_keeps_buckets_constant():
+    """planes ~ log2(n/per_bucket): expected occupancy n / 2^planes
+    stays within [per_bucket/2, per_bucket] once n is large enough."""
+    from tripl_spark.operators.similarity import N_PLANES, n_planes_for
+
+    assert n_planes_for(500) == N_PLANES  # test scales pin N_PLANES
+    for n in (10**6, 10**8, 10**10):
+        k = n_planes_for(n)
+        assert n / (1 << k) <= 1000, (n, k)
+        assert n / (1 << k) > 250, (n, k)
+
+
+def test_lsh_planes_reproduces_module_constant():
+    from tripl_spark.operators.similarity import N_PLANES, PLANES, lsh_planes
+
+    assert lsh_planes(N_PLANES) == PLANES

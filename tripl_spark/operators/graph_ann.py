@@ -68,6 +68,16 @@ from tripl_spark.session import load_table
 M_NEIGHBORS = 12  # graph degree: ≥ 2·TOP_K so exact neighbors survive re-ranks
 BEAM = 12
 HOPS = 2
+# Degenerate-bucket cap for the graph BUILD's candidate join (the
+# sign-LSH analog of clustering.SEM_MAX_CLUSTER): a halfspace-heavy
+# embedding distribution can funnel the corpus into one bucket, whose
+# candidate stage expands quadratically. Candidates are drawn only
+# from buckets at most this large; every node still probes, so no node
+# is orphaned — it just contributes no candidate edges from degenerate
+# buckets. Replicated in the sim_ann_knn_graph / sim_ann_hnsw oracles.
+# At scale, ALSO grow the plane count with the corpus
+# (similarity.n_planes_for) so expected occupancy stays ~constant.
+MAX_LSH_BUCKET = 1000
 
 
 @pandas_udf(T.DoubleType())
@@ -116,6 +126,7 @@ def knn_graph(
     m: int = M_NEIGHBORS,
     refine_rounds: int = 1,
     score_fn=None,
+    max_bucket: int | None = MAX_LSH_BUCKET,
 ) -> DataFrame:
     """(src, dst, cos) approximate k-NN graph.
 
@@ -141,8 +152,19 @@ def knn_graph(
     probes = _multiprobe(e).select(
         F.col("vec_id").alias("src"), F.col("v").alias("sv"), "pb"
     )
+    # candidates come only from non-degenerate buckets (the build-side
+    # max_bucket cap — default MAX_LSH_BUCKET, None to uncap)
+    cand_side = e
+    if max_bucket is not None:
+        ok = (
+            e.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("bucket")
+        )
+        cand_side = e.join(F.broadcast(ok), "bucket")
     cand = probes.join(
-        e.select(F.col("vec_id").alias("dst"), F.col("v").alias("dv"), "bucket"),
+        cand_side.select(F.col("vec_id").alias("dst"), F.col("v").alias("dv"), "bucket"),
         (F.col("pb") == F.col("bucket")) & (F.col("src") != F.col("dst")),
     ).select("src", "dst", score_fn(F.col("sv"), F.col("dv")).alias("cos"))
     adj = _top_m(cand, m).localCheckpoint(eager=True)
@@ -267,6 +289,8 @@ def _seed_graph_oracle() -> str:
       SELECT vec_id, embedding::DOUBLE[] AS v, {bucket} AS bucket
       FROM embeddings
     ),
+    okb AS (SELECT bucket FROM e GROUP BY bucket
+            HAVING count(*) <= {MAX_LSH_BUCKET}),
     probes AS (
       SELECT vec_id AS src, v AS sv,
              unnest(list_value({probe_list})) AS pb
@@ -275,7 +299,9 @@ def _seed_graph_oracle() -> str:
     cand AS (
       SELECT p.src, e.vec_id AS dst,
              round(list_cosine_similarity(p.sv, e.v), 4) AS cosine
-      FROM probes p JOIN e ON p.pb = e.bucket AND p.src <> e.vec_id
+      FROM probes p
+      JOIN e ON p.pb = e.bucket AND p.src <> e.vec_id
+      JOIN okb ON okb.bucket = e.bucket
     )
     SELECT src, dst, cosine, CAST(rk AS INT) AS rk FROM (
       SELECT src, dst, cosine,
@@ -306,11 +332,19 @@ def sim_ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     e = emb.withColumn("bucket", bucket_key(F.col("v")))
+    ok = (
+        e.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= MAX_LSH_BUCKET)
+        .select("bucket")
+    )
     probes = _multiprobe(e).select(
         F.col("vec_id").alias("src"), F.col("v").alias("sv"), "pb"
     )
     cand = probes.join(
-        e.select(F.col("vec_id").alias("dst"), F.col("v").alias("dv"), "bucket"),
+        e.join(F.broadcast(ok), "bucket").select(
+            F.col("vec_id").alias("dst"), F.col("v").alias("dv"), "bucket"
+        ),
         (F.col("pb") == F.col("bucket")) & (F.col("src") != F.col("dst")),
     ).select(
         "src", "dst", F.round(cosine(F.col("sv"), F.col("dv")), 4).alias("cosine")
@@ -373,6 +407,8 @@ def _hnsw_oracle() -> str:
       SELECT vec_id, embedding::DOUBLE[] AS v, {bucket} AS bucket
       FROM embeddings
     ),
+    okb AS (SELECT bucket FROM e GROUP BY bucket
+            HAVING count(*) <= {MAX_LSH_BUCKET}),
     probes AS (
       SELECT vec_id AS src, v AS sv, unnest(list_value({probe_list})) AS pb
       FROM e
@@ -380,7 +416,9 @@ def _hnsw_oracle() -> str:
     cand AS (
       SELECT p.src, e.vec_id AS dst,
              round(list_cosine_similarity(p.sv, e.v), 4) AS cos
-      FROM probes p JOIN e ON p.pb = e.bucket AND p.src <> e.vec_id
+      FROM probes p
+      JOIN e ON p.pb = e.bucket AND p.src <> e.vec_id
+      JOIN okb ON okb.bucket = e.bucket
     ),
     adj0 AS (
       SELECT src, dst, cos FROM (

@@ -37,10 +37,32 @@ N_PLANES = 4
 TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 
-_rng = random.Random(20240813)
-PLANES: list[list[float]] = [
-    [round(_rng.gauss(0.0, 1.0), 6) for _ in range(DIM)] for _ in range(N_PLANES)
-]
+def lsh_planes(k: int, dim: int = DIM, seed: int = 20240813) -> list[list[float]]:
+    """``k`` seeded gaussian hyperplanes (6-dp literals, so the SQL
+    oracles can embed them verbatim). The module's ``PLANES`` is
+    ``lsh_planes(N_PLANES)``; production builds at other corpus sizes
+    generate ``lsh_planes(n_planes_for(n))`` instead."""
+    rng = random.Random(seed)
+    return [[round(rng.gauss(0.0, 1.0), 6) for _ in range(dim)] for _ in range(k)]
+
+
+def n_planes_for(n: int, per_bucket: int = 1000, k_min: int = N_PLANES) -> int:
+    """Production plane-count rule: enough sign bits that the expected
+    bucket holds ~``per_bucket`` vectors (planes ≈ log2(n/per_bucket)),
+    never below ``k_min`` — the LSH analog of ``clustering.codebook_k``.
+    With FIXED planes the bucket join's Σ|bucket|² is a constant
+    fraction of n² (quadratic); scaling the plane count with n keeps
+    bucket occupancy constant and the join ~linear. The registered
+    queries pin N_PLANES because the oracles embed the literal planes;
+    at the driver's test scales this rule resolves to N_PLANES anyway."""
+    import math
+
+    if n <= per_bucket:
+        return k_min
+    return max(k_min, math.ceil(math.log2(n / per_bucket)))
+
+
+PLANES: list[list[float]] = lsh_planes(N_PLANES)
 
 
 def dot(x: F.Column, y: F.Column) -> F.Column:
