@@ -457,8 +457,18 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     return toks.groupBy(id_col).agg(*aggs).select(id_col, sig.alias("sig"))
 
 
-def _simhash_pairs(sigs: DataFrame, max_hamming: int = 6) -> DataFrame:
-    """Pigeonhole banding + exact-Hamming verify over (doc_id, sig)."""
+def _simhash_pairs(
+    sigs: DataFrame,
+    max_hamming: int = 6,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Pigeonhole banding + exact-Hamming verify over (doc_id, sig).
+
+    ``max_bucket`` (default ``DEFAULT_MAX_BUCKET``) drops degenerate
+    (chunk_id, chunk) groups before the candidate self-join — the same
+    guard as the MinHash band join: a boilerplate signature chunk
+    shared corpus-wide would otherwise expand quadratically. The
+    eligible-chunk list is at most 4·2¹⁵ rows, so it broadcasts."""
     chunk_structs = [
         F.struct(
             F.lit(c).alias("chunk_id"),
@@ -469,6 +479,16 @@ def _simhash_pairs(sigs: DataFrame, max_hamming: int = 6) -> DataFrame:
     chunks = sigs.select(
         "doc_id", "sig", F.explode(F.array(*chunk_structs)).alias("ch")
     ).select("doc_id", "sig", "ch.chunk_id", "ch.chunk")
+    if max_bucket is not None:
+        ok = (
+            chunks.groupBy("chunk_id", "chunk")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("chunk_id", "chunk")
+        )
+        chunks = chunks.join(F.broadcast(ok), ["chunk_id", "chunk"]).select(
+            "doc_id", "sig", "chunk_id", "chunk"
+        )
     l, r = chunks.alias("l"), chunks.alias("r")
     cands = (
         l.join(
@@ -534,12 +554,17 @@ def _simhash_oracle_sql() -> str:
              (sig >> (c.i * 15)) & 32767 AS chunk
       FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS i) c
     ),
+    okc AS (
+      SELECT chunk_id, chunk FROM chunks
+      GROUP BY chunk_id, chunk HAVING count(*) <= {DEFAULT_MAX_BUCKET}
+    ),
     cands AS (
       SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
              l.sig AS sig_a, r.sig AS sig_b
       FROM chunks l JOIN chunks r
         ON l.chunk_id = r.chunk_id AND l.chunk = r.chunk
            AND l.doc_id < r.doc_id
+      JOIN okc ON okc.chunk_id = l.chunk_id AND okc.chunk = l.chunk
     )
     SELECT id_a, id_b,
            CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
