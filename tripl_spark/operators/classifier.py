@@ -439,3 +439,92 @@ def pipeline_classifier_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= CLS_QUOTA_PER_SOURCE)
         .select("doc_id", "source", "lang", "score", "rk")
     )
+
+
+N_CALIB_BINS = 10
+
+
+@query(
+    "classifier_calibration_bins",
+    # Reliability diagram of the 2-step classifier with EQUAL-FREQUENCY
+    # bins: fixed-width deciles degenerate when scores concentrate (two
+    # gradient steps put everything near 0.55), so bin = the integer
+    # rank-range below*B DIV n of each distinct 6-dp score — pure
+    # integer arithmetic over per-score summaries, the same
+    # summary-level pattern as the AUC rank sum (no row-level global
+    # window, no float percentile interpolation to diverge; a tied
+    # score group lands wholly in one bin by construction).
+    oracle=rf"""
+    WITH {_feature_sql()},
+    {_train2_sql()},
+    scored AS (
+      SELECT f.doc_id, f.y,
+             round(1.0 / (1.0 + exp(-(g2.w0*f.x0 + g2.w1*f.x1 + g2.w2*f.x2 + g2.w3*f.x3))), 6)
+               AS s
+      FROM feats f CROSS JOIN g2
+    ),
+    by_s AS (SELECT s, count(*) AS cnt, sum(y) AS pos FROM scored GROUP BY s),
+    tot AS (SELECT sum(cnt) AS n FROM by_s),
+    lvl AS (
+      SELECT s, cnt, pos,
+             coalesce(sum(cnt) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      FROM by_s
+    ),
+    binned AS (
+      SELECT least(below * {N_CALIB_BINS} // n, {N_CALIB_BINS - 1}) AS bin,
+             s, cnt, pos
+      FROM lvl CROSS JOIN tot
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(sum(cnt) AS BIGINT) AS n,
+           CAST(sum(pos) AS BIGINT) AS n_pos,
+           round(sum(s * cnt) / sum(cnt), 4) AS mean_pred,
+           round(sum(pos) * 1.0 / sum(cnt), 4) AS frac_pos
+    FROM binned GROUP BY bin
+    """,
+    doc="calibration (reliability diagram) of the 2-step classifier: "
+    "equal-frequency score bins with mean predicted vs observed "
+    "positive rate — fully hash-gated incl. training",
+)
+def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration bins for the trained quality classifier:
+    equal-frequency buckets over the predicted probability, each with
+    its count, mean prediction, and observed positive fraction — the
+    reliability diagram that tells you whether a 0.8 score means 80%.
+    The eval companion to ``classifier_auc_eval`` (discrimination) —
+    a filter threshold is only meaningful if scores are calibrated.
+
+    Scale shape: scoring is the zero-shuffle scan projection under the
+    broadcast weight vector; like the AUC, binning runs over PER-SCORE
+    summaries (≤10⁶ distinct 6-dp keys however large the corpus) — the
+    corpus shuffles once into the map-side-combined score table, the
+    only window walks those summary rows, and the final aggregate has
+    ≤N_CALIB_BINS groups."""
+    from pyspark.sql import Window
+
+    feats = doc_features(load_table(spark, sf_dir, "documents"))
+    w = logreg_fit(feats, n_steps=2)[-1]
+    wvec = [w[f"w{i}"] for i in range(N_FEATURES)]
+    scored = feats.select(
+        "y", F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(wvec))), 6).alias("s")
+    )
+    by_s = scored.groupBy("s").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    )
+    tot = by_s.agg(F.sum("cnt").alias("n"))
+    w_below = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    lvl = by_s.select(
+        "s", "cnt", "pos",
+        F.coalesce(F.sum("cnt").over(w_below), F.lit(0)).alias("below"),
+    )
+    binned = lvl.crossJoin(F.broadcast(tot)).withColumn(
+        "bin",
+        F.expr(f"least(below * {N_CALIB_BINS} DIV n, {N_CALIB_BINS - 1})").cast("int"),
+    )
+    return binned.groupBy("bin").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.round(F.sum(F.col("s") * F.col("cnt")) / F.sum("cnt"), 4).alias("mean_pred"),
+        F.round(F.sum("pos") * 1.0 / F.sum("cnt"), 4).alias("frac_pos"),
+    )
