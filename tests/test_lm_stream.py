@@ -70,3 +70,29 @@ def test_unseen_text_scores_under_smoothing(spark, sf_small):
     out = lm.score(novel).collect()
     assert len(out) == 1 and out[0].n_bigrams == 2
     assert out[0].avg_logprob is not None and out[0].avg_logprob < 0
+
+
+def test_lm_real_stream_matches_oneshot(spark, sf_small, tmp_path):
+    """Same convergence contract through a real availableNow parquet
+    stream + foreachBatch, not direct process() calls."""
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    src = str(tmp_path / "doc_stream")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    lm = StreamingBigramLM(spark)
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(lm.process)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    one = StreamingBigramLM(spark)
+    one.process(docs, batch_id=0)
+    assert _counts(lm.c1, "term") == _counts(one.c1, "term")
+    assert _counts(lm.c2, "bg") == _counts(one.c2, "bg")
