@@ -130,3 +130,31 @@ def test_max_bucket_default_keeps_honest_buckets(planted_docs):
         for r in minhash_candidates(planted_docs, max_bucket=None).collect()
     }
     assert capped == uncapped
+
+
+def test_minhash_caches_do_not_outlive_the_call(spark, sf_small):
+    """Long-lived-session invariant (same contract as shared_span_pairs
+    and video_near_dup_pairs): minhash_dedup and minhash_match_new
+    release their corpus-sized shingle caches before returning — after
+    each call at most the localCheckpoint block backing the RETURNED
+    pair list remains in block storage."""
+    from pyspark.sql import functions as F
+
+    from tripl_spark.operators.dedup import minhash_dedup, minhash_match_new
+    from tripl_spark.session import load_table
+
+    sc = spark.sparkContext
+
+    def n_cached() -> int:
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    docs = load_table(spark, sf_small, "documents")
+    before = n_cached()
+    r1 = minhash_dedup(docs)
+    r1.collect()
+    assert n_cached() <= before + 1, sc._jsc.sc().getRDDStorageInfo()
+    r2 = minhash_match_new(
+        docs.filter(F.col("doc_id") < 400), docs.filter(F.col("doc_id") >= 400)
+    )
+    r2.collect()
+    assert n_cached() <= before + 2, sc._jsc.sc().getRDDStorageInfo()

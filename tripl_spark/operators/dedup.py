@@ -307,10 +307,21 @@ def minhash_dedup(
     from pyspark import StorageLevel
 
     sets = shingle_sets(docs, id_col, hash_mode).persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = _signatures_from_sets(sets, id_col)
-    bands = _band_frame(sigs, id_col, hash_bands=hash_mode != "md5")
-    pairs = _pairs_from_buckets(bands, id_col, max_bucket)
-    return _jaccard_from_sets(sets, pairs, id_col).filter(F.col("jaccard") >= threshold)
+    try:
+        sigs = _signatures_from_sets(sets, id_col)
+        bands = _band_frame(sigs, id_col, hash_bands=hash_mode != "md5")
+        pairs = _pairs_from_buckets(bands, id_col, max_bucket)
+        # eager checkpoint of the (small) pair result, then release the
+        # corpus-sized shingle cache — no MEMORY_AND_DISK block outlives
+        # the call in a long-lived session (same lifecycle contract as
+        # shared_span_pairs / video_near_dup_pairs)
+        return (
+            _jaccard_from_sets(sets, pairs, id_col)
+            .filter(F.col("jaccard") >= threshold)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        sets.unpersist()
 
 
 def _minhash_oracle_sql() -> str:
@@ -712,18 +723,22 @@ def minhash_match_new(
     from pyspark import StorageLevel
 
     # one shingle pass feeds BOTH the band index and the verification
-    # sets (minhash_index would otherwise re-shingle the corpus)
+    # sets (minhash_index would otherwise re-shingle the corpus);
+    # released before returning (eager checkpoint of the match result)
     corpus_sets = shingle_sets(corpus, id_col, hash_mode).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    corpus_bands = _band_frame(
-        _signatures_from_sets(corpus_sets, id_col), id_col,
-        hash_bands=hash_mode != "md5",
-    )
-    return match_against_index(
-        corpus_sets, corpus_bands, new_docs, id_col, threshold, hash_mode,
-        max_bucket=max_bucket,
-    )
+    try:
+        corpus_bands = _band_frame(
+            _signatures_from_sets(corpus_sets, id_col), id_col,
+            hash_bands=hash_mode != "md5",
+        )
+        return match_against_index(
+            corpus_sets, corpus_bands, new_docs, id_col, threshold, hash_mode,
+            max_bucket=max_bucket,
+        ).localCheckpoint(eager=True)
+    finally:
+        corpus_sets.unpersist()
 
 
 def _incremental_oracle_sql(split_id: int = 400) -> str:
