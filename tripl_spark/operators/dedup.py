@@ -324,14 +324,16 @@ def minhash_dedup(
         sets.unpersist()
 
 
-def _minhash_oracle_sql() -> str:
-    """DuckDB SQL replicating the md5-hashed MinHash pipeline
-    hash-for-hash (shared hash: first 15 hex chars of md5 → bigint)."""
+def _minhash_ctes() -> str:
+    """The md5-MinHash pipeline as a reusable CTE body ending in
+    ``mh`` = (id_a, id_b, jaccard ≥ 0.6) — consumed by the
+    dedup_minhash_oracled oracle and composed (no CTE-name overlap
+    with the k-means chain) by the method-agreement oracle."""
     perm_rows = ",\n      ".join(
         f"({i}, {a}, {b})" for i, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
     )
     return f"""
-    WITH toks AS (
+    toks AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
       FROM documents
     ),
@@ -367,15 +369,25 @@ def _minhash_oracle_sql() -> str:
         ON l.band_id = r.band_id AND l.band_key = r.band_key
        AND l.doc_id < r.doc_id
       GROUP BY ALL
-    )
-    SELECT id_a, id_b,
-           round(len(list_intersect(sa.hs, sb.hs)) * 1.0
-                 / len(list_distinct(list_concat(sa.hs, sb.hs))), 4) AS jaccard
-    FROM pairs
-    JOIN sets sa ON sa.doc_id = id_a
-    JOIN sets sb ON sb.doc_id = id_b
-    WHERE round(len(list_intersect(sa.hs, sb.hs)) * 1.0
-                / len(list_distinct(list_concat(sa.hs, sb.hs))), 4) >= 0.6
+    ),
+    mh AS (
+      SELECT id_a, id_b,
+             round(len(list_intersect(sa.hs, sb.hs)) * 1.0
+                   / len(list_distinct(list_concat(sa.hs, sb.hs))), 4) AS jaccard
+      FROM pairs
+      JOIN sets sa ON sa.doc_id = id_a
+      JOIN sets sb ON sb.doc_id = id_b
+      WHERE round(len(list_intersect(sa.hs, sb.hs)) * 1.0
+                  / len(list_distinct(list_concat(sa.hs, sb.hs))), 4) >= 0.6
+    )"""
+
+
+def _minhash_oracle_sql() -> str:
+    """DuckDB SQL replicating the md5-hashed MinHash pipeline
+    hash-for-hash (shared hash: first 15 hex chars of md5 → bigint)."""
+    return f"""
+    WITH {_minhash_ctes()}
+    SELECT id_a, id_b, jaccard FROM mh
     """
 
 
@@ -808,3 +820,101 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard = docs.filter(F.col("doc_id") >= 400)
     # uncapped: the SQL oracle enumerates every in-bucket pair
     return minhash_match_new(corpus, shard, hash_mode="md5", max_bucket=None)
+
+
+def _method_agreement_oracle() -> str:
+    from tripl_spark.operators.clustering import (
+        KMEANS2_CTES,
+        SEM_THRESHOLD,
+        _capped_cte,
+        _lists_cte,
+    )
+
+    return f"""
+    WITH {_minhash_ctes()},
+    {KMEANS2_CTES},
+{_lists_cte()},
+{_capped_cte()},
+    sem AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM cl a JOIN cl b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+      WHERE round(list_cosine_similarity(ea.v, eb.v), 4) >= {{thr}}
+    )
+    SELECT CAST(n_lexical AS BIGINT) AS n_lexical,
+           CAST(n_semantic AS BIGINT) AS n_semantic,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(n_lexical + n_semantic - n_both AS BIGINT) AS n_union,
+           round(n_both * 1.0 / nullif(n_lexical + n_semantic - n_both, 0), 4)
+             AS pair_jaccard
+    FROM (
+      SELECT (SELECT count(*) FROM mh) AS n_lexical,
+             (SELECT count(*) FROM sem) AS n_semantic,
+             (SELECT count(*) FROM mh JOIN sem USING (id_a, id_b)) AS n_both
+    )
+    """.replace("{thr}", str(SEM_THRESHOLD))
+
+
+@query(
+    "dedup_method_agreement",
+    oracle=_method_agreement_oracle(),
+    doc="cross-family dedup audit: MinHash (lexical) vs SemDeDup "
+    "(semantic) pair-set overlap on the same corpus — the deployment "
+    "sanity check for what semantic dedup adds beyond n-gram overlap; "
+    "fully hash-gated (both pipelines replayed in one oracle)",
+)
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row agreement audit between the two near-dup families:
+    lexical (md5-MinHash, Jaccard ≥ 0.6) and semantic (capped
+    trained-cluster cosine ≥ SEM_THRESHOLD) pair sets over the same
+    corpus (doc_id = vec_id on the embedded slice) — counts of each,
+    their intersection, union, and pair-set Jaccard. The standard
+    audit before turning on semantic dedup in production: how much
+    does it add beyond (and how much does it agree with) the lexical
+    pass.
+
+    Scale shape: both pair generators are their bounded registered
+    shapes (banded buckets, capped clusters); the pair LISTS — dup
+    rate × corpus, ≪ corpus — meet in one full-outer join on the pair
+    key, and the output is a single aggregated row. Nothing here adds
+    a corpus-sized stage beyond the two pipelines themselves."""
+    from tripl_spark.operators.clustering import (
+        _assign_round,
+        kmeans_2iter_centroids,
+        semantic_dedup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # md5 + uncapped bucket mode matches the mh oracle CTEs exactly
+    # (the registered dedup_minhash_oracled contract)
+    mh = minhash_dedup(docs, threshold=0.6, hash_mode="md5", max_bucket=None).select(
+        "id_a", "id_b", F.lit(1).alias("in_lex")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = kmeans_2iter_centroids(emb).localCheckpoint(eager=True)
+    assigned = _assign_round(emb, cent).select("vec_id", "v", "cid")
+    sem = semantic_dedup_pairs(assigned).select(
+        "id_a", "id_b", F.lit(1).alias("in_sem")
+    )
+    flagged = mh.join(sem, ["id_a", "id_b"], "full")
+    n_lex = F.sum(F.coalesce(F.col("in_lex"), F.lit(0)))
+    n_sem = F.sum(F.coalesce(F.col("in_sem"), F.lit(0)))
+    n_both = F.sum(
+        F.coalesce(F.col("in_lex"), F.lit(0)) * F.coalesce(F.col("in_sem"), F.lit(0))
+    )
+    agg = flagged.agg(
+        n_lex.cast("long").alias("n_lexical"),
+        n_sem.cast("long").alias("n_semantic"),
+        n_both.cast("long").alias("n_both"),
+    )
+    union = F.col("n_lexical") + F.col("n_semantic") - F.col("n_both")
+    return agg.select(
+        "n_lexical", "n_semantic", "n_both",
+        union.cast("long").alias("n_union"),
+        F.round(
+            F.col("n_both") * 1.0 / F.when(union == 0, None).otherwise(union), 4
+        ).alias("pair_jaccard"),
+    )
