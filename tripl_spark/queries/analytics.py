@@ -359,3 +359,87 @@ def events_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") * 1.0 / F.sum("n").over(W.partitionBy()), 4).alias("share"),
     )
+
+
+@query(
+    "events_gapfill_hourly",
+    # Gap-filled hourly series: the dense hour x event_type grid LEFT
+    # JOINs the sparse aggregate; absent cells get n_events = 0 and a
+    # NULL total carried forward by last_value IGNORE NULLS — both
+    # engines agree on NULL semantics, and the LOCF runs over
+    # 2-dp-rounded totals so summation-order noise can't leak through
+    # the carry.
+    oracle="""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             count(*) AS n_events, round(sum(value), 2) AS total_value
+      FROM ev GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM agg),
+    spine AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM ev),
+    grid AS (SELECT h, event_type FROM spine CROSS JOIN types),
+    filled AS (
+      SELECT g.h, g.event_type,
+             coalesce(a.n_events, 0) AS n_events,
+             a.total_value
+      FROM grid g LEFT JOIN agg a ON a.h = g.h AND a.event_type = g.event_type
+    )
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+           CAST(n_events AS BIGINT) AS n_events, total_value,
+           round(last_value(total_value IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS locf_value
+    FROM filled
+    """,
+    doc="gap-filled hourly event series: dense time spine, zero-filled "
+    "counts, last-observation-carried-forward totals — the "
+    "hypertable gapfill/locf operator, fully hash-gated",
+)
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event series with gaps FILLED: a dense hour × event_type
+    spine (generated from the observed min/max hour) left-joins the
+    sparse hourly aggregate; empty cells report n_events = 0, a NULL
+    total, and a last-observation-carried-forward total (`locf_value`)
+    — the gapfill + locf operator a time-series engine exposes, which
+    naive GROUP BY silently omits (downstream charts/models need the
+    zero rows to exist).
+
+    Scale shape: the sparse aggregate is the usual map-side-combined
+    hourly rollup (the only event-sized shuffle); the spine is
+    hours × types rows — generated from a 1-row bounds aggregate,
+    tiny at any corpus age — and the LOCF window partitions by
+    event_type over spine-sized data, never raw events."""
+    events = load_table(spark, sf_dir, "events")
+    agg = events.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    bounds = agg.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h")
+    )
+    types = events.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    filled = grid.join(agg, ["h", "event_type"], "left").select(
+        "h", "event_type",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        "total_value",
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return filled.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        "n_events",
+        "total_value",
+        F.round(F.last("total_value", ignorenulls=True).over(w), 2).alias("locf_value"),
+    )
