@@ -279,3 +279,145 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         e3, (F.col("b3") == F.col("b")) & (F.col("c3") == F.col("c")), "left_semi"
     )
     return closed.agg(F.count("*").cast("long").alias("triangles"))
+
+
+KCORE_K = 3
+
+
+def k_core(edges: DataFrame, k: int = KCORE_K, max_iters: int = 20) -> DataFrame:
+    """(node, degree) of the k-core: iteratively peel nodes with
+    degree < k (removing their incident edges changes neighbors'
+    degrees, hence the loop) until stable — the standard graph-quality
+    filter (spam/low-connectivity nodes leave first).
+
+    Scale shape per round: one degree aggregation (map-side combined)
+    + two semi-joins keyed on the endpoints; ``localCheckpoint`` cuts
+    lineage like every iterative op here. Round count is bounded by
+    max_iters; convergence = no node fell below k this round (a 1-row
+    count, the cheap check)."""
+    e = edges.select("lo", "hi").localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        deg = (
+            e.select(F.col("lo").alias("node"))
+            .unionAll(e.select(F.col("hi").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        e2 = (
+            e.join(keep.withColumnRenamed("node", "lo"), "lo", "left_semi")
+            .join(keep.withColumnRenamed("node", "hi"), "hi", "left_semi")
+            .select("lo", "hi")
+            .localCheckpoint(eager=True)
+        )
+        if e2.count() == e.count():
+            e = e2
+            break
+        e = e2
+    return (
+        e.select(F.col("lo").alias("node"))
+        .unionAll(e.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+
+
+def _kcore_edges_ctes() -> str:
+    """The canonical undirected u→u//2 ∪ u→u//3 edge set (the triangle
+    query's graph) as CTEs ending in e0."""
+    return """
+    nodes AS (SELECT DISTINCT user_id AS u FROM events),
+    raw AS (
+      SELECT u AS a, CAST(floor(u / 2) AS BIGINT) AS b FROM nodes WHERE u > 1
+      UNION
+      SELECT u, CAST(floor(u / 3) AS BIGINT) FROM nodes WHERE u > 2
+    ),
+    e0 AS (
+      SELECT least(a, b) AS lo, greatest(a, b) AS hi FROM raw
+      JOIN (SELECT u FROM nodes) m ON m.u = b
+      GROUP BY ALL
+    )"""
+
+
+def _peel_ctes(src: str, n: int, k: int) -> str:
+    return f"""
+    deg{n} AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT lo AS node FROM {src} UNION ALL SELECT hi FROM {src}
+      ) GROUP BY node
+    ),
+    keep{n} AS (SELECT node FROM deg{n} WHERE d >= {k}),
+    e{n + 1} AS (
+      SELECT lo, hi FROM {src}
+      JOIN keep{n} a ON a.node = {src}.lo
+      JOIN keep{n} b ON b.node = {src}.hi
+    )"""
+
+
+@query(
+    "graph_kcore_2peel",
+    # Two unrolled peel rounds (the fixed-iteration-replay pattern the
+    # 2-iter k-means and 2-hop beam search use): degrees -> keep >= k
+    # -> edge filter, twice, then the surviving degrees.
+    oracle=f"""
+    WITH {_kcore_edges_ctes()},
+{_peel_ctes("e0", 0, KCORE_K)},
+{_peel_ctes("e1", 1, KCORE_K)}
+    SELECT node, CAST(d AS BIGINT) AS degree
+    FROM (
+      SELECT node, count(*) AS d FROM (
+        SELECT lo AS node FROM e2 UNION ALL SELECT hi FROM e2
+      ) GROUP BY node
+    )
+    """,
+    doc="k-core peel (k=3), exactly two rounds unrolled — the "
+    "graph-quality filter, hash-gated via the fixed-iteration-replay "
+    "pattern; the convergence loop lives in k_core()",
+)
+def graph_kcore_2peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly two k-core peel rounds (k=3) over the triangle query's
+    u→u//2 ∪ u//3 user graph: surviving nodes with their post-peel
+    degrees. Peeling is the iterative part — removing a low-degree
+    node lowers its neighbors' degrees, so one pass is NOT the core —
+    and two fixed rounds make the whole computation SQL-replayable,
+    exactly like the 2-iter k-means; ``k_core`` runs the loop to the
+    true fixpoint with the same per-round plan."""
+    users = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("u")
+    ).distinct()
+    raw = (
+        users.filter(F.col("u") > 1)
+        .select("u", F.floor(F.col("u") / 2).cast("long").alias("b"))
+        .union(
+            users.filter(F.col("u") > 2)
+            .select("u", F.floor(F.col("u") / 3).cast("long").alias("b"))
+        )
+    )
+    member = users.select(F.col("u").alias("__m"))
+    e = (
+        raw.join(member, raw.b == F.col("__m"), "left_semi")
+        .select(
+            F.least(F.col("u"), F.col("b")).alias("lo"),
+            F.greatest(F.col("u"), F.col("b")).alias("hi"),
+        )
+        .distinct()
+    )
+    for _ in range(2):
+        deg = (
+            e.select(F.col("lo").alias("node"))
+            .unionAll(e.select(F.col("hi").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= KCORE_K).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "lo"), "lo", "left_semi")
+            .join(keep.withColumnRenamed("node", "hi"), "hi", "left_semi")
+            .select("lo", "hi")
+        )
+    return (
+        e.select(F.col("lo").alias("node"))
+        .unionAll(e.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
