@@ -582,3 +582,111 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("hh_estimate"), "term")
         .limit(HH_TOP)
     )
+
+
+@query(
+    "sketch_hll_sliding_7d",
+    # Windowed sketch algebra: per-day HLL registers for active users,
+    # merged over a trailing 7-day RANGE window by per-register MAX —
+    # the same merge the shard/stream paths use, applied across time.
+    # A dense day x register grid (spine from a 1-row bounds aggregate)
+    # keeps windows value-based over gap days; absent cells are NULL
+    # and max() skips them identically on both engines.
+    oracle=rf"""
+    WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+    du AS (
+      SELECT DISTINCT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_idx,
+             user_id
+      FROM ev
+    ),
+    h AS (
+      SELECT day_idx,
+             CAST('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS hv
+      FROM du
+    ),
+    parts AS (SELECT day_idx, hv % {HLL_M} AS register, hv // {HLL_M} AS w FROM h),
+    daily AS (
+      SELECT day_idx, register,
+             max(CASE WHEN w = 0 THEN {_HLL_VAL_BITS + 1}
+                      ELSE {_HLL_VAL_BITS + 1}
+                           - len(list_filter({_POW2}, p -> p <= w))
+                 END) AS r
+      FROM parts GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(day_idx) AS d0, max(day_idx) AS d1 FROM daily),
+    spine AS (SELECT unnest(generate_series(d0, d1)) AS day_idx FROM bounds),
+    regs AS (SELECT unnest(range({HLL_M})) AS register),
+    grid AS (SELECT day_idx, register FROM spine CROSS JOIN regs),
+    filled AS (
+      SELECT g.day_idx, g.register, d.r
+      FROM grid g LEFT JOIN daily d USING (day_idx, register)
+    )
+    SELECT CAST(day_idx AS BIGINT) AS day_idx,
+           CAST(register AS BIGINT) AS register,
+           CAST(max(r) OVER (PARTITION BY register ORDER BY day_idx
+                             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS INT)
+             AS reg_7d
+    FROM filled
+    """,
+    doc="trailing-7-day distinct-user HLL: per-day registers merged "
+    "across the window by per-register MAX — the sliding-window "
+    "composition of the mergeable sketch, fully hash-gated",
+)
+def sketch_hll_sliding_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct-user sketch: HLL registers computed per
+    day, merged over a value-based 7-day window by per-register MAX —
+    the classic reason to keep sketches instead of raw IDs: a sliding
+    COUNT(DISTINCT) over 100 TB of events needs only days × HLL_M
+    integers of state, and any window (7d, 30d, all-time) is one MAX
+    over the same daily table. ``hll_estimate`` turns any day's 64
+    merged registers into the cardinality estimate (error-bound tested
+    in tests/test_sketches.py for the corpus sketch).
+
+    Scale shape: the only event-sized work is the distinct (day, user)
+    projection + one map-side-combined register aggregation; the spine
+    grid and the RANGE window run over days × HLL_M rows — constant in
+    corpus size per day."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day_idx"),
+        "user_id",
+    ).distinct()
+    hv = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string"))), 1, 15),
+        16, 10,
+    ).cast("long")
+    parts = du.select(
+        "day_idx",
+        F.pmod(hv, F.lit(HLL_M)).alias("register"),
+        F.shiftright(hv, 6).cast("long").alias("w"),
+    )
+    powers = F.array(*[F.lit(p) for p in _POW2])
+    bitlen = F.size(F.filter(powers, lambda p: p <= F.col("w")))
+    rho = F.when(F.col("w") == 0, F.lit(_HLL_VAL_BITS + 1)).otherwise(
+        F.lit(_HLL_VAL_BITS + 1) - bitlen
+    )
+    daily = (
+        parts.select("day_idx", "register", rho.cast("int").alias("r"))
+        .groupBy("day_idx", "register")
+        .agg(F.max("r").alias("r"))
+    )
+    bounds = daily.agg(F.min("day_idx").alias("d0"), F.max("day_idx").alias("d1"))
+    spine = bounds.select(F.explode(F.expr("sequence(d0, d1)")).alias("day_idx"))
+    regs = spark.range(HLL_M).withColumnRenamed("id", "register")
+    grid = spine.crossJoin(F.broadcast(regs))
+    filled = grid.join(daily, ["day_idx", "register"], "left")
+    from pyspark.sql import Window
+
+    w7 = (
+        Window.partitionBy("register")
+        .orderBy("day_idx")
+        .rangeBetween(-6, 0)
+    )
+    return filled.select(
+        F.col("day_idx").cast("long").alias("day_idx"),
+        F.col("register").cast("long").alias("register"),
+        F.max("r").over(w7).cast("int").alias("reg_7d"),
+    )
