@@ -217,3 +217,44 @@ def test_bucketed_semantic_index_join_skips_index_shuffle(spark, sf_small):
         spark.sql("DROP TABLE IF EXISTS sem_wh.sem_index_b")
         spark.sql("DROP TABLE IF EXISTS sem_wh.sem_index_p")
         spark.sql("DROP DATABASE IF EXISTS sem_wh")
+
+
+def test_bucketed_facts_pull_join_has_no_exchange(spark):
+    """TripleStore.dump_bucketed persists facts bucketed by the entity
+    id — the key EVERY pull/match join chains on — so the classic
+    pull shape (attribute A's rows joined to attribute B's rows on e)
+    runs bucket-to-bucket with zero Exchange, and results match the
+    in-memory store."""
+    from tripl_spark.core.store import TripleStore
+
+    docs = [
+        {
+            "x:id": f"d{i}",
+            "x:name": f"name{i}",
+            "x:type": "x.type:thing" if i % 2 else "x.type:other",
+        }
+        for i in range(60)
+    ]
+    ts = TripleStore(spark=spark)
+    ts.assert_facts(docs, id_attrs=["x:id"])
+    spark.sql("CREATE DATABASE IF NOT EXISTS facts_wh")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ts.dump_bucketed("facts_wh.facts_b", 4)
+        facts = spark.table("facts_wh.facts_b")
+        names = facts.filter(F.col("a") == "x:name").select("e", F.col("v_str").alias("nm"))
+        types = facts.filter(F.col("a") == "x:type").select("e", F.col("v_str").alias("tp"))
+        joined = names.join(types, "e")
+        plan = explain_str(joined)
+        assert "Bucketed: true" in plan, plan
+        assert n_exchanges(joined) == 0, plan
+        got = {(r.nm, r.tp) for r in joined.collect()}
+        assert got == {
+            (f"name{i}", "x.type:thing" if i % 2 else "x.type:other")
+            for i in range(60)
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS facts_wh.facts_b")
+        spark.sql("DROP DATABASE IF EXISTS facts_wh")

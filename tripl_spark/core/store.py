@@ -600,6 +600,22 @@ class TripleStore:
         prune to one attribute directory)."""
         self.current_facts(cache=False).write.mode("overwrite").partitionBy("a").parquet(path)
 
+    def dump_bucketed(self, table: str, buckets: int) -> None:
+        """Catalog persistence bucketed by ``e`` — the EAV ordering as
+        physical layout: every pull/match join chains on the entity id,
+        and the (e, a) compaction groupBy keys on it too, so a store
+        persisted this way runs those joins bucket-to-bucket with ZERO
+        Exchange on either side (plan-asserted in
+        ``tests/test_bucketing.py``). The complement of ``dump_parquet``
+        (attribute-partitioned for clause pruning): at 100 TB you keep
+        BOTH layouts — AEV directories for scan pruning, this
+        e-bucketed table for join-heavy pull workloads — the usual
+        primary/secondary-layout trade. ``buckets`` is explicit:
+        size for 128-512 MB buckets at the target scale."""
+        from tripl_spark.sources.bucketing import write_bucketed
+
+        write_bucketed(self.current_facts(cache=False), table, "e", buckets)
+
     @classmethod
     def load_parquet(cls, path: str, spark: SparkSession | None = None) -> "TripleStore":
         store = cls(spark=spark)
