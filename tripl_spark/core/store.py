@@ -529,13 +529,16 @@ class TripleStore:
             return datalog.q(self, query)
         extended = datalog.facts_with_rules(self.current_facts(), rules)
         find = query["find"]
-        find_vars = [find] if isinstance(find, str) else list(find)
+        has_agg = not all(
+            isinstance(f, str)
+            for f in ([find] if isinstance(find, str) else find)
+        )
         df = datalog.q_df(extended, query)
-        if not query.get("sort"):
-            df = df.orderBy(*find_vars)  # presentation order (take is
+        if not query.get("sort") and not has_agg:
+            df = df.orderBy(*df.columns)  # presentation order (take is
             # already deterministic inside q_df)
         return [
-            tuple(datalog.decode_binding(row[v]) for v in find_vars)
+            tuple(datalog.decode_cell(row[c]) for c in df.columns)
             for row in df.collect()
         ]
 

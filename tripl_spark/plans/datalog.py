@@ -142,12 +142,51 @@ def _fold_clause_dfs(
     return bound, bound_vars
 
 
+_AGG_FNS = {"count", "count-distinct", "min", "max", "sum", "avg"}
+
+
+def _agg_expr(fn: str, var: str, name: str) -> F.Column:
+    """One find-aggregate over a canonical-key binding column.
+    min/max use the TYPED ordering (numbers numerically) and return
+    canonical keys; sum/avg decode the numeric payload (non-numeric
+    bindings contribute NULL, i.e. are skipped — the sane Datomic-ish
+    semantics for a heterogeneous value column)."""
+    col = F.col(var)
+    if fn == "count":
+        return F.count(col).alias(name)
+    if fn == "count-distinct":
+        return F.countDistinct(col).alias(name)
+    if fn == "min":
+        return F.min_by(col, _sort_key_expr(col)).alias(name)
+    if fn == "max":
+        return F.max_by(col, _sort_key_expr(col)).alias(name)
+    num = F.when(col.startswith("n:"), F.substring(col, 3, 64).cast("double"))
+    return (F.sum(num) if fn == "sum" else F.avg(num)).alias(name)
+
+
 def q_df(facts: DataFrame, query: dict[str, Any]) -> DataFrame:
     where = query.get("where") or []
     if not where:
         raise ValueError("datalog query needs at least one where clause")
     find = query["find"]
-    find_vars = [find] if isinstance(find, str) else list(find)
+    raw_find = [find] if isinstance(find, str) else list(find)
+    # Datomic-style find aggregates: an element may be ["count", "?e"],
+    # ["min"|"max"|"sum"|"avg"|"count-distinct", "?v"]. Plain vars
+    # become the group keys; aggregation runs over the DISTINCT binding
+    # tuples (the engine's set semantics — a fact asserted twice is one
+    # binding, so counts are entity/value counts, not fact counts).
+    group_vars = [f for f in raw_find if isinstance(f, str)]
+    agg_specs: list[tuple[str, str, str]] = []
+    for f in raw_find:
+        if isinstance(f, str):
+            continue
+        if not (isinstance(f, (list, tuple)) and len(f) == 2 and f[0] in _AGG_FNS
+                and _is_var(f[1])):
+            raise ValueError(f"bad find aggregate {f!r}: expected [fn, ?var] "
+                             f"with fn in {sorted(_AGG_FNS)}")
+        fn, v = f
+        agg_specs.append((fn, v, f"{fn.replace('-', '_')}_{v[1:]}"))
+    find_vars = group_vars + [v for _, v, _ in agg_specs]
 
     bound, bound_vars = _fold_clause_dfs(
         [_clause_df(facts, c) for c in where],
@@ -158,6 +197,32 @@ def q_df(facts: DataFrame, query: dict[str, Any]) -> DataFrame:
     missing = [v for v in find_vars if v not in bound_vars]
     if missing:
         raise ValueError(f"find variables not bound by any clause: {missing}")
+
+    if agg_specs:
+        tuple_vars = list(dict.fromkeys(group_vars + [v for _, v, _ in agg_specs]))
+        rows = bound.select(*tuple_vars).distinct()
+        aggs = [_agg_expr(fn, v, name) for fn, v, name in agg_specs]
+        out = rows.groupBy(*group_vars).agg(*aggs) if group_vars else rows.agg(*aggs)
+        # aggregates are functionally determined by the group keys, so
+        # group-key ordering is total; sort/take below operate on the
+        # group vars exactly as in the non-aggregate path
+        find_vars = group_vars
+        if query.get("sort") is None and group_vars:
+            out = out.orderBy(*[_binding_sort_key(v) for v in group_vars])
+        take = query.get("take")
+        sort = query.get("sort")
+        if sort:
+            sorts = sort if isinstance(sort, list) else [sort]
+            bad = [s for s in sorts if not (_is_var(s) and s in group_vars)]
+            if bad:
+                raise ValueError(
+                    f"aggregate queries sort only by group variables, got {bad}"
+                )
+            out = out.orderBy(*[_binding_sort_key(s) for s in sorts])
+        if take:
+            return out.limit(int(take))
+        return out
+
     out = bound.select(*find_vars).distinct()
     sort = query.get("sort")
     if sort:
@@ -230,17 +295,29 @@ def decode_binding(vkey: str | None) -> Any:
     return rest
 
 
+def decode_cell(x: Any) -> Any:
+    """Driver-row decode: canonical-key strings decode through
+    ``decode_binding``; aggregate outputs (count/sum/avg numbers) pass
+    through untouched."""
+    return decode_binding(x) if isinstance(x, str) or x is None else x
+
+
 def q(store: Any, query: dict[str, Any]) -> list[tuple]:
     """Run a datalog query against a TripleStore → list of binding
     tuples (ordered by 'sort' if given, else by all find vars for
-    determinism)."""
-    find = query["find"]
-    find_vars = [find] if isinstance(find, str) else list(find)
+    determinism). Find elements may be aggregates ([fn, ?var]) — the
+    output columns then follow q_df's group-vars-then-aggregates
+    order."""
     df = q_df(store.current_facts(), query)
-    if not query.get("sort"):
-        df = df.orderBy(*find_vars)  # presentation order (take is
-        # already deterministic inside q_df)
-    return [tuple(decode_binding(row[v]) for v in find_vars) for row in df.collect()]
+    has_agg = not all(isinstance(f, str) for f in (
+        [query["find"]] if isinstance(query["find"], str) else query["find"]
+    ))
+    if not query.get("sort") and not has_agg:
+        # presentation order (take is already deterministic inside q_df;
+        # aggregate queries come back group-key-ordered already)
+        df = df.orderBy(*df.columns)
+    cols = df.columns
+    return [tuple(decode_cell(row[c]) for c in cols) for row in df.collect()]
 
 
 # -- recursive rules (semi-naive) -------------------------------------------

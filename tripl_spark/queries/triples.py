@@ -337,3 +337,53 @@ def triple_pull_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ancestor").isNotNull())
         .select("e", (F.col("pos") + 1).cast("int").alias("depth"), "ancestor")
     )
+
+
+@query(
+    "triple_datalog_aggregate",
+    # Datomic-style find aggregates over the melted facts: group keys =
+    # plain find vars, aggregation over the DISTINCT binding tuples
+    # (set semantics — each (customer, balance) binds once, so counts
+    # are entity counts). The relational oracle is the plain GROUP BY.
+    oracle="""
+    SELECT n_name,
+           CAST(count(c_custkey) AS BIGINT) AS count_c,
+           round(sum(c_acctbal), 2) AS sum_bal,
+           round(min(c_acctbal), 2) AS min_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="datalog find-aggregates (count/sum/min with a group variable) "
+    "— the Datomic aggregation surface the reference sketch never "
+    "reached, compiled to one grouped aggregation over the binding "
+    "tuples; hash-gated vs the relational GROUP BY",
+)
+def triple_datalog_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers-per-nation stats asked in datalog: ``find`` mixes the
+    group variable ?n_name with [count ?c], [sum ?bal], [min ?bal] —
+    the engine folds the where clauses as usual, then aggregates the
+    distinct binding tuples grouped by the plain variables. min runs on
+    the TYPED ordering (numeric keys numerically) and returns a
+    canonical key; sum decodes the numeric payload. Scale shape: the
+    clause joins as ever, plus ONE map-side-combined aggregation —
+    aggregation never collects bindings to the driver."""
+    from tripl_spark.plans.datalog import q_df
+
+    facts = _customer_facts(spark, sf_dir).unionByName(_nation_facts(spark, sf_dir))
+    df = q_df(
+        facts,
+        {
+            "find": ["?n_name", ["count", "?c"], ["sum", "?bal"], ["min", "?bal"]],
+            "where": [
+                ["?c", "customer:nation", "?n"],
+                ["?n", "nation:n_name", "?n_name"],
+                ["?c", "customer:c_acctbal", "?bal"],
+            ],
+        },
+    )
+    return df.select(
+        F.substring(df["?n_name"], 3, 1 << 20).alias("n_name"),
+        F.col("count_c"),
+        F.round(F.col("sum_bal"), 2).alias("sum_bal"),
+        F.round(F.substring(F.col("min_bal"), 3, 64).cast("double"), 2).alias("min_bal"),
+    )
