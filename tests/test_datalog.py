@@ -278,3 +278,71 @@ def test_datalog_aggregate_with_take(agg_store):
         }
     )
     assert got == [("x.type:other", 3)]
+
+
+# -- negation (`not` clauses, r6) -------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def neg_store(spark):
+    from tripl_spark.core.store import TripleStore
+
+    ts = TripleStore(spark=spark)
+    ts.assert_facts(
+        [
+            {"x:id": "a", "x:type": "x.type:thing", "x:tag": "keep"},
+            {"x:id": "b", "x:type": "x.type:thing"},
+            {"x:id": "c", "x:type": "x.type:other", "x:tag": "keep"},
+        ],
+        id_attrs=["x:id"],
+    )
+    return ts
+
+
+def test_datalog_not_single_clause(neg_store):
+    got = neg_store.q(
+        {
+            "find": ["?i"],
+            "where": [
+                ["?e", "x:type", "x.type:thing"],
+                ["?e", "x:id", "?i"],
+                ["not", ["?e", "x:tag", "keep"]],
+            ],
+        }
+    )
+    assert got == [("b",)]
+
+
+def test_datalog_not_sub_conjunction(neg_store):
+    # exclude only entities that are things AND tagged (a alone);
+    # b is an untagged thing, c a tagged non-thing — both survive
+    got = neg_store.q(
+        {
+            "find": ["?i"],
+            "where": [
+                ["?e", "x:id", "?i"],
+                ["not", ["?e", "x:type", "x.type:thing"], ["?e", "x:tag", "keep"]],
+            ],
+        }
+    )
+    assert got == [("b",), ("c",)]
+
+
+def test_datalog_not_unanchored_raises(neg_store):
+    with pytest.raises(ValueError, match="shares no variable"):
+        neg_store.q(
+            {
+                "find": ["?i"],
+                "where": [["?e", "x:id", "?i"], ["not", ["?z", "x:tag", "keep"]]],
+            }
+        )
+
+
+def test_datalog_not_composes_with_aggregates(neg_store):
+    got = neg_store.q(
+        {
+            "find": [["count", "?e"]],
+            "where": [["?e", "x:id", "?i"], ["not", ["?e", "x:tag", "keep"]]],
+        }
+    )
+    assert got == [(1,)]

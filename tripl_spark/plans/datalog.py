@@ -164,6 +164,15 @@ def _agg_expr(fn: str, var: str, name: str) -> F.Column:
     return (F.sum(num) if fn == "sum" else F.avg(num)).alias(name)
 
 
+def _is_not_clause(c: Any) -> bool:
+    return (
+        isinstance(c, (list, tuple))
+        and len(c) >= 2
+        and c[0] == "not"
+        and all(isinstance(sc, (list, tuple)) and len(sc) == 3 for sc in c[1:])
+    )
+
+
 def q_df(facts: DataFrame, query: dict[str, Any]) -> DataFrame:
     where = query.get("where") or []
     if not where:
@@ -188,11 +197,43 @@ def q_df(facts: DataFrame, query: dict[str, Any]) -> DataFrame:
         agg_specs.append((fn, v, f"{fn.replace('-', '_')}_{v[1:]}"))
     find_vars = group_vars + [v for _, v, _ in agg_specs]
 
+    # Datomic-style negation: ["not", clause, ...] elements are
+    # evaluated AFTER every positive clause (stratified — over the
+    # base facts, or base+derived when rules extended them). The
+    # sub-conjunction folds like a normal body, then anti-joins the
+    # bound set on the variables it shares with it; variables
+    # appearing only inside the `not` are existential within it.
+    positives = [c for c in where if not _is_not_clause(c)]
+    negatives = [list(c[1:]) for c in where if _is_not_clause(c)]
+    if not positives:
+        raise ValueError("datalog query needs at least one positive where clause")
+
     bound, bound_vars = _fold_clause_dfs(
-        [_clause_df(facts, c) for c in where],
-        clauses=where,
+        [_clause_df(facts, c) for c in positives],
+        clauses=positives,
         allow_product=bool(query.get("allow_product")),
     )
+    for sub in negatives:
+        ndf, nvars = _fold_clause_dfs(
+            [_clause_df(facts, sc) for sc in sub],
+            clauses=sub,
+            allow_product=bool(query.get("allow_product")),
+        )
+        shared = [v for v in nvars if v in bound_vars]
+        if not shared:
+            raise ValueError(
+                f"'not' sub-conjunction {sub!r} shares no variable with the "
+                "positive clauses — unanchored negation would negate "
+                "everything or nothing; bind at least one common variable"
+            )
+        proj = ndf.select(*shared).distinct()
+        for v in shared:
+            proj = proj.withColumnRenamed(v, f"__n_{v}")
+        cond = None
+        for v in shared:
+            c = bound[v] == proj[f"__n_{v}"]
+            cond = c if cond is None else (cond & c)
+        bound = bound.join(proj, cond, "left_anti")
 
     missing = [v for v in find_vars if v not in bound_vars]
     if missing:

@@ -387,3 +387,54 @@ def triple_datalog_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sum_bal"), 2).alias("sum_bal"),
         F.round(F.substring(F.col("min_bal"), 3, 64).cast("double"), 2).alias("min_bal"),
     )
+
+
+def _order_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return melt_table(
+        load_table(spark, sf_dir, "orders"),
+        "orders",
+        "o_orderkey",
+        ref_cols={"o_custkey": ("customer", "customer")},
+    )
+
+
+@query(
+    "triple_datalog_negation",
+    # Stratified negation: the `not` SUB-CONJUNCTION (two clauses —
+    # the order must belong to the customer AND be urgent) folds like
+    # a normal body, then anti-joins the bound set on the shared
+    # variable — gated against the relational NOT EXISTS.
+    oracle="""
+    SELECT 'customer-' || CAST(c_custkey AS VARCHAR) AS e
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    """,
+    doc="datalog `not` clauses (Datomic-style stratified negation via "
+    "anti-join over a folded sub-conjunction): customers with no "
+    "URGENT order — hash-gated vs the relational NOT EXISTS",
+)
+def triple_datalog_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no 1-URGENT order, asked in datalog with a
+    two-clause ``not`` sub-conjunction — the set-difference shape the
+    positive-conjunction engine could not express. The sub-body
+    (?o belongs to ?c AND ?o is urgent) folds exactly like a positive
+    body, then ONE anti-join on the shared ?c removes matching
+    customers; ?o is existential inside the ``not``."""
+    from tripl_spark.plans.datalog import q_df
+
+    facts = _customer_facts(spark, sf_dir).unionByName(_order_facts(spark, sf_dir))
+    df = q_df(
+        facts,
+        {
+            "find": ["?c"],
+            "where": [
+                ["?c", "customer:c_custkey", "?k"],
+                ["not",
+                 ["?o", "orders:customer", "?c"],
+                 ["?o", "orders:o_orderpriority", "1-URGENT"]],
+            ],
+        },
+    )
+    return df.select(F.substring(df["?c"], 3, 1 << 20).alias("e"))
