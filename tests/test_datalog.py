@@ -346,3 +346,63 @@ def test_datalog_not_composes_with_aggregates(neg_store):
         }
     )
     assert got == [(1,)]
+
+
+# -- disjunction (`or` clauses, r6) -----------------------------------------
+
+
+def test_datalog_or_single_clauses(neg_store):
+    got = neg_store.q(
+        {
+            "find": ["?i"],
+            "where": [
+                ["?e", "x:id", "?i"],
+                ["or", ["?e", "x:tag", "keep"], ["?e", "x:type", "x.type:other"]],
+            ],
+        }
+    )
+    assert got == [("a",), ("c",)]
+
+
+def test_datalog_or_with_and_branch(neg_store):
+    # branch 1: other AND tagged keep (c); branch 2: thing without a
+    # tag can't be expressed positively — use an id literal instead
+    got = neg_store.q(
+        {
+            "find": ["?i"],
+            "where": [
+                ["?e", "x:id", "?i"],
+                ["or",
+                 ["and", ["?e", "x:type", "x.type:other"], ["?e", "x:tag", "keep"]],
+                 ["?e", "x:id", "b"]],
+            ],
+        }
+    )
+    assert got == [("b",), ("c",)]
+
+
+def test_datalog_or_mismatched_branches_raise(neg_store):
+    with pytest.raises(ValueError, match="must bind the same variables"):
+        neg_store.q(
+            {
+                "find": ["?i"],
+                "where": [
+                    ["?e", "x:id", "?i"],
+                    ["or", ["?e", "x:tag", "keep"], ["?z", "x:tag", "keep"]],
+                ],
+            }
+        )
+
+
+def test_datalog_or_composes_with_not_and_aggregates(neg_store):
+    got = neg_store.q(
+        {
+            "find": [["count", "?e"]],
+            "where": [
+                ["?e", "x:id", "?i"],
+                ["or", ["?e", "x:tag", "keep"], ["?e", "x:tag", "hot"]],
+                ["not", ["?e", "x:type", "x.type:other"]],
+            ],
+        }
+    )
+    assert got == [(1,)]  # only 'a' (thing + keep); 'c' is other

@@ -173,6 +173,39 @@ def _is_not_clause(c: Any) -> bool:
     )
 
 
+def _is_or_clause(c: Any) -> bool:
+    return isinstance(c, (list, tuple)) and len(c) >= 2 and c[0] == "or"
+
+
+def _or_clause_df(facts: DataFrame, c: list[Any]) -> tuple[DataFrame, list[str]]:
+    """["or", branch, ...] — each branch is a clause [e, a, v] or an
+    ["and", clause, ...] group. Every branch folds independently and
+    must bind the SAME variable set (the Datomic rule — otherwise the
+    union would fabricate NULL bindings); the unioned binding relation
+    then joins into the outer conjunction exactly like a clause."""
+    branches = []
+    for br in c[1:]:
+        if isinstance(br, (list, tuple)) and len(br) >= 2 and br[0] == "and":
+            sub = [list(sc) for sc in br[1:]]
+        else:
+            sub = [list(br)]
+        bdf, bvars = _fold_clause_dfs(
+            [_clause_df(facts, sc) for sc in sub], clauses=sub
+        )
+        branches.append((bdf, frozenset(bvars)))
+    var_sets = {vs for _, vs in branches}
+    if len(var_sets) != 1:
+        raise ValueError(
+            f"'or' branches must bind the same variables, got "
+            f"{sorted(sorted(vs) for vs in var_sets)}"
+        )
+    cols = sorted(var_sets.pop())
+    out = branches[0][0].select(*cols)
+    for bdf, _ in branches[1:]:
+        out = out.unionByName(bdf.select(*cols))
+    return out.distinct(), cols
+
+
 def q_df(facts: DataFrame, query: dict[str, Any]) -> DataFrame:
     where = query.get("where") or []
     if not where:
@@ -203,14 +236,17 @@ def q_df(facts: DataFrame, query: dict[str, Any]) -> DataFrame:
     # sub-conjunction folds like a normal body, then anti-joins the
     # bound set on the variables it shares with it; variables
     # appearing only inside the `not` are existential within it.
-    positives = [c for c in where if not _is_not_clause(c)]
+    positives = [c for c in where if not (_is_not_clause(c) or _is_or_clause(c))]
+    ors = [c for c in where if _is_or_clause(c)]
     negatives = [list(c[1:]) for c in where if _is_not_clause(c)]
-    if not positives:
+    if not positives and not ors:
         raise ValueError("datalog query needs at least one positive where clause")
 
+    clause_dfs = [_clause_df(facts, c) for c in positives]
+    clause_dfs += [_or_clause_df(facts, c) for c in ors]
     bound, bound_vars = _fold_clause_dfs(
-        [_clause_df(facts, c) for c in positives],
-        clauses=positives,
+        clause_dfs,
+        clauses=positives + ors,
         allow_product=bool(query.get("allow_product")),
     )
     for sub in negatives:

@@ -438,3 +438,44 @@ def triple_datalog_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return df.select(F.substring(df["?c"], 3, 1 << 20).alias("e"))
+
+
+@query(
+    "triple_datalog_disjunction",
+    # `or` branches fold independently and union into one binding
+    # relation that joins like a clause — gated against the relational
+    # IN-list.
+    oracle="""
+    SELECT 'customer-' || CAST(c_custkey AS VARCHAR) AS e, n_name
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+    """,
+    doc="datalog `or` clauses (Datomic-style disjunction: branches "
+    "must bind the same variables; union of branch binding sets) — "
+    "hash-gated vs the relational IN-list",
+)
+def triple_datalog_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUILDING-or-AUTOMOBILE customers with their nation names, asked
+    with an ``["or", ...]`` clause. Each branch folds independently;
+    the union joins into the rest of the conjunction exactly like a
+    clause, so Catalyst still reorders/broadcasts it."""
+    from tripl_spark.plans.datalog import q_df
+
+    facts = _customer_facts(spark, sf_dir).unionByName(_nation_facts(spark, sf_dir))
+    df = q_df(
+        facts,
+        {
+            "find": ["?c", "?n_name"],
+            "where": [
+                ["or",
+                 ["?c", "customer:c_mktsegment", "BUILDING"],
+                 ["?c", "customer:c_mktsegment", "AUTOMOBILE"]],
+                ["?c", "customer:nation", "?n"],
+                ["?n", "nation:n_name", "?n_name"],
+            ],
+        },
+    )
+    return df.select(
+        F.substring(df["?c"], 3, 1 << 20).alias("e"),
+        F.substring(df["?n_name"], 3, 1 << 20).alias("n_name"),
+    )
