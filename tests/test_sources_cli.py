@@ -350,3 +350,40 @@ def test_cli_readme_walkthrough_end_to_end(tmp_path):
         "--id-attrs", *id_attrs)
     d = json.loads(dout.read_text())
     assert d  # non-empty: the seq entities are new on the right side
+
+
+def test_cli_datalog_extensions_end_to_end(tmp_path):
+    """The r6 datalog surface — find aggregates, `not`, `or` — driven
+    through the console q subcommand (queries arrive as parsed JSON, so
+    the list-shaped clause forms must survive the CLI path)."""
+    docs = [
+        {"x:id": "a", "x:type": "x.type:thing", "x:tag": "keep"},
+        {"x:id": "b", "x:type": "x.type:thing"},
+        {"x:id": "c", "x:type": "x.type:other", "x:tag": "keep"},
+    ]
+    f1 = tmp_path / "in.json"
+    f1.write_text(json.dumps(docs))
+
+    def run_q(query):
+        out = tmp_path / "q.json"
+        r = subprocess.run(
+            [sys.executable, "-m", "tripl_spark.cli", "q", "-i", str(f1),
+             "-o", str(out), "-q", json.dumps(query), "--id-attrs", "x:id"],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(out.read_text())
+
+    assert run_q({
+        "find": ["?t", ["count", "?e"]],
+        "where": [["?e", "x:type", "?t"]],
+    }) == [["x.type:other", 1], ["x.type:thing", 2]]
+    assert run_q({
+        "find": ["?i"],
+        "where": [["?e", "x:id", "?i"], ["not", ["?e", "x:tag", "keep"]]],
+    }) == [["b"]]
+    assert run_q({
+        "find": ["?i"],
+        "where": [["?e", "x:id", "?i"],
+                  ["or", ["?e", "x:tag", "keep"], ["?e", "x:id", "b"]]],
+    }) == [["a"], ["b"], ["c"]]

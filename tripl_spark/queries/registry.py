@@ -158,6 +158,13 @@ _PRIORITY = [
     "stats_corr_value_k",
     "stats_value_by_type",
 ]
+# r7 rotation note: the queries ADDED in r6 after the window froze have
+# no driver rows yet and should lead the next window —
+# corpus_datacard, classifier_calibration_bins, dedup_method_agreement,
+# events_gapfill_hourly, graph_kcore_2peel, sketch_hll_sliding_7d,
+# triple_datalog_aggregate, triple_datalog_negation,
+# triple_datalog_disjunction — alongside the five displaced tail names
+# above and any query whose oracle text changes in r7.
 
 
 def _ensure_loaded() -> None:
