@@ -406,3 +406,16 @@ def test_datalog_or_composes_with_not_and_aggregates(neg_store):
         }
     )
     assert got == [(1,)]  # only 'a' (thing + keep); 'c' is other
+
+
+def test_datalog_or_rejects_negated_branch(neg_store):
+    with pytest.raises(ValueError, match="bad 'or' branch"):
+        neg_store.q(
+            {
+                "find": ["?i"],
+                "where": [
+                    ["?e", "x:id", "?i"],
+                    ["or", ["?e", "x:tag", "keep"], ["not", ["?e", "x:tag", "hot"]]],
+                ],
+            }
+        )

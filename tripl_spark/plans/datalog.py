@@ -189,6 +189,12 @@ def _or_clause_df(facts: DataFrame, c: list[Any]) -> tuple[DataFrame, list[str]]
             sub = [list(sc) for sc in br[1:]]
         else:
             sub = [list(br)]
+        if not all(isinstance(sc, list) and len(sc) == 3 for sc in sub):
+            raise ValueError(
+                f"bad 'or' branch {br!r}: each branch must be a [e, a, v] "
+                "clause or an ['and', clause, ...] group (negation is not "
+                "allowed inside 'or' — lift it to a top-level 'not')"
+            )
         bdf, bvars = _fold_clause_dfs(
             [_clause_df(facts, sc) for sc in sub], clauses=sub
         )
