@@ -186,6 +186,49 @@ def main() -> None:
                   work=pair_space(ar, SEM_MAX_CLUSTER)),
             f"(production recipe, k={krule})",
         )
+        # LSH graph-build candidate space (no scoring — the pair COUNT
+        # is the work driver, and counting the bucket join is JVM-cheap)
+        from tripl_spark.operators.similarity import (
+            bucket_key,
+            lsh_planes,
+            n_planes_for,
+        )
+
+        def cand_count(planes=None, cap=None) -> int:
+            e = emb.withColumn("bucket", bucket_key(F.col("v"), planes))
+            side = e
+            if cap is not None:
+                ok = (
+                    e.groupBy("bucket").count()
+                    .filter(F.col("count") <= cap).select("bucket")
+                )
+                side = e.join(F.broadcast(ok), "bucket")
+            from tripl_spark.operators.graph_ann import _multiprobe
+            from tripl_spark.operators.similarity import N_PLANES
+
+            np_ = N_PLANES if planes is None else len(planes)
+            probes = _multiprobe(e, n_planes=np_).select(
+                F.col("vec_id").alias("src"), "pb"
+            )
+            return probes.join(
+                side.select(F.col("vec_id").alias("dst"), "bucket"),
+                (F.col("pb") == F.col("bucket")) & (F.col("src") != F.col("dst")),
+            ).count()
+
+        t0 = time.perf_counter()
+        n_unc = cand_count()
+        record("lsh_build_candidates fixed-planes UNCAPPED", mult,
+               (time.perf_counter() - t0, n_unc), "(the hazard)")
+        t0 = time.perf_counter()
+        n_cap = cand_count(cap=1000)
+        record("lsh_build_candidates fixed-planes capped", mult,
+               (time.perf_counter() - t0, n_cap), "(MAX_LSH_BUCKET)")
+        kp = n_planes_for(n, per_bucket=PER_CLUSTER)
+        t0 = time.perf_counter()
+        n_rule = cand_count(planes=lsh_planes(kp, DIM), cap=1000)
+        record("lsh_build_candidates n_planes_for(n) capped", mult,
+               (time.perf_counter() - t0, n_rule), f"(production rule, planes={kp})")
+
         if mult not in (1, SCALE):
             continue  # docs-side + registered queries: 1x/10x only
         record(

@@ -97,10 +97,14 @@ def _cosine_batch(x: pd.Series, y: pd.Series) -> pd.Series:
     return pd.Series(np.round(num / den, 6))
 
 
-def _multiprobe(df: DataFrame, bucket_col: str = "bucket") -> DataFrame:
-    """Explode each row into its own bucket + every Hamming-1 flip."""
+def _multiprobe(
+    df: DataFrame, bucket_col: str = "bucket", n_planes: int = N_PLANES
+) -> DataFrame:
+    """Explode each row into its own bucket + every Hamming-1 flip
+    (``n_planes`` flips — pass the actual plane count when the bucket
+    ids came from a corpus-sized ``lsh_planes`` set)."""
     probe_cols = [F.col(bucket_col)] + [
-        F.col(bucket_col).bitwiseXOR(F.lit(1 << i)) for i in range(N_PLANES)
+        F.col(bucket_col).bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
     ]
     return df.withColumn("pb", F.explode(F.array(*probe_cols)))
 

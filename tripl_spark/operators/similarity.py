@@ -81,11 +81,13 @@ def _plane_col(plane: list[float]) -> F.Column:
     return F.array(*[F.lit(c) for c in plane])
 
 
-def bucket_key(v: F.Column) -> F.Column:
-    """Sign-bit bucket id from N_PLANES hyperplane dot products."""
+def bucket_key(v: F.Column, planes: list[list[float]] | None = None) -> F.Column:
+    """Sign-bit bucket id from hyperplane dot products (default: the
+    module's N_PLANES literal planes the oracles embed; pass
+    ``lsh_planes(n_planes_for(n))`` for a corpus-sized plane set)."""
     bits = [
         F.when(dot(v, _plane_col(p)) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i, p in enumerate(PLANES)
+        for i, p in enumerate(PLANES if planes is None else planes)
     ]
     out = bits[0]
     for b in bits[1:]:
