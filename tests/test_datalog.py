@@ -419,3 +419,119 @@ def test_datalog_or_rejects_negated_branch(neg_store):
                 ],
             }
         )
+
+
+# -- r7: not-inside-or, 'with', validation, falsy sort ----------------------
+
+
+def test_datalog_not_inside_or_and_group(neg_store):
+    # branch 1: tag=keep AND NOT type=other -> {a}; branch 2: id=b -> {b}
+    got = neg_store.q(
+        {
+            "find": ["?i"],
+            "where": [
+                ["?e", "x:id", "?i"],
+                ["or",
+                 ["and", ["?e", "x:tag", "keep"],
+                  ["not", ["?e", "x:type", "x.type:other"]]],
+                 ["?e", "x:id", "b"]],
+            ],
+        }
+    )
+    assert sorted(r[0] for r in got) == ["a", "b"]
+
+
+def test_datalog_or_branch_only_negation_rejected(neg_store):
+    with pytest.raises(ValueError, match="ONLY a negation"):
+        neg_store.q(
+            {
+                "find": ["?i"],
+                "where": [
+                    ["?e", "x:id", "?i"],
+                    ["or", ["?e", "x:tag", "keep"],
+                     ["and", ["not", ["?e", "x:tag", "hot"]]]],
+                ],
+            }
+        )
+
+
+def test_datalog_malformed_not_raises(neg_store):
+    # a 'not' whose sub-clause is not [e, a, v] must raise, never be
+    # silently parsed as a positive triple with entity literal "not"
+    with pytest.raises(ValueError, match="bad 'not' clause"):
+        neg_store.q(
+            {
+                "find": ["?i"],
+                "where": [
+                    ["?e", "x:id", "?i"],
+                    ["not", ["?e", "x:tag"]],
+                ],
+            }
+        )
+
+
+def test_datalog_product_guard_reports_clause_repr(neg_store):
+    # the error must show the offending clause itself (indices into the
+    # reordered positives+ors list would mislead)
+    with pytest.raises(ValueError, match=r"\['\?z', 'x:tag', '\?t'\]"):
+        neg_store.q(
+            {
+                "find": ["?i", "?t"],
+                "where": [
+                    ["?e", "x:id", "?i"],
+                    ["?z", "x:tag", "?t"],
+                ],
+            }
+        )
+
+
+@pytest.fixture(scope="module")
+def with_store(spark):
+    from tripl_spark.core.store import TripleStore
+
+    ts = TripleStore(spark=spark)
+    ts.assert_facts(
+        [
+            {"x:id": "p", "x:score": 5},
+            {"x:id": "q", "x:score": 5},
+            {"x:id": "r", "x:score": 3},
+        ],
+        id_attrs=["x:id"],
+    )
+    return ts
+
+
+def test_datalog_with_distinguishes_entities_in_sum(with_store):
+    q_base = {
+        "find": [["sum", "?v"]],
+        "where": [["?e", "x:score", "?v"]],
+    }
+    # set semantics: equal scores from different entities collapse
+    assert with_store.q(q_base) == [(8.0,)]
+    # Datomic's :with escape — one tuple per entity before aggregating
+    assert with_store.q({**q_base, "with": ["?e"]}) == [(13.0,)]
+    # string form accepted too
+    assert with_store.q({**q_base, "with": "?e"}) == [(13.0,)]
+
+
+def test_datalog_with_unbound_var_raises(with_store):
+    with pytest.raises(ValueError, match="'with' variables"):
+        with_store.q(
+            {
+                "find": [["sum", "?v"]],
+                "where": [["?e", "x:score", "?v"]],
+                "with": ["?zzz"],
+            }
+        )
+
+
+def test_datalog_aggregate_falsy_sort_is_deterministic(with_store):
+    # 'sort': [] must behave like absent sort (default group ordering),
+    # not silently skip BOTH orderings
+    q_dict = {
+        "find": ["?v", ["count", "?e"]],
+        "where": [["?e", "x:score", "?v"]],
+        "sort": [],
+    }
+    got = with_store.q(q_dict)
+    assert got == [(3, 1), (5, 2)]

@@ -139,3 +139,30 @@ def test_derived_clause_same_var_is_intra_row_equality(spark):
     # and the query path over the same self-clause agrees
     rows = ts.q({"find": "?x", "where": [["?x", "reach", "?x"]]}, rules=rules)
     assert sorted(r[0] for r in rows) == ["a", "b"]
+
+
+def test_or_over_derived_and_base_predicates(spark):
+    # 'or' composes with rule-derived predicates: a branch over the
+    # derived 'anc' relation unions with a branch over base 'parent'
+    pairs = [("a", "b"), ("b", "c"), ("y", "z")]
+    extended = facts_with_rules(_parent_facts(spark, pairs), ANCESTOR_RULES)
+    rows = q_df(
+        extended,
+        {"find": ["?who"],
+         "where": [["or", ["?who", "anc", "c"], ["?who", "parent", "z"]]]},
+    ).collect()
+    assert {r["?who"] for r in rows} == {"s:a", "s:b", "s:y"}
+
+
+def test_not_over_derived_predicate(spark):
+    # stratified negation over a derived relation: parents that are NOT
+    # ancestors of d
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("y", "z")]
+    extended = facts_with_rules(_parent_facts(spark, pairs), ANCESTOR_RULES)
+    rows = q_df(
+        extended,
+        {"find": ["?who"],
+         "where": [["?who", "parent", "?kid"],
+                   ["not", ["?who", "anc", "d"]]]},
+    ).collect()
+    assert {r["?who"] for r in rows} == {"s:y"}

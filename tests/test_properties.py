@@ -387,3 +387,124 @@ def test_heavy_hitter_merge_bounds_random(spark, corpus):
         # vocab << HH_LOCAL_K: nothing is ever truncated, so exact
         assert est == truth[term], term
     assert n_shards_total <= HH_SHARDS
+
+
+# --- datalog not/or ≡ brute force over generated stores/queries ------------
+
+
+def _naive_bindings(triples, clauses, seed=None):
+    """Positive-conjunction fold → list of binding dicts (optionally
+    seeded with pre-bound variables, for negation sub-evaluation)."""
+    bindings = [dict(seed or {})]
+    for e_t, a, v_t in clauses:
+        nxt = []
+        for b in bindings:
+            for (te, ta, tv) in triples:
+                if ta != a:
+                    continue
+                nb = dict(b)
+                ok = True
+                for term, actual in ((e_t, te), (v_t, tv)):
+                    if isinstance(term, str) and term.startswith("?"):
+                        if term in nb and nb[term] != actual:
+                            ok = False
+                        else:
+                            nb[term] = actual
+                    elif term != actual:
+                        ok = False
+                if ok:
+                    nxt.append(nb)
+        bindings = nxt
+    return bindings
+
+
+def _naive_vars(clauses):
+    return {t for c in clauses for t in c if isinstance(t, str) and t.startswith("?")}
+
+
+def _naive_apply_not(triples, bindings, sub):
+    """Drop bindings with a satisfying extension of the negated body."""
+    nvars = _naive_vars(sub)
+    out = []
+    for b in bindings:
+        seed = {k: v for k, v in b.items() if k in nvars}
+        if not _naive_bindings(triples, sub, seed):
+            out.append(b)
+    return out
+
+
+def _naive_full(triples, where, find_vars):
+    """not/or-aware brute-force evaluator mirroring q_df's strata:
+    positives+ors join first, negations anti-join after."""
+    positives = [c for c in where if c[0] not in ("not", "or")]
+    ors = [c for c in where if c[0] == "or"]
+    nots = [list(c[1:]) for c in where if c[0] == "not"]
+    bindings = _naive_bindings(triples, positives)
+    for oc in ors:
+        branch_rows = []
+        for br in oc[1:]:
+            sub = [list(x) for x in br[1:]] if br[0] == "and" else [list(br)]
+            pos = [c for c in sub if c[0] != "not"]
+            bb = _naive_bindings(triples, pos)
+            for nc in (list(c[1:]) for c in sub if c[0] == "not"):
+                bb = _naive_apply_not(triples, bb, nc)
+            branch_rows.extend(bb)
+        joined = []
+        for b in bindings:
+            for ob in branch_rows:
+                if all(b.get(k, ob[k]) == ob[k] for k in ob):
+                    joined.append({**b, **ob})
+        bindings = joined
+    for sub in nots:
+        bindings = _naive_apply_not(triples, bindings, sub)
+    return {tuple(b[v] for v in find_vars) for b in bindings}
+
+
+_DLVALS = {"x:s": ["p", "q", "r"], "x:t": ["u", "v"]}
+
+dl_entities_st = st.lists(
+    st.tuples(st.sampled_from(_DLVALS["x:s"]), st.sampled_from(_DLVALS["x:t"])),
+    min_size=2,
+    max_size=6,
+)
+
+dl_shape_st = st.tuples(
+    st.integers(min_value=0, max_value=2),  # or-branch-1 x:s constant
+    st.integers(min_value=0, max_value=2),  # or-branch-2 x:s constant
+    st.integers(min_value=0, max_value=1),  # not clause x:t constant
+    st.booleans(),                          # negation inside or-branch-1?
+    st.booleans(),                          # top-level not too?
+)
+
+
+@given(ents=dl_entities_st, shape=dl_shape_st)
+@settings(**SETTINGS)
+def test_datalog_not_or_equals_bruteforce(spark, ents, shape):
+    from tripl_spark import TripleStore
+
+    docs, triples = [], []
+    for i, (s, t) in enumerate(ents):
+        eid = f"e{i}"
+        docs.append({"db:ident": eid, "x:s": s, "x:t": t})
+        triples += [(eid, "x:s", s), (eid, "x:t", t)]
+    ts = TripleStore(default_cardinality="db.cardinality:one", spark=spark)
+    ts.assert_facts(docs)
+
+    s1, s2, tneg, neg_in_or, top_not = shape
+    c1, c2 = _DLVALS["x:s"][s1], _DLVALS["x:s"][s2]
+    tv = _DLVALS["x:t"][tneg]
+    br1 = (
+        ["and", ["?e", "x:s", c1], ["not", ["?e", "x:t", tv]]]
+        if neg_in_or
+        else ["?e", "x:s", c1]
+    )
+    where = [["?e", "x:t", "?t"], ["or", br1, ["?e", "x:s", c2]]]
+    if top_not:
+        where.append(["not", ["?e", "x:t", tv]])
+    find = ["?e", "?t"]
+    got = set(ts.q({"find": find, "where": where}))
+    want = _naive_full(triples, where, find)
+    # engine binds entities/values through canonical keys then decodes;
+    # entity vars come back as raw eids, value vars as raw strings —
+    # same shapes as the naive tuples
+    assert got == want

@@ -128,7 +128,11 @@ def _fold_clause_dfs(
         else:
             is_exists = "__exists" in cvars or bound_vars == {"__exists"}
             if not (allow_product or is_exists):
-                at = f" at where[{idx}] {clauses[idx]!r}" if clauses else ""
+                # report the clause ITSELF, never a positional index —
+                # clauses arrive reordered (positives first, then ors)
+                # so an index would point at the wrong element of the
+                # user's original where list
+                at = f" {clauses[idx]!r}" if clauses else ""
                 raise ValueError(
                     f"datalog clause{at} shares no variable with any "
                     f"connected clause (bound: {sorted(bound_vars)}) — "
@@ -165,16 +169,59 @@ def _agg_expr(fn: str, var: str, name: str) -> F.Column:
 
 
 def _is_not_clause(c: Any) -> bool:
-    return (
-        isinstance(c, (list, tuple))
-        and len(c) >= 2
-        and c[0] == "not"
-        and all(isinstance(sc, (list, tuple)) and len(sc) == 3 for sc in c[1:])
-    )
+    """True for a well-formed ["not", [e,a,v], ...] clause. A clause
+    that STARTS with "not" but carries a malformed sub-clause raises
+    instead of silently parsing as a positive triple with entity
+    literal "not" (the same validation the 'or' branch gets)."""
+    if not (isinstance(c, (list, tuple)) and len(c) >= 2 and c[0] == "not"):
+        return False
+    bad = [sc for sc in c[1:] if not (isinstance(sc, (list, tuple)) and len(sc) == 3)]
+    if bad:
+        raise ValueError(
+            f"bad 'not' clause {c!r}: every sub-clause must be a "
+            f"3-element [e, a, v] list, got {bad[0]!r}"
+        )
+    return True
 
 
 def _is_or_clause(c: Any) -> bool:
     return isinstance(c, (list, tuple)) and len(c) >= 2 and c[0] == "or"
+
+
+def _apply_negation(
+    facts: DataFrame,
+    bound: DataFrame,
+    bound_vars: set[str],
+    sub: list[list[Any]],
+    allow_product: bool = False,
+) -> DataFrame:
+    """Anti-join ``bound`` against a negated sub-conjunction: the sub
+    folds like a normal body, projects onto the variables it shares
+    with the bound set (variables appearing only inside the ``not``
+    are existential within it), and anti-joins. Raises on unanchored
+    negation — shared with top-level ``not`` and ``not`` inside an
+    ``or``-branch ``and`` group, so both strata use identical
+    semantics."""
+    ndf, nvars = _fold_clause_dfs(
+        [_clause_df(facts, sc) for sc in sub],
+        clauses=sub,
+        allow_product=allow_product,
+    )
+    shared = [v for v in nvars if v in bound_vars]
+    if not shared:
+        raise ValueError(
+            f"'not' sub-conjunction {sub!r} shares no variable with the "
+            "positive clauses — unanchored negation would negate "
+            "everything or nothing; bind at least one common variable"
+        )
+    proj = ndf.select(*shared).distinct()
+    for v in shared:
+        proj = proj.withColumnRenamed(v, f"__n_{v}")
+    cond = None
+    for v in shared:
+        c = bound[v] == proj[f"__n_{v}"]
+        cond = c if cond is None else (cond & c)
+    return bound.join(proj, cond, "left_anti")
 
 
 def _or_clause_df(facts: DataFrame, c: list[Any]) -> tuple[DataFrame, list[str]]:
@@ -182,22 +229,40 @@ def _or_clause_df(facts: DataFrame, c: list[Any]) -> tuple[DataFrame, list[str]]
     ["and", clause, ...] group. Every branch folds independently and
     must bind the SAME variable set (the Datomic rule — otherwise the
     union would fabricate NULL bindings); the unioned binding relation
-    then joins into the outer conjunction exactly like a clause."""
+    then joins into the outer conjunction exactly like a clause.
+
+    An ``and`` group may contain ``["not", [e,a,v], ...]`` members:
+    the branch's positive clauses fold first, then each negation
+    anti-joins the branch's binding set (stratified WITHIN the branch
+    — the same two-stratum evaluation the top level uses, so
+    ``or``/``not`` nesting keeps Datomic's semantics). A branch that
+    is ONLY a negation is rejected: it binds no variables, so it can
+    neither satisfy the same-variables rule nor anchor the anti-join."""
     branches = []
     for br in c[1:]:
         if isinstance(br, (list, tuple)) and len(br) >= 2 and br[0] == "and":
             sub = [list(sc) for sc in br[1:]]
         else:
             sub = [list(br)]
-        if not all(isinstance(sc, list) and len(sc) == 3 for sc in sub):
+        neg_subs = [list(sc[1:]) for sc in sub if _is_not_clause(sc)]
+        pos = [sc for sc in sub if not _is_not_clause(sc)]
+        if not all(isinstance(sc, list) and len(sc) == 3 for sc in pos):
             raise ValueError(
                 f"bad 'or' branch {br!r}: each branch must be a [e, a, v] "
-                "clause or an ['and', clause, ...] group (negation is not "
-                "allowed inside 'or' — lift it to a top-level 'not')"
+                "clause, a ['not', [e, a, v], ...] inside an 'and' group, "
+                "or an ['and', clause, ...] group"
+            )
+        if not pos:
+            raise ValueError(
+                f"bad 'or' branch {br!r}: a branch cannot be ONLY a "
+                "negation — it binds no variables (wrap it in an 'and' "
+                "with at least one positive clause to anchor it)"
             )
         bdf, bvars = _fold_clause_dfs(
-            [_clause_df(facts, sc) for sc in sub], clauses=sub
+            [_clause_df(facts, sc) for sc in pos], clauses=pos
         )
+        for nsub in neg_subs:
+            bdf = _apply_negation(facts, bdf, bvars, nsub)
         branches.append((bdf, frozenset(bvars)))
     var_sets = {vs for _, vs in branches}
     if len(var_sets) != 1:
@@ -256,41 +321,44 @@ def q_df(facts: DataFrame, query: dict[str, Any]) -> DataFrame:
         allow_product=bool(query.get("allow_product")),
     )
     for sub in negatives:
-        ndf, nvars = _fold_clause_dfs(
-            [_clause_df(facts, sc) for sc in sub],
-            clauses=sub,
+        bound = _apply_negation(
+            facts, bound, bound_vars, sub,
             allow_product=bool(query.get("allow_product")),
         )
-        shared = [v for v in nvars if v in bound_vars]
-        if not shared:
-            raise ValueError(
-                f"'not' sub-conjunction {sub!r} shares no variable with the "
-                "positive clauses — unanchored negation would negate "
-                "everything or nothing; bind at least one common variable"
-            )
-        proj = ndf.select(*shared).distinct()
-        for v in shared:
-            proj = proj.withColumnRenamed(v, f"__n_{v}")
-        cond = None
-        for v in shared:
-            c = bound[v] == proj[f"__n_{v}"]
-            cond = c if cond is None else (cond & c)
-        bound = bound.join(proj, cond, "left_anti")
 
     missing = [v for v in find_vars if v not in bound_vars]
     if missing:
         raise ValueError(f"find variables not bound by any clause: {missing}")
 
+    # Datomic's :with escape hatch — extra tuple-distinguishing
+    # variables excluded from the output. Without it, sum/avg run over
+    # DISTINCT (group ∪ agg) binding tuples, so equal values from
+    # different entities collapse to one contribution; ``'with':
+    # ['?e']`` keeps one tuple per entity before aggregating. Only
+    # aggregation is affected (the non-aggregate path is set-semantics
+    # on the find vars either way), matching Datomic.
+    with_ = query.get("with") or []
+    with_vars = [with_] if isinstance(with_, str) else list(with_)
+    bad_with = [w for w in with_vars if not (_is_var(w) and w in bound_vars)]
+    if bad_with:
+        raise ValueError(
+            f"'with' variables must be ?vars bound by a where clause, got {bad_with}"
+        )
+
     if agg_specs:
-        tuple_vars = list(dict.fromkeys(group_vars + [v for _, v, _ in agg_specs]))
+        tuple_vars = list(dict.fromkeys(
+            group_vars + [v for _, v, _ in agg_specs] + with_vars
+        ))
         rows = bound.select(*tuple_vars).distinct()
         aggs = [_agg_expr(fn, v, name) for fn, v, name in agg_specs]
         out = rows.groupBy(*group_vars).agg(*aggs) if group_vars else rows.agg(*aggs)
         # aggregates are functionally determined by the group keys, so
         # group-key ordering is total; sort/take below operate on the
-        # group vars exactly as in the non-aggregate path
+        # group vars exactly as in the non-aggregate path. A falsy
+        # 'sort' ([], None, "") means "no explicit sort" → default
+        # group-key ordering, keeping output deterministic run to run.
         find_vars = group_vars
-        if query.get("sort") is None and group_vars:
+        if not query.get("sort") and group_vars:
             out = out.orderBy(*[_binding_sort_key(v) for v in group_vars])
         take = query.get("take")
         sort = query.get("sort")
