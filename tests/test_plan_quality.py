@@ -196,6 +196,21 @@ def test_per_group_topk_has_partial_window_group_limit(spark, sf_small):
         assert partial_wgl.search(plan), (name, plan)
 
 
+def test_perplexity_cutoff_twins_have_no_per_lang_corpus_window(spark, sf_small):
+    # the production twins' whole point: NO ntile (no per-lang sort of
+    # the full relation). The only per-lang windows run over the capped
+    # sample, whose cap is WindowGroupLimit-pushed PARTIAL so map tasks
+    # ship <= cap rows per lang; the <= |langs| cutoff rows broadcast
+    import re
+
+    partial_wgl = re.compile(r"WindowGroupLimit\b[^\n]*\n[^\n]*\n[^\n]*Partial")
+    for name in ("pipeline_perplexity_bycutoff", "pipeline_full_curation_bycutoff"):
+        plan = _plan(spark, sf_small, name)
+        assert "ntile" not in plan, (name, plan)
+        assert partial_wgl.search(plan), (name, plan)
+        assert "BroadcastHashJoin" in plan, (name, plan)
+
+
 def test_semantic_decontamination_is_broadcast_bounded(spark, sf_small):
     # the benchmark embeddings (tiny by definition) must broadcast into
     # a nested-loop cosine match — bench x corpus, linear in the corpus

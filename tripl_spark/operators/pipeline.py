@@ -369,14 +369,18 @@ def pipeline_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataF
 FULL_QUOTA_PER_SOURCE = 20
 
 
-def _full_curation_oracle() -> str:
+def _full_curation_oracle(bucketing: str = "ntile") -> str:
     from tripl_spark.operators.clustering import (
         KMEANS2_CTES,
         SEM_THRESHOLD,
         _capped_cte,
         _lists_cte,
     )
-    from tripl_spark.operators.text import bigram_scored_ctes
+    from tripl_spark.operators.text import (
+        bigram_scored_ctes,
+        ppl_bucket_case,
+        ppl_cutoff_sql,
+    )
 
     # the LM chain is prefixed lm_ to avoid CTE-name collisions with
     # the k-means chain (both define c1); lm_toks carries the same
@@ -422,12 +426,7 @@ def _full_curation_oracle() -> str:
         AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
         AND d.doc_id NOT IN (SELECT doc_id FROM semdropped)
     ),
-    lbl AS (
-      SELECT sv.doc_id, sv.source, sv.lang, sv.quality_score, sc.avg_logprob,
-             ntile(3) OVER (PARTITION BY sv.lang
-                            ORDER BY sc.avg_logprob DESC, sv.doc_id) AS ppl_bucket
-      FROM survivors sv JOIN lm_scored sc USING (doc_id)
-    )
+    {_bucketed_lbl_sql(bucketing, ppl_cutoff_sql, ppl_bucket_case)}
     SELECT doc_id, source, lang, quality_score, avg_logprob,
            CAST(ppl_bucket AS INT) AS ppl_bucket, CAST(rk AS INT) AS rk
     FROM (
@@ -437,6 +436,31 @@ def _full_curation_oracle() -> str:
       FROM lbl WHERE ppl_bucket <= {PPL_KEEP_BUCKETS}
     ) WHERE rk <= {FULL_QUOTA_PER_SOURCE}
     """
+
+
+def _bucketed_lbl_sql(bucketing, ppl_cutoff_sql, ppl_bucket_case) -> str:
+    """Stage-4 CTE(s) producing ``lbl(doc_id, source, lang,
+    quality_score, avg_logprob, ppl_bucket)`` over survivors — exact
+    per-lang ntile, or the broadcast-cutoff twin's sample chain."""
+    if bucketing == "ntile":
+        return f"""lbl AS (
+      SELECT sv.doc_id, sv.source, sv.lang, sv.quality_score, sc.avg_logprob,
+             ntile(3) OVER (PARTITION BY sv.lang
+                            ORDER BY sc.avg_logprob DESC, sv.doc_id) AS ppl_bucket
+      FROM survivors sv JOIN lm_scored sc USING (doc_id)
+    )"""
+    return f"""pplbl AS (
+      SELECT sv.doc_id, sv.lang, sc.avg_logprob
+      FROM survivors sv JOIN lm_scored sc USING (doc_id)
+    ),
+    {ppl_cutoff_sql('pp')},
+    lbl AS (
+      SELECT sv.doc_id, sv.source, sv.lang, sv.quality_score, l.avg_logprob,
+             {ppl_bucket_case('l', 'c')} AS ppl_bucket
+      FROM survivors sv
+      JOIN pplbl l ON sv.doc_id = l.doc_id
+      LEFT JOIN ppcuts c ON l.lang = c.lang
+    )"""
 
 
 @query(
@@ -460,9 +484,10 @@ def pipeline_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     3. semantic dedup (SemDeDup pair-greedy: the higher vec_id of any
        within-cluster cosine pair drops — the capped trained-cluster
        stage; docs without embeddings pass through unchecked);
-    4. perplexity tail-drop (corpus bigram LM scores SURVIVORS —
-       stage order is the contract — per-lang ntile thirds, tail
-       dropped);
+    4. perplexity tail-drop: the bigram LM trains on the FULL corpus
+       (stable statistics regardless of upstream drops), but bucket
+       ranks are computed over SURVIVORS only — per-lang ntile
+       thirds, tail dropped;
     5. per-source quality quota on what remains.
 
     Per-stage oracles can't see cross-stage contracts (a deduped doc
@@ -475,7 +500,34 @@ def pipeline_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     count are the corpus-sized shuffles; benchmark grams, dropped-id
     lists, and both LM count tables broadcast; the ntile and quota
     windows shuffle only survivor stub rows (id + stratum + scores,
-    never text)."""
+    never text). The per-lang ntile is still a skewed-key sort at
+    100 TB — ``pipeline_full_curation_bycutoff`` is the production
+    twin with that stage swapped for broadcast cutoffs."""
+    return _full_curation_df(spark, sf_dir, bucketing="ntile")
+
+
+@query(
+    "pipeline_full_curation_bycutoff",
+    oracle=_full_curation_oracle(bucketing="cutoff"),
+    doc="the full corpus build with stage 4 in PRODUCTION shape: "
+    "perplexity buckets assigned from broadcast per-lang sample "
+    "cutoffs instead of the per-lang ntile sort — the variant that "
+    "survives a dominant language at 100 TB; fully hash-gated",
+)
+def pipeline_full_curation_bycutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pipeline_full_curation`` with the one remaining skewed-key
+    stage replaced by its scale-safe twin: stage 4's bucket
+    boundaries come from ``perplexity_cutoffs`` (bounded per-lang
+    sample, broadcast) and buckets are assigned scan-side, so NO
+    window in the whole composition partitions by a potentially
+    dominant key — the quota window is WindowGroupLimit-pushed and
+    per-source. This is the plan a 1000-executor corpus build should
+    run; the exact-ntile composition stays registered as the
+    rank-arithmetic oracle shape."""
+    return _full_curation_df(spark, sf_dir, bucketing="cutoff")
+
+
+def _full_curation_df(spark: SparkSession, sf_dir: str, bucketing: str) -> DataFrame:
     from tripl_spark.operators.clustering import (
         SEM_THRESHOLD,
         _assign_round,
@@ -514,13 +566,25 @@ def pipeline_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(semdropped), "doc_id", "left_anti")
         .select("doc_id", "source", "lang", score.alias("quality_score"))
     )
+    # the LM trains on the FULL corpus (stable statistics regardless of
+    # upstream drops); bucketing is survivor-scoped — both oracles
+    # replicate exactly this population split
     lm = bigram_logprob_scores(docs).select("doc_id", "avg_logprob")
-    w_ppl = Window.partitionBy("lang").orderBy(F.desc("avg_logprob"), "doc_id")
-    lbl = (
-        survivors.join(lm, "doc_id")
-        .withColumn("ppl_bucket", F.ntile(3).over(w_ppl))
-        .filter(F.col("ppl_bucket") <= PPL_KEEP_BUCKETS)
-    )
+    if bucketing == "ntile":
+        w_ppl = Window.partitionBy("lang").orderBy(F.desc("avg_logprob"), "doc_id")
+        lbl = (
+            survivors.join(lm, "doc_id")
+            .withColumn("ppl_bucket", F.ntile(3).over(w_ppl))
+            .filter(F.col("ppl_bucket") <= PPL_KEEP_BUCKETS)
+        )
+    else:
+        from tripl_spark.operators.text import assign_ppl_buckets, perplexity_cutoffs
+
+        scored_stubs = survivors.select("doc_id", "lang").join(lm, "doc_id")
+        cuts = perplexity_cutoffs(scored_stubs)
+        lbl = assign_ppl_buckets(survivors.join(lm, "doc_id"), cuts).filter(
+            F.col("ppl_bucket") <= PPL_KEEP_BUCKETS
+        )
     w_q = Window.partitionBy("source").orderBy(F.desc("quality_score"), "doc_id")
     return (
         lbl.withColumn("rk", F.row_number().over(w_q))

@@ -503,3 +503,164 @@ def pipeline_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("ppl_bucket") <= PPL_KEEP_BUCKETS)
     )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-cutoff bucketing — the PRODUCTION twin of the exact ntile
+# ---------------------------------------------------------------------------
+#
+# ntile(3) OVER (PARTITION BY lang ...) puts a whole language through ONE
+# sort task: at 100 TB a dominant web-corpus language (50-70% of docs) is
+# billions of rows on one executor — the skewed-key window scale-killer.
+# CCNet itself (Wenzek et al. 2020 §3.2) derives per-lang perplexity
+# cutoffs from a SAMPLE and assigns buckets scan-side; this twin does the
+# same with every step deterministic and SQL-replicable, so unlike a
+# percentile_approx sketch it stays driver-hash-gatable:
+#
+#   1. md5-hash sample of (doc_id, lang, score) stubs — a scan filter;
+#   2. hash-order cap of PPL_SAMPLE_CAP stubs per lang (stratum_quota —
+#      WindowGroupLimit PARTIAL pushdown ships <= cap rows per lang per
+#      map task, so the capping window never sees a skewed partition);
+#   3. exact tercile ranks WITHIN the <= cap-row per-lang sample;
+#   4. the <= |langs| cutoff rows broadcast; the corpus-sized relation
+#      only ever passes a broadcast join + a CASE expression.
+#
+# Window work is bounded by cap x |langs| at ANY corpus size; rank error
+# vs the exact ntile is O(1/sqrt(cap)) per boundary (the agreement bound
+# test pins it empirically).
+
+PPL_SAMPLE_PCT = 50   # md5-bucket stub sample rate (percent)
+PPL_SAMPLE_CAP = 400  # max sampled stubs per lang feeding the cutoff rank
+
+
+def perplexity_cutoffs(
+    lbl: DataFrame, sample_pct: int = PPL_SAMPLE_PCT, cap: int = PPL_SAMPLE_CAP
+) -> DataFrame:
+    """Per-lang (c_hi, c_lo) score cutoffs at the sample's tercile
+    ranks. Input needs (doc_id, lang, avg_logprob); output is one row
+    per sampled lang — broadcast it into ``assign_ppl_buckets``."""
+    from tripl_spark.operators.curation import deterministic_sample, stratum_quota
+
+    samp = deterministic_sample(lbl.select("doc_id", "lang", "avg_logprob"),
+                                "doc_id", sample_pct)
+    capped = stratum_quota(samp, ["lang"], "doc_id", cap).drop("rk")
+    w = Window.partitionBy("lang").orderBy(F.desc("avg_logprob"), "doc_id")
+    ranked = capped.select(
+        "lang", "avg_logprob",
+        F.row_number().over(w).alias("srn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("sn"),
+    )
+    return ranked.groupBy("lang").agg(
+        F.min(F.when(F.col("srn") == F.ceil(F.col("sn") / 3.0),
+                     F.col("avg_logprob"))).alias("c_hi"),
+        F.min(F.when(F.col("srn") == F.ceil(F.col("sn") * 2 / 3.0),
+                     F.col("avg_logprob"))).alias("c_lo"),
+    )
+
+
+def assign_ppl_buckets(lbl: DataFrame, cuts: DataFrame) -> DataFrame:
+    """Scan-side bucket assignment from broadcast cutoffs: 1 = head
+    (score >= c_hi), 2 = middle, 3 = tail. A lang absent from the
+    sample keeps everything (bucket 1) — low-resource languages are
+    never tail-dropped on no evidence. Extra input columns pass
+    through."""
+    bucket = (
+        F.when(F.col("c_hi").isNull(), F.lit(1))
+        .when(F.col("avg_logprob") >= F.col("c_hi"), F.lit(1))
+        .when(F.col("avg_logprob") >= F.col("c_lo"), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    return (
+        lbl.join(F.broadcast(cuts), "lang", "left")
+        .withColumn("ppl_bucket", bucket)
+        .drop("c_hi", "c_lo")
+    )
+
+
+def ppl_cutoff_sql(p: str = "") -> str:
+    """The cutoff chain as CTEs over an existing ``{p}lbl(doc_id,
+    lang, avg_logprob)`` CTE — exact SQL replica of
+    ``perplexity_cutoffs`` (md5 sample ≡ deterministic_sample,
+    hash-order cap ≡ stratum_quota, tercile ranks, group to one row
+    per lang). Shared by every oracle that gates the twin."""
+    h = "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+    return f"""
+    {p}samp AS (
+      SELECT doc_id, lang, avg_logprob, {h} AS h
+      FROM {p}lbl
+      WHERE {h} % 100 < {PPL_SAMPLE_PCT}
+    ),
+    {p}kept AS (
+      SELECT doc_id, lang, avg_logprob
+      FROM (SELECT *, row_number() OVER (PARTITION BY lang
+                                         ORDER BY h, doc_id) AS qrk
+            FROM {p}samp)
+      WHERE qrk <= {PPL_SAMPLE_CAP}
+    ),
+    {p}ranked AS (
+      SELECT lang, avg_logprob,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY avg_logprob DESC, doc_id) AS srn,
+             count(*) OVER (PARTITION BY lang) AS sn
+      FROM {p}kept
+    ),
+    {p}cuts AS (
+      SELECT lang,
+             min(CASE WHEN srn = CAST(ceil(sn / 3.0) AS BIGINT)
+                      THEN avg_logprob END) AS c_hi,
+             min(CASE WHEN srn = CAST(ceil(sn * 2 / 3.0) AS BIGINT)
+                      THEN avg_logprob END) AS c_lo
+      FROM {p}ranked GROUP BY lang
+    )"""
+
+
+def ppl_bucket_case(l: str, c: str) -> str:
+    """The scan-side CASE assigning a bucket from joined cutoffs."""
+    return (
+        f"CASE WHEN {c}.c_hi IS NULL THEN 1 "
+        f"WHEN {l}.avg_logprob >= {c}.c_hi THEN 1 "
+        f"WHEN {l}.avg_logprob >= {c}.c_lo THEN 2 ELSE 3 END"
+    )
+
+
+@query(
+    "pipeline_perplexity_bycutoff",
+    oracle=f"""
+    WITH {BIGRAM_SCORED_CTES},
+    lbl AS (
+      SELECT s.doc_id, d.lang, s.avg_logprob
+      FROM scored s JOIN documents d USING (doc_id)
+    ),
+    {ppl_cutoff_sql()}
+    SELECT doc_id, lang, avg_logprob, CAST(ppl_bucket AS INT) AS ppl_bucket
+    FROM (
+      SELECT l.doc_id, l.lang, l.avg_logprob,
+             {ppl_bucket_case('l', 'c')} AS ppl_bucket
+      FROM lbl l LEFT JOIN cuts c ON l.lang = c.lang
+    ) WHERE ppl_bucket <= {PPL_KEEP_BUCKETS}
+    """,
+    doc="CCNet perplexity bucketing, PRODUCTION shape: per-lang tercile "
+    "cutoffs from a capped deterministic sample, broadcast into a "
+    "scan-side bucket CASE — no per-lang window over the corpus; "
+    "fully hash-gated (sample, cap, cutoffs and assignment in SQL)",
+)
+def pipeline_perplexity_bycutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production twin of ``pipeline_perplexity_buckets``: same
+    head+middle keep-set contract, but bucket boundaries come from a
+    bounded per-lang sample instead of an exact per-lang ntile sort —
+    the shape that survives a dominant language at 100 TB (see the
+    module comment above ``perplexity_cutoffs``). Both are registered:
+    the exact ntile is the reproducible rank-arithmetic oracle, this
+    is what a cluster actually runs; the agreement-bound test pins how
+    far the two may drift."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = bigram_logprob_scores(docs)
+    lbl = scored.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "avg_logprob"
+    )
+    cuts = perplexity_cutoffs(lbl)
+    return (
+        assign_ppl_buckets(lbl, cuts)
+        .filter(F.col("ppl_bucket") <= PPL_KEEP_BUCKETS)
+        .select("doc_id", "lang", "avg_logprob", "ppl_bucket")
+    )

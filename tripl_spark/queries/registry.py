@@ -67,104 +67,94 @@ _LOADED = False
 # representative TPC-H/analytics rows. Names listed here come first, in
 # this order; everything else follows in registration order.
 _PRIORITY = [
-    # Round-6 rotation. After r5 the registry was 50/50 green and every
-    # entry except classifier_quality_train had ≥1 driver row, but 44
-    # oracled queries' LATEST rows date from r1–r3 code vintages
-    # (VERDICT r5 §What's-missing #3 names this the r6 refresh cohort).
-    # The window therefore leads with (a) the four semantic-dedup
-    # queries whose REGISTERED SHAPE changed this round (the
-    # SEM_MAX_CLUSTER cap is now default and replicated in the oracles
-    # — the r6 rows must prove the bounded shape green), (b) the two
-    # mixing queries whose oracle arithmetic changed (round-before-
-    # floor quota boundaries), (c) the first-ever driver row for
-    # classifier_quality_train (rows-only by nature), then (d) the
-    # full stale cohort, family-grouped. The two simple stats
-    # aggregates sit at the tail as the lowest-divergence-risk rows —
-    # they slide out first if a newly-oracled query claims a slot.
-    # Displaced rows keep local DuckDB parity coverage in
+    # Round-7 rotation, exactly per VERDICT r6 item 2 and the r6
+    # rotation note: (a) first rows for the 9 queries added in r6
+    # after the window froze (zero driver rows so far), (b) first rows
+    # for the two NEW r7 broadcast-cutoff production twins, (c) the
+    # two exact-ntile queries re-gated because their oracle/builder
+    # text changed in r7 (stage-4 CTE now comes from the shared
+    # builder), (d) the five displaced tail names whose latest rows
+    # are r1–r3 vintage, then (e) family-flagship coverage for the
+    # remaining window slots (all with green r4–r6 rows). Displaced
+    # rows keep local DuckDB parity coverage in
     # tests/test_oracle_parity.py.
     #
-    # (a) registered shape changed in r6 — re-gate under the cap
+    # (a) added in r6 after the window froze — first driver rows
+    "triple_datalog_aggregate",
+    "triple_datalog_negation",
+    "triple_datalog_disjunction",
+    "graph_kcore_2peel",
+    "events_gapfill_hourly",
+    "sketch_hll_sliding_7d",
+    "corpus_datacard",
+    "dedup_method_agreement",
+    "classifier_calibration_bins",
+    # (b) NEW in r7: the broadcast-cutoff production twins that close
+    # the per-lang-ntile scale weakness — first rows, hash-gated
+    "pipeline_perplexity_bycutoff",
+    "pipeline_full_curation_bycutoff",
+    # (c) oracle/builder text changed in r7 — re-gate the exact shapes
+    "pipeline_perplexity_buckets",
+    "pipeline_full_curation",
+    # (d) displaced-tail staleness residue (latest rows r1–r3)
+    "curation_stratified_sample",
+    "dedup_embedding_cosine",
+    "multimodal_metadata",
+    "stats_corr_value_k",
+    "stats_value_by_type",
+    # (e) family-flagship coverage for the rest of the window: every
+    # operator family keeps a representative row each round (triple
+    # engine, TPC-H, events, windows/scalars, set-ops, dedup,
+    # semantic, ANN, sketches, text, mixing, classifier, graph,
+    # streaming-adjacent aggregates).
     "dedup_semantic_clusters",
     "dedup_semantic_groups",
     "dedup_incremental_semantic",
     "pipeline_semantic_curation",
-    # (b) oracle arithmetic changed in r6 — re-gate the quota boundary
+    "pipeline_semantic_decontamination",
     "mixing_token_budget",
     "mixing_temperature_sample",
-    # (c) only registry entry with zero driver rows across r1–r5
-    "classifier_quality_train",
-    # (c2) newly HASH-GATED in r6 (was rows-only): full HNSW build +
-    # beam search unrolled into SQL — its first gated driver row
     "sim_ann_hnsw",
-    # (c3) NEW operators in r6 (CCNet-style LM bucketing; embedding-
-    # space decontamination; the all-stage flagship composition) —
-    # first rows
-    "pipeline_perplexity_buckets",
-    "pipeline_semantic_decontamination",
-    "pipeline_full_curation",
-    # (d) the stale refresh cohort: latest driver rows r1–r3.
-    # TPC-H first (bench-visible), then events/windows/analytics,
-    # triple/datalog, text, similarity/dedup/curation, multimodal.
-    "q4_order_priority",
-    "q8_market_share",
-    "q11_important_parts",
-    "q12_ship_priority",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_part_supplier_relationship",
-    "events_hourly_tumbling",
-    "events_sliding_hourly",
-    "events_sessionization",
-    "events_user_props_stats",
-    "events_moving_total_7d",
-    "events_running_total",
-    "events_daily_active_users",
-    "events_type_share",
-    "events_cube_type_year",
-    "asof_last_purchase",
-    "nation_year_rollup",
-    "order_status_pivot",
-    "part_price_unpivot",
-    "order_count_distribution",
-    "customers_without_orders",
-    "repeat_buyers_intersect",
-    "lapsed_buyers_except",
-    "churned_buyers_1995_vs_2001",
-    "top5_parts_per_brand",
-    "window_functions_showcase",
-    "scalar_functions_showcase",
-    "approx_distinct_users",
-    "approx_quantiles_value",
-    "triple_reverse_fanin",
-    "triple_datalog_join",
+    "sim_ann_lsh",
+    "sim_ann_pq",
+    "dedup_ngram_jaccard",
+    "dedup_exact",
+    "dedup_minhash_oracled",
+    "dedup_simhash_oracled",
+    "dedup_incremental_minhash",
+    "dedup_substring_spans",
     "text_token_stats",
     "text_quality_score",
     "text_lang_id",
     "text_ngram_contamination",
-    "sim_ann_lsh",
-    "sim_ann_pq",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "curation_stratified_sample",
-    # tail: first to slide out of the 50-row window as newly-oracled
-    # queries claim slots above. With the three r6 first-row inserts,
-    # five stale names sit at 51-55 (dedup_embedding_cosine,
-    # curation_stratified_sample, multimodal_metadata, stats_corr,
-    # stats_value) — all bounded-slice/scan-shaped with past green
-    # rows, and all keep local DuckDB parity coverage in
-    # tests/test_oracle_parity.py.
-    "multimodal_metadata",
-    "stats_corr_value_k",
-    "stats_value_by_type",
+    "text_bigram_logprob",
+    "triple_reverse_fanin",
+    "triple_datalog_join",
+    "triple_match_segment",
+    "q1_pricing_summary",
+    "q4_order_priority",
+    "q8_market_share",
+    "q12_ship_priority",
+    "q15_top_supplier",
+    "events_hourly_tumbling",
+    "events_sessionization",
+    "events_moving_total_7d",
+    "asof_last_purchase",
+    "nation_year_rollup",
+    "window_functions_showcase",
+    "approx_distinct_users",
+    "sketch_quantile_merge",
+    "classifier_auc_eval",
+    "cluster_kmeans_2iter",
+    "graph_components_purchasers",
+    "curation_quota_per_stratum",
+    "tokenizer_bpe_2merges",
 ]
-# r7 rotation note: the queries ADDED in r6 after the window froze have
-# no driver rows yet and should lead the next window —
-# corpus_datacard, classifier_calibration_bins, dedup_method_agreement,
-# events_gapfill_hourly, graph_kcore_2peel, sketch_hll_sliding_7d,
-# triple_datalog_aggregate, triple_datalog_negation,
-# triple_datalog_disjunction — alongside the five displaced tail names
-# above and any query whose oracle text changes in r7.
+# r8 rotation note: after the r7 window lands, every registry entry
+# should have a driver row no older than r4; the next refresh cohort
+# is whatever the r7 window displaced (TPC-H mid-range q11/q14/q16,
+# the events long tail, pivot/unpivot, set-op queries) plus any query
+# whose oracle text changes in r8.
 
 
 def _ensure_loaded() -> None:
