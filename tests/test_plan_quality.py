@@ -196,6 +196,64 @@ def test_per_group_topk_has_partial_window_group_limit(spark, sf_small):
         assert partial_wgl.search(plan), (name, plan)
 
 
+# Queries allowed to plan a GLOBAL (unpartitioned) window — each one
+# verified to feed the window from a BOUNDED relation, so the
+# single-task sort never sees corpus-scale rows:
+#   classifier_auc_eval / classifier_calibration_bins — cumulative sums
+#     over per-rounded-score aggregate rows (|distinct scores| <= 10^4)
+#   events_type_share — share-of-total over per-event-type counts
+#   q15_top_supplier — max over per-supplier revenue (dimension-sized)
+#   search_bm25 / tokenizer_first_merge — rank over a TakeOrdered top-k
+#   sketch_quantile_merge — rank/weight sums over <= (K+1) x shards
+#     summary rows
+_GLOBAL_WINDOW_ALLOWED = {
+    "classifier_auc_eval",
+    "classifier_calibration_bins",
+    "events_type_share",
+    "q15_top_supplier",
+    "search_bm25",
+    "sketch_quantile_merge",
+    "tokenizer_first_merge",
+}
+
+
+def _global_windows(plan: str) -> list[str]:
+    """Window nodes with NO partition spec. Formatted-plan Arguments
+    are ``[funcs], [partition], [order]``; the order list is absent
+    for unordered frames, so a 2-group form is global only when its
+    last group carries sort specs (``NULLS``)."""
+    import re
+
+    out = []
+    for m in re.finditer(r"\(\d+\) Window\b[^\n]*\nInput[^\n]*\nArguments: ([^\n]*)", plan):
+        groups = m.group(1).split("], [")
+        if len(groups) == 1 or (len(groups) == 2 and "NULLS" in groups[-1]):
+            out.append(m.group(1)[:120])
+    return out
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_global_windows_only_on_bounded_relations(spark, sf_small, name):
+    # any single-partition WindowExec serializes its whole input
+    # through one task — a scale-killer unless the input is bounded.
+    # New queries that trip this must either partition the window or
+    # justify boundedness and join the allowlist above.
+    gw = _global_windows(explain_str(REGISTRY[name].fn(spark, sf_small)))
+    if name in _GLOBAL_WINDOW_ALLOWED:
+        return
+    assert not gw, (
+        f"{name} plans {len(gw)} global window(s) over an unverified "
+        f"relation: {gw}"
+    )
+
+
+def test_tokenizer_first_merge_is_take_ordered(spark, sf_small):
+    # the pair-ranking top-k must plan TakeOrderedAndProject (per-
+    # partition heaps); the rank window then sees only k rows
+    plan = _plan(spark, sf_small, "tokenizer_first_merge")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_perplexity_cutoff_twins_have_no_per_lang_corpus_window(spark, sf_small):
     # the production twins' whole point: NO ntile (no per-lang sort of
     # the full relation). The only per-lang windows run over the capped

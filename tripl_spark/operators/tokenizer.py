@@ -85,11 +85,14 @@ def tokenizer_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.desc("weight"), "pair")
-    return (
-        pairs.select("pair", "weight", F.row_number().over(w).cast("long").alias("rk"))
-        .orderBy("rk")
-        .limit(TOP_PAIRS)
+    # top-k FIRST (orderBy().limit() plans TakeOrderedAndProject —
+    # per-partition heaps, no global sort of the pair table), then the
+    # rank window runs over the k surviving rows only
+    order = [F.desc("weight"), F.col("pair")]
+    top = pairs.orderBy(*order).limit(TOP_PAIRS)
+    return top.select(
+        "pair", "weight",
+        F.row_number().over(Window.orderBy(*order)).cast("long").alias("rk"),
     )
 
 
