@@ -89,6 +89,11 @@ HEADLINE = [
     # the all-stage corpus-build composition
     "pipeline_perplexity_buckets",
     "pipeline_full_curation",
+    # round-7: the broadcast-cutoff production twins (stage 4 without
+    # the per-lang window sort) — benched next to their exact-ntile
+    # counterparts so the twin's cost delta is a recorded number
+    "pipeline_perplexity_bycutoff",
+    "pipeline_full_curation_bycutoff",
 ]
 
 

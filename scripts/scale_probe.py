@@ -229,6 +229,62 @@ def main() -> None:
         record("lsh_build_candidates n_planes_for(n) capped", mult,
                (time.perf_counter() - t0, n_rule), f"(production rule, planes={kp})")
 
+        # ---- window-skew hazard: per-lang ntile vs broadcast cutoffs
+        # (skewed 80/20 lang mix — the dominant-language shape of a
+        # real web corpus). The hazard is SERIALIZATION, not work
+        # growth: ntile puts the dominant lang's whole row set through
+        # ONE sort task, so its "work" metric is max rows through any
+        # single window task — alpha ~ 1 means the single task's input
+        # grows linearly with corpus size (unbounded at 100 TB), while
+        # the cutoff twin's stays flat at the sample cap.
+        from pyspark.sql import Window
+
+        from tripl_spark.operators.curation import deterministic_sample, stratum_quota
+        from tripl_spark.operators.text import (
+            PPL_SAMPLE_CAP,
+            PPL_SAMPLE_PCT,
+            assign_ppl_buckets,
+            perplexity_cutoffs,
+        )
+
+        n_sk = 50_000 * mult
+        stub = (
+            spark.range(n_sk)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.when(F.pmod("id", 10) < 8, F.lit("en"))
+                .when(F.pmod("id", 10) == 8, F.lit("de"))
+                .otherwise(F.lit("fr"))
+                .alias("lang"),
+                (F.pmod(F.col("id") * F.lit(2654435761), F.lit(1000003))
+                 / 1000003.0).alias("avg_logprob"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        w_nt = Window.partitionBy("lang").orderBy(F.desc("avg_logprob"), "doc_id")
+        max_lang = stub.groupBy("lang").count().agg(F.max("count")).first()[0]
+        record(
+            "ppl_bucketing per-lang ntile (exact)", mult,
+            timed(lambda: stub.select(F.ntile(3).over(w_nt).alias("b"))
+                  .filter(F.col("b") <= 2).count(),
+                  work=int(max_lang)),
+            "(the hazard: dominant lang on ONE task)",
+        )
+        capped_max = (
+            stratum_quota(
+                deterministic_sample(stub, "doc_id", PPL_SAMPLE_PCT),
+                ["lang"], "doc_id", PPL_SAMPLE_CAP,
+            )
+            .groupBy("lang").count().agg(F.max("count")).first()[0]
+        )
+        record(
+            "ppl_bucketing broadcast-cutoff (twin)", mult,
+            timed(lambda: assign_ppl_buckets(stub, perplexity_cutoffs(stub))
+                  .filter(F.col("ppl_bucket") <= 2).count(),
+                  work=int(capped_max)),
+            f"(max window-task rows capped at {PPL_SAMPLE_CAP})",
+        )
+
         if mult not in (1, SCALE):
             continue  # docs-side + registered queries: 1x/10x only
         record(
