@@ -232,3 +232,41 @@ def test_streaming_semantic_failed_batch_is_replayable(spark, sf_small):
     sd.process(shard, batch_id=0)
     assert 0 in sd._seen
     assert sd.matches is not None and sd.matches.count() > 0
+
+
+def test_streaming_semantic_sink_mode_survives_driver_restart(
+    spark, sf_small, tmp_path
+):
+    """Kill-and-resume for the semantic stream: a NEW
+    StreamingSemanticDedup over the same sink skips replayed batches,
+    keeps prior batches' matches, and converges to the one-shot
+    semantic_match_new of the whole increment."""
+    from tripl_spark.operators.clustering import semantic_match_new
+    from tripl_spark.streaming.semantic_stream import StreamingSemanticDedup
+
+    emb = load_table(spark, sf_small, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    corpus = emb.filter(F.col("vec_id") % 7 != 0)
+    shard = emb.filter(F.col("vec_id") % 7 == 0)
+    sink = str(tmp_path / "sem_sink")
+
+    sd1 = StreamingSemanticDedup(spark, corpus, sink_path=sink)
+    sd1.process(shard.filter(F.col("vec_id") % 3 == 0), batch_id=0)
+    sd1.process(shard.filter(F.col("vec_id") % 3 == 1), batch_id=1)
+
+    # driver restart: fresh object, same sink; checkpoint replays batch 1
+    sd2 = StreamingSemanticDedup(spark, corpus, sink_path=sink)
+    assert sd2._seen == {0, 1}  # recovered from committed partitions
+    sd2.process(shard.filter(F.col("vec_id") % 3 == 1), batch_id=1)  # replay
+    sd2.process(shard.filter(F.col("vec_id") % 3 == 2), batch_id=2)  # new
+    got = _rows(sd2.matches_df())
+    want = _rows(semantic_match_new(shard, sd2.index, sd2.cent, sd2.threshold))
+    assert got == want and len(want) > 0
+
+    # forced unseen replay still converges: partition overwrite rewrites
+    # batch_id=2 with identical content
+    sd3 = StreamingSemanticDedup(spark, corpus, sink_path=sink)
+    sd3._seen.discard(2)
+    sd3.process(shard.filter(F.col("vec_id") % 3 == 2), batch_id=2)
+    assert _rows(sd3.matches_df()) == want

@@ -86,16 +86,9 @@ class StreamingDedup:
         self._seen: set[int] = self._committed_batches() if sink_path else set()
 
     def _committed_batches(self) -> set[int]:
-        import os
+        from tripl_spark.streaming.sinks import committed_batches
 
-        if self.sink_path is None or not os.path.isdir(self.sink_path):
-            return set()
-        return {
-            int(d.split("=", 1)[1])
-            for d in os.listdir(self.sink_path)
-            if d.startswith("batch_id=")
-            and os.path.exists(os.path.join(self.sink_path, d, "_SUCCESS"))
-        }
+        return committed_batches(self.sink_path)
 
     def process(self, batch: DataFrame, batch_id: int) -> None:
         if batch_id in self._seen:  # replay: idempotent skip

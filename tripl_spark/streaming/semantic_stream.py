@@ -11,15 +11,22 @@ incoming batch and equi-joins its clusters against the index —
 per-batch cost is O(batch × cluster residency), independent of corpus
 size and stream age.
 
-In-memory accumulation with batch-id idempotent skip (the in-process
-mode); the sink-backed restart-safe shape in ``dedup_stream`` (batch_id
-partition overwrite + seen-set recovery) applies verbatim if needed.
+Two accumulation modes, exactly as ``StreamingDedup``:
+
+* in-memory (default, ``sink_path=None``): driver-local matches and
+  seen-set; idempotence covers in-process replays only. Test/demo.
+* sink-backed (``sink_path=...``): each batch's matches overwrite the
+  ``batch_id=N`` partition of a parquet sink; processed ids recover
+  from the sink's COMMITTED partitions on construction, so replays —
+  in-process or after a driver restart from the stream checkpoint —
+  converge to the same sink state. Restart-safe exactly-once.
 
 Correctness contract (``tests/test_stream_dedup.py``): after ANY
 micro-batch split of an increment, the accumulated match set equals
 the one-shot ``semantic_match_new`` of the whole increment —
 per-vector matching is independent across vectors, so the split cannot
-change results; replays are idempotent.
+change results; replays are idempotent; kill-and-resume over the same
+sink keeps prior batches' matches.
 """
 
 from __future__ import annotations
@@ -31,6 +38,9 @@ from tripl_spark.operators.clustering import (
     semantic_index,
     semantic_match_new,
 )
+from tripl_spark.streaming.sinks import committed_batches
+
+_MATCH_SCHEMA = "new_id bigint, corpus_id bigint, cid bigint, cosine double"
 
 
 class StreamingSemanticDedup:
@@ -42,20 +52,32 @@ class StreamingSemanticDedup:
         spark: SparkSession,
         corpus_emb: DataFrame,
         threshold: float = 0.4,
+        sink_path: str | None = None,
     ) -> None:
         self.spark = spark
         self.threshold = threshold
+        self.sink_path = sink_path
         # one-time snapshot cost: frozen codebook + checkpointed index
         # (at scale: a bucketed-by-cid table, see SCALE.md)
         self.cent = kmeans_2iter_centroids(corpus_emb).localCheckpoint(eager=True)
         self.index = semantic_index(corpus_emb, self.cent).localCheckpoint(eager=True)
         self.matches: DataFrame | None = None
-        self._seen: set[int] = set()
+        self._seen: set[int] = committed_batches(sink_path) if sink_path else set()
 
     def process(self, batch: DataFrame, batch_id: int) -> None:
-        if batch_id in self._seen:  # in-process replay: idempotent skip
+        if batch_id in self._seen:  # replay: idempotent skip
             return
         found = semantic_match_new(batch, self.index, self.cent, self.threshold)
+        if self.sink_path is not None:
+            # partition overwrite: a replayed batch rewrites its own
+            # batch_id=N directory and nothing else — exactly-once per
+            # batch across driver restarts. Seen only AFTER the write
+            # commits (failed write => eligible for engine replay).
+            found.write.mode("overwrite").parquet(
+                f"{self.sink_path}/batch_id={batch_id}"
+            )
+            self._seen.add(batch_id)
+            return
         merged = found if self.matches is None else self.matches.unionByName(found)
         # cut lineage so N batches don't stack N plans
         self.matches = merged.localCheckpoint(eager=True)
@@ -63,3 +85,23 @@ class StreamingSemanticDedup:
         # checkpointed — a failure above leaves it eligible for the
         # engine's replay (same invariant as StreamingDedup.process)
         self._seen.add(batch_id)
+
+    def matches_df(self) -> DataFrame | None:
+        """Accumulated matches across all processed batches — from the
+        sink (restart-safe mode) or the in-memory accumulator. Sink
+        mode reads ONLY committed partitions (explicit schema, so
+        all-empty committed partitions read as zero rows)."""
+        if self.sink_path is None:
+            return self.matches
+        committed = sorted(committed_batches(self.sink_path))
+        if not committed:
+            if not self._seen:
+                return None
+            return self.spark.createDataFrame([], _MATCH_SCHEMA)
+        paths = [f"{self.sink_path}/batch_id={b}" for b in committed]
+        return (
+            self.spark.read.schema(_MATCH_SCHEMA + ", batch_id bigint")
+            .option("basePath", self.sink_path)
+            .parquet(*paths)
+            .drop("batch_id")
+        )

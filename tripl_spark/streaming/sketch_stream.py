@@ -16,10 +16,17 @@ m register candidates, and the merge is a groupBy over at most
 sketch-size keys. The state is tiny (d·w + m rows) whatever the
 stream has seen.
 
-In-memory accumulation with batch-id idempotent skip, mirroring
-``StreamingDedup``'s default mode; the sink-backed restart-safe shape
-there applies verbatim (overwrite a ``batch_id=N`` partition of cell
-deltas, aggregate at read) if needed.
+``StreamingSketches`` is in-memory with batch-id idempotent skip
+(mirroring ``StreamingDedup``'s default mode; the sink-backed shape
+applies verbatim — overwrite a ``batch_id=N`` partition of cell
+deltas, aggregate at read — if needed). ``StreamingHeavyHitters``
+additionally offers the restart-safe ``sink_path`` mode: because its
+state is a RUNNING truncated aggregate rather than append-only
+output, each batch's partition snapshots the POST-MERGE state, and a
+restarted driver resumes from the last committed snapshot — the
+engine's replay of the one possibly-uncommitted batch then re-merges
+from exactly the state it originally saw (kill-and-resume test in
+``tests/test_sketch_stream.py``).
 """
 
 from __future__ import annotations
@@ -90,21 +97,39 @@ class StreamingHeavyHitters:
     bounds everywhere (tests/test_sketch_stream.py pins both against
     the one-shot batch summaries)."""
 
+    _STATE_SCHEMA = "shard bigint, term string, c long"
+
     def __init__(
         self,
         spark: SparkSession,
         id_col: str = "doc_id",
         col: str = "text",
         state_k: int | None = None,
+        sink_path: str | None = None,
     ) -> None:
         from tripl_spark.operators.sketches import HH_LOCAL_K
+        from tripl_spark.streaming.sinks import committed_batches
 
         self.spark = spark
         self.id_col = id_col
         self.col = col
         self.state_k = state_k or 4 * HH_LOCAL_K
+        self.sink_path = sink_path
         self.state: DataFrame | None = None  # (shard, term, c)
         self._seen: set[int] = set()
+        if sink_path:
+            # restart recovery: the state is a RUNNING aggregate (not
+            # append-only matches), so each batch's partition holds the
+            # POST-MERGE state snapshot and recovery resumes from the
+            # LAST committed one — earlier partitions are retained
+            # solely as the processed-batch ledger (bounded: shards x
+            # state_k rows per batch)
+            committed = committed_batches(sink_path)
+            self._seen = set(committed)
+            if committed:
+                self.state = self.spark.read.schema(self._STATE_SCHEMA).parquet(
+                    f"{sink_path}/batch_id={max(committed)}"
+                ).localCheckpoint(eager=True)
 
     def _sharded_tokens(self, batch: DataFrame) -> DataFrame:
         from tripl_spark.operators.sketches import _shard_of
@@ -143,7 +168,19 @@ class StreamingHeavyHitters:
         )
         # bounded state: shards × state_k rows, checkpointed so N
         # batches don't stack N plans
-        self.state = self._truncate(merged).localCheckpoint(eager=True)
+        new_state = self._truncate(merged).localCheckpoint(eager=True)
+        if self.sink_path is not None:
+            # snapshot the post-merge state into this batch's partition
+            # BEFORE marking seen: a crash mid-write leaves the
+            # partition marker-less, so a restarted driver resumes from
+            # the previous committed snapshot and the engine's replay
+            # of this batch re-merges it — exactly-once per batch.
+            # Overwrite makes an unseen-set forced replay idempotent
+            # (same inputs + same prior snapshot => same state).
+            new_state.write.mode("overwrite").parquet(
+                f"{self.sink_path}/batch_id={batch_id}"
+            )
+        self.state = new_state
         # seen only AFTER the merged state commits — a mid-computation
         # failure leaves the batch eligible for replay (same invariant
         # as StreamingDedup.process)
