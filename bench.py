@@ -130,6 +130,70 @@ def _timed(fn) -> float:
     return time.perf_counter() - t0
 
 
+def _layout_ab(spark, sf_dir: str) -> dict[str, float]:
+    """Bucketed-layout A/B: ONE fact⋈fact join (lineitem⋈orders on
+    orderkey, revenue by order priority) over plain parquet vs
+    bucketed tables. SCALE.md claims the bucketed layout elides both
+    Exchanges; this records the measured end-to-end delta so the
+    claim has a number. The bucketed WRITE runs outside the measured
+    window (it is the one-time cost the layout amortizes across every
+    subsequent join on the key). Broadcast is disabled for both sides
+    so the A/B compares shuffled-SMJ vs bucket-co-located-SMJ — the
+    100 TB shape, where neither fact table broadcasts."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tripl_spark.session import load_table
+    from tripl_spark.sources.bucketing import (
+        ensure_database,
+        n_exchanges,
+        write_bucketed,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+
+    def revenue(li_df, o_df):
+        return (
+            li_df.join(o_df, li_df["l_orderkey"] == o_df["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+        )
+
+    loc = tempfile.mkdtemp(prefix="bench_bucket_wh_")
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        ensure_database(spark, "benchbuck", loc)
+        write_bucketed(li, "benchbuck.lineitem_b", "l_orderkey", 16)
+        write_bucketed(orders, "benchbuck.orders_b", "o_orderkey", 16)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plain_q = revenue(li, orders)
+        buck_q = revenue(
+            spark.table("benchbuck.lineitem_b"), spark.table("benchbuck.orders_b")
+        )
+        plain_q.collect(); buck_q.collect()  # warm both paths
+        plain = min(_timed(plain_q.collect) for _ in range(3))
+        bucketed = min(_timed(buck_q.collect) for _ in range(3))
+        return {
+            "plain_sec": round(plain, 3),
+            "bucketed_sec": round(bucketed, 3),
+            "plain_exchanges": n_exchanges(plain_q),
+            "bucketed_exchanges": n_exchanges(buck_q),
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.sql("DROP TABLE IF EXISTS benchbuck.lineitem_b")
+        spark.sql("DROP TABLE IF EXISTS benchbuck.orders_b")
+        spark.sql("DROP DATABASE IF EXISTS benchbuck")
+        shutil.rmtree(loc, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -160,6 +224,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     canary = _canary(spark)
+    layout = _layout_ab(spark, sf_dir)
     # Diagnostics (per-query spread across runs) go to stderr: the driver
     # captures only the last ~2000 chars of stdout and parses the JSON line
     # out of that tail, so the stdout line must stay short and be last.
@@ -175,6 +240,7 @@ def main() -> None:
             "queries": timings,
             "sf": sf,
             "canary": canary,
+            "layout": layout,
         }
     )
     if len(line) > 1800:
@@ -190,6 +256,7 @@ def main() -> None:
                 "queries": slim,
                 "sf": sf,
                 "canary": canary,
+                "layout": layout,
                 "truncated": True,
                 "dropped_queries": len(timings) - len(slim),
             }
