@@ -93,3 +93,51 @@ def test_k_core_is_subset_of_2peel(spark, sf_small):
     )
     full = {r.node for r in k_core(edges, k=KCORE_K).collect()}
     assert full <= two_peel
+
+
+def test_lpa_separates_planted_communities(spark):
+    """Two 4-cliques joined by a single bridge edge: synchronous LPA
+    with smallest-label tie-break must converge each clique to its own
+    label and NOT merge across the bridge (where connected components
+    would return one label for all 8 nodes)."""
+    from pyspark.sql import functions as F
+
+    from tripl_spark.queries.graph_queries import lpa_round
+
+    edges = []
+    for base in (0, 10):
+        nodes = [base + i for i in range(4)]
+        edges += [(a, b) for a in nodes for b in nodes if a < b]
+    edges.append((3, 10))  # the bridge
+    e = spark.createDataFrame(edges, "src long, dst long")
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    nodes_df = sym.select(F.col("src").alias("node")).distinct()
+    labels = nodes_df.select("node", F.col("node").alias("label"))
+    for _ in range(3):
+        labels = lpa_round(sym, labels)
+    got = {r["node"]: r["label"] for r in labels.collect()}
+    left = {got[n] for n in (0, 1, 2, 3)}
+    right = {got[n] for n in (10, 11, 12, 13)}
+    assert left == {0}, got      # clique A converges to min label 0
+    assert right == {10}, got    # clique B keeps ITS min label
+    assert left != right
+
+
+def test_lpa_round_is_synchronous_and_isolated_nodes_keep_labels(spark):
+    from pyspark.sql import functions as F
+
+    from tripl_spark.queries.graph_queries import lpa_round
+
+    # path graph 1-2-3 plus isolated node 9
+    sym = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3), (9, 9)], "node long, label long"
+    )
+    got = {r["node"]: r["label"] for r in lpa_round(sym, labels).collect()}
+    # synchronous: everyone votes on the OLD labels — 1 sees {2},
+    # 2 sees {1,3} (tie -> 1), 3 sees {2}; 9 has no neighbors
+    assert got == {1: 2, 2: 1, 3: 2, 9: 9}

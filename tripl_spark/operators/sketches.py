@@ -690,3 +690,185 @@ def sketch_hll_sliding_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("register").cast("long").alias("register"),
         F.max("r").over(w7).cast("int").alias("reg_7d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL set-intersection: audience overlap from sketches alone
+# ---------------------------------------------------------------------------
+
+HLL_ALPHA = 0.709  # alpha_m for m=64 (Flajolet et al. 2007)
+
+
+def _hll_est_agg() -> F.Column:
+    """The HLL cardinality estimate as a GROUP aggregate over register
+    rows (column ``r`` = max_rho). The harmonic denominator is summed
+    in EXACT integer arithmetic (2^-r scaled by 2^55 → BIGINT terms),
+    so the estimate is bit-identical under any partitioning/summation
+    order — the float-sum trap the numeric-discipline notes in
+    SCALE.md call out. Unseen registers contribute 2^0; the standard
+    linear-counting correction applies below 2.5·m."""
+    scaled = F.expr("CAST(pow(2.0, 55 - r) AS BIGINT)")  # exact: r in 1..55
+    denom_scaled = F.sum(scaled) + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(1 << 55)
+    denom = denom_scaled.cast("double") / F.lit(float(1 << 55))
+    zeros = (F.lit(HLL_M) - F.count(F.lit(1))).cast("double")
+    raw = F.lit(HLL_ALPHA) * F.lit(float(HLL_M * HLL_M)) / denom
+    return F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros),
+    ).otherwise(raw)
+
+
+def _hll_est_sql(rows: str) -> str:
+    """The same estimate in DuckDB SQL over a register CTE with
+    columns (key..., r) — keep in lockstep with ``_hll_est_agg``."""
+    return (
+        f"CASE WHEN {HLL_ALPHA} * {float(HLL_M * HLL_M)} / "
+        f"((sum(CAST(power(2.0, 55 - r) AS BIGINT))"
+        f"  + ({HLL_M} - count(*)) * CAST({1 << 55} AS BIGINT)) / {float(1 << 55)})"
+        f" <= {2.5 * HLL_M} AND ({HLL_M} - count(*)) > 0 "
+        f"THEN {float(HLL_M)} * ln({float(HLL_M)} / ({HLL_M} - count(*))) "
+        f"ELSE {HLL_ALPHA} * {float(HLL_M * HLL_M)} / "
+        f"((sum(CAST(power(2.0, 55 - r) AS BIGINT))"
+        f"  + ({HLL_M} - count(*)) * CAST({1 << 55} AS BIGINT)) / {float(1 << 55)}) END"
+    )
+
+
+@query(
+    "sketch_hll_overlap",
+    oracle=rf"""
+    WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (
+      SELECT event_type,
+             CAST('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS hv
+      FROM tu
+    ),
+    parts AS (SELECT event_type, hv % {HLL_M} AS register, hv // {HLL_M} AS w FROM h),
+    regs AS (
+      SELECT event_type, register,
+             max(CASE WHEN w = 0 THEN {_HLL_VAL_BITS + 1}
+                      ELSE {_HLL_VAL_BITS + 1}
+                           - len(list_filter({_POW2}, p -> p <= w))
+                 END) AS r
+      FROM parts GROUP BY 1, 2
+    ),
+    p_regs AS (SELECT register, r FROM regs WHERE event_type = 'purchase'),
+    others AS (SELECT * FROM regs WHERE event_type != 'purchase'),
+    union_regs AS (
+      SELECT event_type, register, max(r) AS r FROM (
+        SELECT * FROM others
+        UNION ALL
+        SELECT t.event_type, p.register, p.r
+        FROM (SELECT DISTINCT event_type FROM others) t CROSS JOIN p_regs p
+      ) GROUP BY 1, 2
+    ),
+    est_t AS (SELECT event_type, {_hll_est_sql('others')} AS est_users
+              FROM others GROUP BY event_type),
+    est_u AS (SELECT event_type, {_hll_est_sql('union_regs')} AS est_union
+              FROM union_regs GROUP BY event_type),
+    est_p AS (SELECT {_hll_est_sql('p_regs')} AS est_purchase FROM p_regs),
+    exact AS (
+      SELECT a.event_type, count(DISTINCT a.user_id) AS exact_overlap
+      FROM tu a JOIN (SELECT user_id FROM tu WHERE event_type = 'purchase') p
+        ON a.user_id = p.user_id
+      WHERE a.event_type != 'purchase'
+      GROUP BY a.event_type
+    )
+    SELECT t.event_type,
+           round(t.est_users, 2) AS est_users,
+           round(ep.est_purchase, 2) AS est_purchase,
+           round(u.est_union, 2) AS est_union,
+           round(t.est_users + ep.est_purchase - u.est_union, 2) AS est_overlap,
+           CAST(coalesce(x.exact_overlap, 0) AS BIGINT) AS exact_overlap
+    FROM est_t t
+    JOIN est_u u USING (event_type)
+    CROSS JOIN est_p ep
+    LEFT JOIN exact x USING (event_type)
+    """,
+    doc="audience overlap |users(t) ∩ users(purchase)| estimated by HLL "
+    "inclusion-exclusion — three sketch estimates composed from "
+    "register rows alone, never re-touching raw ids; exact overlap "
+    "alongside for the error story; fully hash-gated (integer-exact "
+    "harmonic sums, order-independent)",
+)
+def sketch_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-composed set intersection: estimate the user overlap
+    between each event type and 'purchase' as E(A) + E(B) − E(A∪B),
+    where every E comes from 64-register HLL sketches and the union
+    sketch is the per-register MAX of the two sides — no raw-id join
+    anywhere in the estimate path (the exact overlap column exists
+    only to show the estimator's error).
+
+    Why this matters at 100 TB: distinct-user overlap between N
+    segment pairs via exact joins is N shuffles of the id universe;
+    with per-segment sketches maintained incrementally (the
+    ``sketch_hll_sliding_7d`` machinery) every pairwise overlap is
+    arithmetic over 64-row tables — constant cost per pair, zero
+    additional scans. Inclusion-exclusion error grows with the
+    relative overlap smallness (standard HLL caveat); the output
+    carries both numbers so the trade is visible.
+
+    Determinism: the harmonic denominator sums 2^-rho terms scaled by
+    2^55 into exact BIGINTs, so the estimate survives any partitioning
+    (a plain double sum here would be order-dependent across the
+    54-bit exponent span)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    tu = ev.distinct()
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string"))), 1, 15
+        ),
+        16, 10,
+    ).cast("long")
+    parts = tu.select(
+        "event_type",
+        F.pmod(hv, F.lit(HLL_M)).alias("register"),
+        F.shiftright(hv, 6).cast("long").alias("w"),
+    )
+    powers = F.array(*[F.lit(p) for p in _POW2])
+    bitlen = F.size(F.filter(powers, lambda p: p <= F.col("w")))
+    rho = F.when(F.col("w") == 0, F.lit(_HLL_VAL_BITS + 1)).otherwise(
+        F.lit(_HLL_VAL_BITS + 1) - bitlen
+    )
+    regs = (
+        parts.select("event_type", "register", rho.cast("int").alias("r"))
+        .groupBy("event_type", "register")
+        .agg(F.max("r").alias("r"))
+    )
+    p_regs = regs.filter(F.col("event_type") == "purchase").select("register", "r")
+    others = regs.filter(F.col("event_type") != "purchase")
+    types = others.select("event_type").distinct()
+    union_regs = (
+        others.unionByName(
+            types.crossJoin(F.broadcast(p_regs)).select("event_type", "register", "r")
+        )
+        .groupBy("event_type", "register")
+        .agg(F.max("r").alias("r"))
+    )
+    est_t = others.groupBy("event_type").agg(_hll_est_agg().alias("est_users"))
+    est_u = union_regs.groupBy("event_type").agg(_hll_est_agg().alias("est_union"))
+    est_p = p_regs.agg(_hll_est_agg().alias("est_purchase"))
+    pu = tu.filter(F.col("event_type") == "purchase").select("user_id")
+    exact = (
+        tu.filter(F.col("event_type") != "purchase")
+        .join(pu, "user_id", "left_semi")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_overlap"))
+    )
+    return (
+        est_t.join(est_u, "event_type")
+        .crossJoin(F.broadcast(est_p))
+        .join(exact, "event_type", "left")
+        .select(
+            "event_type",
+            F.round("est_users", 2).alias("est_users"),
+            F.round("est_purchase", 2).alias("est_purchase"),
+            F.round("est_union", 2).alias("est_union"),
+            F.round(
+                F.col("est_users") + F.col("est_purchase") - F.col("est_union"), 2
+            ).alias("est_overlap"),
+            F.coalesce(F.col("exact_overlap"), F.lit(0)).cast("long").alias(
+                "exact_overlap"
+            ),
+        )
+    )

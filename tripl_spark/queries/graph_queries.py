@@ -421,3 +421,109 @@ def graph_kcore_2peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
+
+
+def lpa_round(sym: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous label-propagation round: every node adopts its
+    neighbors' MODE label (ties → smallest label; isolated nodes keep
+    their own). The per-node argmax is a ``max_by`` over a
+    (count, -label) key — a plain partial-aggregable HashAggregate,
+    no window — so each round costs one edge-sized shuffle on
+    (node, label) and nothing is ever sorted globally."""
+    votes = sym.join(
+        labels.select(F.col("node").alias("dst"), "label"), "dst"
+    ).select(F.col("src").alias("node"), "label")
+    counts = votes.groupBy("node", "label").agg(F.count(F.lit(1)).alias("cnt"))
+    pick = counts.groupBy("node").agg(
+        F.max_by("label", F.struct(F.col("cnt"), (-F.col("label")))).alias("new_label")
+    )
+    return labels.join(pick, "node", "left").select(
+        "node", F.coalesce("new_label", "label").alias("label")
+    )
+
+
+@query(
+    "graph_lpa_2round",
+    oracle="""
+    WITH nodes AS (
+      SELECT DISTINCT user_id AS node FROM events WHERE event_type = 'purchase'
+    ),
+    edges AS (
+      SELECT n1.node AS src, n2.node AS dst
+      FROM nodes n1
+      JOIN nodes n2 ON n2.node = CAST(floor(n1.node / 2) AS BIGINT)
+      WHERE n1.node > 0
+    ),
+    sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    l0 AS (SELECT node, node AS label FROM nodes),
+    v1 AS (SELECT s.src AS node, l.label, count(*) AS cnt
+           FROM sym s JOIN l0 l ON s.dst = l.node GROUP BY 1, 2),
+    p1 AS (SELECT node, label FROM (
+             SELECT node, label,
+                    row_number() OVER (PARTITION BY node
+                                       ORDER BY cnt DESC, label) AS rk
+             FROM v1) WHERE rk = 1),
+    l1 AS (SELECT l.node, coalesce(p.label, l.label) AS label
+           FROM l0 l LEFT JOIN p1 p USING (node)),
+    v2 AS (SELECT s.src AS node, l.label, count(*) AS cnt
+           FROM sym s JOIN l1 l ON s.dst = l.node GROUP BY 1, 2),
+    p2 AS (SELECT node, label FROM (
+             SELECT node, label,
+                    row_number() OVER (PARTITION BY node
+                                       ORDER BY cnt DESC, label) AS rk
+             FROM v2) WHERE rk = 1),
+    l2 AS (SELECT l.node, coalesce(p.label, l.label) AS label
+           FROM l1 l LEFT JOIN p2 p USING (node))
+    SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS community
+    FROM l2
+    """,
+    doc="label propagation (community detection), 2 synchronous rounds "
+    "unrolled: mode-of-neighbor-labels with deterministic smallest-"
+    "label tie-break — each round is one edge-sized shuffle + a "
+    "max_by aggregate (no windows over the graph); fully hash-gated",
+)
+def graph_lpa_2round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over the purchaser ancestry graph — the classic
+    near-linear community algorithm (GraphFrames ships the same
+    under ``labelPropagation``). Differs from connected components:
+    CC converges to one label per REACHABLE set, LPA's mode votes
+    split dense regions from bridges, so chain-connected components
+    fracture into local communities (visible on this graph: tree
+    branches keep distinct labels after 2 rounds where CC merges
+    them).
+
+    Deterministic by construction — synchronous updates (no
+    vertex-order dependence) and smallest-label tie-breaks — which is
+    what makes it SQL-replicable; production LPA usually randomizes
+    tie-breaks to avoid label oscillation, at the price of
+    reproducibility. Scale shape per round: one edge-sized shuffle
+    for the (node, label) vote count, one ``max_by`` argmax (partial-
+    aggregable, no window, no skewed-key sort); the full run is the
+    usual ~5 rounds of the same plan with a localCheckpoint between
+    rounds, exactly the ``connected_components`` loop discipline."""
+    nodes = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("node"))
+        .distinct()
+    )
+    parents = nodes.select(
+        F.col("node").alias("src"),
+        F.floor(F.col("node") / 2).cast("long").alias("dst"),
+    ).filter(F.col("src") > 0)
+    edges = parents.join(
+        nodes.select(F.col("node").alias("__n")),
+        parents.dst == F.col("__n"),
+        "left_semi",
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(2):
+        labels = lpa_round(sym, labels)
+    return labels.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("community"),
+    )

@@ -90,9 +90,13 @@ _PRIORITY = [
     "dedup_method_agreement",
     "classifier_calibration_bins",
     # (b) NEW in r7: the broadcast-cutoff production twins that close
-    # the per-lang-ntile scale weakness — first rows, hash-gated
+    # the per-lang-ntile scale weakness, plus the r7 additions
+    # (sketch-composed audience overlap; LPA community detection) —
+    # first rows, all hash-gated
     "pipeline_perplexity_bycutoff",
     "pipeline_full_curation_bycutoff",
+    "sketch_hll_overlap",
+    "graph_lpa_2round",
     # (c) oracle/builder text changed in r7 — re-gate the exact shapes
     "pipeline_perplexity_buckets",
     "pipeline_full_curation",
