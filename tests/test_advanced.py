@@ -141,3 +141,28 @@ def test_lpa_round_is_synchronous_and_isolated_nodes_keep_labels(spark):
     # synchronous: everyone votes on the OLD labels — 1 sees {2},
     # 2 sees {1,3} (tie -> 1), 3 sees {2}; 9 has no neighbors
     assert got == {1: 2, 2: 1, 3: 2, 9: 9}
+
+
+def test_label_propagation_fixpoint_and_oscillation_guard(spark):
+    from pyspark.sql import functions as F
+
+    from tripl_spark.queries.graph_queries import label_propagation
+
+    # planted cliques with a bridge: converges to two communities well
+    # before max_iters
+    edges = []
+    for base in (0, 10):
+        ns = [base + i for i in range(4)]
+        edges += [(a, b) for a in ns for b in ns if a < b]
+    edges.append((3, 10))
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["label"] for r in label_propagation(e).collect()}
+    assert {got[n] for n in (0, 1, 2, 3)} == {0}
+    assert {got[n] for n in (10, 11, 12, 13)} == {10}
+
+    # single edge: synchronous LPA 2-cycles (1<->2 swap labels every
+    # round) — the oscillation guard must terminate the loop anyway
+    pair = spark.createDataFrame([(1, 2)], "src long, dst long")
+    out = label_propagation(pair, max_iters=50).collect()
+    assert len(out) == 2
+    assert {r["label"] for r in out} <= {1, 2}

@@ -337,34 +337,44 @@ assert HLL_M == 1 << 6 and _HLL_VAL_BITS == 60 - 6
 _POW2 = [1 << i for i in range(_HLL_VAL_BITS)]
 
 
-def hll_registers(items: DataFrame, col: str = "term") -> DataFrame:
-    """(register, max_rho) — deterministic HLL over the DISTINCT items:
-    hash to 60 bits, low 6 bits pick a register, and rho = leading
-    zeros of the remaining 54-bit value + 1 (computed with an
-    integer-exact power-of-two count, no float log). The sketch is
-    ≤ HLL_M rows whatever the cardinality; shard sketches merge by
-    per-register MAX — the same algebraic-merge property as count-min.
-    Spark's own approx_count_distinct keeps its HLL state in opaque
-    binary (rows-only checkable); this variant trades its bias
-    corrections for SQL-replicable arithmetic, so the driver
-    hash-gates every register."""
-    h = F.conv(F.substring(F.md5(F.concat(F.lit("hll:"), F.col(col))), 1, 15), 16, 10).cast(
-        "long"
+def hll_register_rho(df: DataFrame, source: F.Column, extra: list[str]) -> DataFrame:
+    """(*extra, register, r) — the shared HLL hash split: md5 the
+    'hll:'-domain of ``source`` to 60 bits, low 6 bits pick a
+    register, and r (rho) = leading zeros of the remaining 54-bit
+    value + 1, computed with an integer-exact power-of-two count (no
+    float log; ``shiftright`` not double division, which would lose
+    low bits above 2^53 and skew rho). Every HLL builder — corpus
+    vocabulary, per-day sliding, per-segment overlap — goes through
+    this one definition, and each oracle replicates it verbatim."""
+    hv = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hll:"), source)), 1, 15), 16, 10
+    ).cast("long")
+    parts = df.select(
+        *extra,
+        F.pmod(hv, F.lit(HLL_M)).alias("register"),
+        F.shiftright(hv, 6).cast("long").alias("w"),
     )
-    items = items.select(F.col(col)).distinct().select(h.alias("hv"))
-    # exact integer shift — hv/64 through double division would lose
-    # low bits above 2^53 and skew rho
-    w = F.shiftright(F.col("hv"), 6).cast("long")
     powers = F.array(*[F.lit(p) for p in _POW2])
     bitlen = F.size(F.filter(powers, lambda p: p <= F.col("w")))
     rho = F.when(F.col("w") == 0, F.lit(_HLL_VAL_BITS + 1)).otherwise(
         F.lit(_HLL_VAL_BITS + 1) - bitlen
     )
+    return parts.select(*extra, "register", rho.cast("int").alias("r"))
+
+
+def hll_registers(items: DataFrame, col: str = "term") -> DataFrame:
+    """(register, max_rho) — deterministic HLL over the DISTINCT items.
+    The sketch is ≤ HLL_M rows whatever the cardinality; shard
+    sketches merge by per-register MAX — the same algebraic-merge
+    property as count-min. Spark's own approx_count_distinct keeps its
+    HLL state in opaque binary (rows-only checkable); this variant
+    trades its bias corrections for SQL-replicable arithmetic, so the
+    driver hash-gates every register."""
+    distinct = items.select(F.col(col)).distinct()
     return (
-        items.select(F.pmod(F.col("hv"), F.lit(HLL_M)).alias("register"), w.alias("w"))
-        .select("register", rho.cast("int").alias("rho"))
+        hll_register_rho(distinct, F.col(col), [])
         .groupBy("register")
-        .agg(F.max("rho").alias("max_rho"))
+        .agg(F.max("r").alias("max_rho"))
     )
 
 
@@ -654,22 +664,8 @@ def sketch_hll_sliding_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("day_idx"),
         "user_id",
     ).distinct()
-    hv = F.conv(
-        F.substring(F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string"))), 1, 15),
-        16, 10,
-    ).cast("long")
-    parts = du.select(
-        "day_idx",
-        F.pmod(hv, F.lit(HLL_M)).alias("register"),
-        F.shiftright(hv, 6).cast("long").alias("w"),
-    )
-    powers = F.array(*[F.lit(p) for p in _POW2])
-    bitlen = F.size(F.filter(powers, lambda p: p <= F.col("w")))
-    rho = F.when(F.col("w") == 0, F.lit(_HLL_VAL_BITS + 1)).otherwise(
-        F.lit(_HLL_VAL_BITS + 1) - bitlen
-    )
     daily = (
-        parts.select("day_idx", "register", rho.cast("int").alias("r"))
+        hll_register_rho(du, F.col("user_id").cast("string"), ["day_idx"])
         .groupBy("day_idx", "register")
         .agg(F.max("r").alias("r"))
     )
@@ -814,24 +810,8 @@ def sketch_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     54-bit exponent span)."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
     tu = ev.distinct()
-    hv = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string"))), 1, 15
-        ),
-        16, 10,
-    ).cast("long")
-    parts = tu.select(
-        "event_type",
-        F.pmod(hv, F.lit(HLL_M)).alias("register"),
-        F.shiftright(hv, 6).cast("long").alias("w"),
-    )
-    powers = F.array(*[F.lit(p) for p in _POW2])
-    bitlen = F.size(F.filter(powers, lambda p: p <= F.col("w")))
-    rho = F.when(F.col("w") == 0, F.lit(_HLL_VAL_BITS + 1)).otherwise(
-        F.lit(_HLL_VAL_BITS + 1) - bitlen
-    )
     regs = (
-        parts.select("event_type", "register", rho.cast("int").alias("r"))
+        hll_register_rho(tu, F.col("user_id").cast("string"), ["event_type"])
         .groupBy("event_type", "register")
         .agg(F.max("r").alias("r"))
     )

@@ -527,3 +527,53 @@ def graph_lpa_2round(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("long").alias("node"),
         F.col("label").cast("long").alias("community"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    max_iters: int = 10,
+) -> DataFrame:
+    """(node, label) — synchronous LPA run to fixpoint (or until its
+    known failure mode): each round is ``lpa_round`` with a
+    localCheckpoint, and the convergence scalar rides the checkpoint's
+    own job as an ``observe()`` metric, exactly the
+    ``connected_components`` loop discipline (one job per round, no
+    separate convergence action). Unlike CC's min-combining, LPA
+    labels are NOT monotone — synchronous updates 2-CYCLE on bipartite
+    structure (the classic example: a single edge swaps labels every
+    round forever) — so the loop stops when the label hash-sum equals
+    EITHER of the last two rounds' sums: fixpoint or oscillation, both
+    are "done" (production LPA breaks cycles by randomizing update
+    order; we keep determinism and accept the cycle's either state)."""
+    from pyspark.sql import Observation
+
+    sym = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seeds = sym.select(F.col("src").alias("node"))
+    if nodes is not None:
+        seeds = seeds.union(nodes.select(F.col(nodes.columns[0]).alias("node")))
+    labels = (
+        seeds.distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev = prev2 = None
+    for i in range(max_iters):
+        obs = Observation(f"lpa_round_{i}")
+        labels = (
+            lpa_round(sym, labels)
+            .observe(
+                obs,
+                F.sum(F.xxhash64("label").cast("decimal(38,0)")).alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur = obs.get["s"]
+        if cur == prev or cur == prev2:
+            break
+        prev2, prev = prev, cur
+    return labels
