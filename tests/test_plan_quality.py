@@ -202,15 +202,16 @@ def test_per_group_topk_has_partial_window_group_limit(spark, sf_small):
 #   classifier_auc_eval / classifier_calibration_bins — cumulative sums
 #     over per-rounded-score aggregate rows (|distinct scores| <= 10^4)
 #   events_type_share — share-of-total over per-event-type counts
-#   q15_top_supplier — max over per-supplier revenue (dimension-sized)
+#     (|event types| rows, a fixed enum)
 #   search_bm25 / tokenizer_first_merge — rank over a TakeOrdered top-k
 #   sketch_quantile_merge — rank/weight sums over <= (K+1) x shards
 #     summary rows
+# (q15_top_supplier left the list in r7: its window-max became a 1-row
+# broadcast aggregate with a ReusedExchange on the revenue view)
 _GLOBAL_WINDOW_ALLOWED = {
     "classifier_auc_eval",
     "classifier_calibration_bins",
     "events_type_share",
-    "q15_top_supplier",
     "search_bm25",
     "sketch_quantile_merge",
     "tokenizer_first_merge",
@@ -245,6 +246,19 @@ def test_global_windows_only_on_bounded_relations(spark, sf_small, name):
         f"{name} plans {len(gw)} global window(s) over an unverified "
         f"relation: {gw}"
     )
+
+
+def test_q15_reuses_revenue_exchange_no_window(spark, sf_small):
+    # the scalar max must come from a 1-row broadcast aggregate over
+    # the SAME revenue shuffle, never a global window. Exchange reuse
+    # is an AQE runtime decision (identical shuffle stages dedupe at
+    # materialization), so the ReusedExchange node only appears in the
+    # POST-EXECUTION plan — run the query first, then read its plan.
+    df = REGISTRY["q15_top_supplier"].fn(spark, sf_small)
+    df.collect()
+    plan = explain_str(df)
+    assert "ReusedExchange" in plan, plan
+    assert not _global_windows(plan), plan
 
 
 def test_tokenizer_first_merge_is_take_ordered(spark, sf_small):

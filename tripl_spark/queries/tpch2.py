@@ -55,9 +55,13 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15: supplier(s) with max quarterly revenue — scalar
-    subquery as a window max over the aggregated view (one pass, no
-    re-aggregation)."""
+    """TPC-H Q15: supplier(s) with max quarterly revenue. The scalar
+    subquery is a 1-row max AGGREGATE broadcast back onto the revenue
+    view — Catalyst reuses the revenue shuffle for both branches
+    (ReusedExchange, plan-gated), so the view is computed once and
+    nothing goes through a global window: the previous window-max put
+    every supplier's revenue row through ONE task, which grows with
+    the supplier dimension."""
     supp = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -68,9 +72,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_revenue"
         )
     )
-    top = revenue.withColumn(
-        "__mx", F.max("total_revenue").over(W.partitionBy())
-    ).filter(F.col("total_revenue") == F.col("__mx"))
+    mx = revenue.agg(F.max("total_revenue").alias("__mx"))
+    top = revenue.join(
+        F.broadcast(mx), F.col("total_revenue") == F.col("__mx")
+    ).drop("__mx")
     return (
         top.join(F.broadcast(supp), top.supplier_no == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
