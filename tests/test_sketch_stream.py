@@ -170,3 +170,35 @@ def test_streaming_heavy_hitters_sink_mode_survives_driver_restart(
     hh3 = StreamingHeavyHitters(spark, sink_path=sink)
     assert hh3._seen == {0, 1, 2}
     assert {r.term: r.hh_estimate for r in hh3.heavy_hitters().collect()} == want
+
+
+def test_streaming_sketches_sink_mode_survives_driver_restart(
+    spark, sf_small, tmp_path
+):
+    """Kill-and-resume for the cm/HLL pair: a NEW StreamingSketches
+    over the same sink resumes both sketches from the last committed
+    snapshot and converges to the uninterrupted run's state."""
+    docs = _docs(spark, sf_small).select("doc_id", "text")
+    sink = str(tmp_path / "sk_sink")
+
+    sk1 = StreamingSketches(spark, sink_path=sink)
+    sk1.process(docs.filter(F.col("doc_id") % 3 == 0), batch_id=0)
+    sk1.process(docs.filter(F.col("doc_id") % 3 == 1), batch_id=1)
+
+    sk2 = StreamingSketches(spark, sink_path=sink)
+    assert sk2._seen == {0, 1}
+    assert sk2.cm is not None and sk2.hll is not None
+    sk2.process(docs.filter(F.col("doc_id") % 3 == 1), batch_id=1)  # replay
+    sk2.process(docs.filter(F.col("doc_id") % 3 == 2), batch_id=2)  # new
+
+    ref = StreamingSketches(spark)
+    for i in range(3):
+        ref.process(docs.filter(F.col("doc_id") % 3 == i), batch_id=i)
+    assert _cm_map(sk2.cm) == _cm_map(ref.cm)
+    assert _hll_map(sk2.hll) == _hll_map(ref.hll)
+
+    # third construction after full commit: same state again
+    sk3 = StreamingSketches(spark, sink_path=sink)
+    assert sk3._seen == {0, 1, 2}
+    assert _cm_map(sk3.cm) == _cm_map(ref.cm)
+    assert _hll_map(sk3.hll) == _hll_map(ref.hll)

@@ -45,41 +45,86 @@ def _tokens(batch: DataFrame, col: str) -> DataFrame:
 
 class StreamingSketches:
     """Maintains a count-min table and an HLL register table across
-    micro-batches (the ``foreachBatch(sk.process)`` target)."""
+    micro-batches (the ``foreachBatch(sk.process)`` target).
 
-    def __init__(self, spark: SparkSession, col: str = "text") -> None:
+    ``sink_path`` enables the restart-safe mode: both sketches are
+    RUNNING aggregates, so each batch's ``batch_id=N`` partition
+    snapshots the POST-MERGE (cm ∪ hll) state — tagged by a ``sketch``
+    column — and a restarted driver resumes from the last committed
+    snapshot (the ``StreamingHeavyHitters`` scheme; state is d·w + m
+    rows per snapshot, trivially small)."""
+
+    _CM_SCHEMA = "row int, cell bigint, n long"
+    _HLL_SCHEMA = "register bigint, max_rho int"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        col: str = "text",
+        sink_path: str | None = None,
+    ) -> None:
+        from tripl_spark.streaming.sinks import committed_batches
+
         self.spark = spark
         self.col = col
+        self.sink_path = sink_path
         self.cm: DataFrame | None = None
         self.hll: DataFrame | None = None
         self._seen: set[int] = set()
+        if sink_path:
+            committed = committed_batches(sink_path)
+            self._seen = set(committed)
+            if committed:
+                last = f"{sink_path}/batch_id={max(committed)}"
+                self.cm = self.spark.read.schema(self._CM_SCHEMA).parquet(
+                    f"{last}/cm"
+                ).localCheckpoint(eager=True)
+                self.hll = self.spark.read.schema(self._HLL_SCHEMA).parquet(
+                    f"{last}/hll"
+                ).localCheckpoint(eager=True)
 
     def process(self, batch: DataFrame, batch_id: int) -> None:
-        if batch_id in self._seen:  # in-process replay: idempotent skip
+        if batch_id in self._seen:  # replay: idempotent skip
             return
-        self._seen.add(batch_id)
         toks = _tokens(batch, self.col)
         cm_delta = countmin_table(toks)
         hll_delta = hll_registers(toks)
         if self.cm is None:
-            self.cm, self.hll = cm_delta, hll_delta
+            cm, hll = cm_delta, hll_delta
         else:
             # the merge rules the batch layer proves associative:
             # cells ADD, registers MAX
-            self.cm = (
+            cm = (
                 self.cm.unionByName(cm_delta)
                 .groupBy("row", "cell")
                 .agg(F.sum("n").alias("n"))
             )
-            self.hll = (
+            hll = (
                 self.hll.unionByName(hll_delta)
                 .groupBy("register")
                 .agg(F.max("max_rho").alias("max_rho"))
             )
         # cut lineage so N batches don't stack N plans; state is at most
         # d*w + m rows, so the checkpoint is trivially cheap
-        self.cm = self.cm.localCheckpoint(eager=True)
-        self.hll = self.hll.localCheckpoint(eager=True)
+        cm = cm.localCheckpoint(eager=True)
+        hll = hll.localCheckpoint(eager=True)
+        if self.sink_path is not None:
+            # snapshot both sketches into this batch's partition BEFORE
+            # marking seen; the cm write commits last so a partition is
+            # only complete when both sub-dirs exist (the cm _SUCCESS is
+            # the one committed_batches checks via the partition root —
+            # write order: hll first, then cm, then the root marker)
+            import os
+
+            base = f"{self.sink_path}/batch_id={batch_id}"
+            marker = os.path.join(base, "_SUCCESS")
+            if os.path.exists(marker):  # forced replay: drop the marker
+                os.remove(marker)  # first so a mid-rewrite crash replays
+            hll.write.mode("overwrite").parquet(f"{base}/hll")
+            cm.write.mode("overwrite").parquet(f"{base}/cm")
+            open(marker, "w").close()
+        self.cm, self.hll = cm, hll
+        self._seen.add(batch_id)
 
 
 class StreamingHeavyHitters:
