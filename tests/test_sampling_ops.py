@@ -163,3 +163,32 @@ def test_vocab_coverage_semantics(spark, sf_small):
     for doc_id, t in toks.items():
         n_oov = sum(1 for x in t if x not in vocab)
         assert out[doc_id] == (len(t), n_oov), doc_id
+
+
+def test_epoch_schedule_cap_and_spill_redistribution(spark):
+    """Skewed mix the corpus fixture never produces: a tiny source
+    whose temperature target exceeds the epoch cap must be capped, its
+    excess redistributed over the uncapped sources proportionally to
+    their targets, and total allocation conserved (no residual here
+    since the big sources stay under cap after the spill)."""
+    from pyspark.sql import functions as F
+
+    from tripl_spark.operators.mixing import epoch_schedule
+
+    per = spark.createDataFrame(
+        [("tiny", 100), ("mid", 10_000), ("big", 90_000)],
+        "source string, src_tokens long",
+    )
+    rows = {r["source"]: r for r in epoch_schedule(per).collect()}
+    # sqrt weights: tiny raw ~73 epochs, mid raw ~7.3 — both capped
+    # exactly at 4.0; big raw ~2.44 stays open
+    assert rows["tiny"]["epochs"] == 4.0
+    assert rows["tiny"]["allocated_tokens"] == 400.0
+    assert rows["mid"]["epochs"] == 4.0
+    assert rows["mid"]["allocated_tokens"] == 40_000.0
+    # the one uncapped source absorbs ALL the spill and stays under cap
+    assert 2.44 < rows["big"]["epochs"] < 4.0, rows["big"]
+    # conservation: everything the budget had is allocated (3x total)
+    total = sum(r["allocated_tokens"] for r in rows.values())
+    budget = 3 * (100 + 10_000 + 90_000)
+    assert abs(total - budget) < 1.0, (total, budget)

@@ -229,3 +229,127 @@ def mixing_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return running.join(F.broadcast(budget), "source").filter(
         F.col("cum_tokens") <= F.col("budget_tokens")
     ).select("doc_id", "source", "n_tokens", "cum_tokens", "budget_tokens")
+
+
+# -- data-constrained epoch scheduling --------------------------------------
+
+EPOCH_CAP = 4.0        # max repetitions of any source (up-sampling cap)
+EPOCH_BUDGET_MULT = 3  # training budget = 3 x total corpus tokens
+
+
+@query(
+    "mixing_epoch_schedule",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT source,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    per AS (SELECT source, sum(n_tokens) AS src_tokens FROM toks GROUP BY source),
+    tot AS (SELECT sum(src_tokens) AS total_tokens,
+                   sum(sqrt(src_tokens)) AS z FROM per),
+    base AS (
+      SELECT p.source, p.src_tokens,
+             {EPOCH_BUDGET_MULT} * t.total_tokens * sqrt(p.src_tokens) / t.z
+               AS target,
+             ({EPOCH_BUDGET_MULT} * t.total_tokens * sqrt(p.src_tokens) / t.z)
+               / p.src_tokens > {EPOCH_CAP} AS capped
+      FROM per p, tot t
+    ),
+    spill AS (
+      SELECT coalesce(sum(CASE WHEN capped
+                               THEN target - {EPOCH_CAP} * src_tokens END), 0)
+               AS spill,
+             coalesce(sum(CASE WHEN NOT capped THEN target END), 0) AS open_target
+      FROM base
+    )
+    SELECT b.source, CAST(b.src_tokens AS BIGINT) AS src_tokens,
+           round(CASE WHEN b.capped THEN {EPOCH_CAP}
+                      ELSE least({EPOCH_CAP},
+                                 (b.target + CASE WHEN s.open_target > 0
+                                                  THEN s.spill * b.target / s.open_target
+                                                  ELSE 0 END) / b.src_tokens)
+                 END, 4) AS epochs,
+           CAST(round(CASE WHEN b.capped THEN {EPOCH_CAP} * b.src_tokens
+                      ELSE least({EPOCH_CAP} * b.src_tokens,
+                                 b.target + CASE WHEN s.open_target > 0
+                                                 THEN s.spill * b.target / s.open_target
+                                                 ELSE 0 END)
+                 END, 2) AS DOUBLE) AS allocated_tokens
+    FROM base b, spill s
+    """,
+    doc="data-constrained epoch schedule: temperature-weighted token "
+    "budget split across sources with a hard up-sampling cap and one "
+    "deterministic spill-redistribution round — the 'how many epochs "
+    "of each source' plan a repetition-limited training run needs; "
+    "fully hash-gated",
+)
+def mixing_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many EPOCHS of each source a token budget buys — the
+    data-constrained regime (Muennighoff et al. 2023, arXiv:2305.16264:
+    repeating data beyond ~4 epochs yields rapidly diminishing
+    returns, so up-sampling is capped). Budget = {EPOCH_BUDGET_MULT}x
+    the corpus, split by temperature weights (sqrt — i.e. tau=0.5,
+    chosen because sqrt is IEEE-correctly-rounded on BOTH engines
+    where general pow is not, keeping the gate bit-stable), with one
+    redistribution round: sources whose allocation exceeds the
+    {EPOCH_CAP}-epoch cap return their excess to the pool, which
+    spreads over uncapped sources in proportion to their target (then
+    caps again; residual spill after the second cap stays
+    unallocated — a single deterministic round, not an iterative
+    water-fill, so the SQL replica is exact).
+
+    Scale shape: one corpus-sized token-count aggregate; everything
+    after runs on |sources| rows through broadcast scalar joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    per = toks.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    return epoch_schedule(per)
+
+
+def epoch_schedule(
+    per: DataFrame, budget_mult: float = EPOCH_BUDGET_MULT, cap: float = EPOCH_CAP
+) -> DataFrame:
+    """The schedule computation over a (source, src_tokens) frame —
+    factored out so the cap/redistribution arithmetic is unit-testable
+    on skewed synthetic mixes the corpus fixture never produces."""
+    tot = per.agg(
+        F.sum("src_tokens").alias("total_tokens"),
+        F.sum(F.sqrt(F.col("src_tokens"))).alias("z"),
+    )
+    target = (
+        F.lit(budget_mult) * F.col("total_tokens")
+        * F.sqrt(F.col("src_tokens")) / F.col("z")
+    )
+    base = per.crossJoin(F.broadcast(tot)).select(
+        "source", "src_tokens",
+        target.alias("target"),
+        (target / F.col("src_tokens") > cap).alias("capped"),
+    )
+    spill = base.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("capped"),
+                         F.col("target") - cap * F.col("src_tokens"))),
+            F.lit(0.0),
+        ).alias("spill"),
+        F.coalesce(
+            F.sum(F.when(~F.col("capped"), F.col("target"))), F.lit(0.0)
+        ).alias("open_target"),
+    )
+    share = F.when(
+        F.col("open_target") > 0,
+        F.col("spill") * F.col("target") / F.col("open_target"),
+    ).otherwise(F.lit(0.0))
+    final_target = F.when(
+        F.col("capped"), F.lit(cap) * F.col("src_tokens")
+    ).otherwise(F.least(F.lit(cap) * F.col("src_tokens"),
+                        F.col("target") + share))
+    return base.crossJoin(F.broadcast(spill)).select(
+        "source",
+        F.col("src_tokens").cast("long").alias("src_tokens"),
+        F.round(final_target / F.col("src_tokens"), 4).alias("epochs"),
+        F.round(final_target, 2).alias("allocated_tokens"),
+    )

@@ -97,6 +97,7 @@ _PRIORITY = [
     "pipeline_full_curation_bycutoff",
     "sketch_hll_overlap",
     "graph_lpa_2round",
+    "mixing_epoch_schedule",
     # (c) oracle/builder text changed in r7 — re-gate the exact shapes
     "pipeline_perplexity_buckets",
     "pipeline_full_curation",
