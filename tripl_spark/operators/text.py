@@ -486,12 +486,15 @@ def pipeline_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; the corpus never shuffles by doc for scoring); the
     per-lang ntile window shuffles only (doc_id, lang, score) rows,
     not text. ntile needs a global per-lang sort — at 100 TB with few
-    languages, swap the exact ntile for sampled score cutoffs
-    broadcast into a scan-side bucket assignment (the CCNet paper's
-    own approach), the same window-skew escape the token-budget mix
-    documents; the exact ntile is kept here because it is
-    engine-reproducible rank arithmetic with no float-percentile
-    interpolation to diverge."""
+    languages that serializes the dominant language through one task,
+    so the PRODUCTION path is ``pipeline_perplexity_bycutoff`` below
+    (sampled score cutoffs broadcast into a scan-side bucket
+    assignment — the CCNet paper's own approach; probe-measured flat
+    vs this query's linear single-task growth, SCALE.md r7). The
+    exact ntile stays registered because it is engine-reproducible
+    rank arithmetic with no float-percentile interpolation to
+    diverge — the oracle shape of the twin pair, with the agreement
+    bound pinned in tests/test_ppl_cutoff.py."""
     docs = load_table(spark, sf_dir, "documents")
     scored = bigram_logprob_scores(docs)
     lbl = scored.join(docs.select("doc_id", "lang"), "doc_id")
