@@ -282,6 +282,24 @@ def test_perplexity_cutoff_twins_have_no_per_lang_corpus_window(spark, sf_small)
         assert "BroadcastHashJoin" in plan, (name, plan)
 
 
+def test_hll_overlap_is_sketch_sized_after_one_corpus_agg(spark, sf_small):
+    # the register build is the ONLY event-sized work (map-side
+    # combined); everything downstream — union sketch, three
+    # estimates, the 1-row purchase scalar — joins via broadcast over
+    # <= 64-row tables
+    plan = _plan(spark, sf_small, "sketch_hll_overlap")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_lpa_argmax_is_aggregate_not_window(spark, sf_small):
+    # the per-node mode pick must be a max_by HashAggregate — a window
+    # ranked by vote count would re-sort every node's label votes
+    plan = _plan(spark, sf_small, "graph_lpa_2round")
+    assert "Window" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
 def test_semantic_decontamination_is_broadcast_bounded(spark, sf_small):
     # the benchmark embeddings (tiny by definition) must broadcast into
     # a nested-loop cosine match — bench x corpus, linear in the corpus

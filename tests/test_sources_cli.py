@@ -387,3 +387,40 @@ def test_cli_datalog_extensions_end_to_end(tmp_path):
         "where": [["?e", "x:id", "?i"],
                   ["or", ["?e", "x:tag", "keep"], ["?e", "x:id", "b"]]],
     }) == [["a"], ["b"], ["c"]]
+
+
+def test_cli_datalog_with_and_not_in_or(tmp_path):
+    """The r7 datalog surface through the console: the 'with' key and
+    negation inside an 'or' and-group survive the CLI JSON path."""
+    docs = [
+        {"x:id": "p", "x:score": 5, "x:tag": "keep"},
+        {"x:id": "q", "x:score": 5},
+        {"x:id": "r", "x:score": 3, "x:tag": "other"},
+    ]
+    f1 = tmp_path / "in.json"
+    f1.write_text(json.dumps(docs))
+
+    def run_q(query):
+        out = tmp_path / "q.json"
+        r = subprocess.run(
+            [sys.executable, "-m", "tripl_spark.cli", "q", "-i", str(f1),
+             "-o", str(out), "-q", json.dumps(query), "--id-attrs", "x:id"],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(out.read_text())
+
+    # set semantics collapse the duplicate 5 -> 8; 'with' keeps both
+    base = {"find": [["sum", "?v"]], "where": [["?e", "x:score", "?v"]]}
+    assert run_q(base) == [[8.0]]
+    assert run_q({**base, "with": ["?e"]}) == [[13.0]]
+    # not inside an or-branch and-group
+    got = run_q({
+        "find": ["?i"],
+        "where": [["?e", "x:id", "?i"],
+                  ["or",
+                   ["and", ["?e", "x:score", 5],
+                    ["not", ["?e", "x:tag", "keep"]]],
+                   ["?e", "x:tag", "other"]]],
+    })
+    assert got == [["q"], ["r"]]
