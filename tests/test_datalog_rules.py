@@ -166,3 +166,74 @@ def test_not_over_derived_predicate(spark):
                    ["not", ["?who", "anc", "d"]]]},
     ).collect()
     assert {r["?who"] for r in rows} == {"s:y"}
+
+
+def _tagged_facts(spark, pairs, tags):
+    rows = [(c, "parent", "ref", p, None, None, 0) for c, p in pairs]
+    rows += [(n, "tag", "string", t, None, None, 0) for n, t in tags]
+    return spark.createDataFrame(
+        rows,
+        "e string, a string, vtype string, v_str string, v_num double, "
+        "v_bool boolean, t long",
+    )
+
+
+def test_rule_body_with_or_clause(spark):
+    # link(x, y) :- parent(x, y) is covered by edges; the OR lets a
+    # rule body accept either of two base attributes
+    rows = [("a", "parent", "ref", "b", None, None, 0),
+            ("c", "spouse", "ref", "d", None, None, 0)]
+    facts = spark.createDataFrame(
+        rows,
+        "e string, a string, vtype string, v_str string, v_num double, "
+        "v_bool boolean, t long",
+    )
+    rules = [(["?x", "link", "?y"],
+              [["or", ["?x", "parent", "?y"], ["?x", "spouse", "?y"]]])]
+    link = eval_rules(facts, rules)["link"]
+    assert {(r.e, r.v) for r in link.collect()} == {("a", "b"), ("c", "d")}
+
+
+def test_rule_body_with_base_negation_in_recursion(spark):
+    # ancestor closure that never passes THROUGH a blocked node: the
+    # negation (base attribute) applies inside every semi-naive round
+    pairs = [("a", "b"), ("b", "c"), ("c", "d")]
+    facts = _tagged_facts(spark, pairs, [("c", "blocked")])
+    rules = [
+        (["?x", "anc", "?y"],
+         [["?x", "parent", "?y"], ["not", ["?x", "tag", "blocked"]]]),
+        (["?x", "anc", "?y"],
+         [["?x", "parent", "?z"], ["?z", "anc", "?y"],
+          ["not", ["?z", "tag", "blocked"]]]),
+    ]
+    anc = eval_rules(facts, rules)["anc"]
+    got = {(r.e, r.v) for r in anc.collect()}
+    # c->d dropped (c blocked as source); b->c survives (b not blocked)
+    # and a->c derives through b; nothing reaches d
+    assert got == {("a", "b"), ("b", "c"), ("a", "c")}
+
+
+def test_rule_body_rejects_negated_derived_predicate(spark):
+    import pytest
+
+    facts = _parent_facts(spark, [("a", "b")])
+    rules = [
+        (["?x", "anc", "?y"], [["?x", "parent", "?y"]]),
+        (["?x", "weird", "?y"],
+         [["?x", "parent", "?y"], ["not", ["?x", "anc", "?y"]]]),
+    ]
+    with pytest.raises(ValueError, match="non-stratifiable"):
+        eval_rules(facts, rules)
+
+
+def test_rule_body_rejects_derived_predicate_in_or(spark):
+    import pytest
+
+    facts = _parent_facts(spark, [("a", "b")])
+    rules = [
+        (["?x", "anc", "?y"], [["?x", "parent", "?y"]]),
+        (["?x", "weird", "?y"],
+         [["or", ["?x", "parent", "?y"], ["?x", "anc", "?y"]]]),
+    ]
+    with pytest.raises(ValueError, match="derived predicate"):
+        eval_rules(facts, rules)

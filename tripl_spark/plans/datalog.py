@@ -527,40 +527,79 @@ def eval_rules(
     accumulated relation, which still reaches the same fixpoint for
     monotone rules, just possibly in more rounds.
 
+    Rule bodies may contain ``["or", ...]`` and ``["not", ...]``
+    clauses over BASE attributes: the ``or`` binding relation is built
+    once per evaluation (no derived predicates inside branches — the
+    delta-substitution semantics of a recursive disjunct are not
+    implemented), and negation anti-joins each variant's positive fold
+    (negation over a DERIVED predicate is rejected: negation through
+    recursion is non-stratifiable — the standard datalog restriction).
+
     Returns {pred: DataFrame(e, v)} of derived pairs."""
     preds = {head[1] for head, _ in rules}
     known: dict[str, DataFrame] = {}
     delta: dict[str, DataFrame] = {}
 
-    def eval_body(body: list[list[Any]], use_delta: bool) -> list[DataFrame]:
-        """All clause-frame lists for this body; with use_delta, one
-        variant per recursive clause position substituted with delta."""
-        rec_positions = [i for i, c in enumerate(body) if c[1] in preds]
-        variants: list[list[tuple[DataFrame, list[str]]]] = []
-        if not use_delta or not rec_positions:
-            variants.append(
-                [
-                    _derived_clause_df(known[c[1]], c)
-                    if c[1] in preds
-                    else _clause_df(facts, c)
-                    for c in body
-                ]
-            )
-        else:
-            for dpos in rec_positions:
-                variants.append(
-                    [
-                        _derived_clause_df(
-                            delta[c[1]] if i == dpos else known[c[1]], c
+    def _split_body(body):
+        pos = [c for c in body if not (_is_not_clause(c) or _is_or_clause(c))]
+        ors = [c for c in body if _is_or_clause(c)]
+        negs = [list(c[1:]) for c in body if _is_not_clause(c)]
+        for oc in ors:
+            for br in oc[1:]:
+                sub = br[1:] if br and br[0] == "and" else [br]
+                for sc in sub:
+                    inner = sc[1:] if sc and sc[0] == "not" else [sc]
+                    if any(
+                        isinstance(c, (list, tuple)) and len(c) == 3
+                        and c[1] in preds for c in inner
+                    ):
+                        raise ValueError(
+                            f"'or' branch {br!r} references a derived "
+                            "predicate — disjunction over recursive "
+                            "predicates is not supported in rule bodies"
                         )
-                        if c[1] in preds
-                        else _clause_df(facts, c)
-                        for i, c in enumerate(body)
-                    ]
+        for sub in negs:
+            if any(sc[1] in preds for sc in sub):
+                raise ValueError(
+                    f"'not' {sub!r} negates a derived predicate — "
+                    "negation through recursion is non-stratifiable; "
+                    "negate base attributes only"
                 )
-        return [
-            _fold_clause_dfs(v)[0] for v in variants
-        ]
+        return pos, ors, negs
+
+    split = [(head, _split_body(body)) for head, body in rules]
+
+    def eval_body(parts, use_delta: bool) -> list[DataFrame]:
+        """All bound frames for this body; with use_delta, one variant
+        per recursive POSITIVE clause position substituted with delta.
+        or-clauses fold in as extra binding relations; negations
+        anti-join each variant after its fold."""
+        pos, ors, negs = parts
+        rec_positions = [i for i, c in enumerate(pos) if c[1] in preds]
+        or_frames = [_or_clause_df(facts, c) for c in ors]
+
+        def frames(dpos: int | None):
+            return [
+                _derived_clause_df(
+                    delta[c[1]] if i == dpos else known[c[1]], c
+                )
+                if c[1] in preds
+                else _clause_df(facts, c)
+                for i, c in enumerate(pos)
+            ] + or_frames
+
+        variant_frames = (
+            [frames(None)]
+            if not use_delta or not rec_positions
+            else [frames(dpos) for dpos in rec_positions]
+        )
+        out = []
+        for v in variant_frames:
+            bound, bvars = _fold_clause_dfs(v)
+            for sub in negs:
+                bound = _apply_negation(facts, bound, bvars, sub)
+            out.append(bound)
+        return out
 
     def head_pairs(head: list[Any], bound: DataFrame) -> DataFrame:
         e_var, _pred, v_var = head
@@ -568,11 +607,12 @@ def eval_rules(
             _strip_s(F.col(e_var)).alias("e"), _strip_s(F.col(v_var)).alias("v")
         ).distinct()
 
-    # seed: non-recursive rules only
-    for head, body in rules:
-        if any(c[1] in preds for c in body):
+    # seed: non-recursive rules only (recursion = a derived predicate
+    # in a POSITIVE clause; or/not clauses were validated base-only)
+    for head, parts in split:
+        if any(c[1] in preds for c in parts[0]):
             continue
-        pairs = head_pairs(head, eval_body(body, use_delta=False)[0])
+        pairs = head_pairs(head, eval_body(parts, use_delta=False)[0])
         pred = head[1]
         known[pred] = (
             pairs if pred not in known else known[pred].union(pairs).distinct()
@@ -586,11 +626,11 @@ def eval_rules(
 
     for _round in range(max_iters):
         new: dict[str, DataFrame] = {}
-        for head, body in rules:
-            if not any(c[1] in preds for c in body):
+        for head, parts in split:
+            if not any(c[1] in preds for c in parts[0]):
                 continue
             pred = head[1]
-            for bound in eval_body(body, use_delta=True):
+            for bound in eval_body(parts, use_delta=True):
                 pairs = head_pairs(head, bound)
                 new[pred] = pairs if pred not in new else new[pred].union(pairs)
         progressed = False
