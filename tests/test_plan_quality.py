@@ -308,3 +308,12 @@ def test_semantic_decontamination_is_broadcast_bounded(spark, sf_small):
     plan = _plan(spark, sf_small, "pipeline_semantic_decontamination")
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "LeftAnti" in plan, plan
+
+
+def test_filtered_knn_pushes_predicate_to_documents_scan(spark, sf_small):
+    # the pre-filter shape: lang = 'en' must reach the documents
+    # parquet scan as a pushed filter, and the qualifying ids
+    # semi-join the embedding side BEFORE scoring
+    plan = _plan(spark, sf_small, "sim_knn_filtered")
+    assert "EqualTo(lang,en)" in plan, plan
+    assert "LeftSemi" in plan, plan

@@ -158,3 +158,27 @@ def test_knn_bruteforce_arrow_twin_matches_expression_path(spark, sf_small):
     for k in expr:
         assert expr[k][0] == arrow[k][0], k
         assert abs(expr[k][1] - arrow[k][1]) < 1e-9, k
+
+
+def test_filtered_knn_respects_predicate_and_differs_from_unfiltered(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from tripl_spark.queries.registry import REGISTRY, _ensure_loaded
+    from tripl_spark.session import load_table
+
+    _ensure_loaded()
+    res = REGISTRY["sim_knn_filtered"].fn(spark, sf_small).collect()
+    allowed = {
+        r["doc_id"]
+        for r in load_table(spark, sf_small, "documents")
+        .filter(F.col("lang") == "en")
+        .select("doc_id")
+        .collect()
+    }
+    assert res, "filtered search returned nothing"
+    for r in res:
+        assert r["neighbor_id"] in allowed, r
+    # the filter must actually bite: the unfiltered top lists contain
+    # non-en neighbors somewhere (else the predicate is vacuous here)
+    unfiltered = REGISTRY["sim_knn_bruteforce"].fn(spark, sf_small).collect()
+    assert any(r["neighbor_id"] not in allowed for r in unfiltered)

@@ -756,3 +756,72 @@ def knn_bruteforce_arrow(
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= top_k)
     )
+
+
+FILTER_LANG = "en"  # the metadata predicate for filtered search
+
+
+@query(
+    "sim_knn_filtered",
+    oracle=f"""
+    WITH allowed AS (SELECT doc_id FROM documents WHERE lang = '{FILTER_LANG}'),
+         q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS cv
+               FROM embeddings JOIN allowed ON vec_id = doc_id)
+    SELECT query_id, vec_id AS neighbor_id, cosine, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT q.query_id, c.vec_id,
+             round(list_cosine_similarity(qv, cv), 4) AS cosine,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY round(list_cosine_similarity(qv, cv), 4) DESC,
+                                         c.vec_id) AS rk
+      FROM q JOIN c ON q.query_id <> c.vec_id
+    )
+    WHERE rk <= {TOP_K}
+    """,
+    doc="predicate-filtered vector search (PRE-filter shape): the "
+    "metadata predicate pushes to the documents scan and semi-joins "
+    "the candidate set BEFORE any scoring — exact top-k among "
+    "qualifying vectors only; fully hash-gated",
+)
+def sim_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: top-k cosine neighbors among vectors
+    whose DOCUMENT satisfies a metadata predicate (lang = 'en') — the
+    retrieval shape every RAG / curation system actually runs, where
+    naive ANN-then-filter silently returns fewer than k rows.
+
+    This is the PRE-filter plan: the predicate pushes down to the
+    documents scan (plan-gated), the qualifying ids semi-join the
+    embedding side, and only survivors are scored — cost ∝ selectivity
+    x corpus, correct for ANY selectivity. The alternative POST-filter
+    plan (run ANN first, filter the top list, over-fetch by
+    ~k/selectivity to compensate) wins only when the predicate is
+    nearly-always-true AND an index (IVF/LSH — `sim_ann_ivf_kmeans`,
+    `sim_ann_lsh`) makes unfiltered search cheap; at low selectivity
+    it degrades to scanning the index for rows it then throws away.
+    The crossover rule of thumb (e.g. Qdrant/Milvus docs): pre-filter
+    below ~10% selectivity, post-filter with over-fetch above. This
+    query pins the pre-filter semantics exactly; composing the same
+    semi-join into the LSH bucket probe gives the indexed variant
+    (the bucket join simply gains one more equi-key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    allowed = docs.filter(F.col("lang") == FILTER_LANG).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cand = emb.join(allowed, "vec_id", "left_semi")
+    scored = cand.join(F.broadcast(q), F.col("query_id") != F.col("vec_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("v")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= TOP_K
+    )

@@ -98,6 +98,7 @@ _PRIORITY = [
     "sketch_hll_overlap",
     "graph_lpa_2round",
     "mixing_epoch_schedule",
+    "sim_knn_filtered",
     # (c) oracle/builder text changed in r7 — re-gate the exact shapes
     "pipeline_perplexity_buckets",
     "pipeline_full_curation",
