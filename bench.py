@@ -169,6 +169,12 @@ def _layout_ab(spark, sf_dir: str) -> dict[str, float]:
     loc = tempfile.mkdtemp(prefix="bench_bucket_wh_")
     old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
+        # a killed prior run can leave a stale benchbuck database whose
+        # LOCATION no longer exists; CREATE ... IF NOT EXISTS would keep
+        # it, so drop first
+        spark.sql("DROP TABLE IF EXISTS benchbuck.lineitem_b")
+        spark.sql("DROP TABLE IF EXISTS benchbuck.orders_b")
+        spark.sql("DROP DATABASE IF EXISTS benchbuck")
         ensure_database(spark, "benchbuck", loc)
         write_bucketed(li, "benchbuck.lineitem_b", "l_orderkey", 16)
         write_bucketed(orders, "benchbuck.orders_b", "o_orderkey", 16)
@@ -224,7 +230,13 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     canary = _canary(spark)
-    layout = _layout_ab(spark, sf_dir)
+    # the layout A/B is a side experiment — it must never cost us the
+    # already-computed headline timings (catalog/tempdir failures land
+    # as an error marker in the artifact instead)
+    try:
+        layout = _layout_ab(spark, sf_dir)
+    except Exception as ex:  # noqa: BLE001
+        layout = {"error": str(ex)[:120]}
     # Diagnostics (per-query spread across runs) go to stderr: the driver
     # captures only the last ~2000 chars of stdout and parses the JSON line
     # out of that tail, so the stdout line must stay short and be last.

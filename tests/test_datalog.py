@@ -535,3 +535,13 @@ def test_datalog_aggregate_falsy_sort_is_deterministic(with_store):
     }
     got = with_store.q(q_dict)
     assert got == [(3, 1), (5, 2)]
+
+
+def test_datalog_with_gives_bag_semantics_on_non_aggregate(with_store):
+    # Datomic's :with on a NON-aggregate query suppresses duplicate
+    # elimination across distinct with-tuples: the two entities scoring
+    # 5 each contribute a row
+    q_dict = {"find": ["?v"], "where": [["?e", "x:score", "?v"]]}
+    assert with_store.q(q_dict) == [(3,), (5,)]
+    got = with_store.q({**q_dict, "with": ["?e"]})
+    assert sorted(got) == [(3,), (5,), (5,)]

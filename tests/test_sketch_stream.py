@@ -202,3 +202,32 @@ def test_streaming_sketches_sink_mode_survives_driver_restart(
     assert sk3._seen == {0, 1, 2}
     assert _cm_map(sk3.cm) == _cm_map(ref.cm)
     assert _hll_map(sk3.hll) == _hll_map(ref.hll)
+
+
+def test_running_aggregate_sinks_never_double_merge_on_forced_replay(
+    spark, sf_small, tmp_path
+):
+    """The committed sink is authoritative for running-aggregate
+    consumers: discarding a batch id from the seen-set and replaying
+    it must be a NO-OP (state is post-batch, so a re-merge would
+    double every count) — unlike the append-only match sinks, where
+    partition overwrite alone is idempotent."""
+    from tripl_spark.streaming.sketch_stream import StreamingHeavyHitters
+
+    docs = _docs(spark, sf_small).select("doc_id", "text")
+
+    hh = StreamingHeavyHitters(spark, sink_path=str(tmp_path / "hh"))
+    hh.process(docs, batch_id=0)
+    before = {(r.shard, r.term): r.c for r in hh.state.collect()}
+    hh._seen.discard(0)
+    hh.process(docs, batch_id=0)  # forced replay of a COMMITTED batch
+    assert 0 in hh._seen  # re-synced from the sink
+    after = {(r.shard, r.term): r.c for r in hh.state.collect()}
+    assert after == before
+
+    sk = StreamingSketches(spark, sink_path=str(tmp_path / "sk"))
+    sk.process(docs, batch_id=0)
+    cm_before = _cm_map(sk.cm)
+    sk._seen.discard(0)
+    sk.process(docs, batch_id=0)
+    assert _cm_map(sk.cm) == cm_before

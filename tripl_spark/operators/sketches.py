@@ -714,9 +714,10 @@ def _hll_est_agg() -> F.Column:
     ).otherwise(raw)
 
 
-def _hll_est_sql(rows: str) -> str:
-    """The same estimate in DuckDB SQL over a register CTE with
-    columns (key..., r) — keep in lockstep with ``_hll_est_agg``."""
+def _hll_est_sql() -> str:
+    """The same estimate in DuckDB SQL, as a bare aggregate expression
+    over register rows with column ``r`` — the FROM/GROUP BY scope is
+    the caller's; keep in lockstep with ``_hll_est_agg``."""
     return (
         f"CASE WHEN {HLL_ALPHA} * {float(HLL_M * HLL_M)} / "
         f"((sum(CAST(power(2.0, 55 - r) AS BIGINT))"
@@ -758,11 +759,11 @@ def _hll_est_sql(rows: str) -> str:
         FROM (SELECT DISTINCT event_type FROM others) t CROSS JOIN p_regs p
       ) GROUP BY 1, 2
     ),
-    est_t AS (SELECT event_type, {_hll_est_sql('others')} AS est_users
+    est_t AS (SELECT event_type, {_hll_est_sql()} AS est_users
               FROM others GROUP BY event_type),
-    est_u AS (SELECT event_type, {_hll_est_sql('union_regs')} AS est_union
+    est_u AS (SELECT event_type, {_hll_est_sql()} AS est_union
               FROM union_regs GROUP BY event_type),
-    est_p AS (SELECT {_hll_est_sql('p_regs')} AS est_purchase FROM p_regs),
+    est_p AS (SELECT {_hll_est_sql()} AS est_purchase FROM p_regs),
     exact AS (
       SELECT a.event_type, count(DISTINCT a.user_id) AS exact_overlap
       FROM tu a JOIN (SELECT user_id FROM tu WHERE event_type = 'purchase') p

@@ -331,12 +331,12 @@ def q_df(facts: DataFrame, query: dict[str, Any]) -> DataFrame:
         raise ValueError(f"find variables not bound by any clause: {missing}")
 
     # Datomic's :with escape hatch — extra tuple-distinguishing
-    # variables excluded from the output. Without it, sum/avg run over
-    # DISTINCT (group ∪ agg) binding tuples, so equal values from
-    # different entities collapse to one contribution; ``'with':
-    # ['?e']`` keeps one tuple per entity before aggregating. Only
-    # aggregation is affected (the non-aggregate path is set-semantics
-    # on the find vars either way), matching Datomic.
+    # variables excluded from the output. For aggregates: sum/avg run
+    # over DISTINCT (group ∪ agg ∪ with) binding tuples, so ``'with':
+    # ['?e']`` keeps one tuple per entity where plain set semantics
+    # would collapse equal values. For non-aggregate queries it gives
+    # Datomic's BAG semantics: one output row per distinct
+    # (find ∪ with) binding, so duplicate find-projections survive.
     with_ = query.get("with") or []
     with_vars = [with_] if isinstance(with_, str) else list(with_)
     bad_with = [w for w in with_vars if not (_is_var(w) and w in bound_vars)]
@@ -374,7 +374,13 @@ def q_df(facts: DataFrame, query: dict[str, Any]) -> DataFrame:
             return out.limit(int(take))
         return out
 
-    out = bound.select(*find_vars).distinct()
+    if with_vars:
+        # bag semantics: distinct over (find ∪ with), then project the
+        # with-vars away — duplicates per distinct with-tuple remain
+        tuple_vars = list(dict.fromkeys(find_vars + with_vars))
+        out = bound.select(*tuple_vars).distinct().select(*find_vars)
+    else:
+        out = bound.select(*find_vars).distinct()
     sort = query.get("sort")
     if sort:
         sort_cols = []

@@ -568,7 +568,11 @@ def label_propagation(
             lpa_round(sym, labels)
             .observe(
                 obs,
-                F.sum(F.xxhash64("label").cast("decimal(38,0)")).alias("s"),
+                # hash (node, label) PAIRS, not labels alone: a label-
+                # multiset sum would also match any permutation of the
+                # assignment, terminating on states that merely shuffle
+                # labels around without being a fixpoint or 2-cycle
+                F.sum(F.xxhash64("node", "label").cast("decimal(38,0)")).alias("s"),
             )
             .localCheckpoint(eager=True)
         )

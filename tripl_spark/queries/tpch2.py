@@ -44,7 +44,9 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18, 6))), 2)
+                  AS DOUBLE) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
       GROUP BY l_suppkey)
@@ -65,16 +67,27 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ReusedExchange — opportunistic, scheduling-dependent); when it
     misses, the filtered scan+aggregate runs twice, still distributed
     and bounded at 2x — either way no serialized stage exists, which
-    is the property the plan gate pins."""
+    is the property the plan gate pins.
+
+    The equality between the two branches is safe ONLY because the
+    revenue sum runs in DECIMAL: a double sum is shuffle-order-
+    dependent, and with the branches possibly computed twice, a value
+    1 ULP apart across branches straddling a half-cent rounding
+    boundary would make `total_revenue = max` match nothing. Decimal
+    summation is exact and order-independent, so both branches (and
+    the DuckDB oracle, which mirrors the cast) produce bit-identical
+    values — SCALE.md's numeric-discipline rule applied to a
+    self-join threshold."""
     supp = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "total_revenue"
-        )
+        F.round(F.sum(amount), 2).cast("double").alias("total_revenue")
     )
     mx = revenue.agg(F.max("total_revenue").alias("__mx"))
     top = revenue.join(

@@ -86,6 +86,18 @@ class StreamingSketches:
     def process(self, batch: DataFrame, batch_id: int) -> None:
         if batch_id in self._seen:  # replay: idempotent skip
             return
+        if self.sink_path is not None:
+            # RUNNING-aggregate state: a batch whose snapshot already
+            # COMMITTED must never re-merge — the in-memory state is
+            # post-batch, so merging again would double-count every
+            # cell (unlike append-only match sinks, where partition
+            # overwrite alone is idempotent). The committed sink is
+            # authoritative: re-sync the seen-set and skip.
+            from tripl_spark.streaming.sinks import committed_batches
+
+            if batch_id in committed_batches(self.sink_path):
+                self._seen.add(batch_id)
+                return
         toks = _tokens(batch, self.col)
         cm_delta = countmin_table(toks)
         hll_delta = hll_registers(toks)
@@ -110,19 +122,18 @@ class StreamingSketches:
         hll = hll.localCheckpoint(eager=True)
         if self.sink_path is not None:
             # snapshot both sketches into this batch's partition BEFORE
-            # marking seen; the cm write commits last so a partition is
-            # only complete when both sub-dirs exist (the cm _SUCCESS is
-            # the one committed_batches checks via the partition root —
-            # write order: hll first, then cm, then the root marker)
+            # marking seen; a partition only counts as committed once
+            # the explicit root marker exists, written AFTER both
+            # sub-dirs — a crash between sub-writes leaves it
+            # marker-less and the engine's replay reprocesses from the
+            # previous snapshot (the committed-partition guard above
+            # makes an already-committed batch a no-op instead)
             import os
 
             base = f"{self.sink_path}/batch_id={batch_id}"
-            marker = os.path.join(base, "_SUCCESS")
-            if os.path.exists(marker):  # forced replay: drop the marker
-                os.remove(marker)  # first so a mid-rewrite crash replays
             hll.write.mode("overwrite").parquet(f"{base}/hll")
             cm.write.mode("overwrite").parquet(f"{base}/cm")
-            open(marker, "w").close()
+            open(os.path.join(base, "_SUCCESS"), "w").close()
         self.cm, self.hll = cm, hll
         self._seen.add(batch_id)
 
@@ -197,8 +208,18 @@ class StreamingHeavyHitters:
         )
 
     def process(self, batch: DataFrame, batch_id: int) -> None:
-        if batch_id in self._seen:  # in-process replay: idempotent skip
+        if batch_id in self._seen:  # replay: idempotent skip
             return
+        if self.sink_path is not None:
+            # running-aggregate state: an already-COMMITTED batch must
+            # never re-merge (the in-memory state is post-batch, so a
+            # second merge would double every count). The committed
+            # sink is authoritative — re-sync the seen-set and skip.
+            from tripl_spark.streaming.sinks import committed_batches
+
+            if batch_id in committed_batches(self.sink_path):
+                self._seen.add(batch_id)
+                return
         delta = (
             self._sharded_tokens(batch)
             .groupBy("shard", "term")
@@ -219,9 +240,10 @@ class StreamingHeavyHitters:
             # BEFORE marking seen: a crash mid-write leaves the
             # partition marker-less, so a restarted driver resumes from
             # the previous committed snapshot and the engine's replay
-            # of this batch re-merges it — exactly-once per batch.
-            # Overwrite makes an unseen-set forced replay idempotent
-            # (same inputs + same prior snapshot => same state).
+            # of this batch re-merges it — exactly-once per batch. An
+            # already-committed batch never reaches this point (the
+            # guard above skips it), so the overwrite only ever lands
+            # on a torn, marker-less partition.
             new_state.write.mode("overwrite").parquet(
                 f"{self.sink_path}/batch_id={batch_id}"
             )
