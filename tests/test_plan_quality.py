@@ -211,8 +211,10 @@ def test_per_group_topk_has_partial_window_group_limit(spark, sf_small):
 _GLOBAL_WINDOW_ALLOWED = {
     "classifier_auc_eval",
     "classifier_calibration_bins",
+    "curation_dsir_weights",  # rank window post-TakeOrdered, ≤ DSIR_TOP rows
     "events_type_share",
     "search_bm25",
+    "sim_hybrid_rrf",  # all three rank windows post-TakeOrdered, ≤ LIST_N rows
     "sketch_quantile_merge",
     "tokenizer_first_merge",
 }

@@ -1,0 +1,86 @@
+"""Semantic invariants for the data-selection / hybrid-retrieval
+operators (DSIR, RRF, Markov transitions) beyond the hash-gated
+oracle parity that tests/test_oracle_parity.py already enforces."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tripl_spark.operators.dsir import TARGET_SOURCE, curation_dsir_weights, dsir_log_ratios
+from tripl_spark.operators.search import (
+    FUSE_TOP,
+    LIST_N,
+    QUERY_VEC_ID,
+    RRF_C,
+    sim_hybrid_rrf,
+)
+from tripl_spark.queries.registry import REGISTRY, _ensure_loaded
+from tripl_spark.session import load_table
+
+_ensure_loaded()
+
+
+def test_dsir_upweights_target_domain(spark, sf_small):
+    """The estimator's whole point: documents FROM the target domain
+    must score higher on average than the rest of the corpus (their
+    token distribution IS the target distribution)."""
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "source")
+    w = curation_dsir_weights(spark, sf_small).join(docs, "doc_id")
+    rows = (
+        w.groupBy(F.col("source") == TARGET_SOURCE)
+        .agg(F.avg("dsir_logweight").alias("mean_w"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_target = {r[0]: r for r in rows}
+    assert True in by_target, "no target docs survived selection at all"
+    if False in by_target:
+        assert by_target[True]["mean_w"] > by_target[False]["mean_w"]
+
+
+def test_dsir_log_ratios_bounded_rows(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    tok = docs.select(
+        "doc_id", "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    )
+    lr = dsir_log_ratios(tok, F.col("source") == TARGET_SOURCE)
+    from tripl_spark.operators.dsir import N_BUCKETS
+
+    assert lr.count() <= N_BUCKETS
+
+
+def test_rrf_scores_follow_the_formula_and_fuse_both_lists(spark, sf_small):
+    pdf = sim_hybrid_rrf(spark, sf_small).toPandas()
+    assert len(pdf) <= FUSE_TOP
+    # every score equals the two-term RRF formula on its own ranks
+    for row in pdf.itertuples():
+        expect = 0.0
+        if row.lex_rank is not None and not _isnan(row.lex_rank):
+            assert 1 <= row.lex_rank <= LIST_N
+            expect += 1.0 / (RRF_C + row.lex_rank)
+        if row.dense_rank is not None and not _isnan(row.dense_rank):
+            assert 1 <= row.dense_rank <= LIST_N
+            expect += 1.0 / (RRF_C + row.dense_rank)
+        assert abs(row.rrf_score - round(expect, 6)) < 1e-9
+    # the fusion is genuinely hybrid: docs present on both lists exist,
+    # and a doc on both lists must outrank a same-rank single-list doc
+    both = pdf.dropna(subset=["lex_rank", "dense_rank"])
+    assert len(both) > 0, "no document appears on both rankings"
+    # the query vector itself never appears as its own neighbor
+    assert QUERY_VEC_ID not in set(pdf[pdf.dense_rank.notna()].doc_id) or (
+        pdf[pdf.doc_id == QUERY_VEC_ID].dense_rank.isna().all()
+    )
+
+
+def _isnan(x) -> bool:
+    return x != x
+
+
+def test_markov_rows_normalize_to_one(spark, sf_small):
+    t = REGISTRY["events_markov_transitions"].fn(spark, sf_small)
+    sums = t.groupBy("from_type").agg(F.sum("p").alias("s")).collect()
+    assert sums, "no transitions found"
+    for r in sums:
+        # per-transition probabilities are rounded to 4 dp, so the row
+        # sum drifts by at most 0.5e-4 per distinct to_type
+        assert abs(r["s"] - 1.0) < 0.01, r

@@ -6,7 +6,7 @@ exact DuckDB oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tripl_spark.queries.registry import query
@@ -364,4 +364,56 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("datediff(wk, cohort_wk) DIV 7").cast("long").alias("week_offset"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    t AS (
+      SELECT prev_type AS from_type, event_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT from_type, sum(n) AS tot FROM t GROUP BY from_type)
+    SELECT from_type, to_type, n, round(n * 1.0 / tot, 4) AS p
+    FROM t JOIN tot USING (from_type)
+    """,
+    doc="first-order Markov transition matrix over per-user event "
+    "sequences: counts and row-normalized probabilities per "
+    "(from_type, to_type) — fully hash-gated",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov chain over event types: for every user's
+    time-ordered event sequence, count (previous → current) type
+    transitions and row-normalize into transition probabilities — the
+    behavioral model behind next-event prediction, funnel synthesis,
+    and bot detection (uniform rows ≈ random clickers).
+
+    Shuffle shape at 100 TB: ONE corpus shuffle on user_id for the lag
+    window (per-user partitions are individually bounded by a user's
+    activity — no dominant-key hazard analogous to the per-lang ntile,
+    since the key is the high-cardinality user id); the transition
+    count then partial-aggregates to |types|² rows and the
+    row-normalizing totals table (≤ |types| rows) broadcasts back.
+    Nothing after the lag window touches corpus-sized data."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    t = seq.groupBy(
+        F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = t.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return t.join(F.broadcast(tot), "from_type").select(
+        "from_type", "to_type", "n",
+        F.round(F.col("n") * 1.0 / F.col("tot"), 4).alias("p"),
     )

@@ -99,6 +99,9 @@ _PRIORITY = [
     "graph_lpa_2round",
     "mixing_epoch_schedule",
     "sim_knn_filtered",
+    "curation_dsir_weights",
+    "sim_hybrid_rrf",
+    "events_markov_transitions",
     # (c) oracle/builder text changed in r7 — re-gate the exact shapes
     "pipeline_perplexity_buckets",
     "pipeline_full_curation",
@@ -171,7 +174,7 @@ def _ensure_loaded() -> None:
         return
     from tripl_spark.queries import advanced, analytics, analytics2, tpch, tpch2, tpch3, tpch4  # noqa: F401
     from tripl_spark.queries import graph_queries, streaming_queries, triples  # noqa: F401
-    from tripl_spark.operators import classifier, clustering, curation, dedup, dedup_groups, graph_ann, mixing, multimodal, packing, pipeline, rangejoin, repetition, search, similarity, sketches, skew, substring, text, tokenizer  # noqa: F401
+    from tripl_spark.operators import classifier, clustering, curation, dedup, dedup_groups, dsir, graph_ann, mixing, multimodal, packing, pipeline, rangejoin, repetition, search, similarity, sketches, skew, substring, text, tokenizer  # noqa: F401
 
     ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
     ordered.update({n: qd for n, qd in REGISTRY.items() if n not in ordered})
