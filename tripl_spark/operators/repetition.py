@@ -151,3 +151,81 @@ def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-entropy diversity filter
+# ---------------------------------------------------------------------------
+
+ENTROPY_MIN = 2.5  # nats; the synthetic corpus spans ~1.9-3.3, so the
+# threshold actually separates (low-diversity docs are template/spam
+# candidates — the signal the top-fraction rules above can miss when
+# repetition is spread over a few alternating tokens)
+
+
+@query(
+    "text_token_entropy",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS g
+      FROM documents
+    ),
+    tc AS (SELECT doc_id, g, count(*) AS c FROM toks GROUP BY doc_id, g),
+    n AS (SELECT doc_id, sum(c) AS n FROM tc GROUP BY doc_id),
+    e AS (
+      SELECT tc.doc_id,
+             CAST(max(n) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             round(-sum((c * 1.0 / n) * ln(c * 1.0 / n)), 4) AS entropy
+      FROM tc JOIN n USING (doc_id) GROUP BY tc.doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct, entropy,
+           CASE WHEN n_distinct > 1 THEN round(entropy / ln(n_distinct), 4)
+                ELSE 0.0 END AS evenness,
+           entropy >= {ENTROPY_MIN} AS keep
+    FROM e
+    """,
+    doc="Shannon token entropy + Pielou evenness per document with a "
+    f"keep flag at {ENTROPY_MIN} nats — the lexical-diversity filter; "
+    "fully hash-gated",
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity filter: per-document Shannon entropy of the
+    token distribution (nats) and Pielou evenness (entropy / ln
+    distinct — 1.0 means perfectly even usage), keep-flagged at
+    {ENTROPY_MIN} nats. Low-entropy documents are generated/template
+    text whose repetition is SPREAD across a few alternating tokens —
+    invisible to the single-gram top-fraction rules above, which is
+    why C4/Gopher-style stacks carry both.
+
+    Shuffle shape at 100 TB: identical to the repetition metrics —
+    token stream (linear), one count shuffle keyed by (doc_id, token)
+    (near-unique, no skew), one per-doc rollup keyed by doc_id; the
+    entropy itself is a sum over the count rows joined to per-doc
+    totals (AQE-sized broadcast at test scale, shuffle join at corpus
+    scale on the same near-unique key). Map-only math, no windows, no
+    driver state."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = gram_counts(docs, 1)
+    n = tc.groupBy("doc_id").agg(F.sum("cnt").alias("n"))
+    frac = F.col("cnt") * 1.0 / F.col("n")
+    e = (
+        tc.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.round(-F.sum(frac * F.log(frac)), 4).alias("entropy"),
+        )
+    )
+    return e.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "entropy",
+        F.when(
+            F.col("n_distinct") > 1,
+            F.round(F.col("entropy") / F.log(F.col("n_distinct")), 4),
+        ).otherwise(F.lit(0.0)).alias("evenness"),
+        (F.col("entropy") >= ENTROPY_MIN).alias("keep"),
+    )

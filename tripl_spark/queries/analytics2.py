@@ -417,3 +417,74 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "from_type", "to_type", "n",
         F.round(F.col("n") * 1.0 / F.col("tot"), 4).alias("p"),
     )
+
+
+AB_GROUP_A = "purchase"
+AB_GROUP_B = "click"
+Z_CRIT = 1.96  # two-sided 95%
+
+
+@query(
+    "events_ab_ztest",
+    oracle=f"""
+    WITH s AS (
+      SELECT
+        sum(CASE WHEN event_type = '{AB_GROUP_A}' THEN 1 ELSE 0 END) AS n_a,
+        sum(CASE WHEN event_type = '{AB_GROUP_A}' THEN value END) AS sx_a,
+        sum(CASE WHEN event_type = '{AB_GROUP_A}' THEN value * value END) AS sxx_a,
+        sum(CASE WHEN event_type = '{AB_GROUP_B}' THEN 1 ELSE 0 END) AS n_b,
+        sum(CASE WHEN event_type = '{AB_GROUP_B}' THEN value END) AS sx_b,
+        sum(CASE WHEN event_type = '{AB_GROUP_B}' THEN value * value END) AS sxx_b
+      FROM events WHERE event_type IN ('{AB_GROUP_A}', '{AB_GROUP_B}')
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(sx_a / n_a, 4) AS mean_a, round(sx_b / n_b, 4) AS mean_b,
+           round((sx_a / n_a - sx_b / n_b)
+                 / sqrt(((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a
+                        + ((sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b), 4) AS z,
+           abs((sx_a / n_a - sx_b / n_b)
+               / sqrt(((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a
+                      + ((sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b)) > {Z_CRIT}
+             AS significant
+    FROM s
+    """,
+    doc=f"Welch two-sample z-test of mean value, {AB_GROUP_A} vs "
+    f"{AB_GROUP_B}: one zero-key aggregate pass, z at ±{Z_CRIT} — "
+    "fully hash-gated",
+)
+def events_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B comparison of mean event value between two event types as a
+    Welch (unequal-variance) z-test — the experimentation-platform
+    primitive. Means and sample variances come from (n, Σx, Σx²)
+    conditional sums so both engines evaluate the IDENTICAL formula
+    (built-in variance aggregates use engine-specific numerically
+    stable merges that differ in low bits).
+
+    Scale shape: ONE zero-group-key aggregate over a scan with the
+    event-type filter pushed down — map tasks each emit a single
+    6-value partial, the final reduce merges #tasks rows. Nothing else
+    moves; this is as cheap as a query gets at 100 TB."""
+    events = load_table(spark, sf_dir, "events")
+    a, b = F.col("event_type") == AB_GROUP_A, F.col("event_type") == AB_GROUP_B
+    v = F.col("value")
+    s = events.filter(F.col("event_type").isin(AB_GROUP_A, AB_GROUP_B)).agg(
+        F.sum(F.when(a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(a, v)).alias("sx_a"),
+        F.sum(F.when(a, v * v)).alias("sxx_a"),
+        F.sum(F.when(b, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(b, v)).alias("sx_b"),
+        F.sum(F.when(b, v * v)).alias("sxx_b"),
+    )
+    var_a = (F.col("sxx_a") - F.col("sx_a") * F.col("sx_a") / F.col("n_a")) / (F.col("n_a") - 1)
+    var_b = (F.col("sxx_b") - F.col("sx_b") * F.col("sx_b") / F.col("n_b")) / (F.col("n_b") - 1)
+    z = (F.col("sx_a") / F.col("n_a") - F.col("sx_b") / F.col("n_b")) / F.sqrt(
+        var_a / F.col("n_a") + var_b / F.col("n_b")
+    )
+    return s.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(F.col("sx_a") / F.col("n_a"), 4).alias("mean_a"),
+        F.round(F.col("sx_b") / F.col("n_b"), 4).alias("mean_b"),
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > Z_CRIT).alias("significant"),
+    )

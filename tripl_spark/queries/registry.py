@@ -102,6 +102,8 @@ _PRIORITY = [
     "curation_dsir_weights",
     "sim_hybrid_rrf",
     "events_markov_transitions",
+    "text_token_entropy",
+    "events_ab_ztest",
     # (c) oracle/builder text changed in r7 — re-gate the exact shapes
     "pipeline_perplexity_buckets",
     "pipeline_full_curation",
