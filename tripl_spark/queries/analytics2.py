@@ -488,3 +488,95 @@ def events_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         (F.abs(z) > Z_CRIT).alias("significant"),
     )
+
+
+@query(
+    "events_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx
+      FROM daily GROUP BY event_type
+    ),
+    z AS (
+      SELECT d.event_type, d.day,
+             (x - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)) AS z
+      FROM daily d JOIN stats s ON d.event_type = s.event_type
+      WHERE n > 1
+    ),
+    cusum AS (
+      SELECT event_type, day,
+             round(sum(z) OVER (PARTITION BY event_type ORDER BY day
+                                ROWS UNBOUNDED PRECEDING), 4) AS cusum
+      FROM z
+    ),
+    peak AS (
+      SELECT event_type, day AS change_day, cusum AS peak_cusum,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(cusum) DESC, day) AS rk,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days
+      FROM cusum
+    )
+    SELECT event_type, change_day, peak_cusum, n_days
+    FROM peak WHERE rk = 1
+    """,
+    doc="CUSUM changepoint detection per event type: standardized "
+    "cumulative-sum peak over the daily series — the shift-detection "
+    "monitor; fully hash-gated",
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint detection via the classic CUSUM statistic (Page
+    1954): per event type, standardize the daily value series against
+    its own mean/std, accumulate, and report the day where |CUSUM|
+    peaks — the most likely mean-shift point (the peak of the CUSUM
+    curve is the standard changepoint estimator). The monitoring
+    primitive behind data-drift alarms on ingestion pipelines.
+
+    Scale shape: ONE corpus shuffle to the (type, day) aggregate (day
+    sums in DECIMAL so partial-merge order can't change the value);
+    every window after that runs over the day-level relation — years
+    of data × |types| rows, bounded regardless of corpus size. The
+    per-type mean/std come from explicit (n, Σx, Σx²) sums so both
+    engines evaluate the identical formula."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("x"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    std = F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1))
+    z = (
+        daily.join(F.broadcast(stats), "event_type")
+        .filter(F.col("n") > 1)
+        .select("event_type", "day", ((F.col("x") - mean) / std).alias("z"))
+    )
+    w_run = (
+        Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = z.select(
+        "event_type", "day", F.round(F.sum("z").over(w_run), 4).alias("cusum")
+    )
+    w_peak = Window.partitionBy("event_type").orderBy(F.abs(F.col("cusum")).desc(), "day")
+    return (
+        cusum.select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            F.col("cusum").alias("peak_cusum"),
+            F.row_number().over(w_peak).alias("rk"),
+            F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n_days"),
+        )
+        .filter(F.col("rk") == 1)
+        .select("event_type", "change_day", "peak_cusum", "n_days")
+    )

@@ -104,6 +104,7 @@ _PRIORITY = [
     "events_markov_transitions",
     "text_token_entropy",
     "events_ab_ztest",
+    "events_changepoint_cusum",
     # (c) oracle/builder text changed in r7 — re-gate the exact shapes
     "pipeline_perplexity_buckets",
     "pipeline_full_curation",
