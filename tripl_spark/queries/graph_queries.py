@@ -581,3 +581,121 @@ def label_propagation(
             break
         prev2, prev = prev, cur
     return labels
+
+
+# ---------------------------------------------------------------------------
+# Link prediction — neighbor Jaccard over the customer–part bipartite graph
+# ---------------------------------------------------------------------------
+
+LINK_PART_SLICE = 200  # registered slice: parts with partkey <= this (at
+# sf0.001 that is the ENTIRE part table; larger SFs grade the same
+# fixed subgraph — the dedup_embedding_cosine bounded-slice precedent)
+LINK_MAX_PART = 40  # hub cap: parts with more buyers than this are
+# dropped BEFORE pairing — at 100 TB a bestseller with millions of
+# buyers contributes |buyers|^2 candidate pairs; dropping hubs first is
+# the standard recommender-system move (a hub's co-purchase signal is
+# near-zero information anyway), the same role DEFAULT_MAX_BUCKET plays
+# in the dedup family. Jaccard is computed EXACTLY on the filtered
+# subgraph (degrees and commons from the same kept-part set).
+LINK_MIN_COMMON = 2
+LINK_TOP = 100
+
+
+@query(
+    "graph_jaccard_links",
+    oracle=f"""
+    WITH buyers AS (
+      SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_partkey <= {LINK_PART_SLICE}
+    ),
+    kept AS (
+      SELECT part FROM buyers GROUP BY part
+      HAVING count(*) BETWEEN 2 AND {LINK_MAX_PART}
+    ),
+    fb AS (SELECT cust, part FROM buyers JOIN kept USING (part)),
+    deg AS (SELECT cust, CAST(count(*) AS BIGINT) AS deg FROM fb GROUP BY cust),
+    pairs AS (
+      SELECT a.cust AS cust_a, b.cust AS cust_b, CAST(count(*) AS BIGINT) AS common
+      FROM fb a JOIN fb b ON a.part = b.part AND a.cust < b.cust
+      GROUP BY a.cust, b.cust
+      HAVING count(*) >= {LINK_MIN_COMMON}
+    ),
+    j AS (
+      SELECT cust_a, cust_b, common,
+             round(common * 1.0 / (da.deg + db.deg - common), 4) AS jaccard
+      FROM pairs
+      JOIN deg da ON pairs.cust_a = da.cust
+      JOIN deg db ON pairs.cust_b = db.cust
+    ),
+    top AS (SELECT * FROM j ORDER BY jaccard DESC, cust_a, cust_b LIMIT {LINK_TOP})
+    SELECT cust_a, cust_b, common, jaccard,
+           CAST(row_number() OVER (ORDER BY jaccard DESC, cust_a, cust_b) AS BIGINT)
+             AS rank
+    FROM top
+    """,
+    doc="link prediction: neighbor-Jaccard between customers over the "
+    f"hub-capped (≤{LINK_MAX_PART} buyers) co-purchase bipartite graph, "
+    f"top-{LINK_TOP} predicted links — fully hash-gated",
+)
+def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighbor Jaccard (Liben-Nowell & Kleinberg
+    2003): customers are similar when the part sets they bought
+    overlap; the top-scoring non-adjacent pairs are the predicted
+    links — the co-purchase recommender primitive.
+
+    Scale shape: the part slice is a pushed-down scan filter; the hub
+    cap drops every part with more than {LINK_MAX_PART} buyers BEFORE
+    the part-keyed self-join, so candidate work is bounded by
+    cap × |kept (cust, part) rows| — never a hub's |buyers|² blowup
+    (the dedup family's degenerate-bucket posture, applied to graphs).
+    Degrees and commons both come from the SAME filtered subgraph, so
+    the Jaccard is exact on that graph. The pair aggregation is the
+    one large shuffle; degree tables join per-pair (broadcast at test
+    scale); top-k is TakeOrderedAndProject with the rank window on
+    {LINK_TOP} rows only."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") <= LINK_PART_SLICE)
+        .select("l_orderkey", "l_partkey")
+    )
+    buyers = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    kept = (
+        buyers.groupBy("part")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .filter((F.col("sz") >= 2) & (F.col("sz") <= LINK_MAX_PART))
+        .select("part")
+    )
+    fb = buyers.join(F.broadcast(kept), "part")
+    deg = fb.groupBy("cust").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    a = fb.select(F.col("cust").alias("cust_a"), "part")
+    b = fb.select(F.col("cust").alias("cust_b"), "part")
+    pairs = (
+        a.join(b, ["part"])
+        .filter(F.col("cust_a") < F.col("cust_b"))
+        .groupBy("cust_a", "cust_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+        .filter(F.col("common") >= LINK_MIN_COMMON)
+    )
+    j = (
+        pairs.join(deg.withColumnRenamed("cust", "cust_a").withColumnRenamed("deg", "da"), "cust_a")
+        .join(deg.withColumnRenamed("cust", "cust_b").withColumnRenamed("deg", "db"), "cust_b")
+        .select(
+            "cust_a", "cust_b", "common",
+            F.round(F.col("common") * 1.0 / (F.col("da") + F.col("db") - F.col("common")), 4)
+              .alias("jaccard"),
+        )
+    )
+    order = [F.col("jaccard").desc(), F.col("cust_a"), F.col("cust_b")]
+    top = j.orderBy(*order).limit(LINK_TOP)
+    return top.select(
+        "cust_a", "cust_b", "common", "jaccard",
+        F.row_number().over(Window.orderBy(*order)).cast("long").alias("rank"),
+    )

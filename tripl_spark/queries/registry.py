@@ -105,6 +105,7 @@ _PRIORITY = [
     "text_token_entropy",
     "events_ab_ztest",
     "events_changepoint_cusum",
+    "graph_jaccard_links",
     # (c) oracle/builder text changed in r7 — re-gate the exact shapes
     "pipeline_perplexity_buckets",
     "pipeline_full_curation",
