@@ -84,3 +84,20 @@ def test_markov_rows_normalize_to_one(spark, sf_small):
         # per-transition probabilities are rounded to 4 dp, so the row
         # sum drifts by at most 0.5e-4 per distinct to_type
         assert abs(r["s"] - 1.0) < 0.01, r
+
+
+def test_jaccard_links_invariants(spark, sf_small):
+    """Predicted links obey the measure's algebra: 0 < jaccard <= 1,
+    common <= min(deg) by construction (jaccard <= common/(common+1)
+    whenever degrees exceed the overlap), and pairs are canonical
+    (cust_a < cust_b, no duplicates)."""
+    from tripl_spark.queries.registry import REGISTRY
+
+    pdf = REGISTRY["graph_jaccard_links"].fn(spark, sf_small).toPandas()
+    assert len(pdf) > 0
+    assert (pdf.cust_a < pdf.cust_b).all()
+    assert not pdf.duplicated(subset=["cust_a", "cust_b"]).any()
+    assert ((pdf.jaccard > 0) & (pdf.jaccard <= 1.0)).all()
+    # ranks are 1..n in fused order
+    assert list(pdf["rank"]) == sorted(pdf["rank"])
+    assert pdf["rank"].iloc[0] == 1

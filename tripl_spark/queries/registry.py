@@ -99,6 +99,9 @@ _PRIORITY = [
     "graph_lpa_2round",
     "mixing_epoch_schedule",
     "sim_knn_filtered",
+    # (b') late-r7 additions — DSIR selection, RRF hybrid retrieval,
+    # Markov transitions, token entropy, A/B z-test, CUSUM changepoint,
+    # Jaccard link prediction — first rows, all hash-gated
     "curation_dsir_weights",
     "sim_hybrid_rrf",
     "events_markov_transitions",
