@@ -285,6 +285,62 @@ def main() -> None:
             f"(max window-task rows capped at {PPL_SAMPLE_CAP})",
         )
 
+        # ---- co-purchase link-prediction pair hazard: hub parts.
+        # Edges 80% spread over a 2000-part catalog, 20% concentrated
+        # on 20 hub parts (bestsellers whose buyer count grows WITH the
+        # corpus). The part-keyed self-join's candidate space is
+        # Sigma|part|^2: with a FIXED catalog it's quadratic; the
+        # LINK_MAX_PART hub cap bounds the degenerate keys (and, like
+        # the LSH cap, collapses everything once even honest parts
+        # outgrow it — a guard, not a scaling strategy); the production
+        # analog of the occupancy rules is CATALOG GROWTH (parts scale
+        # with edges, occupancy constant -> linear).
+        from tripl_spark.queries.graph_queries import LINK_MAX_PART
+
+        n_e = 20_000 * mult
+
+        def copurchase_edges(n_parts: int, n_hubs: int):
+            return (
+                spark.range(n_e)
+                .select(
+                    F.col("id").alias("cust"),
+                    F.when(F.pmod("id", 10) < 8,
+                           F.pmod(F.col("id") * 7919, F.lit(n_parts)))
+                    .otherwise(F.pmod(F.col("id") * 104729, F.lit(n_hubs)) + n_parts)
+                    .alias("part"),
+                )
+                .localCheckpoint(eager=True)
+            )
+
+        def pair_work(edges, cap=None) -> int:
+            sizes = edges.groupBy("part").count()
+            if cap is not None:
+                sizes = sizes.filter(F.col("count") <= cap)
+            row = sizes.agg(F.sum(F.col("count") * F.col("count"))).first()[0]
+            return int(row or 0)
+
+        def pair_count(edges, cap=None) -> int:
+            e = edges
+            if cap is not None:
+                kept = e.groupBy("part").count().filter(F.col("count") <= cap).select("part")
+                e = e.join(F.broadcast(kept), "part")
+            a = e.select(F.col("cust").alias("ca"), "part")
+            b = e.select(F.col("cust").alias("cb"), "part")
+            return a.join(b, "part").filter(F.col("ca") < F.col("cb")).count()
+
+        fixed = copurchase_edges(2000, 20)
+        record("copurchase_pairs fixed-catalog UNCAPPED", mult,
+               timed(lambda: pair_count(fixed), work=pair_work(fixed)),
+               "(the hazard)")
+        record("copurchase_pairs fixed-catalog hub-capped", mult,
+               timed(lambda: pair_count(fixed, LINK_MAX_PART),
+                     work=pair_work(fixed, LINK_MAX_PART)),
+               f"(LINK_MAX_PART={LINK_MAX_PART})")
+        grown = copurchase_edges(2000 * mult, 20 * mult)
+        record("copurchase_pairs catalog-grows-with-n", mult,
+               timed(lambda: pair_count(grown), work=pair_work(grown)),
+               "(production: constant occupancy)")
+
         if mult not in (1, SCALE):
             continue  # docs-side + registered queries: 1x/10x only
         record(
