@@ -67,110 +67,73 @@ _LOADED = False
 # representative TPC-H/analytics rows. Names listed here come first, in
 # this order; everything else follows in registration order.
 _PRIORITY = [
-    # Round-7 rotation, exactly per VERDICT r6 item 2 and the r6
-    # rotation note: (a) first rows for the 9 queries added in r6
-    # after the window froze (zero driver rows so far), (b) first rows
-    # for the two NEW r7 broadcast-cutoff production twins, (c) the
-    # two exact-ntile queries re-gated because their oracle/builder
-    # text changed in r7 (stage-4 CTE now comes from the shared
-    # builder), (d) the five displaced tail names whose latest rows
-    # are r1–r3 vintage, then (e) family-flagship coverage for the
-    # remaining window slots (all with green r4–r6 rows). Displaced
-    # rows keep local DuckDB parity coverage in
-    # tests/test_oracle_parity.py.
+    # Round-8 rotation, exactly per VERDICT r7 item 1: (a) first rows
+    # for the queries added in r8 (the LSH-composed filtered-ANN twin,
+    # LPA-to-convergence, the datalog rule+aggregate composition),
+    # then (b) the FULL 43-entry cohort whose latest driver row is
+    # r4-vintage (computed from CORRECTNESS_r01..r07: multimodal and
+    # tokenizer families, pagerank/triangles, ivfpq/multiprobe, skew,
+    # streaming-adjacent, triple r4 stragglers, q1). 43 + new ≤ the
+    # 50-slot window, so after r8 every registry entry has a driver
+    # row no older than r5. Displaced names keep local DuckDB parity
+    # coverage in tests/test_oracle_parity.py every suite run.
     #
-    # (a) added in r6 after the window froze — first driver rows
-    "triple_datalog_aggregate",
-    "triple_datalog_negation",
-    "triple_datalog_disjunction",
-    "graph_kcore_2peel",
-    "events_gapfill_hourly",
-    "sketch_hll_sliding_7d",
-    "corpus_datacard",
-    "dedup_method_agreement",
-    "classifier_calibration_bins",
-    # (b) NEW in r7: the broadcast-cutoff production twins that close
-    # the per-lang-ntile scale weakness, plus the r7 additions
-    # (sketch-composed audience overlap; LPA community detection) —
-    # first rows, all hash-gated
-    "pipeline_perplexity_bycutoff",
-    "pipeline_full_curation_bycutoff",
-    "sketch_hll_overlap",
-    "graph_lpa_2round",
-    "mixing_epoch_schedule",
-    "sim_knn_filtered",
-    # (b') late-r7 additions — DSIR selection, RRF hybrid retrieval,
-    # Markov transitions, token entropy, A/B z-test, CUSUM changepoint,
-    # Jaccard link prediction — first rows, all hash-gated
-    "curation_dsir_weights",
-    "sim_hybrid_rrf",
-    "events_markov_transitions",
-    "text_token_entropy",
-    "events_ab_ztest",
-    "events_changepoint_cusum",
-    "graph_jaccard_links",
-    # (c) oracle/builder text changed in r7 — re-gate the exact shapes
-    "pipeline_perplexity_buckets",
-    "pipeline_full_curation",
-    # (d) displaced-tail staleness residue (latest rows r1–r3)
-    "curation_stratified_sample",
-    "dedup_embedding_cosine",
-    "multimodal_metadata",
-    "stats_corr_value_k",
-    "stats_value_by_type",
-    # (e) family-flagship coverage for the rest of the window: every
-    # operator family keeps a representative row each round (triple
-    # engine, TPC-H, events, windows/scalars, set-ops, dedup,
-    # semantic, ANN, sketches, text, mixing, classifier, graph,
-    # streaming-adjacent aggregates).
-    "dedup_semantic_clusters",
-    "dedup_semantic_groups",
-    "dedup_incremental_semantic",
-    "pipeline_semantic_curation",
-    "pipeline_semantic_decontamination",
-    "mixing_token_budget",
-    "mixing_temperature_sample",
-    "sim_ann_hnsw",
-    "sim_ann_lsh",
-    "sim_ann_pq",
-    "dedup_ngram_jaccard",
-    "dedup_exact",
-    "dedup_minhash_oracled",
-    "dedup_simhash_oracled",
-    "dedup_incremental_minhash",
-    "dedup_substring_spans",
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_id",
-    "text_ngram_contamination",
-    "text_bigram_logprob",
-    "triple_reverse_fanin",
-    "triple_datalog_join",
-    "triple_match_segment",
+    # (a) NEW in r8 — first driver rows
+    "sim_ann_lsh_filtered",
+    "graph_lpa_converged",
+    "triple_datalog_rule_aggregate",
+    "events_autocorr_daily",
+    # (b) the r4-vintage refresh cohort (latest row ≤ r4), grouped by
+    # family; alphabetical within a family for auditability
+    "triple_asof_snapshot",
+    "triple_datalog_ancestor",
+    "triple_match_nested",
+    "triple_pull_projection",
+    "triple_pull_recursive",
     "q1_pricing_summary",
-    "q4_order_priority",
-    "q8_market_share",
-    "q12_ship_priority",
-    "q15_top_supplier",
-    "events_hourly_tumbling",
-    "events_sessionization",
-    "events_moving_total_7d",
-    "asof_last_purchase",
-    "nation_year_rollup",
-    "window_functions_showcase",
-    "approx_distinct_users",
-    "sketch_quantile_merge",
-    "classifier_auc_eval",
-    "cluster_kmeans_2iter",
+    "hypertable_rollup_daily",
+    "range_join_error_followups",
+    "stream_join_error_followups",
+    "stateful_sessions_stream",
+    "skew_salted_agg_events",
+    "skew_salted_join_user_spend",
     "graph_components_purchasers",
+    "graph_pagerank_purchasers",
+    "graph_triangle_count",
+    "cluster_kmeans_embeddings",
+    "sim_ann_ivfpq",
+    "sim_ann_multiprobe",
+    "sim_embedding_stats",
+    "sim_knn_bruteforce",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sketch_countmin_terms",
+    "multimodal_audio_features",
+    "multimodal_audio_fingerprint",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_image_dhash",
+    "multimodal_video_frame_dhash",
+    "text_bpe_token_count",
+    "text_chunking",
+    "text_fingerprint",
+    "text_repetition_filters",
+    "text_tfidf_top_terms",
+    "text_unigram_logprob",
+    "tokenizer_bpe_merges",
+    "tokenizer_first_merge",
     "curation_quota_per_stratum",
-    "tokenizer_bpe_2merges",
+    "curation_redacted_texts",
+    "curation_top_quality_per_lang",
+    "mixing_split_assign",
+    "packing_bin_assign",
+    "pipeline_curation_end2end",
 ]
-# r8 rotation note: after the r7 window lands, every registry entry
-# should have a driver row no older than r4; the next refresh cohort
-# is whatever the r7 window displaced (TPC-H mid-range q11/q14/q16,
-# the events long tail, pivot/unpivot, set-op queries) plus any query
-# whose oracle text changes in r8.
+# r8 rotation note: after the r8 window lands, every registry entry
+# has a driver row no older than r5; the r9 refresh cohort is the
+# 43 entries whose latest row is r5 vintage (recompute from
+# CORRECTNESS_r01..r08 the way r8 did) plus any query whose oracle
+# text changes in r9.
 
 
 def _ensure_loaded() -> None:
