@@ -320,3 +320,15 @@ def test_filtered_knn_pushes_predicate_to_documents_scan(spark, sf_small):
     plan = _plan(spark, sf_small, "sim_knn_filtered")
     assert "EqualTo(lang,en)" in plan, plan
     assert "LeftSemi" in plan, plan
+
+
+def test_lsh_filtered_pushes_predicate_and_composes_semi_join(spark, sf_small):
+    # the indexed filtered-ANN twin: the lang predicate must still
+    # reach the documents parquet scan, the allowed-id semi-join must
+    # prune the bucketed side, and the probe must be a bucket-keyed
+    # equi-join (broadcast hash on qbucket=bucket) — never a cartesian
+    # scan of the qualifying set
+    plan = _plan(spark, sf_small, "sim_ann_lsh_filtered")
+    assert "EqualTo(lang,en)" in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

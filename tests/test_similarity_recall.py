@@ -182,3 +182,48 @@ def test_filtered_knn_respects_predicate_and_differs_from_unfiltered(spark, sf_s
     # non-en neighbors somewhere (else the predicate is vacuous here)
     unfiltered = REGISTRY["sim_knn_bruteforce"].fn(spark, sf_small).collect()
     assert any(r["neighbor_id"] not in allowed for r in unfiltered)
+
+
+def test_lsh_filtered_results_allowed_and_match_composed_semantics(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from tripl_spark.queries.registry import REGISTRY, _ensure_loaded
+    from tripl_spark.session import load_table
+
+    _ensure_loaded()
+    res = REGISTRY["sim_ann_lsh_filtered"].fn(spark, sf_small).collect()
+    allowed = {
+        r["doc_id"]
+        for r in load_table(spark, sf_small, "documents")
+        .filter(F.col("lang") == "en")
+        .select("doc_id")
+        .collect()
+    }
+    assert res, "filtered LSH search returned nothing"
+    for r in res:
+        assert r["neighbor_id"] in allowed, r
+    # indexed results are a subset of the exact filtered search's
+    # CANDIDATE universe: every (query, neighbor) the index returns
+    # scores identically in the brute-force path (same cosine at 4dp)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in REGISTRY["sim_knn_filtered"].fn(spark, sf_small).collect()
+    }
+    for r in res:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert abs(exact[key] - r["cosine"]) < 1e-9, key
+
+
+def test_lsh_filtered_recall_on_clustered_data(clustered):
+    # composed predicate + bucket probe: recall vs the exact FILTERED
+    # top-k must match the single-bucket LSH bound on clustered data
+    allowed = F.col("vec_id") % 3 != 0  # a ~2/3-selectivity predicate
+    exact = _topk(clustered, scored_filter=allowed)
+    bucketed = clustered.withColumn("bucket", bucket_key(F.col("v")))
+    approx = _topk(
+        bucketed,
+        scored_filter=allowed & (F.col("qbucket") == F.col("bucket")),
+    )
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"filtered LSH recall too low: {recall}"

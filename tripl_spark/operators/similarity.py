@@ -825,3 +825,77 @@ def sim_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= TOP_K
     )
+
+
+@query(
+    "sim_ann_lsh_filtered",
+    oracle=f"""
+    WITH allowed AS (SELECT doc_id FROM documents WHERE lang = '{FILTER_LANG}'),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      {_bucket_sql("embedding::DOUBLE[]")} AS bucket
+               FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv, bucket
+               FROM e WHERE vec_id < {N_QUERIES}),
+         c AS (SELECT e.vec_id, e.v, e.bucket
+               FROM e JOIN allowed ON e.vec_id = allowed.doc_id)
+    SELECT query_id, vec_id AS neighbor_id, cosine, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT q.query_id, c.vec_id,
+             round(list_cosine_similarity(qv, v), 4) AS cosine,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY round(list_cosine_similarity(qv, v), 4) DESC,
+                                         c.vec_id) AS rk
+      FROM q JOIN c ON q.bucket = c.bucket AND q.query_id <> c.vec_id
+    )
+    WHERE rk <= {TOP_K}
+    """,
+    doc="INDEXED filtered vector search: the metadata predicate's "
+    "semi-join composed INTO the LSH bucket probe — the production "
+    "twin `sim_knn_filtered`'s docstring promises; fully hash-gated",
+)
+def sim_ann_lsh_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The indexed variant of `sim_knn_filtered`: the same pre-filter
+    semantics (only vectors whose document has lang = 'en' are
+    candidates), but candidates come from the query's LSH bucket
+    instead of the whole qualifying set — the predicate semi-join
+    composes into the bucket probe, so the join keys on (bucket) with
+    the allowed-id semi-join applied to the candidate side first.
+
+    When to use which (the crossover `sim_knn_filtered`'s docstring
+    derives): the brute-force pre-filter scores selectivity x corpus —
+    right for selective predicates; this indexed shape scores
+    selectivity x corpus / 2^planes — right when the predicate is
+    broad (here lang='en' keeps ~1/3 of the corpus) and the index
+    already exists. Scale shape: the documents scan keeps its pushed
+    `lang` filter (plan-gated), the semi-join prunes the bucketed
+    side BEFORE the bucket join, bucket occupancy is governed by the
+    `n_planes_for` rule exactly as in `sim_ann_lsh`, and the top-k
+    window partitions by query over per-bucket candidate counts.
+    Recall vs the exact filtered search is pinned on clustered data in
+    tests/test_similarity_recall.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    allowed = docs.filter(F.col("lang") == FILTER_LANG).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bucketed = emb.withColumn("bucket", bucket_key(F.col("v")))
+    q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = bucketed.join(allowed, "vec_id", "left_semi")
+    scored = cand.join(
+        F.broadcast(q),
+        (F.col("qbucket") == F.col("bucket")) & (F.col("query_id") != F.col("vec_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("v")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= TOP_K
+    )
