@@ -699,3 +699,54 @@ def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cust_a", "cust_b", "common", "jaccard",
         F.row_number().over(Window.orderBy(*order)).cast("long").alias("rank"),
     )
+
+
+def purchase_ancestry_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(nodes, edges) of the purchaser ancestry graph every graph query
+    in this module runs on: nodes = distinct purchasing users, edges =
+    u → u//2 restricted to node pairs that both purchased (the
+    restriction is what fractures the tree into components)."""
+    nodes = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("node"))
+        .distinct()
+    )
+    parents = nodes.select(
+        F.col("node").alias("src"),
+        F.floor(F.col("node") / 2).cast("long").alias("dst"),
+    ).filter(F.col("src") > 0)
+    edges = parents.join(
+        nodes.select(F.col("node").alias("__n")),
+        parents.dst == F.col("__n"),
+        "left_semi",
+    )
+    return nodes, edges
+
+
+@query(
+    "graph_lpa_converged",
+    doc="label propagation run to CONVERGENCE (fixpoint-or-2-cycle by "
+    "the (node,label) hash-sum observe metric) over the purchaser "
+    "ancestry graph — iterative, rows-only; invariants (one label per "
+    "node, labels are node ids, round-squared stability, agreement "
+    "with the 2-round prefix on early-converged components) in "
+    "tests/test_graph_invariants.py",
+)
+def graph_lpa_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`graph_lpa_2round` gates the per-round algebra with a hash; this
+    is the FULL run the 2-round docstring describes: `label_propagation`
+    iterates `lpa_round` with a localCheckpoint per round (one job per
+    round, convergence scalar riding the checkpoint job as an
+    `observe()` metric — the `connected_components` loop discipline)
+    until the (node,label) hash-sum matches either of the last two
+    rounds: fixpoint or the bipartite 2-cycle, both terminal for
+    synchronous LPA. Scale shape per round is unchanged — one
+    edge-sized shuffle + a max_by argmax, no windows — and the round
+    count is the graph's mixing time (~5 on this ancestry tree), so
+    cost is rounds x the 2-round query's cost, never a new shape."""
+    nodes, edges = purchase_ancestry_graph(spark, sf_dir)
+    return label_propagation(edges, nodes=nodes).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("community"),
+    )
