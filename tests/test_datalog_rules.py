@@ -237,3 +237,43 @@ def test_rule_body_rejects_derived_predicate_in_or(spark):
     ]
     with pytest.raises(ValueError, match="derived predicate"):
         eval_rules(facts, rules)
+
+
+def test_aggregate_over_derived_relation(spark):
+    # the r8 composition gate: a find-aggregate grouping OVER the
+    # recursive rule's derived predicate — count of ancestors per
+    # descendant vs the driver-side closure
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("x", "c"), ("y", "z")]
+    extended = facts_with_rules(_parent_facts(spark, pairs), ANCESTOR_RULES)
+    rows = q_df(
+        extended,
+        {"find": ["?d", ["count", "?a"]], "where": [["?d", "anc", "?a"]]},
+    ).collect()
+    got = {r["?d"][2:]: r["count_a"] for r in rows}
+    want: dict[str, int] = {}
+    for d, _a in _closure(pairs):
+        want[d] = want.get(d, 0) + 1
+    assert got == want
+
+
+def test_store_q_aggregate_with_rules(spark):
+    # the same composition through the TripleStore.q public API
+    from tripl_spark.core.store import TripleStore
+
+    store = TripleStore(spark=spark)
+    store.assert_facts(
+        [
+            {"db:ident": "a", "fam:parent": {"db:ident": "b"}},
+            {"db:ident": "b", "fam:parent": {"db:ident": "c"}},
+        ],
+    )
+    rules = [
+        (["?x", "anc", "?y"], [["?x", "fam:parent", "?y"]]),
+        (["?x", "anc", "?y"], [["?x", "fam:parent", "?z"], ["?z", "anc", "?y"]]),
+    ]
+    rows = store.q(
+        {"find": ["?x", ["count", "?y"]], "where": [["?x", "anc", "?y"]]},
+        rules=rules,
+    )
+    eid = {i: next(iter(store.match({"db:ident": i}))) for i in "ab"}
+    assert set(rows) == {(eid["a"], 2), (eid["b"], 1)}

@@ -424,3 +424,47 @@ def test_cli_datalog_with_and_not_in_or(tmp_path):
                    ["?e", "x:tag", "other"]]],
     })
     assert got == [["q"], ["r"]]
+
+
+def test_cli_datalog_rules_and_aggregate(tmp_path):
+    """The r8 composition through the console: recursive rules passed
+    via -r, with a find-aggregate grouping over the DERIVED predicate
+    (count of ancestors per person)."""
+    docs = [
+        {"x:id": "a", "fam:parent": {"x:id": "b"}},
+        {"x:id": "b", "fam:parent": {"x:id": "c"}},
+    ]
+    f1 = tmp_path / "fam.json"
+    f1.write_text(json.dumps(docs))
+    rules = json.dumps([
+        [["?x", "anc", "?y"], [["?x", "fam:parent", "?y"]]],
+        [["?x", "anc", "?y"], [["?x", "fam:parent", "?z"], ["?z", "anc", "?y"]]],
+    ])
+    # plain rules query: ids of everyone with 'c' as an ancestor
+    out = tmp_path / "rq.json"
+    query = json.dumps({
+        "find": ["?id"],
+        "where": [["?x", "anc", "?c"], ["?c", "x:id", "c"], ["?x", "x:id", "?id"]],
+        "sort": "?id",
+    })
+    r = subprocess.run(
+        [sys.executable, "-m", "tripl_spark.cli", "q", "-i", str(f1),
+         "-o", str(out), "-q", query, "-r", rules, "--id-attrs", "x:id"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(out.read_text()) == [["a"], ["b"]]
+    # aggregate OVER the derived relation: ancestor count per id
+    out2 = tmp_path / "agg.json"
+    query2 = json.dumps({
+        "find": ["?id", ["count", "?y"]],
+        "where": [["?x", "anc", "?y"], ["?x", "x:id", "?id"]],
+        "sort": "?id",
+    })
+    r2 = subprocess.run(
+        [sys.executable, "-m", "tripl_spark.cli", "q", "-i", str(f1),
+         "-o", str(out2), "-q", query2, "-r", rules, "--id-attrs", "x:id"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert json.loads(out2.read_text()) == [["a", 2], ["b", 1]]

@@ -60,6 +60,12 @@ def get_args(argv: list[str] | None = None) -> argparse.Namespace:
     p_q.add_argument("-q", "--query", required=True,
                      help="JSON datalog query: '{\"find\": [\"?x\"], "
                           "\"where\": [[\"?e\", \"a:b\", \"?x\"]]}'")
+    p_q.add_argument("-r", "--rules", default=None,
+                     help="JSON recursive rules, a list of [head, body] "
+                          "pairs: '[[[\"?x\",\"anc\",\"?y\"],"
+                          "[[\"?x\",\"a:parent\",\"?y\"]]], ...]' — "
+                          "derived predicates are usable in where "
+                          "clauses (and under find aggregates)")
 
     p_diff = sub.add_parser(
         "diff", help="facts present in only one of two inputs"
@@ -217,7 +223,8 @@ def main(argv: list[str] | None = None) -> int:
     elif args.command == "join":
         store.dump(args.output)
     elif args.command == "q":
-        rows = store.q(json.loads(args.query))
+        rules = json.loads(args.rules) if getattr(args, "rules", None) else None
+        rows = store.q(json.loads(args.query), rules=rules)
         with open(args.output, "w") as fp:
             json.dump([list(r) for r in rows], fp, indent=2)
     elif args.command == "pull":
