@@ -580,3 +580,63 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("event_type", "change_day", "peak_cusum", "n_days")
     )
+
+
+@query(
+    "events_autocorr_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, x,
+             lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS x1,
+             lag(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS x7
+      FROM daily
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(corr(x, x1), 4) AS r_lag1,
+           round(corr(x, x7), 4) AS r_lag7
+    FROM lagged
+    GROUP BY event_type
+    """,
+    doc="serial-dependence profile per event type: lag-1 and lag-7 "
+    "(weekly) autocorrelation of the daily value series — one corpus "
+    "shuffle to day grain, windows over bounded day-level rows only; "
+    "fully hash-gated",
+)
+def events_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily series at lag 1 (day-over-day
+    persistence) and lag 7 (weekly seasonality) — the two numbers any
+    ingestion-monitoring dashboard wants next to the CUSUM changepoint
+    (`events_changepoint_cusum`): high r_lag7 says alarms must be
+    seasonality-adjusted, near-zero r_lag1 says daily volume is noise.
+    Pearson corr of (x_t, x_{t-k}) pairs is the standard sample ACF
+    up to the mean-handling convention (corr demeans each side over
+    the PAIRED subset; fine for monitoring, and exactly replicable).
+
+    Scale shape: identical to the CUSUM query — ONE corpus-sized
+    shuffle to the (type, day) aggregate with DECIMAL day sums (so
+    partial-merge order can't flip a bit), then the lag window and the
+    corr aggregate run over years x |types| day rows, bounded whatever
+    the corpus size. corr inputs are bit-identical on both engines, so
+    the 4-dp round is safe to hash."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type", "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 7).over(w).alias("x7"),
+    )
+    return lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.corr("x", "x1"), 4).alias("r_lag1"),
+        F.round(F.corr("x", "x7"), 4).alias("r_lag7"),
+    )
