@@ -231,3 +231,96 @@ def test_running_aggregate_sinks_never_double_merge_on_forced_replay(
     sk._seen.discard(0)
     sk.process(docs, batch_id=0)
     assert _cm_map(sk.cm) == cm_before
+
+
+@pytest.mark.parametrize("split", ["one", "mod3", "skew"])
+def test_sketch_sink_snapshot_is_split_invariant(spark, sf_small, tmp_path, split):
+    """The incremental-rollup family's split≡one-shot property, for the
+    snapshot-sink mode: whatever the micro-batch split, the LAST
+    committed snapshot on disk equals the one-shot batch sketches —
+    checked through a FRESH consumer recovering from the sink, so the
+    assertion pins the persisted bytes, not the in-memory state."""
+    docs = _docs(spark, sf_small).select("doc_id", "text")
+    sink = str(tmp_path / f"sk_{split}")
+    batches = {
+        "one": [docs],
+        "mod3": [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)],
+        # skewed: one huge batch, one tiny, one empty — empty batches
+        # must commit a snapshot too (state unchanged)
+        "skew": [
+            docs.filter(F.col("doc_id") % 10 != 0),
+            docs.filter(F.col("doc_id") % 10 == 0),
+            docs.limit(0),
+        ],
+    }[split]
+    sk = StreamingSketches(spark, sink_path=sink)
+    for i, b in enumerate(batches):
+        sk.process(b, batch_id=i)
+    recovered = StreamingSketches(spark, sink_path=sink)
+    assert recovered._seen == set(range(len(batches)))
+    toks = _tokens(docs, "text")
+    assert _cm_map(recovered.cm) == _cm_map(countmin_table(toks))
+    assert _hll_map(recovered.hll) == _hll_map(hll_registers(toks))
+
+
+@pytest.mark.parametrize("split", ["one", "mod3", "skew"])
+def test_heavy_hitters_sink_snapshot_is_split_invariant(
+    spark, sf_small, tmp_path, split
+):
+    """Same property for the heavy-hitters consumer. With state_k ≥
+    the per-shard vocabulary the re-truncation is vacuous and the
+    final snapshot is EXACTLY the one-shot shard counts for any split;
+    with the default state_k the merge is order-dependent in the
+    truncated tail by design (a lower-bound sketch), so the exact
+    claim is made where it holds."""
+    from tripl_spark.operators.sketches import heavy_hitter_summaries
+    from tripl_spark.streaming.sketch_stream import StreamingHeavyHitters
+
+    docs = _docs(spark, sf_small).select("doc_id", "text")
+    sink = str(tmp_path / f"hh_{split}")
+    batches = {
+        "one": [docs],
+        "mod3": [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)],
+        "skew": [
+            docs.filter(F.col("doc_id") % 10 != 0),
+            docs.filter(F.col("doc_id") % 10 == 0),
+            docs.limit(0),
+        ],
+    }[split]
+    hh = StreamingHeavyHitters(spark, state_k=1_000_000, sink_path=sink)
+    for i, b in enumerate(batches):
+        hh.process(b, batch_id=i)
+    recovered = StreamingHeavyHitters(
+        spark, state_k=1_000_000, sink_path=sink
+    )
+    assert recovered._seen == set(range(len(batches)))
+    got = {(r.shard, r.term): r.c for r in recovered.state.collect()}
+    want = {
+        (r.shard, r.term): r.c
+        for r in _sharded_counts(spark, docs).collect()
+    }
+    assert got == want
+    # and the read-time summaries match the one-shot batch operator
+    s_got = {(r.shard, r.term): r.c for r in recovered.summaries().collect()}
+    s_want = {
+        (r.shard, r.term): r.c
+        for r in heavy_hitter_summaries(_sharded_tokens(spark, docs)).collect()
+    }
+    assert s_got == s_want
+
+
+def _sharded_tokens(spark, docs):
+    from tripl_spark.operators.sketches import _shard_of
+
+    return docs.select(
+        _shard_of(F.col("doc_id")).alias("shard"),
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    )
+
+
+def _sharded_counts(spark, docs):
+    return (
+        _sharded_tokens(spark, docs)
+        .groupBy("shard", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
