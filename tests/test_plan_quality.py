@@ -213,7 +213,9 @@ _GLOBAL_WINDOW_ALLOWED = {
     "classifier_calibration_bins",
     "curation_dsir_weights",  # rank window post-TakeOrdered, ≤ DSIR_TOP rows
     "events_type_share",
+    "graph_copurchase_lift",  # rank window post-TakeOrdered, ≤ LIFT_TOP rows
     "graph_jaccard_links",  # rank window post-TakeOrdered, ≤ LINK_TOP rows
+    "text_zipf_fit",  # rank window post-TakeOrdered, ≤ ZIPF_TOP rows
     "search_bm25",
     "sim_hybrid_rrf",  # all three rank windows post-TakeOrdered, ≤ LIST_N rows
     "sketch_quantile_merge",

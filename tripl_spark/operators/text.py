@@ -667,3 +667,62 @@ def pipeline_perplexity_bycutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ppl_bucket") <= PPL_KEEP_BUCKETS)
         .select("doc_id", "lang", "avg_logprob", "ppl_bucket")
     )
+
+
+ZIPF_TOP = 200  # fit over the top-K terms (the power-law head)
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH counts AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+            FROM documents)
+      GROUP BY term
+    ),
+    top AS (SELECT term, c FROM counts ORDER BY c DESC, term LIMIT {ZIPF_TOP}),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rk FROM top
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           round(regr_slope(ln(c), ln(rk)), 4) AS zipf_slope,
+           round(regr_r2(ln(c), ln(rk)), 4) AS r2
+    FROM ranked
+    """,
+    doc=f"Zipf's-law fit over the corpus frequency head: OLS slope of "
+    f"ln(freq) on ln(rank) for the top-{ZIPF_TOP} terms (a natural "
+    "corpus should fit ~ -1) — term counts in one shuffle, head via "
+    "TakeOrdered, regression over the bounded head; fully hash-gated",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic corpus-health statistic: natural language follows
+    Zipf's law (freq ∝ rank^-s with s ≈ 1), and a corpus whose fitted
+    slope or R² deviates hard usually means boilerplate flooding
+    (slope flattens: many near-equal-frequency template terms) or
+    deduplication failure — the diagnostic Rae et al. (Gopher) and
+    kin run next to the quality filters. Fit is OLS of ln(c) on
+    ln(rank) over the top-{ZIPF_TOP} head, both engines' regr_slope /
+    regr_r2 over the identical integer counts.
+
+    Scale shape: ONE term-count shuffle (map-side combined); the head
+    selection is TakeOrderedAndProject (per-partition heaps, never a
+    global sort of the vocabulary); the rank window and the regression
+    see exactly {ZIPF_TOP} rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    top = counts.orderBy(F.col("c").desc(), "term").limit(ZIPF_TOP)
+    ranked = top.select(
+        "c", F.row_number().over(Window.orderBy(F.col("c").desc(), "term")).alias("rk")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.round(F.regr_slope(F.log("c"), F.log("rk")), 4).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("c"), F.log("rk")), 4).alias("r2"),
+    )

@@ -640,3 +640,69 @@ def events_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("x", "x1"), 4).alias("r_lag1"),
         F.round(F.corr("x", "x7"), 4).alias("r_lag7"),
     )
+
+
+@query(
+    "events_seasonal_naive_mape",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT event_type, x,
+             lag(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS yhat
+      FROM daily
+    )
+    SELECT event_type,
+           CAST(count(yhat) AS BIGINT) AS n_scored,
+           round(avg(CASE WHEN yhat IS NOT NULL AND x <> 0
+                          THEN abs(x - yhat) / abs(x) END), 4) AS mape,
+           round(avg(CASE WHEN yhat IS NOT NULL AND abs(x) + abs(yhat) <> 0
+                          THEN 2 * abs(x - yhat) / (abs(x) + abs(yhat)) END), 4)
+             AS smape,
+           round(avg(abs(x - yhat)), 4) AS mae
+    FROM pred
+    GROUP BY event_type
+    """,
+    doc="seasonal-naive forecast error per event type: predict each "
+    "day's value with the value 7 days earlier; MAPE / sMAPE / MAE "
+    "over the scored days — the baseline every real forecast must "
+    "beat; fully hash-gated",
+)
+def events_seasonal_naive_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The forecasting floor for the daily series: the seasonal-naive
+    predictor (Hyndman & Athanasopoulos's benchmark method) forecasts
+    x_t with x_{t-7}; the error profile pairs with
+    `events_autocorr_daily` — a high r_lag7 predicts a low sMAPE here,
+    and any model worth deploying must beat these numbers. MAPE skips
+    zero-actual days, sMAPE skips zero-sum pairs (both conventions
+    stated in the column math so the oracle replays them exactly).
+
+    Scale shape: identical to the autocorr/CUSUM family — one corpus
+    shuffle to DECIMAL-summed day grain, then the lag-7 window and the
+    error aggregates run over bounded day-level rows."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    pred = daily.select(
+        "event_type", "x", F.lag("x", 7).over(w).alias("yhat")
+    )
+    ape = F.when(
+        F.col("yhat").isNotNull() & (F.col("x") != 0),
+        F.abs(F.col("x") - F.col("yhat")) / F.abs(F.col("x")),
+    )
+    sape = F.when(
+        F.col("yhat").isNotNull() & ((F.abs("x") + F.abs("yhat")) != 0),
+        2 * F.abs(F.col("x") - F.col("yhat")) / (F.abs("x") + F.abs("yhat")),
+    )
+    return pred.groupBy("event_type").agg(
+        F.count("yhat").cast("long").alias("n_scored"),
+        F.round(F.avg(ape), 4).alias("mape"),
+        F.round(F.avg(sape), 4).alias("smape"),
+        F.round(F.avg(F.abs(F.col("x") - F.col("yhat"))), 4).alias("mae"),
+    )

@@ -797,3 +797,119 @@ def graph_lpa_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("long").alias("node"),
         F.col("label").cast("long").alias("community"),
     )
+
+
+LIFT_MAX_BASKET = 40  # customers with more distinct parts than this are
+# dropped BEFORE pairing — the basket-side analog of LINK_MAX_PART: a
+# crawl-everything buyer contributes |parts|^2 pairs and near-zero
+# association signal
+LIFT_MIN_COMMON = 2
+LIFT_TOP = 100
+
+
+@query(
+    "graph_copurchase_lift",
+    oracle=f"""
+    WITH buyers AS (
+      SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_partkey <= {LINK_PART_SLICE}
+    ),
+    kept AS (
+      SELECT cust FROM buyers GROUP BY cust
+      HAVING count(*) BETWEEN 2 AND {LIFT_MAX_BASKET}
+    ),
+    fb AS (SELECT cust, part FROM buyers JOIN kept USING (cust)),
+    nb AS (SELECT CAST(count(DISTINCT cust) AS BIGINT) AS n FROM fb),
+    supp AS (SELECT part, CAST(count(*) AS BIGINT) AS s FROM fb GROUP BY part),
+    pairs AS (
+      SELECT a.part AS part_a, b.part AS part_b, CAST(count(*) AS BIGINT) AS common
+      FROM fb a JOIN fb b ON a.cust = b.cust AND a.part < b.part
+      GROUP BY a.part, b.part
+      HAVING count(*) >= {LIFT_MIN_COMMON}
+    ),
+    scored AS (
+      SELECT part_a, part_b, common,
+             round(common * 1.0 * nb.n / (sa.s * sb.s), 4) AS lift,
+             round(common * 1.0 / sa.s, 4) AS confidence_ab
+      FROM pairs
+      JOIN supp sa ON pairs.part_a = sa.part
+      JOIN supp sb ON pairs.part_b = sb.part
+      CROSS JOIN nb
+    ),
+    top AS (SELECT * FROM scored
+            ORDER BY lift DESC, part_a, part_b LIMIT {LIFT_TOP})
+    SELECT part_a, part_b, common, lift, confidence_ab,
+           CAST(row_number() OVER (ORDER BY lift DESC, part_a, part_b) AS BIGINT)
+             AS rank
+    FROM top
+    """,
+    doc="market-basket association: lift and confidence for part "
+    f"pairs co-purchased by the same customer (basket cap "
+    f"{LIFT_MAX_BASKET}), top-{LIFT_TOP} by lift — fully hash-gated",
+)
+def graph_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over the co-purchase bipartite graph —
+    the Agrawal-Srikant market-basket primitive with baskets =
+    customers: lift(A,B) = P(A,B)/(P(A)P(B)) and confidence(A→B) over
+    the part-pair support counts, the complement of
+    `graph_jaccard_links` with the two sides' roles swapped (links
+    ranks CUSTOMER pairs by shared parts; this ranks PART pairs by
+    shared customers).
+
+    Scale shape mirrors the links query with the cap on the other
+    side: the part slice is a pushed-down scan filter; baskets larger
+    than {LIFT_MAX_BASKET} drop BEFORE the customer-keyed self-join,
+    so candidate work is bounded by cap x |kept rows| — a
+    crawl-everything buyer never contributes |parts|² pairs. One
+    shuffle for the pair counts; the support table and the 1-row
+    basket count broadcast into the scoring join; top-k is
+    TakeOrderedAndProject with the rank window over {LIFT_TOP} rows."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") <= LINK_PART_SLICE)
+        .select("l_orderkey", "l_partkey")
+    )
+    buyers = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    kept = (
+        buyers.groupBy("cust")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .filter((F.col("sz") >= 2) & (F.col("sz") <= LIFT_MAX_BASKET))
+        .select("cust")
+    )
+    fb = buyers.join(F.broadcast(kept), "cust")
+    nb = fb.agg(F.countDistinct("cust").cast("long").alias("n"))
+    supp = fb.groupBy("part").agg(F.count(F.lit(1)).cast("long").alias("s"))
+    a = fb.select("cust", F.col("part").alias("part_a"))
+    b = fb.select("cust", F.col("part").alias("part_b"))
+    pairs = (
+        a.join(b, ["cust"])
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+        .filter(F.col("common") >= LIFT_MIN_COMMON)
+    )
+    scored = (
+        pairs.join(F.broadcast(supp.withColumnRenamed("part", "part_a").withColumnRenamed("s", "sa")), "part_a")
+        .join(F.broadcast(supp.withColumnRenamed("part", "part_b").withColumnRenamed("s", "sb")), "part_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "part_a", "part_b", "common",
+            F.round(F.col("common") * 1.0 * F.col("n") / (F.col("sa") * F.col("sb")), 4)
+              .alias("lift"),
+            F.round(F.col("common") * 1.0 / F.col("sa"), 4).alias("confidence_ab"),
+        )
+    )
+    order = [F.col("lift").desc(), F.col("part_a"), F.col("part_b")]
+    top = scored.orderBy(*order).limit(LIFT_TOP)
+    return top.select(
+        "part_a", "part_b", "common", "lift", "confidence_ab",
+        F.row_number().over(Window.orderBy(*order)).cast("long").alias("rank"),
+    )

@@ -206,6 +206,25 @@ def remap_to_existing(
     for m in maps[1:]:
         mapping = mapping.unionByName(m)
     mapping = mapping.filter(F.col("__from") != F.col("__to")).distinct()
+    # Prune the mapping to eids the BATCH actually minted before
+    # broadcasting: the store-derived mapping is O(|store entities|),
+    # and broadcasting it verbatim couples re-ingest cost (and driver
+    # memory) to store size. Entries whose __from appears nowhere in
+    # the batch can never rewrite anything, so the semi-join below is
+    # semantics-free — it scans the store-side mapping ONCE with the
+    # small batch-eid set broadcast into it, leaving a batch-bounded
+    # mapping to broadcast into the two rewrite joins. Resolution cost
+    # then scales with the batch, not the store (SCALE.md probe row).
+    batch_eids = (
+        rows.select(F.col("e").alias("__k"))
+        .unionByName(
+            rows.filter(F.col("vtype") == "ref").select(F.col("v_str").alias("__k"))
+        )
+        .distinct()
+    )
+    mapping = mapping.join(
+        F.broadcast(batch_eids), mapping.__from == F.col("__k"), "left_semi"
+    )
     remapped = (
         rows.join(F.broadcast(mapping), rows.e == mapping.__from, "left")
         .withColumn("e", F.coalesce(F.col("__to"), F.col("e")))
