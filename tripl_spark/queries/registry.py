@@ -83,6 +83,9 @@ _PRIORITY = [
     "graph_lpa_converged",
     "triple_datalog_rule_aggregate",
     "events_autocorr_daily",
+    "events_seasonal_naive_mape",
+    "graph_copurchase_lift",
+    "text_zipf_fit",
     # (b) the r4-vintage refresh cohort (latest row ≤ r4), grouped by
     # family; alphabetical within a family for auditability
     "triple_asof_snapshot",
