@@ -101,3 +101,21 @@ def test_jaccard_links_invariants(spark, sf_small):
     # ranks are 1..n in fused order
     assert list(pdf["rank"]) == sorted(pdf["rank"])
     assert pdf["rank"].iloc[0] == 1
+
+
+def test_copurchase_lift_invariants(spark, sf_small):
+    """Association scores obey the measure's algebra: confidence in
+    (0, 1], lift > 0, lift = confidence / P(B) so lift and confidence
+    rank consistently given the same consequent support, pairs are
+    canonical (part_a < part_b, unique), ranks contiguous from 1."""
+    from tripl_spark.queries.registry import REGISTRY
+
+    pdf = REGISTRY["graph_copurchase_lift"].fn(spark, sf_small).toPandas()
+    assert len(pdf) > 0
+    assert (pdf.part_a < pdf.part_b).all()
+    assert not pdf.duplicated(subset=["part_a", "part_b"]).any()
+    assert ((pdf.confidence_ab > 0) & (pdf.confidence_ab <= 1.0)).all()
+    assert (pdf.lift > 0).all()
+    assert (pdf.common >= 2).all()  # LIFT_MIN_COMMON
+    assert list(pdf["rank"]) == sorted(pdf["rank"])
+    assert pdf["rank"].iloc[0] == 1
