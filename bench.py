@@ -94,6 +94,12 @@ HEADLINE = [
     # counterparts so the twin's cost delta is a recorded number
     "pipeline_perplexity_bycutoff",
     "pipeline_full_curation_bycutoff",
+    # round-8: the indexed filtered search next to its brute-force
+    # twin (the recorded delta is the index's candidate pruning), and
+    # the basket-capped association pair join (the new pair stage)
+    "sim_ann_lsh_filtered",
+    "sim_knn_filtered",
+    "graph_copurchase_lift",
 ]
 
 

@@ -341,6 +341,73 @@ def main() -> None:
                timed(lambda: pair_count(grown), work=pair_work(grown)),
                "(production: constant occupancy)")
 
+        # ---- LPA round: claimed shape is ONE edge-sized shuffle (the
+        # vote rows) + a partial-aggregable max_by argmax — no windows,
+        # so even a hub whose degree grows WITH n (here node 0 gains an
+        # edge from 10% of all nodes) adds map-side-combinable
+        # (node,label) keys, never a single-task sort. Work driver =
+        # |sym| (the vote-join input); linear alpha_time past the job
+        # floor is the claim.
+        from tripl_spark.queries.graph_queries import lpa_round
+
+        n_nodes = 20_000 * mult
+        tree = spark.range(1, n_nodes).select(
+            F.col("id").alias("src"), (F.col("id") / 2).cast("long").alias("dst")
+        )
+        hub = spark.range(1, n_nodes).filter(F.pmod("id", 10) == 3).select(
+            F.col("id").alias("src"), F.lit(0).cast("long").alias("dst")
+        )
+        edges = tree.unionByName(hub)
+        sym = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct().localCheckpoint(eager=True)
+        labels0 = sym.select(F.col("src").alias("node")).distinct() \
+            .withColumn("label", F.col("node")).localCheckpoint(eager=True)
+        record("lpa_round hub-skewed (one round)", mult,
+               timed(lambda: lpa_round(sym, labels0).count(), work=sym.count()),
+               "(hub degree grows with n; work = vote rows = |sym|)")
+
+        # ---- entity-resolution (S7 id_attrs upsert): re-ingest a
+        # FIXED-size batch against a store of M entities at 1x/10x/30x
+        # M. The hazard is the store-derived eid mapping (O(M) rows):
+        # broadcast verbatim it couples batch cost to store size; the
+        # production path semi-joins it down to the batch's minted
+        # eids first, so the broadcast — and the resolution cost —
+        # is batch-bounded (alpha_work 0 vs the unpruned 1.0).
+        from tripl_spark.sources.json_bulk import remap_to_existing
+
+        m_ents = 50_000 * mult
+        store = spark.range(m_ents).select(
+            F.concat(F.lit("ent-"), F.col("id").cast("string")).alias("e"),
+            F.lit("x:id").alias("a"), F.lit("string").alias("vtype"),
+            F.concat(F.lit("id-"), F.col("id").cast("string")).alias("v_str"),
+            F.lit(None).cast("double").alias("v_num"),
+            F.lit(None).cast("boolean").alias("v_bool"),
+            F.lit(0).cast("long").alias("t"),
+        ).localCheckpoint(eager=True)
+        from tripl_spark.functions.ids import deterministic_eid_col
+
+        batch_n = 2_000  # FIXED batch whatever the store size
+        batch = spark.range(batch_n).select(
+            ((F.col("id") * 17) % m_ents).alias("id")  # spread across ids
+        ).select(
+            deterministic_eid_col(
+                "x:id", F.concat(F.lit("id-"), F.col("id").cast("string"))
+            ).alias("e"),
+            F.lit("x:id").alias("a"), F.lit("string").alias("vtype"),
+            F.concat(F.lit("id-"), F.col("id").cast("string")).alias("v_str"),
+            F.lit(None).cast("double").alias("v_num"),
+            F.lit(None).cast("boolean").alias("v_bool"),
+            F.lit(0).cast("long").alias("t"),
+        ).localCheckpoint(eager=True)
+        record("id_attrs remap, unpruned mapping (hazard)", mult,
+               (0.0, store.filter(F.col("a") == "x:id").count()),
+               "(mapping rows broadcast by the naive shape = O(M))")
+        record("id_attrs remap, batch-pruned (production)", mult,
+               timed(lambda: remap_to_existing(batch, store, ["x:id"]).count(),
+                     work=batch_n),
+               "(fixed 2k-doc batch; broadcast bounded by batch)")
+
         if mult not in (1, SCALE):
             continue  # docs-side + registered queries: 1x/10x only
         record(

@@ -98,3 +98,30 @@ def test_bulk_query_through_store(spark, docs_df):
     )
     assert len(out) == 1
     assert sorted(k["y:id"][0] for k in out[0]["x:kids"]) == ["c2", "c3"]
+
+
+def test_remap_prunes_mapping_to_batch_eids(spark, docs_df):
+    """The store-derived eid mapping must shrink to the batch's minted
+    eids BEFORE broadcasting (r8): entities unrelated to the batch must
+    not affect the result, and the physical plan must show the pruning
+    semi-join feeding a broadcast — never a store-sized broadcast."""
+    from pyspark.sql import functions as F
+
+    from tripl_spark.core.store import TripleStore
+    from tripl_spark.sources.json_bulk import flatten_docs_df, remap_to_existing
+
+    ts = TripleStore(spark=spark)
+    # one matching entity + a crowd of irrelevant ones
+    ts.assert_facts(
+        [{"db:ident": "target", "x:id": "a1"}]
+        + [{"db:ident": f"noise-{i}", "x:id": f"zz{i}"} for i in range(50)]
+    )
+    rows = flatten_docs_df(docs_df, id_attrs=["x:id", "y:id"])
+    out = remap_to_existing(rows, ts.facts_df(), ["x:id", "y:id"])
+    # the one overlapping id rewrites; nothing else leaks in
+    es = {r.e for r in out.select("e").distinct().collect()}
+    assert "target" in es
+    assert not any(e.startswith("noise-") for e in es)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastExchange" in plan, plan
