@@ -899,3 +899,89 @@ def sim_ann_lsh_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= TOP_K
     )
+
+
+@query(
+    "sim_label_separation",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (
+      SELECT label, list(m ORDER BY dim) AS cv FROM (
+        SELECT label, dim.i AS dim, round(avg(v[dim.i]), 6) AS m
+        FROM e CROSS JOIN (SELECT unnest(range(1, {DIM} + 1)) AS i) dim
+        GROUP BY label, dim.i
+      ) GROUP BY label
+    ),
+    intra AS (
+      SELECT e.label,
+             CAST(count(*) AS BIGINT) AS n_vectors,
+             round(CAST(sum(CAST(round(list_cosine_similarity(v, cv), 6)
+                                 AS DECIMAL(18,6)) ) AS DOUBLE) / count(*), 4)
+               AS intra_cos
+      FROM e JOIN cent ON e.label = cent.label
+      GROUP BY e.label
+    ),
+    cross_sep AS (
+      SELECT a.label,
+             round(max(list_cosine_similarity(a.cv, b.cv)), 4) AS max_other_cos
+      FROM cent a JOIN cent b ON a.label <> b.label
+      GROUP BY a.label
+    )
+    SELECT intra.label, n_vectors, intra_cos, max_other_cos
+    FROM intra JOIN cross_sep ON intra.label = cross_sep.label
+    """,
+    doc="embedding-space label separation: per label, mean cosine of "
+    "members to their own 6-dp-rounded centroid vs the worst (highest) "
+    "cosine to ANY other label's centroid — the silhouette-style "
+    "representation diagnostic; fully hash-gated",
+)
+def sim_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are the labels separable in embedding space? For each label:
+    cohesion (mean member-to-own-centroid cosine) and the closest
+    rival centroid's cosine — cohesion well above the rival cosine is
+    the separability signal a linear probe (`classifier_linear_probe_
+    2step`) will confirm; overlapping values predict probe failure.
+    The centroid-based form is the O(n·k) silhouette stand-in (true
+    silhouette is O(n²) pairwise — never at 100 TB).
+
+    Determinism discipline: centroid components are 6-dp-rounded
+    per-dim means (the `KMEANS2_CTES` idiom), per-member cosines round
+    to 6 dp and sum as DECIMAL so partition order can't move the mean,
+    and the k×k rival matrix is exact double arithmetic over identical
+    inputs. Scale shape: one posexplode shuffle to (label, dim) means
+    (map-side combined), centroids broadcast back for the member
+    cosine scan, and the rival matrix is k² rows."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    comps = emb.select(
+        "label", F.posexplode("v").alias("pos", "comp")
+    ).groupBy("label", "pos").agg(F.round(F.avg("comp"), 6).alias("m"))
+    cent = comps.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("cv")
+    )
+    intra = (
+        emb.join(F.broadcast(cent), "label")
+        .select(
+            "label",
+            F.round(cosine(F.col("v"), F.col("cv")), 6)
+            .cast("decimal(18,6)").alias("cos6"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.round(
+                F.sum("cos6").cast("double") / F.count(F.lit(1)), 4
+            ).alias("intra_cos"),
+        )
+    )
+    a = cent.select(F.col("label"), F.col("cv"))
+    b = cent.select(F.col("label").alias("label_b"), F.col("cv").alias("cv_b"))
+    cross_sep = (
+        a.join(F.broadcast(b), F.col("label") != F.col("label_b"))
+        .groupBy("label")
+        .agg(F.round(F.max(cosine(F.col("cv"), F.col("cv_b"))), 4).alias("max_other_cos"))
+    )
+    return intra.join(cross_sep, "label")

@@ -726,3 +726,47 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(F.log("c"), F.log("rk")), 4).alias("zipf_slope"),
         F.round(F.regr_r2(F.log("c"), F.log("rk")), 4).alias("r2"),
     )
+
+
+@query(
+    "text_ttr_by_source",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT term) AS BIGINT) AS n_types,
+           round(count(DISTINCT term) * 1.0 / count(*), 4) AS ttr
+    FROM toks
+    GROUP BY source
+    """,
+    doc="lexical diversity per source: type-token ratio (distinct "
+    "terms / total terms) — boilerplate-heavy sources read low; one "
+    "token shuffle with partial distinct aggregation; hash-gated",
+)
+def text_ttr_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio per source — the quick lexical-diversity
+    screen next to the Zipf fit (`text_zipf_fit`): template-flooded or
+    under-deduplicated sources score low TTR because the same tokens
+    repeat; a source whose TTR collapses between snapshots regressed.
+
+    Scale shape: tokens explode map-side; count(distinct term) per
+    source is Spark's standard two-phase distinct aggregate (partial
+    distinct per partition before the shuffle), so the one shuffle
+    carries (source, term) pairs — never raw text. NOTE the usual TTR
+    caveat applies across corpus sizes (TTR falls with corpus length
+    by construction); the comparison this query supports is
+    between sources within one corpus snapshot."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    )
+    return toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct("term").cast("long").alias("n_types"),
+        F.round(F.countDistinct("term") * 1.0 / F.count(F.lit(1)), 4).alias("ttr"),
+    )

@@ -706,3 +706,78 @@ def events_seasonal_naive_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(sape), 4).alias("smape"),
         F.round(F.avg(F.abs(F.col("x") - F.col("yhat"))), 4).alias("mae"),
     )
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(x, 0.5) AS med FROM daily GROUP BY event_type
+    ),
+    dev AS (
+      SELECT d.event_type, d.day, d.x, m.med, abs(d.x - m.med) AS ad
+      FROM daily d JOIN med m ON d.event_type = m.event_type
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY event_type
+    ),
+    rz AS (
+      SELECT dev.event_type, day, x,
+             0.6745 * (x - med) / mad.mad AS z
+      FROM dev JOIN mad ON dev.event_type = mad.event_type
+      WHERE mad.mad > 0
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN abs(z) > 3.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_anomalies,
+           round(max(abs(z)), 4) AS max_abs_z
+    FROM rz
+    GROUP BY event_type
+    """,
+    doc="robust outlier-day detection per event type: modified z-score "
+    "(0.6745·(x−median)/MAD, Iglewicz–Hoaglin) over the daily series, "
+    "|z| > 3.5 flags — the robust monitor that, unlike the CUSUM "
+    "mean-shift detector, a single spike cannot poison; hash-gated",
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third leg of the ingestion-monitoring family: CUSUM finds
+    sustained mean SHIFTS, autocorr profiles seasonality, and this
+    finds single anomalous DAYS — with median/MAD instead of mean/std
+    so the estimator itself is not dragged by the outliers it hunts
+    (the Iglewicz–Hoaglin modified z-score, threshold 3.5).
+
+    Scale shape: one corpus shuffle to DECIMAL-summed day grain; the
+    two medians are exact interpolated percentiles over bounded
+    day-level rows per type (Spark `percentile` and DuckDB
+    `quantile_cont` share the type-7 rule — the `stats_value_by_type`
+    precedent), and the final flags are one more bounded aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("x"))
+    med = daily.groupBy("event_type").agg(
+        F.percentile("x", F.lit(0.5)).alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("x") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("ad", F.lit(0.5)).alias("mad")
+    )
+    rz = (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("mad") > 0)
+        .withColumn("z", 0.6745 * (F.col("x") - F.col("med")) / F.col("mad"))
+    )
+    return rz.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.when(F.abs("z") > 3.5, 1).otherwise(0)).cast("long").alias("n_anomalies"),
+        F.round(F.max(F.abs("z")), 4).alias("max_abs_z"),
+    )
