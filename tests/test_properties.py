@@ -508,3 +508,47 @@ def test_datalog_not_or_equals_bruteforce(spark, ents, shape):
     # entity vars come back as raw eids, value vars as raw strings —
     # same shapes as the naive tuples
     assert got == want
+
+
+# --- id_attrs remap: batch-pruned ≡ unpruned reference -----------------------
+
+_ids_st = st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=8)
+
+
+@given(store_ids=_ids_st, batch_ids=_ids_st)
+@settings(**SETTINGS)
+def test_remap_pruning_equals_unpruned_reference(spark, store_ids, batch_ids):
+    """The r8 semi-join pruning in remap_to_existing is semantics-free:
+    for ANY overlap pattern between store identities and batch ids
+    (disjoint, subset, duplicated ids), the pruned remap must equal the
+    naive store-sized-mapping remap computed inline."""
+    from tripl_spark.functions.ids import deterministic_eid_col
+    from tripl_spark.sources.json_bulk import remap_to_existing
+
+    existing = spark.createDataFrame(
+        [(f"ent-{i}", "x:id", "string", f"id-{i}", None, None, 0)
+         for i in set(store_ids)],
+        "e string, a string, vtype string, v_str string, v_num double, "
+        "v_bool boolean, t long",
+    )
+    batch = spark.createDataFrame(
+        [(i, f"id-{i}") for i in batch_ids], "n long, val string"
+    ).select(
+        deterministic_eid_col("x:id", F.col("val")).alias("e"),
+        F.lit("x:id").alias("a"), F.lit("string").alias("vtype"),
+        F.col("val").alias("v_str"),
+        F.lit(None).cast("double").alias("v_num"),
+        F.lit(None).cast("boolean").alias("v_bool"),
+        F.lit(0).cast("long").alias("t"),
+    )
+    got = {(r.e, r.v_str) for r in
+           remap_to_existing(batch, existing, ["x:id"]).collect()}
+    # naive reference: full store mapping applied driver-side
+    mapping = {
+        r2.f: r2.e
+        for r2 in existing.select(
+            deterministic_eid_col("x:id", F.col("v_str")).alias("f"), "e"
+        ).collect()
+    }
+    want = {(mapping.get(r.e, r.e), r.v_str) for r in batch.collect()}
+    assert got == want

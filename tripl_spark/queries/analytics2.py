@@ -781,3 +781,71 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.abs("z") > 3.5, 1).otherwise(0)).cast("long").alias("n_anomalies"),
         F.round(F.max(F.abs("z")), 4).alias("max_abs_z"),
     )
+
+
+@query(
+    "events_weekday_profile",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    tagged AS (
+      SELECT event_type, isodow(d) AS dow, x FROM daily
+    ),
+    per_dow AS (
+      SELECT event_type, CAST(dow AS INT) AS dow,
+             CAST(count(*) AS BIGINT) AS n_days,
+             sum(x) AS sx
+      FROM tagged GROUP BY event_type, dow
+    ),
+    tot AS (
+      SELECT event_type, sum(sx) AS total, sum(n_days) AS nd
+      FROM per_dow GROUP BY event_type
+    )
+    SELECT p.event_type, p.dow, p.n_days,
+           round(p.sx / p.n_days, 4) AS mean_value,
+           round((p.sx / p.n_days) / (t.total / t.nd), 4) AS seasonal_index
+    FROM per_dow p JOIN tot t ON p.event_type = t.event_type
+    """,
+    doc="weekly seasonality profile per event type: day-of-week means "
+    "and the seasonal index (dow mean / overall daily mean) — the "
+    "decomposition companion to the lag-7 autocorrelation; windows "
+    "never appear, everything is bounded aggregates; hash-gated",
+)
+def events_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical multiplicative seasonal indices by day of week: index
+    >1 marks systematically heavy days, and dividing a day's value by
+    its index is the seasonal adjustment `events_changepoint_cusum` /
+    `events_anomaly_mad` need when `events_autocorr_daily` reports
+    weekly structure — the four queries compose into the standard
+    monitor-decompose-adjust loop.
+
+    Determinism: day sums in DECIMAL; per-dow means are sums of those
+    exact doubles divided by integer counts, with ISO day-of-week
+    (Mon=1) on both engines. Scale shape: one corpus shuffle to day
+    grain, then two bounded aggregates (≤ 7 x |types| rows)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("x"))
+    tagged = daily.select(
+        "event_type", F.dayofweek("d").alias("dow_sun1"), "x"
+    ).withColumn(  # Spark dayofweek: Sun=1..Sat=7 → ISO Mon=1..Sun=7
+        "dow", F.when(F.col("dow_sun1") == 1, 7).otherwise(F.col("dow_sun1") - 1)
+    )
+    per_dow = tagged.groupBy("event_type", F.col("dow").cast("int").alias("dow")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").alias("sx"),
+    )
+    tot = per_dow.groupBy("event_type").agg(
+        F.sum("sx").alias("total"), F.sum("n_days").alias("nd")
+    )
+    return per_dow.join(F.broadcast(tot), "event_type").select(
+        "event_type", "dow", "n_days",
+        F.round(F.col("sx") / F.col("n_days"), 4).alias("mean_value"),
+        F.round((F.col("sx") / F.col("n_days")) / (F.col("total") / F.col("nd")), 4)
+          .alias("seasonal_index"),
+    )
