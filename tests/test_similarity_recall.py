@@ -227,3 +227,57 @@ def test_lsh_filtered_recall_on_clustered_data(clustered):
     )
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"filtered LSH recall too low: {recall}"
+
+
+def test_mmr_skips_the_near_duplicate_second_hit(spark):
+    # a query whose two most-relevant candidates are near-duplicates of
+    # each other: plain top-3 returns both; MMR must pick the duplicate
+    # LAST (diversity discount), promoting the distinct third vector
+    import math
+
+    from tripl_spark.operators.similarity import MMR_LAMBDA, cosine
+
+    # query sits between two orthogonal directions; the two most
+    # relevant candidates (base, dup) point the same way
+    base = [1.0, 0.0, 0.0, 0.0]
+    dup = [0.999, 0.01, 0.0, 0.0]       # ~same direction as base
+    other = [0.0, 1.0, 0.0, 0.0]        # equally relevant, orthogonal
+    far = [0.0, 0.0, 1.0, 0.0]
+    rows = [(0, [0.71, 0.7, 0.0, 0.0]), (1, base), (2, dup), (3, other), (4, far)]
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), "vec_id")
+    cand = (
+        emb.filter(F.col("vec_id") > 0)
+        .crossJoin(F.broadcast(q))
+        .select("query_id", "vec_id", "v",
+                F.round(cosine(F.col("qv"), F.col("v")), 4).alias("rel"))
+    )
+    # plain relevance puts the near-duplicate PAIR in the top 2
+    rel_order = [r.vec_id for r in cand.orderBy(F.desc("rel"), "vec_id").collect()]
+    assert set(rel_order[:2]) == {1, 2}
+    # greedy MMR by the same formula, driver-side reference
+    pool = {r.vec_id: (r.rel, r.v) for r in cand.collect()}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / math.sqrt(sum(x * x for x in a) * sum(x * x for x in b))
+
+    picked = [rel_order[0]]
+    for _ in range(2):
+        best = max(
+            ((MMR_LAMBDA * rel - (1 - MMR_LAMBDA)
+              * max(round(cos(v, pool[p][1]), 6) for p in picked), -vid, vid)
+             for vid, (rel, v) in pool.items() if vid not in picked),
+        )
+        picked.append(best[2])
+    # MMR demotes the duplicate below the orthogonal candidate: the
+    # top-2 MMR picks are one of the pair plus 'other', never both
+    assert picked[1] == 3, picked
+    assert set(picked) == {rel_order[0], 3, (2 if rel_order[0] == 1 else 1)}, picked

@@ -985,3 +985,230 @@ def sim_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.max(cosine(F.col("cv"), F.col("cv_b"))), 4).alias("max_other_cos"))
     )
     return intra.join(cross_sep, "label")
+
+
+@query(
+    "sim_recall_at_k_eval",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      {_bucket_sql("embedding::DOUBLE[]")} AS bucket
+               FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv, bucket
+               FROM e WHERE vec_id < {N_QUERIES}),
+         exact AS (
+           SELECT query_id, vec_id FROM (
+             SELECT q.query_id, e.vec_id,
+                    row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY round(list_cosine_similarity(qv, v), 4) DESC,
+                               e.vec_id) AS rk
+             FROM q JOIN e ON q.query_id <> e.vec_id
+           ) WHERE rk <= {TOP_K}
+         ),
+         approx AS (
+           SELECT query_id, vec_id FROM (
+             SELECT q.query_id, e.vec_id,
+                    row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY round(list_cosine_similarity(qv, v), 4) DESC,
+                               e.vec_id) AS rk
+             FROM q JOIN e ON q.bucket = e.bucket AND q.query_id <> e.vec_id
+           ) WHERE rk <= {TOP_K}
+         )
+    SELECT exact.query_id,
+           CAST(count(approx.vec_id) AS BIGINT) AS n_hits,
+           round(count(approx.vec_id) * 1.0 / {TOP_K}, 4) AS recall_at_k
+    FROM exact LEFT JOIN approx
+      ON exact.query_id = approx.query_id AND exact.vec_id = approx.vec_id
+    GROUP BY exact.query_id
+    """,
+    doc=f"retrieval-quality eval as a QUERY: per-query recall@{TOP_K} "
+    "of the sign-LSH index against the exact top-k — the number an "
+    "index rollout is judged by, computed by joining the two result "
+    "sets; fully hash-gated",
+)
+def sim_recall_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotes the test-suite recall metric
+    (tests/test_similarity_recall.py) to a registered, oracled eval:
+    recall@k of `sim_ann_lsh` against `sim_knn_bruteforce` per query,
+    computed as |approx ∩ exact| / k by a left join on (query,
+    neighbor). This is the continuous-monitoring form — at 100 TB you
+    run it over a FIXED query panel after every index rebuild and
+    alert on recall regressions (bucket-occupancy drift, plane-count
+    misconfiguration), exactly how production vector stores gate
+    deployments.
+
+    Scale shape: both sides reuse the registered queries' plans (exact
+    side bounded by the query panel; approx side bucket-pruned); the
+    compare join touches ≤ 2·|panel|·k rows."""
+    exact = sim_knn_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = sim_ann_lsh(spark, sf_dir).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("aq")) & (F.col("neighbor_id") == F.col("an")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("an").cast("long").alias("n_hits"),
+            F.round(F.count("an") * 1.0 / TOP_K, 4).alias("recall_at_k"),
+        )
+    )
+
+
+MMR_POOL = 10  # relevance candidates per query entering the re-rank
+MMR_LAMBDA = 0.7  # relevance-vs-diversity tradeoff
+
+
+@query(
+    "sim_mmr_rerank",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv
+               FROM e WHERE vec_id < {N_QUERIES}),
+         cand AS (
+           SELECT query_id, vec_id, v, rel FROM (
+             SELECT q.query_id, e.vec_id, e.v,
+                    round(list_cosine_similarity(qv, e.v), 4) AS rel,
+                    row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY round(list_cosine_similarity(qv, e.v), 4) DESC,
+                               e.vec_id) AS rk
+             FROM q JOIN e ON q.query_id <> e.vec_id
+           ) WHERE rk <= {MMR_POOL}
+         ),
+         p1 AS (
+           SELECT query_id, vec_id, v, rel FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY rel DESC, vec_id) AS rk FROM cand
+           ) WHERE rk = 1
+         ),
+         s2 AS (
+           SELECT c.query_id, c.vec_id, c.v,
+                  round({MMR_LAMBDA} * c.rel - {1 - MMR_LAMBDA}
+                        * round(list_cosine_similarity(c.v, p1.v), 6), 6) AS mmr
+           FROM cand c JOIN p1 ON c.query_id = p1.query_id
+           WHERE c.vec_id <> p1.vec_id
+         ),
+         p2 AS (
+           SELECT query_id, vec_id, v, mmr FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY mmr DESC, vec_id) AS rk FROM s2
+           ) WHERE rk = 1
+         ),
+         s3 AS (
+           SELECT c.query_id, c.vec_id,
+                  round({MMR_LAMBDA} * c.rel - {1 - MMR_LAMBDA}
+                        * greatest(round(list_cosine_similarity(c.v, p1.v), 6),
+                                   round(list_cosine_similarity(c.v, p2.v), 6)), 6)
+                    AS mmr
+           FROM cand c
+           JOIN p1 ON c.query_id = p1.query_id
+           JOIN p2 ON c.query_id = p2.query_id
+           WHERE c.vec_id <> p1.vec_id AND c.vec_id <> p2.vec_id
+         ),
+         p3 AS (
+           SELECT query_id, vec_id, mmr FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY mmr DESC, vec_id) AS rk FROM s3
+           ) WHERE rk = 1
+         )
+    SELECT query_id, vec_id AS neighbor_id, CAST(1 AS INT) AS mmr_rank,
+           rel AS mmr_score
+    FROM p1
+    UNION ALL
+    SELECT query_id, vec_id, CAST(2 AS INT), mmr FROM p2
+    UNION ALL
+    SELECT query_id, vec_id, CAST(3 AS INT), mmr FROM p3
+    """,
+    doc=f"MMR diversified re-ranking: 3 greedy maximal-marginal-"
+    f"relevance selections (lambda={MMR_LAMBDA}) from each query's "
+    f"top-{MMR_POOL} relevance pool — the result-diversity primitive; "
+    "every stage bounded by the pool; fully hash-gated",
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998): after
+    plain cosine retrieval returns near-duplicates of the same hit,
+    MMR greedily picks argmax of λ·rel(c) − (1−λ)·max_{p∈picked}
+    sim(c, p) — relevance discounted by redundancy against what is
+    already selected. The standard re-rank for RAG context assembly
+    and for diversifying training-data retrieval; three selections
+    are unrolled here (the greedy loop is inherently sequential, but
+    each step is one bounded join over the ≤{MMR_POOL}-row pool, so
+    k steps cost k tiny stages — never a scan).
+
+    Determinism: relevance at 4 dp (the kNN convention), redundancy
+    cosines and MMR scores at 6 dp, argmax ties broken by vec_id —
+    identical double inputs on both engines make every comparison
+    replay exactly. Scale shape: the pool build is the brute-force
+    kNN plan (or any registered ANN index — the re-rank only needs
+    (id, v, rel) rows); everything after is per-query constant work."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w_rel = Window.partitionBy("query_id").orderBy(F.desc("rel"), "vec_id")
+    cand = (
+        emb.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id", "vec_id", "v",
+            F.round(cosine(F.col("qv"), F.col("v")), 4).alias("rel"),
+        )
+        .withColumn("rk", F.row_number().over(w_rel))
+        .filter(F.col("rk") <= MMR_POOL)
+        .drop("rk")
+    )
+    p1 = cand.withColumn("rk", F.row_number().over(w_rel)).filter(
+        F.col("rk") == 1
+    ).select("query_id", F.col("vec_id").alias("n1"), F.col("v").alias("v1"), "rel")
+    lam, mu = F.lit(MMR_LAMBDA), F.lit(1 - MMR_LAMBDA)
+    s2 = (
+        cand.join(p1.select("query_id", "n1", "v1"), "query_id")
+        .filter(F.col("vec_id") != F.col("n1"))
+        .select(
+            "query_id", "vec_id", "v", "rel",
+            F.round(
+                lam * F.col("rel") - mu * F.round(cosine(F.col("v"), F.col("v1")), 6), 6
+            ).alias("mmr"),
+        )
+    )
+    w_mmr = Window.partitionBy("query_id").orderBy(F.desc("mmr"), "vec_id")
+    p2 = s2.withColumn("rk", F.row_number().over(w_mmr)).filter(
+        F.col("rk") == 1
+    ).select("query_id", F.col("vec_id").alias("n2"), F.col("v").alias("v2"),
+             F.col("mmr").alias("mmr2"))
+    s3 = (
+        cand.join(p1.select("query_id", "n1", "v1"), "query_id")
+        .join(p2.select("query_id", "n2", "v2"), "query_id")
+        .filter((F.col("vec_id") != F.col("n1")) & (F.col("vec_id") != F.col("n2")))
+        .select(
+            "query_id", "vec_id",
+            F.round(
+                lam * F.col("rel")
+                - mu * F.greatest(
+                    F.round(cosine(F.col("v"), F.col("v1")), 6),
+                    F.round(cosine(F.col("v"), F.col("v2")), 6),
+                ), 6,
+            ).alias("mmr"),
+        )
+    )
+    p3 = s3.withColumn("rk", F.row_number().over(w_mmr)).filter(
+        F.col("rk") == 1
+    ).select("query_id", F.col("vec_id").alias("n3"), F.col("mmr").alias("mmr3"))
+    out1 = p1.select(
+        "query_id", F.col("n1").alias("neighbor_id"),
+        F.lit(1).cast("int").alias("mmr_rank"), F.col("rel").alias("mmr_score"),
+    )
+    out2 = p2.select(
+        "query_id", F.col("n2").alias("neighbor_id"),
+        F.lit(2).cast("int").alias("mmr_rank"), F.col("mmr2").alias("mmr_score"),
+    )
+    out3 = p3.select(
+        "query_id", F.col("n3").alias("neighbor_id"),
+        F.lit(3).cast("int").alias("mmr_rank"), F.col("mmr3").alias("mmr_score"),
+    )
+    return out1.unionByName(out2).unionByName(out3)

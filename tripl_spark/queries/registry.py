@@ -131,17 +131,19 @@ _PRIORITY = [
     "mixing_split_assign",
     "packing_bin_assign",
     "pipeline_curation_end2end",
-    # (c) LATE-r8 additions past the 50-slot window (positions 51-54;
+    # (c) LATE-r8 additions past the 50-slot window (positions 51+;
     # the r6-late precedent): zero driver rows until r9 — local DuckDB
     # parity covers them meanwhile; they lead the r9 window.
     "events_anomaly_mad",
     "text_ttr_by_source",
     "sim_label_separation",
     "events_weekday_profile",
+    "sim_recall_at_k_eval",
+    "sim_mmr_rerank",
 ]
 # r9 rotation note: after the r8 window lands, every entry except the
-# four late-r8 names above has a driver row no older than r5. The r9
-# window: (1) the four late-r8 additions (first rows), (2) the
+# late-r8 names above has a driver row no older than r5. The r9
+# window: (1) the late-r8 additions (first rows), (2) the
 # entries whose latest row is r5 vintage (recompute from
 # CORRECTNESS_r01..r09 the way r8 did), (3) any query whose oracle
 # text changes in r9.
