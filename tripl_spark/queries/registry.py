@@ -140,6 +140,7 @@ _PRIORITY = [
     "events_weekday_profile",
     "sim_recall_at_k_eval",
     "sim_mmr_rerank",
+    "triple_attr_stats",
 ]
 # r9 rotation note: after the r8 window lands, every entry except the
 # late-r8 names above has a driver row no older than r5. The r9

@@ -479,3 +479,88 @@ def triple_datalog_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(df["?c"], 3, 1 << 20).alias("e"),
         F.substring(df["?n_name"], 3, 1 << 20).alias("n_name"),
     )
+
+
+@query(
+    "triple_attr_stats",
+    oracle="""
+    WITH cn AS (SELECT CAST(count(*) AS BIGINT) AS c FROM customer),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nation)
+    SELECT 'db:ident' AS a, cn.c + nn.n AS n_facts, cn.c + nn.n AS n_entities,
+           cn.c + nn.n AS n_values,
+           round((cn.c + nn.n) * 1.0 / (cn.c + nn.n), 4) AS selectivity
+    FROM cn, nn
+    UNION ALL
+    SELECT 'customer:c_custkey', count(*), count(DISTINCT c_custkey),
+           count(DISTINCT c_custkey),
+           round(count(DISTINCT c_custkey) * 1.0 / count(*), 4)
+    FROM customer
+    UNION ALL
+    SELECT 'customer:c_name', count(*), count(DISTINCT c_custkey),
+           count(DISTINCT c_name),
+           round(count(DISTINCT c_name) * 1.0 / count(*), 4)
+    FROM customer
+    UNION ALL
+    SELECT 'customer:nation', count(*), count(DISTINCT c_custkey),
+           count(DISTINCT c_nationkey),
+           round(count(DISTINCT c_nationkey) * 1.0 / count(*), 4)
+    FROM customer
+    UNION ALL
+    SELECT 'customer:c_acctbal', count(*), count(DISTINCT c_custkey),
+           count(DISTINCT c_acctbal),
+           round(count(DISTINCT c_acctbal) * 1.0 / count(*), 4)
+    FROM customer
+    UNION ALL
+    SELECT 'customer:c_mktsegment', count(*), count(DISTINCT c_custkey),
+           count(DISTINCT c_mktsegment),
+           round(count(DISTINCT c_mktsegment) * 1.0 / count(*), 4)
+    FROM customer
+    UNION ALL
+    SELECT 'nation:n_nationkey', count(*), count(DISTINCT n_nationkey),
+           count(DISTINCT n_nationkey),
+           round(count(DISTINCT n_nationkey) * 1.0 / count(*), 4)
+    FROM nation
+    UNION ALL
+    SELECT 'nation:n_name', count(*), count(DISTINCT n_nationkey),
+           count(DISTINCT n_name),
+           round(count(DISTINCT n_name) * 1.0 / count(*), 4)
+    FROM nation
+    UNION ALL
+    SELECT 'nation:n_regionkey', count(*), count(DISTINCT n_nationkey),
+           count(DISTINCT n_regionkey),
+           round(count(DISTINCT n_regionkey) * 1.0 / count(*), 4)
+    FROM nation
+    """,
+    doc="the planner-statistics view: per attribute, fact count, "
+    "entity count, distinct-value count and selectivity over the "
+    "melted customer+nation fact log — the numbers `plans/match.py` "
+    "orders clauses by, exposed as a query (DuckDB replays the melt "
+    "per source column); hash-gated",
+)
+def triple_attr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE for the triple store: per-attribute cardinalities and
+    selectivity (distinct values / facts). These are exactly the
+    statistics the match compiler's most-selective-first clause
+    ordering consumes (`plans/match.py` counts per-attribute facts
+    before choosing a join order — the EAV analog of Catalyst's column
+    stats), surfaced as a registered query so an operator can inspect
+    WHY a clause ordering was chosen and a pipeline can monitor
+    attribute-cardinality drift between ingests.
+
+    Scale shape: one map-side-combined aggregation over the fact log;
+    distinct counts are Spark's two-phase partial-distinct (at true
+    100 TB scale you would swap countDistinct for approx_count_distinct
+    — the HLL path `approx_distinct_users` pins — at the price of the
+    exact oracle)."""
+    facts = _customer_facts(spark, sf_dir).unionByName(_nation_facts(spark, sf_dir))
+    val_key = F.coalesce(
+        F.col("v_str"), F.col("v_num").cast("string"), F.col("v_bool").cast("string")
+    )
+    return facts.groupBy("a").agg(
+        F.count(F.lit(1)).cast("long").alias("n_facts"),
+        F.countDistinct("e").cast("long").alias("n_entities"),
+        F.countDistinct(val_key).cast("long").alias("n_values"),
+        F.round(
+            F.countDistinct(val_key) * 1.0 / F.count(F.lit(1)), 4
+        ).alias("selectivity"),
+    )
