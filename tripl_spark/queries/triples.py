@@ -564,3 +564,73 @@ def triple_attr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(val_key) * 1.0 / F.count(F.lit(1)), 4
         ).alias("selectivity"),
     )
+
+
+@query(
+    "triple_history_audit",
+    oracle="""
+    SELECT strftime(date_trunc('month', CAST(ts AS TIMESTAMP)), '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n_assertions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_entities,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_values,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_overwrites
+    FROM (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+      FROM events
+    )
+    GROUP BY 1
+    """,
+    doc="Datomic history() as an audit rollup: per month, how many "
+    "assertions landed on the card-one user:last_type attribute, how "
+    "many entities/values they touched, and how many were OVERWRITES "
+    "of an earlier assertion (rn > 1 in stamp order) — the write-audit "
+    "view the as-of snapshot family completes; hash-gated",
+)
+def triple_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`TripleStore.history()` surfaced as a monitoring query: the
+    pre-compaction fact log (the SAME events-melted card-one store as
+    `triple_asof_snapshot`) aggregated to a monthly write-audit —
+    assertion volume, touched entities, distinct values, and the
+    overwrite count (assertions that superseded an earlier stamp for
+    their (e, a), i.e. everything merge-on-read compaction will
+    discard). At 100 TB this is the question 'how fast is my store
+    churning and what will compaction reclaim' answered by one scan
+    of the log; the history() view adds no shuffle of its own — the
+    rank-by-stamp runs per entity, the log's natural key.
+
+    Scale shape: one window over (e) in stamp order (near-unique keys,
+    shuffle-balanced) and one month-grain aggregation."""
+    from pyspark.sql import Window
+
+    from tripl_spark.core.store import TripleStore
+
+    events = load_table(spark, sf_dir, "events")
+    facts = events.select(
+        F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("e"),
+        F.lit("user:last_type").alias("a"),
+        F.lit("str").alias("vtype"),
+        F.col("event_type").alias("v_str"),
+        F.lit(None).cast("double").alias("v_num"),
+        F.lit(None).cast("boolean").alias("v_bool"),
+        (F.unix_millis("ts") * 1_000_000 + F.col("event_id")).alias("t"),
+    )
+    store = TripleStore.from_facts_df(facts, spark=spark)
+    # restrict the audit to the data attribute: the store also logs
+    # its own bookkeeping facts at t=0 (idents/schema), which are not
+    # part of this attribute's write history
+    hist = store.history().filter(F.col("a") == "user:last_type")
+    w = Window.partitionBy("e").orderBy("t")
+    ranked = hist.withColumn("rn", F.row_number().over(w))
+    month = F.date_format(
+        F.timestamp_millis((F.col("t") / 1_000_000).cast("long")), "yyyy-MM"
+    )
+    return ranked.groupBy(month.alias("month")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_assertions"),
+        F.countDistinct("e").cast("long").alias("n_entities"),
+        F.countDistinct("v_str").cast("long").alias("n_values"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("long")
+          .alias("n_overwrites"),
+    )
