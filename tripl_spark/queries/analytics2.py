@@ -12,6 +12,48 @@ from pyspark.sql import functions as F
 from tripl_spark.queries.registry import query
 from tripl_spark.session import load_table
 
+MAD_THRESHOLD = 3.5  # Iglewicz–Hoaglin modified-z cutoff
+MAD_K = 0.6745  # standard-normal consistency constant
+
+
+def daily_value_series(events: DataFrame) -> DataFrame:
+    """(event_type, day 'yyyy-MM-dd', x double) — the day-grain value
+    series every monitoring query runs over. The ONE corpus-sized
+    shuffle of the family; day sums are exact DECIMAL so partial-merge
+    order can't flip a bit before the cast to double. Shared by the
+    CUSUM / autocorr / seasonal-naive / MAD batch queries and (via
+    DECIMAL partials) the streaming monitor, so the determinism
+    discipline lives in exactly one place."""
+    return events.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("x"))
+
+
+def robust_z(daily: DataFrame) -> DataFrame:
+    """Input columns + (med, ad, mad, z) where z is the UNROUNDED
+    Iglewicz–Hoaglin modified z-score MAD_K·(x−median)/MAD per
+    event_type. Types whose MAD is 0 (zero dispersion — no robust
+    scale) drop out, the documented guard. Thresholding must happen on
+    this unrounded z (round only for display, after filtering) so the
+    batch query, the streaming summary, and the alert feed agree on
+    boundary days. Both medians are bounded per-type aggregates over
+    day-level rows; the tiny med/mad tables broadcast back."""
+    med = daily.groupBy("event_type").agg(
+        F.percentile("x", F.lit(0.5)).alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("x") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("ad", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("mad") > 0)
+        .withColumn("z", MAD_K * (F.col("x") - F.col("med")) / F.col("mad"))
+    )
+
 
 @query(
     "events_cube_type_year",
@@ -545,10 +587,7 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines evaluate the identical formula."""
     from pyspark.sql import Window
 
-    events = load_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        "event_type", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
-    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("x"))
+    daily = daily_value_series(load_table(spark, sf_dir, "events"))
     stats = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
@@ -625,10 +664,7 @@ def events_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     corr aggregate run over years x |types| day rows, bounded whatever
     the corpus size. corr inputs are bit-identical on both engines, so
     the 4-dp round is safe to hash."""
-    events = load_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        "event_type", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
-    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("x"))
+    daily = daily_value_series(load_table(spark, sf_dir, "events"))
     w = Window.partitionBy("event_type").orderBy("day")
     lagged = daily.select(
         "event_type", "x",
@@ -684,10 +720,7 @@ def events_seasonal_naive_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to the autocorr/CUSUM family — one corpus
     shuffle to DECIMAL-summed day grain, then the lag-7 window and the
     error aggregates run over bounded day-level rows."""
-    events = load_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        "event_type", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
-    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("x"))
+    daily = daily_value_series(load_table(spark, sf_dir, "events"))
     w = Window.partitionBy("event_type").orderBy("day")
     pred = daily.select(
         "event_type", "x", F.lag("x", 7).over(w).alias("yhat")
@@ -758,27 +791,12 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     day-level rows per type (Spark `percentile` and DuckDB
     `quantile_cont` share the type-7 rule — the `stats_value_by_type`
     precedent), and the final flags are one more bounded aggregate."""
-    events = load_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        "event_type", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
-    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("x"))
-    med = daily.groupBy("event_type").agg(
-        F.percentile("x", F.lit(0.5)).alias("med")
-    )
-    dev = daily.join(F.broadcast(med), "event_type").withColumn(
-        "ad", F.abs(F.col("x") - F.col("med"))
-    )
-    mad = dev.groupBy("event_type").agg(
-        F.percentile("ad", F.lit(0.5)).alias("mad")
-    )
-    rz = (
-        dev.join(F.broadcast(mad), "event_type")
-        .filter(F.col("mad") > 0)
-        .withColumn("z", 0.6745 * (F.col("x") - F.col("med")) / F.col("mad"))
-    )
+    daily = daily_value_series(load_table(spark, sf_dir, "events"))
+    rz = robust_z(daily)
     return rz.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_days"),
-        F.sum(F.when(F.abs("z") > 3.5, 1).otherwise(0)).cast("long").alias("n_anomalies"),
+        F.sum(F.when(F.abs("z") > MAD_THRESHOLD, 1).otherwise(0))
+        .cast("long").alias("n_anomalies"),
         F.round(F.max(F.abs("z")), 4).alias("max_abs_z"),
     )
 

@@ -861,10 +861,13 @@ def graph_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     side: the part slice is a pushed-down scan filter; baskets larger
     than {LIFT_MAX_BASKET} drop BEFORE the customer-keyed self-join,
     so candidate work is bounded by cap x |kept rows| — a
-    crawl-everything buyer never contributes |parts|² pairs. One
-    shuffle for the pair counts; the support table and the 1-row
-    basket count broadcast into the scoring join; top-k is
-    TakeOrderedAndProject with the rank window over {LIFT_TOP} rows."""
+    crawl-everything buyer never contributes |parts|² pairs. The
+    kept-customer filter join is deliberately UN-hinted (kept grows
+    with |customers|; only AQE may broadcast it, on runtime stats).
+    One shuffle for the pair counts; the part-keyed support table
+    (bounded by the slice) and the 1-row basket count broadcast into
+    the scoring join; top-k is TakeOrderedAndProject with the rank
+    window over {LIFT_TOP} rows."""
     from pyspark.sql import Window
 
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -884,7 +887,13 @@ def graph_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("sz") >= 2) & (F.col("sz") <= LIFT_MAX_BASKET))
         .select("cust")
     )
-    fb = buyers.join(F.broadcast(kept), "cust")
+    # kept is the UNBOUNDED side (O(|customers|) under the slice) — no
+    # broadcast hint; both sides are cust-keyed so this is a co-
+    # partitioned shuffle join, and AQE may still pick broadcast when
+    # runtime stats say kept is small. (The bounded side here is parts:
+    # supp, broadcast below — the mirror of graph_jaccard_links, where
+    # the roles are swapped and kept PARTS broadcast.)
+    fb = buyers.join(kept, "cust")
     nb = fb.agg(F.countDistinct("cust").cast("long").alias("n"))
     supp = fb.groupBy("part").agg(F.count(F.lit(1)).cast("long").alias("s"))
     a = fb.select("cust", F.col("part").alias("part_a"))

@@ -207,20 +207,27 @@ def triple_pull_df_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT user_id, event_type,
              row_number() OVER (PARTITION BY user_id
-                                ORDER BY CAST(ts AS TIMESTAMP) DESC,
-                                         event_id DESC) AS rn
+                                ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)) * 1000000
+                                         + event_id DESC,
+                                         event_type ASC) AS rn
       FROM events
-      WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15')
+      WHERE epoch_ms(CAST(ts AS TIMESTAMP)) * 1000000 + event_id
+            < epoch_ms(TIMESTAMP '2024-01-15') * 1000000)
     WHERE rn = 1
     """,
 )
 def triple_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Datomic-style time travel (``TripleStore.as_of``): events melt to
     a card-one ``user:last_type`` fact log stamped ``t = millis(ts)*1e6
-    + event_id`` (unique, time-ordered), and the snapshot at Jan 15
-    answers "what was each user's latest event type THEN". The oracle is
-    the relational argmax under the same cutoff — if the snapshot filter
-    or LWW compaction mis-ranked, values flip. The as-of filter is a
+    + event_id``, and the snapshot at Jan 15 answers "what was each
+    user's latest event type THEN". The oracle ranks and filters in the
+    PACKED-STAMP domain — the store's t IS the transaction order, and
+    replicating the packing (rather than ordering by raw (ts, event_id))
+    keeps both engines identical even when event_id outgrows the 1e6
+    packing radix at large scale factors; equal-stamp ties break by
+    value ascending, the store's own LWW tiebreak
+    (`core/store.py:current_facts`). If the snapshot filter or LWW
+    compaction mis-ranked, values flip. The as-of filter is a
     pushed-down predicate over the fact log, not a copy."""
     from tripl_spark.core.schema import CARD_ONE
     from tripl_spark.core.store import TripleStore
@@ -569,17 +576,23 @@ def triple_attr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "triple_history_audit",
     oracle="""
-    SELECT strftime(date_trunc('month', CAST(ts AS TIMESTAMP)), '%Y-%m') AS month,
+    WITH f AS (
+      SELECT user_id, event_type,
+             epoch_ms(CAST(ts AS TIMESTAMP)) * 1000000 + event_id AS t
+      FROM events
+    )
+    SELECT strftime(date_trunc('month', epoch_ms(t // 1000000)), '%Y-%m')
+             AS month,
            CAST(count(*) AS BIGINT) AS n_assertions,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_entities,
            CAST(count(DISTINCT event_type) AS BIGINT) AS n_values,
            CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_overwrites
     FROM (
-      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+      SELECT user_id, event_type, t,
              row_number() OVER (PARTITION BY user_id
-                                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
-      FROM events
+                                ORDER BY t, event_type) AS rn
+      FROM f
     )
     GROUP BY 1
     """,
@@ -624,8 +637,11 @@ def triple_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = store.history().filter(F.col("a") == "user:last_type")
     w = Window.partitionBy("e").orderBy("t")
     ranked = hist.withColumn("rn", F.row_number().over(w))
+    # integer division, matching the oracle's `t // 1000000`: a double
+    # divide of a ~1e18 stamp rounds by up to ~256 units, enough to
+    # flip a boundary-millisecond event across a month edge
     month = F.date_format(
-        F.timestamp_millis((F.col("t") / 1_000_000).cast("long")), "yyyy-MM"
+        F.timestamp_millis(F.expr("t div 1000000")), "yyyy-MM"
     )
     return ranked.groupBy(month.alias("month")).agg(
         F.count(F.lit(1)).cast("long").alias("n_assertions"),

@@ -28,8 +28,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-MAD_THRESHOLD = 3.5  # Iglewicz–Hoaglin modified-z cutoff
-MAD_K = 0.6745  # standard-normal consistency constant
+from tripl_spark.queries.analytics2 import MAD_K, MAD_THRESHOLD, robust_z
+
+__all__ = ["MAD_K", "MAD_THRESHOLD", "StreamingAnomalyMonitor", "daily_partials"]
 
 
 def daily_partials(batch: DataFrame) -> DataFrame:
@@ -83,14 +84,21 @@ class StreamingAnomalyMonitor:
         if self.state is None:
             merged = delta
         else:
-            merged = (
-                self.state.unionByName(delta)
-                .groupBy("event_type", "day")
-                .agg(
-                    F.sum("n_events").cast("long").alias("n_events"),
-                    F.sum("sum_value").cast("decimal(18,6)").alias("sum_value"),
-                )
+            merged = self.state.unionByName(delta).groupBy("event_type", "day")
+            merged = merged.agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value").alias("sum_value"),
             )
+        # normalize to _STATE_SCHEMA on EVERY path: SUM over
+        # decimal(18,6) widens to decimal(28,6), and a first-batch
+        # snapshot written widened would be unreadable by the declared
+        # recovery schema on restart
+        merged = merged.select(
+            "event_type",
+            "day",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("sum_value").cast("decimal(18,6)").alias("sum_value"),
+        )
         # bounded state (years x |types| day rows); checkpoint so N
         # batches don't stack N plans
         new_state = merged.localCheckpoint(eager=True)
@@ -112,26 +120,12 @@ class StreamingAnomalyMonitor:
 
     def anomaly_summary(self) -> DataFrame | None:
         """Per-type robust outlier summary — the exact statistic of the
-        oracled `events_anomaly_mad` query, over everything seen."""
+        oracled `events_anomaly_mad` query (same shared `robust_z`
+        helper, so the two cannot drift), over everything seen."""
         daily = self.daily()
         if daily is None:
             return None
-        med = daily.groupBy("event_type").agg(
-            F.percentile("x", F.lit(0.5)).alias("med")
-        )
-        dev = daily.join(F.broadcast(med), "event_type").withColumn(
-            "ad", F.abs(F.col("x") - F.col("med"))
-        )
-        mad = dev.groupBy("event_type").agg(
-            F.percentile("ad", F.lit(0.5)).alias("mad")
-        )
-        rz = (
-            dev.join(F.broadcast(mad), "event_type")
-            .filter(F.col("mad") > 0)
-            .withColumn(
-                "z", MAD_K * (F.col("x") - F.col("med")) / F.col("mad")
-            )
-        )
+        rz = robust_z(daily.select("event_type", "day", "x"))
         return rz.groupBy("event_type").agg(
             F.count(F.lit(1)).cast("long").alias("n_days"),
             F.sum(F.when(F.abs("z") > MAD_THRESHOLD, 1).otherwise(0))
@@ -141,23 +135,14 @@ class StreamingAnomalyMonitor:
 
     def anomalous_days(self) -> DataFrame | None:
         """(event_type, day, x, z) rows whose |modified z| exceeds the
-        threshold — the alert feed."""
+        threshold — the alert feed. Thresholds on the UNROUNDED z (the
+        statistic `anomaly_summary` counts), rounding only for display,
+        so a boundary day counted in n_anomalies always appears here."""
         daily = self.daily()
         if daily is None:
             return None
-        med = daily.groupBy("event_type").agg(
-            F.percentile("x", F.lit(0.5)).alias("med")
-        )
-        dev = daily.join(F.broadcast(med), "event_type").withColumn(
-            "ad", F.abs(F.col("x") - F.col("med"))
-        )
-        mad = dev.groupBy("event_type").agg(
-            F.percentile("ad", F.lit(0.5)).alias("mad")
-        )
+        rz = robust_z(daily.select("event_type", "day", "x"))
         return (
-            dev.join(F.broadcast(mad), "event_type")
-            .filter(F.col("mad") > 0)
-            .withColumn("z", F.round(MAD_K * (F.col("x") - F.col("med")) / F.col("mad"), 4))
-            .filter(F.abs("z") > MAD_THRESHOLD)
-            .select("event_type", "day", "x", "z")
+            rz.filter(F.abs("z") > MAD_THRESHOLD)
+            .select("event_type", "day", "x", F.round("z", 4).alias("z"))
         )
