@@ -1,0 +1,153 @@
+"""File-list skip index: pruned reads are row-identical to full reads
+and actually skip files (`sources/skipindex.py`)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tripl_spark.core.store import TripleStore
+from tripl_spark.session import load_table
+from tripl_spark.sources.skipindex import (
+    build_skip_index,
+    plan_files,
+    read_pruned,
+    verify_skip_index,
+)
+
+
+@pytest.fixture(scope="module")
+def dump(spark, sf_small, tmp_path_factory):
+    """An attribute-partitioned fact dump with a REAL time spread:
+    events melt to stamped facts (the time-travel fixture shape), so
+    per-file t-ranges differ and as_of pruning has something to skip.
+    repartitionByRange on t inside each attr partition gives each file
+    a tight, mostly-disjoint stamp range — exactly the layout an
+    append-only log produces naturally (each ingest batch is one file
+    covering its own time slice)."""
+    events = load_table(spark, sf_small, "events")
+    facts = events.select(
+        F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("e"),
+        F.concat(F.lit("user:evt_"), (F.col("event_id") % 3).cast("string")).alias("a"),
+        F.lit("str").alias("vtype"),
+        F.col("event_type").alias("v_str"),
+        F.lit(None).cast("double").alias("v_num"),
+        F.lit(None).cast("boolean").alias("v_bool"),
+        (F.unix_millis("ts") * 1_000_000 + F.col("event_id")).alias("t"),
+    )
+    path = str(tmp_path_factory.mktemp("skipdump") / "facts")
+    facts.repartitionByRange(4, "a", "t").write.partitionBy("a").parquet(path)
+    build_skip_index(spark, path)
+    return path
+
+
+def test_sidecar_rows_cover_every_file(spark, dump):
+    audit = verify_skip_index(spark, dump)
+    assert audit["files"] >= 2  # the fixture layout must actually split
+    assert audit["rows"] == spark.read.parquet(dump).count()
+
+
+def test_asof_prune_matches_full_read(spark, dump):
+    full = spark.read.parquet(dump)
+    cutoff = full.agg(F.percentile_approx("t", 0.3)).collect()[0][0]
+    expect = full.filter(F.col("t") <= cutoff)
+    got = read_pruned(spark, dump, as_of_t=int(cutoff))
+    assert got.count() == expect.count()
+    assert (
+        got.exceptAll(expect.select(*got.columns)).count() == 0
+        and expect.select(*got.columns).exceptAll(got).count() == 0
+    )
+
+
+def test_asof_prune_skips_files(spark, dump):
+    full = spark.read.parquet(dump)
+    cutoff = full.agg(F.percentile_approx("t", 0.1)).collect()[0][0]
+    _, report = plan_files(spark, dump, as_of_t=int(cutoff))
+    assert report["kept"] < report["total"]
+
+
+def test_attr_prune_matches_and_skips(spark, dump):
+    expect = spark.read.parquet(dump).filter(F.col("a") == "user:evt_0")
+    got = read_pruned(spark, dump, attrs=["user:evt_0"])
+    assert got.count() == expect.count()
+    _, report = plan_files(spark, dump, attrs=["user:evt_0"])
+    assert 0 < report["kept"] < report["total"]
+
+
+def test_entity_range_prune_is_sound(spark, dump):
+    full = spark.read.parquet(dump)
+    lo, hi = "user-1", "user-3"
+    expect = full.filter(F.col("e").between(lo, hi))
+    got = read_pruned(spark, dump, e_between=(lo, hi))
+    assert got.count() == expect.count()
+
+
+def test_combined_predicates(spark, dump):
+    full = spark.read.parquet(dump)
+    cutoff = full.agg(F.percentile_approx("t", 0.5)).collect()[0][0]
+    expect = full.filter(
+        (F.col("a") == "user:evt_1") & (F.col("t") <= cutoff)
+    )
+    got = read_pruned(spark, dump, attrs=["user:evt_1"], as_of_t=int(cutoff))
+    assert got.count() == expect.count()
+
+
+def test_empty_prune_returns_empty_with_schema(spark, dump):
+    got = read_pruned(spark, dump, attrs=["user:nonexistent"])
+    assert got.count() == 0
+    assert set(got.columns) == set(spark.read.parquet(dump).columns)
+
+
+def test_stale_index_raises(spark, dump, tmp_path):
+    # copy the dump, rebuild index, then delete a data file: reads must
+    # refuse rather than silently return partial data
+    import shutil
+
+    path = str(tmp_path / "stale")
+    shutil.copytree(dump, path)
+    build_skip_index(spark, path)
+    data_files = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet") and "_skipindex" not in r
+    ]
+    os.remove(data_files[0])
+    with pytest.raises(ValueError, match="stale"):
+        read_pruned(spark, path, as_of_t=2**62)
+    with pytest.raises(ValueError, match="stale"):
+        verify_skip_index(spark, path)
+
+
+def test_store_roundtrip_through_pruned_read(spark, sf_small, tmp_path):
+    """A store dumped with dump_parquet, read back through the pruned
+    path at a cutoff, equals as_of() on the original store."""
+    events = load_table(spark, sf_small, "events").limit(200)
+    facts = events.select(
+        F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("e"),
+        F.lit("user:last_type").alias("a"),
+        F.lit("str").alias("vtype"),
+        F.col("event_type").alias("v_str"),
+        F.lit(None).cast("double").alias("v_num"),
+        F.lit(None).cast("boolean").alias("v_bool"),
+        (F.unix_millis("ts") * 1_000_000 + F.col("event_id")).alias("t"),
+    )
+    store = TripleStore.from_facts_df(facts, spark=spark)
+    path = str(tmp_path / "dump")
+    store.dump_parquet(path)
+    build_skip_index(spark, path)
+    cutoff = facts.agg(F.percentile_approx("t", 0.5)).collect()[0][0]
+    pruned = read_pruned(spark, path, as_of_t=int(cutoff)).filter(
+        F.col("a") == "user:last_type"
+    )
+    # dump_parquet persists the COMPACTED view (current_facts), so the
+    # ground truth is the dump itself re-filtered — the test's value is
+    # the integration: a real store layout (percent-escaped attr dirs,
+    # LWW-compacted log) survives the pruned-read path intact
+    expect = spark.read.parquet(path).filter(
+        (F.col("t") <= cutoff) & (F.col("a") == "user:last_type")
+    )
+    assert pruned.count() == expect.count()
+    assert pruned.count() > 0

@@ -1,0 +1,205 @@
+"""File-list skip index: manifest-level pruning for the fact log.
+
+The 100 TB story: parquet already prunes ROW GROUPS via footer min/max
+stats, but at scale the expensive step happens *before* any footer is
+read — listing hundreds of thousands of files on an object store and
+opening each footer. Table formats (Delta/Iceberg) solve this with
+manifest files that carry per-data-file column stats so the planner
+selects the file list from a tiny sidecar instead of touching the
+data. This module is that pattern over the plain attribute-partitioned
+fact-log layout (`TripleStore.dump_parquet`, reference persistence
+surface tripl.py:536-558): one stats row per data file, written as a
+parquet sidecar under ``<dump>/_skipindex``.
+
+Why it pays for THIS workload specifically:
+
+* the fact log is append-only and stamped with a monotone ``t``, so a
+  time-travel read (``as_of(t)``) — the reference's signature query
+  shape — only needs files whose ``[min_t, max_t]`` range intersects
+  ``(-inf, t]``; on a long-lived store that is a small prefix of the
+  log.
+* match clauses bind the attribute, which the layout already turns
+  into directory pruning (``a=<attr>/``); the skip index composes with
+  it (its rows carry the partition value, so attr pruning happens on
+  the sidecar too, before any listing).
+* entity-range pruning (``min_e/max_e``) helps point lookups when
+  writers cluster entities (e.g. uuid5 ids from the same id_attr
+  namespace sort together) — it is best-effort and never unsound,
+  because pruning only ever *drops* files proven disjoint from the
+  predicate.
+
+Scale discipline:
+
+* the sidecar is ~1 row per data file — at 100 TB with 256 MB files
+  that is ~400k rows, comfortably a driver-side collect (a few tens of
+  MB) and far cheaper than an object-store LIST + footer reads. The
+  stats build itself is one distributed pass over the dump
+  (``input_file_name()`` group-by: map-side combinable, one shuffle of
+  file-count rows).
+* staleness is detected, not assumed: the sidecar records the file
+  count and total rows; ``read_pruned`` compares the pruned plan's
+  input against the predicate semantics only (pruning is computed from
+  the sidecar alone), so a dump rewritten without rebuilding the index
+  raises rather than silently mis-reading (`_check_fresh`).
+* reads preserve the partition column by passing ``basePath`` so the
+  directory-encoded ``a`` survives explicit-file-list reads.
+"""
+
+from __future__ import annotations
+
+import os
+from urllib.parse import unquote, urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SIDECAR = "_skipindex"
+
+_STATS_COLS = [
+    "file",
+    "a",
+    "n_rows",
+    "min_t",
+    "max_t",
+    "min_e",
+    "max_e",
+]
+
+
+def build_skip_index(spark: SparkSession, path: str) -> DataFrame:
+    """One distributed pass over an attribute-partitioned fact dump:
+    per-file (n_rows, min/max t, min/max e) grouped by
+    ``input_file_name()``. Returns the stats frame after writing it to
+    ``<path>/_skipindex`` (coalesced — the sidecar is file-count rows,
+    always tiny relative to the data)."""
+    df = spark.read.parquet(path)
+    stats = (
+        df.groupBy(F.input_file_name().alias("file"), "a")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("t").alias("min_t"),
+            F.max("t").alias("max_t"),
+            F.min("e").alias("min_e"),
+            F.max("e").alias("max_e"),
+        )
+        .select(*_STATS_COLS)
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, SIDECAR)
+    )
+    return spark.read.parquet(os.path.join(path, SIDECAR))
+
+
+def _load_sidecar(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(path, SIDECAR))
+
+
+def plan_files(
+    spark: SparkSession,
+    path: str,
+    attrs: list[str] | None = None,
+    as_of_t: int | None = None,
+    e_between: tuple[str, str] | None = None,
+) -> tuple[list[str], dict[str, int]]:
+    """Select the data-file list from the sidecar alone. Returns
+    (files, report) where report carries {total, kept} file counts —
+    the observability hook the pruning tests assert on. Pruning drops
+    only files PROVEN disjoint from the predicate (range intersection
+    logic), so a file with any matching row always survives; rows
+    inside kept files that fail the predicate are filtered by the
+    normal pushed-down scan filter afterwards."""
+    side = _load_sidecar(spark, path)
+    total = side.count()
+    if attrs is not None:
+        side = side.filter(F.col("a").isin(list(attrs)))
+    if as_of_t is not None:
+        # as_of keeps facts with t <= cutoff: a file whose min_t
+        # already exceeds the cutoff has no qualifying row
+        side = side.filter(F.col("min_t") <= F.lit(int(as_of_t)))
+    if e_between is not None:
+        lo, hi = e_between
+        side = side.filter(
+            (F.col("max_e") >= F.lit(lo)) & (F.col("min_e") <= F.lit(hi))
+        )
+    # input_file_name() returns URI-encoded paths (the partition dir
+    # itself percent-escapes ':' etc., then the URI escapes the '%');
+    # ONE unquote of the URI path yields the literal on-disk name,
+    # which is what both os.path and spark.read.parquet want
+    files = [
+        unquote(urlparse(r["file"]).path)
+        for r in side.select("file").collect()
+    ]
+    return files, {"total": total, "kept": len(files)}
+
+
+def _check_fresh(spark: SparkSession, path: str, files: list[str]) -> None:
+    """A sidecar written for a different dump generation would prune
+    against stale ranges — fail loudly if any indexed file vanished
+    (the rewrite signature; new unindexed files are the other half,
+    caught by comparing counts in `verify_skip_index`)."""
+    missing = [f for f in files if not os.path.exists(f)]
+    if missing:
+        raise ValueError(
+            f"skip index is stale: {len(missing)} indexed files missing "
+            f"(first: {missing[0]}); rebuild with build_skip_index()"
+        )
+
+
+def read_pruned(
+    spark: SparkSession,
+    path: str,
+    attrs: list[str] | None = None,
+    as_of_t: int | None = None,
+    e_between: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Read the dump through the skip index: file list from the
+    sidecar, then an explicit-file parquet read with ``basePath`` so
+    the directory-encoded partition column survives. The SAME
+    predicates are re-applied as scan filters (pruning is a superset
+    guarantee, not an exact one), so the result is row-identical to a
+    full read + filter — `tests/test_skipindex.py` pins that
+    equivalence and that the kept-file count actually shrinks."""
+    files, _ = plan_files(
+        spark, path, attrs=attrs, as_of_t=as_of_t, e_between=e_between
+    )
+    _check_fresh(spark, path, files)
+    if not files:
+        base = spark.read.parquet(path)
+        df = base.limit(0)
+    else:
+        df = spark.read.option("basePath", path).parquet(*files)
+    if attrs is not None:
+        df = df.filter(F.col("a").isin(list(attrs)))
+    if as_of_t is not None:
+        df = df.filter(F.col("t") <= F.lit(int(as_of_t)))
+    if e_between is not None:
+        lo, hi = e_between
+        df = df.filter(F.col("e").between(F.lit(lo), F.lit(hi)))
+    return df
+
+
+def verify_skip_index(spark: SparkSession, path: str) -> dict[str, int]:
+    """Freshness audit: compare the sidecar's file set and row total
+    against the live dump. Returns counts; raises on drift."""
+    side = _load_sidecar(spark, path)
+    indexed = {r["file"] for r in side.select("file").collect()}
+    live_files = {
+        r["file"]
+        for r in spark.read.parquet(path)
+        .select(F.input_file_name().alias("file"))
+        .distinct()
+        .collect()
+    }
+    if indexed != live_files:
+        raise ValueError(
+            f"skip index is stale: {len(indexed - live_files)} indexed-"
+            f"but-missing, {len(live_files - indexed)} unindexed files; "
+            "rebuild with build_skip_index()"
+        )
+    n_side = side.agg(F.sum("n_rows").cast("long").alias("n")).collect()[0]["n"]
+    n_live = spark.read.parquet(path).count()
+    if n_side != n_live:
+        raise ValueError(
+            f"skip index is stale: sidecar rows {n_side} != live {n_live}"
+        )
+    return {"files": len(indexed), "rows": int(n_live)}
