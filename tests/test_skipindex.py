@@ -121,6 +121,83 @@ def test_stale_index_raises(spark, dump, tmp_path):
         verify_skip_index(spark, path)
 
 
+def _melted_store(spark, sf_small, n=200):
+    events = load_table(spark, sf_small, "events").limit(n)
+    facts = events.select(
+        F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("e"),
+        F.lit("user:last_type").alias("a"),
+        F.lit("str").alias("vtype"),
+        F.col("event_type").alias("v_str"),
+        F.lit(None).cast("double").alias("v_num"),
+        F.lit(None).cast("boolean").alias("v_bool"),
+        (F.unix_millis("ts") * 1_000_000 + F.col("event_id")).alias("t"),
+    )
+    return TripleStore.from_facts_df(facts, spark=spark), facts
+
+
+def test_store_dump_load_with_index_and_asof(spark, sf_small, tmp_path):
+    """dump_parquet(skip_index=True) -> load_parquet(as_of=) equals
+    restoring the dump and filtering: the pruned load path is
+    semantically invisible. Schema declarations survive an attr-
+    restricted load (they travel at t=0 under the meta attrs)."""
+    from tripl_spark.core.schema import CARD_ONE
+
+    store, facts = _melted_store(spark, sf_small)
+    # assert_schema (not a bare registry.declare) so the declaration
+    # travels in the dump as t=0 meta facts and survives the load
+    store.assert_schema({"user:last_type": {"db:cardinality": CARD_ONE}})
+    path = str(tmp_path / "dump")
+    store.dump_parquet(path, skip_index=True)
+    cutoff = int(facts.agg(F.percentile_approx("t", 0.5)).collect()[0][0])
+
+    full = TripleStore.load_parquet(path, spark=spark)
+    pruned = TripleStore.load_parquet(path, spark=spark, as_of=cutoff)
+    expect = full.facts_df().filter(F.col("t") <= cutoff)
+    assert pruned.facts_df().count() == expect.count()
+
+    restricted = TripleStore.load_parquet(
+        path, spark=spark, attrs=["user:last_type"]
+    )
+    assert restricted.registry.cardinality("user:last_type") == CARD_ONE
+    assert (
+        restricted.facts_df().filter(F.col("a") == "user:last_type").count()
+        == full.facts_df().filter(F.col("a") == "user:last_type").count()
+    )
+
+
+def test_zorder_tightens_entity_pruning(spark, sf_small, tmp_path):
+    """Composition with the z-order layout: clustering the dump on e
+    gives each file a tight entity range, so e_between pruning keeps
+    strictly fewer files than the unclustered dump — the sidecar is
+    layout-agnostic, the LAYOUT is what makes its ranges selective."""
+    from tripl_spark.sources.bucketing import zorder_parquet
+
+    store, facts = _melted_store(spark, sf_small, n=2000)
+    raw = str(tmp_path / "raw")
+    # shuffle entities across files: worst case for range pruning
+    store.current_facts(cache=False).repartition(8).write.parquet(raw)
+    build_skip_index(spark, raw)
+
+    clustered = str(tmp_path / "clustered")
+    zorder_parquet(spark, raw, clustered, ["e"], target_file_bytes=16 << 10)
+    build_skip_index(spark, clustered)
+
+    lo, hi = "user-1", "user-2"
+    _, rep_raw = plan_files(spark, raw, e_between=(lo, hi))
+    _, rep_z = plan_files(spark, clustered, e_between=(lo, hi))
+    # raw layout: every file spans most of the entity range -> no skip
+    assert rep_raw["kept"] == rep_raw["total"]
+    assert rep_z["kept"] < rep_z["total"]
+    # and the pruned reads agree with the ground truth on both layouts
+    want = (
+        spark.read.parquet(raw).filter(F.col("e").between(lo, hi)).count()
+    )
+    assert read_pruned(spark, raw, e_between=(lo, hi)).count() == want
+    assert (
+        read_pruned(spark, clustered, e_between=(lo, hi)).count() == want
+    )
+
+
 def test_store_roundtrip_through_pruned_read(spark, sf_small, tmp_path):
     """A store dumped with dump_parquet, read back through the pruned
     path at a cutoff, equals as_of() on the original store."""

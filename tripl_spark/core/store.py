@@ -597,11 +597,18 @@ class TripleStore:
                 result.assert_facts(json.load(fp), id_attrs=id_attrs)
         return result
 
-    def dump_parquet(self, path: str) -> None:
+    def dump_parquet(self, path: str, skip_index: bool = False) -> None:
         """Scale-path persistence: the compacted facts frame partitioned
         by attribute (the AEV ordering as physical layout — match clauses
-        prune to one attribute directory)."""
+        prune to one attribute directory). ``skip_index=True``
+        additionally writes the per-file stats sidecar
+        (`sources/skipindex.py`) so later loads can select the file
+        list from a manifest instead of an object-store LIST."""
         self.current_facts(cache=False).write.mode("overwrite").partitionBy("a").parquet(path)
+        if skip_index:
+            from tripl_spark.sources.skipindex import build_skip_index
+
+            build_skip_index(self.spark, path)
 
     def dump_bucketed(self, table: str, buckets: int) -> None:
         """Catalog persistence bucketed by ``e`` — the EAV ordering as
@@ -620,10 +627,44 @@ class TripleStore:
         write_bucketed(self.current_facts(cache=False), table, "e", buckets)
 
     @classmethod
-    def load_parquet(cls, path: str, spark: SparkSession | None = None) -> "TripleStore":
+    def load_parquet(
+        cls,
+        path: str,
+        spark: SparkSession | None = None,
+        as_of: int | None = None,
+        attrs: list[str] | None = None,
+    ) -> "TripleStore":
+        """Restore a ``dump_parquet`` directory. ``as_of``/``attrs``
+        restrict the load AT THE SOURCE: when the dump carries a skip
+        index the file list is pruned from the sidecar before any data
+        file is opened; otherwise the same predicates still push down
+        into the scan. Schema/bookkeeping facts travel at ``t=0`` and an
+        attr filter always retains them, so the restored store keeps
+        its cardinality and ref declarations."""
+        import os as _os
+
+        from tripl_spark.sources.skipindex import SIDECAR, read_pruned
+
         store = cls(spark=spark)
-        df = store.spark.read.parquet(path).select(*FACT_COLUMNS)
-        store._attach_loaded(df)
+        keep_attrs = None
+        if attrs is not None:
+            keep_attrs = sorted(
+                set(attrs)
+                | _SCHEMA_META_ATTRS
+                | _SETTINGS_ATTRS
+                | {"db:ident"}
+            )
+        if _os.path.isdir(_os.path.join(path, SIDECAR)):
+            df = read_pruned(
+                store.spark, path, attrs=keep_attrs, as_of_t=as_of
+            )
+        else:
+            df = store.spark.read.parquet(path)
+            if keep_attrs is not None:
+                df = df.filter(F.col("a").isin(keep_attrs))
+            if as_of is not None:
+                df = df.filter(F.col("t") <= F.lit(int(as_of)))
+        store._attach_loaded(df.select(*FACT_COLUMNS))
         return store
 
     def _attach_loaded(self, df: DataFrame) -> None:

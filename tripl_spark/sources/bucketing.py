@@ -105,22 +105,45 @@ def optimize_parquet(
     return n
 
 
+def _zorder_projection(df: DataFrame, col: str) -> "F.Column":
+    """Order-preserving numeric projection of a z-dimension. Numeric
+    columns cast straight to double. STRING columns project their
+    first-7-byte UTF-8 prefix to an integer (hex of the prefix parsed
+    base-16 — byte order IS lexicographic order, and 7 bytes = 56 bits
+    fits a long exactly; the double cast afterwards only has to carry
+    the top ~12 bucket bits). Approximate beyond the prefix, which is
+    fine: the projection only steers CLUSTERING — correctness lives in
+    the skip index / row-group min-max stats computed from the actual
+    values, so an imperfect projection costs selectivity, never
+    soundness."""
+    if dict(df.dtypes)[col] == "string":
+        prefix = F.substring(F.rpad(F.coalesce(F.col(col), F.lit("")), 7, "\0"), 1, 7)
+        return (
+            F.conv(F.substring(F.hex(F.encode(prefix, "UTF-8")), 1, 14), 16, 10)
+            .cast("long")
+            .cast("double")
+        )
+    return F.col(col).cast("double")
+
+
 def zorder_value(
     df: DataFrame, cols: list[str], bits: int = 12
 ) -> tuple[DataFrame, "F.Column"]:
-    """Z-order (Morton) key over numeric columns: each column is
-    linearly bucketed into 2^bits cells between its min and max, and
-    the bucket bits are interleaved. Sorting by the interleaved key
-    clusters ALL dimensions at once — parquet row-group min/max spans
-    shrink for every Z-dimension, so a filter on ANY of them skips row
-    groups, where a plain sort only serves its leading column. Two tiny
+    """Z-order (Morton) key over numeric OR string columns: each
+    column projects to a double (`_zorder_projection`), is linearly
+    bucketed into 2^bits cells between its min and max, and the bucket
+    bits are interleaved. Sorting by the interleaved key clusters ALL
+    dimensions at once — parquet row-group min/max spans shrink for
+    every Z-dimension, so a filter on ANY of them skips row groups,
+    where a plain sort only serves its leading column. Two tiny
     driver-side aggregations (min/max per column) parameterize the
     bucketing; the key itself is a pure codegen expression.
 
     Returns (df_with_bounds, zvalue_column)."""
+    projs = {c: _zorder_projection(df, c) for c in cols}
     bounds = df.agg(
-        *[F.min(c).alias(f"__mn_{c}") for c in cols],
-        *[F.max(c).alias(f"__mx_{c}") for c in cols],
+        *[F.min(projs[c]).alias(f"__mn_{c}") for c in cols],
+        *[F.max(projs[c]).alias(f"__mx_{c}") for c in cols],
     ).collect()[0]
     cells = (1 << bits) - 1
     z = F.lit(0).cast("long")
@@ -130,9 +153,7 @@ def zorder_value(
         span = (mx - mn) or 1.0
         bucket = F.least(
             F.lit(cells),
-            F.floor((F.col(c).cast("double") - F.lit(mn)) / span * cells).cast(
-                "long"
-            ),
+            F.floor((projs[c] - F.lit(mn)) / span * cells).cast("long"),
         )
         for i in range(bits):
             z = z + F.shiftleft(

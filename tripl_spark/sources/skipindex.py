@@ -109,7 +109,11 @@ def plan_files(
     inside kept files that fail the predicate are filtered by the
     normal pushed-down scan filter afterwards."""
     side = _load_sidecar(spark, path)
-    total = side.count()
+    # the sidecar keys on (file, a) — one file holds MANY attrs when
+    # the layout isn't attribute-partitioned — so every file-level
+    # count and the returned list must be DISTINCT files, or a
+    # multi-attr file would be read (and its rows counted) twice
+    total = side.select("file").distinct().count()
     if attrs is not None:
         side = side.filter(F.col("a").isin(list(attrs)))
     if as_of_t is not None:
@@ -127,7 +131,7 @@ def plan_files(
     # which is what both os.path and spark.read.parquet want
     files = [
         unquote(urlparse(r["file"]).path)
-        for r in side.select("file").collect()
+        for r in side.select("file").distinct().collect()
     ]
     return files, {"total": total, "kept": len(files)}
 
