@@ -447,6 +447,76 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_reference_containment",
+    oracle=r"""
+    WITH sh AS (
+      SELECT doc_id, source,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS shingles
+      FROM (SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS toks
+            FROM documents)
+    ),
+    ref AS (
+      SELECT DISTINCT unnest(shingles) AS g FROM sh WHERE source <> 'src1'
+    ),
+    cand AS (
+      SELECT doc_id, unnest(shingles) AS g FROM sh WHERE source = 'src1'
+    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN r.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matched,
+           round(sum(CASE WHEN r.g IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS containment
+    FROM cand c LEFT JOIN ref r ON c.g = r.g
+    GROUP BY c.doc_id
+    """,
+)
+def dedup_reference_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram CONTAINMENT against a reference corpus —
+    |doc shingles ∩ reference universe| / |doc shingles|, the
+    asymmetric cousin of Jaccard resemblance (Broder): a doc whose
+    grams are mostly contained in the reference is redundant with it
+    (cross-source near-superset dup, quotation, mirror) even when its
+    resemblance is low because the reference doc is much longer.
+
+    Scale shape — the SHUFFLE twin of the broadcast contamination
+    scan: `text_ngram_contamination` broadcasts a small benchmark's
+    gram set into a map-only probe, which stops working when the
+    reference is another 100 TB corpus. Here the reference gram
+    universe stays distributed: distinct gram stream (one shuffle),
+    LEFT join with the candidate gram stream on the gram key (one
+    shuffle each side — linear, AQE-balanced; per-gram row counts are
+    bounded by document frequency since `shingle_frame` emits distinct
+    grams per doc), then one groupBy(doc_id) for the two counts. No
+    pair stage, no broadcast of anything corpus-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = shingle_frame(docs.filter(F.col("source") == "src1"))
+    ref = (
+        shingle_frame(docs.filter(F.col("source") != "src1"), id_col="doc_id")
+        .select("g")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        cand.join(ref, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_matched"),
+            F.round(
+                F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0))
+                * 1.0
+                / F.count(F.lit(1)),
+                4,
+            ).alias("containment"),
+        )
+    )
+
+
 SIMHASH_BITS = 60  # 4 chunks × 15 bits; stays clear of the long sign bit
 
 

@@ -142,6 +142,7 @@ _PRIORITY = [
     "sim_mmr_rerank",
     "triple_attr_stats",
     "triple_history_audit",
+    "dedup_reference_containment",
 ]
 # r9 rotation note: after the r8 window lands, every entry except the
 # late-r8 names above has a driver row no older than r5. The r9
