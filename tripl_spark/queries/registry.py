@@ -143,6 +143,7 @@ _PRIORITY = [
     "triple_attr_stats",
     "triple_history_audit",
     "dedup_reference_containment",
+    "triple_skipindex_asof",
 ]
 # r9 rotation note: after the r8 window lands, every entry except the
 # late-r8 names above has a driver row no older than r5. The r9

@@ -256,6 +256,78 @@ def triple_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "triple_skipindex_asof",
+    oracle="""
+    SELECT 'user-' || CAST(user_id AS VARCHAR) AS e, event_type AS last_type
+    FROM (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)) * 1000000
+                                         + event_id DESC,
+                                         event_type ASC) AS rn
+      FROM events
+      WHERE epoch_ms(CAST(ts AS TIMESTAMP)) * 1000000 + event_id
+            < epoch_ms(TIMESTAMP '2024-01-15') * 1000000)
+    WHERE rn = 1
+    """,
+)
+def triple_skipindex_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `triple_asof_snapshot` answer computed THROUGH the
+    persistence layer: the same melted fact log is written as an
+    attribute-partitioned parquet dump with a file-list skip index
+    (`sources/skipindex.py`), the as-of read selects its file list
+    from the stats sidecar (only files whose [min_t, max_t] intersects
+    the cutoff are opened), and LWW compaction runs over the pruned
+    load. Identical oracle to the in-memory twin — the hash gate pins
+    that manifest pruning loses no qualifying fact and admits no
+    extra one. The log is written one file per time slice
+    (repartitionByRange on t), the layout an append-only ingest
+    produces naturally and the one that makes t-range pruning
+    selective; at 100 TB this is the difference between opening a
+    bounded prefix of the log and LISTing the whole table."""
+    import tempfile
+
+    from tripl_spark.core.schema import CARD_ONE
+    from tripl_spark.core.store import TripleStore
+    from tripl_spark.sources.skipindex import build_skip_index, read_pruned
+
+    events = load_table(spark, sf_dir, "events")
+    facts = events.select(
+        F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("e"),
+        F.lit("user:last_type").alias("a"),
+        F.lit("str").alias("vtype"),
+        F.col("event_type").alias("v_str"),
+        F.lit(None).cast("double").alias("v_num"),
+        F.lit(None).cast("boolean").alias("v_bool"),
+        (F.unix_millis("ts") * 1_000_000 + F.col("event_id")).alias("t"),
+    )
+    path = tempfile.mkdtemp(prefix="tripl_spark_skipidx_")
+    facts.repartitionByRange(8, "t").write.mode("overwrite").partitionBy(
+        "a"
+    ).parquet(path)
+    build_skip_index(spark, path)
+    cutoff = (
+        events.select(
+            (
+                F.unix_millis(F.lit("2024-01-15").cast("timestamp")) * 1_000_000
+                - 1
+            ).alias("c")
+        ).first()["c"]
+    )
+    pruned = read_pruned(spark, path, as_of_t=cutoff)
+    store = TripleStore.from_facts_df(
+        pruned.select("e", "a", "vtype", "v_str", "v_num", "v_bool", "t"),
+        spark=spark,
+    )
+    store.registry.declare("user:last_type", {"db:cardinality": CARD_ONE})
+    return (
+        store.current_facts(cache=False)
+        .filter(F.col("a") == "user:last_type")
+        .select("e", F.col("v_str").alias("last_type"))
+    )
+
+
+@query(
     "triple_pull_recursive",
     oracle="""
     WITH RECURSIVE users AS (SELECT DISTINCT user_id AS u FROM events),
