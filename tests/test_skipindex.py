@@ -121,6 +121,58 @@ def test_stale_index_raises(spark, dump, tmp_path):
         verify_skip_index(spark, path)
 
 
+def test_refresh_appends_only_new_files(spark, dump, tmp_path):
+    """Incremental maintenance: append a new time slice to a copy of
+    the dump, refresh, and the sidecar (a) gains exactly the new
+    files, (b) plans reads identical to a from-scratch rebuild."""
+    import shutil
+
+    from tripl_spark.sources.skipindex import refresh_skip_index
+
+    path = str(tmp_path / "grown")
+    shutil.copytree(dump, path)
+    build_skip_index(spark, path)
+
+    noop = refresh_skip_index(spark, path)
+    assert noop["added"] == 0
+
+    full = spark.read.parquet(path)
+    tmax = full.agg(F.max("t")).collect()[0][0]
+    batch = full.limit(50).withColumn("t", F.col("t") + F.lit(tmax))
+    batch.write.mode("append").partitionBy("a").parquet(path)
+
+    rep = refresh_skip_index(spark, path)
+    assert rep["added"] > 0
+    audit = verify_skip_index(spark, path)  # refreshed == fully consistent
+    assert audit["rows"] == spark.read.parquet(path).count()
+
+    # pruning below the appended slice ignores every new file
+    _, rep_old = plan_files(spark, path, as_of_t=int(tmax))
+    assert rep_old["kept"] == rep_old["total"] - rep["added"]
+    got = read_pruned(spark, path, as_of_t=int(tmax)).count()
+    want = spark.read.parquet(path).filter(F.col("t") <= tmax).count()
+    assert got == want
+
+
+def test_refresh_refuses_rewritten_log(spark, dump, tmp_path):
+    import shutil
+
+    from tripl_spark.sources.skipindex import refresh_skip_index
+
+    path = str(tmp_path / "rewritten")
+    shutil.copytree(dump, path)
+    build_skip_index(spark, path)
+    data_files = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet") and "_skipindex" not in r
+    ]
+    os.remove(data_files[0])
+    with pytest.raises(ValueError, match="rewritten"):
+        refresh_skip_index(spark, path)
+
+
 def _melted_store(spark, sf_small, n=200):
     events = load_table(spark, sf_small, "events").limit(n)
     facts = events.select(

@@ -182,6 +182,63 @@ def read_pruned(
     return df
 
 
+def _list_data_files(path: str) -> list[str]:
+    """Driver-side listing of the dump's data files (the sidecar dir
+    and other _-prefixed/hidden entries excluded, matching Spark's own
+    file-index rules)."""
+    out = []
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                out.append(os.path.join(root, f))
+    return out
+
+
+def refresh_skip_index(spark: SparkSession, path: str) -> dict[str, int]:
+    """Incremental sidecar maintenance for an append-only log: stat
+    ONLY the files the sidecar doesn't know yet and append their rows.
+    At 100 TB a per-ingest full rebuild is a full table scan — this is
+    one pass over the new batch, the same cost class as writing it
+    (the manifest-commit pattern of the table formats). A file that
+    VANISHED from disk while indexed means the log was rewritten, not
+    appended — that invalidates every cached range, so refuse and
+    demand a rebuild rather than patching around it. Returns
+    {added, total} file counts."""
+    side = _load_sidecar(spark, path)
+    indexed = {
+        unquote(urlparse(r["file"]).path)
+        for r in side.select("file").distinct().collect()
+    }
+    live = set(_list_data_files(path))
+    missing = sorted(indexed - live)
+    if missing:
+        raise ValueError(
+            f"skip index is stale: {len(missing)} indexed files missing "
+            f"(first: {missing[0]}) — the log was rewritten, not "
+            "appended; rebuild with build_skip_index()"
+        )
+    new = sorted(live - indexed)
+    if new:
+        stats = (
+            spark.read.option("basePath", path)
+            .parquet(*new)
+            .groupBy(F.input_file_name().alias("file"), "a")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.min("t").alias("min_t"),
+                F.max("t").alias("max_t"),
+                F.min("e").alias("min_e"),
+                F.max("e").alias("max_e"),
+            )
+            .select(*_STATS_COLS)
+        )
+        stats.coalesce(1).write.mode("append").parquet(
+            os.path.join(path, SIDECAR)
+        )
+    return {"added": len(new), "total": len(live)}
+
+
 def verify_skip_index(spark: SparkSession, path: str) -> dict[str, int]:
     """Freshness audit: compare the sidecar's file set and row total
     against the live dump. Returns counts; raises on drift."""
