@@ -203,8 +203,13 @@ def refresh_skip_index(spark: SparkSession, path: str) -> dict[str, int]:
     (the manifest-commit pattern of the table formats). A file that
     VANISHED from disk while indexed means the log was rewritten, not
     appended — that invalidates every cached range, so refuse and
-    demand a rebuild rather than patching around it. Returns
+    demand a rebuild rather than patching around it. A log with no
+    sidecar yet gets a full build (the first-ingest case). Returns
     {added, total} file counts."""
+    if not os.path.isdir(os.path.join(path, SIDECAR)):
+        n = _list_data_files(path)
+        build_skip_index(spark, path)
+        return {"added": len(n), "total": len(n)}
     side = _load_sidecar(spark, path)
     indexed = {
         unquote(urlparse(r["file"]).path)
