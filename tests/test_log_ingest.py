@@ -104,6 +104,42 @@ def test_restart_heals_missing_sidecar_rows(spark, sf_small, tmp_path):
     shutil.rmtree(log)
 
 
+def test_compact_to_canonical_dump(spark, sf_small, tmp_path):
+    """Compaction rewrites the streamed slices as the canonical
+    attribute-partitioned LWW-compacted dump with a fresh index; the
+    compacted store answers the same current-state query as a store
+    built straight from the full log."""
+    from tripl_spark.core.schema import CARD_ONE
+    from tripl_spark.core.store import TripleStore
+
+    facts, batches, _ = _fact_batches(spark, sf_small)
+    log = str(tmp_path / "log")
+    ing = StreamingLogIngest(spark, log)
+    for i, b in enumerate(batches):
+        ing.process(b, batch_id=i)
+    dst = str(tmp_path / "compacted")
+    ing.compact_to(dst)
+    verify_skip_index(spark, dst)
+
+    compacted = TripleStore.load_parquet(dst, spark=spark)
+    compacted.registry.declare("user:last_type", {"db:cardinality": CARD_ONE})
+    direct = TripleStore.from_facts_df(facts, spark=spark)
+    direct.registry.declare("user:last_type", {"db:cardinality": CARD_ONE})
+    got = {
+        (r.e, r.v_str)
+        for r in compacted.current_facts(cache=False)
+        .filter(F.col("a") == "user:last_type")
+        .collect()
+    }
+    want = {
+        (r.e, r.v_str)
+        for r in direct.current_facts(cache=False)
+        .filter(F.col("a") == "user:last_type")
+        .collect()
+    }
+    assert got == want and got
+
+
 def test_foreachbatch_stream_end_to_end(spark, sf_small, tmp_path):
     """A real readStream → foreachBatch(ingest.process) drain equals
     the one-shot log, and the index verifies after the stream stops."""

@@ -97,3 +97,18 @@ class StreamingLogIngest:
         return read_pruned(
             self.spark, self.log_path, attrs=attrs, as_of_t=int(t)
         ).select(*FACT_COLS)
+
+    def compact_to(self, dst: str) -> None:
+        """Lifecycle OPTIMIZE: rewrite everything ingested so far as
+        the canonical attribute-partitioned compacted dump (LWW
+        collapse + exact-dup dedup via the store's merge-on-read view)
+        with a fresh skip index — the periodic job that keeps a
+        long-lived streamed log from accumulating per-batch small
+        files. Compaction discards superseded history: ``as_of`` times
+        BEFORE the compaction point answer correctly only against the
+        original log (the standard MOR-compaction trade — keep the raw
+        slices as long as time travel must reach them)."""
+        from tripl_spark.core.store import TripleStore
+
+        store = TripleStore.load_parquet(self.log_path, spark=self.spark)
+        store.dump_parquet(dst, skip_index=True)
