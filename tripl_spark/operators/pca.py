@@ -136,7 +136,8 @@ def covariance_partials(emb: DataFrame, vec_col: str = "v") -> DataFrame:
 
 def covariance_matrix(partials: DataFrame):
     """Collect the bounded (≤ d²+d+1 row) reduced partials and
-    assemble the centered covariance matrix (numpy d×d)."""
+    assemble the centered covariance matrix. Returns (cov d×d, mu d,
+    n) — mu rides along because whitening needs the same centering."""
     import numpy as np
 
     rows = partials.collect()
@@ -151,7 +152,7 @@ def covariance_matrix(partials: DataFrame):
             sxx[r["i"], r["j"]] = r["s"]
             sxx[r["j"], r["i"]] = r["s"]
     mu = s / n
-    return sxx / n - np.outer(mu, mu), n
+    return sxx / n - np.outer(mu, mu), mu, n
 
 
 def pca_components(cov, k: int = PCA_K):
@@ -184,7 +185,7 @@ def sim_pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("embedding").cast("array<double>").alias("v")
     )
-    cov, _ = covariance_matrix(covariance_partials(emb))
+    cov, _mu, _n = covariance_matrix(covariance_partials(emb))
     w, _v = pca_components(cov, PCA_K)
     total = float(np.trace(cov))
     rows = [
@@ -193,6 +194,47 @@ def sim_pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         rows, "component int, eigenvalue double, explained_ratio double"
+    )
+
+
+def whitening_matrix(cov, eps: float = 1e-8):
+    """PCA whitening map W = Λ^(-1/2) Vᵀ (d×d, driver-side): applied
+    to centered vectors it makes the corpus covariance the identity —
+    the calibration step that puts cosine/L2 thresholds (semantic
+    dedup, ANN radius) on a scale that means the same thing in every
+    direction of an anisotropic embedding space. Eigenvalues below
+    ``eps`` are clamped (directions with no variance carry no
+    information to rescale). Returns (W, mu-placeholder-free) — center
+    with the corpus mean before applying."""
+    import numpy as np
+
+    w, v = np.linalg.eigh(cov)
+    w = np.maximum(w, eps)
+    return (v / np.sqrt(w)).T
+
+
+def whiten(emb: DataFrame, cov, mu, vec_col: str = "v") -> DataFrame:
+    """Corpus whitening as one broadcast d×d affine map in an Arrow
+    GEMM pass (map-only, no shuffle): rows of the result have
+    covariance ≈ I — pinned on the corpus itself in
+    `tests/test_pca.py`."""
+    import numpy as np
+
+    wmat = whitening_matrix(cov)
+    mu = np.asarray(mu, dtype=float)
+
+    def gemm(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy())
+            z = (x - mu) @ wmat.T
+            yield pd.DataFrame({vec_col: list(z)})
+
+    return emb.select(vec_col).mapInPandas(
+        gemm, schema=f"{vec_col} array<double>"
     )
 
 

@@ -867,3 +867,51 @@ def events_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("sx") / F.col("n_days")) / (F.col("total") / F.col("nd")), 4)
           .alias("seasonal_index"),
     )
+
+
+@query(
+    "events_trend_ols",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01',
+                       date_trunc('day', CAST(ts AS TIMESTAMP))) AS di,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(regr_slope(x, di), 4) AS slope,
+           round(regr_intercept(x, di), 4) AS intercept,
+           round(regr_r2(x, di), 4) AS r2
+    FROM daily GROUP BY event_type
+    """,
+    doc="per-type linear trend of the daily value series (OLS slope / "
+    "intercept / R² against the day index) via the engines' built-in "
+    "regr_* aggregates — one corpus shuffle to day grain, then a "
+    "bounded per-type aggregate; fully hash-gated",
+)
+def events_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear trend per event type: OLS of the daily DECIMAL-summed
+    value series against the day index (days since a fixed epoch — the
+    intercept is then anchored, not arbitrary). Both engines run their
+    BUILT-IN regression aggregates (`regr_slope`/`regr_intercept`/
+    `regr_r2`), which are single-pass sum-of-products forms — the same
+    (n, Σx, Σy, Σxy, Σx², Σy²) partial-aggregation shape as the Welch
+    z-test, so map-side combine applies and the shuffle after day
+    grain is |types| rows. Complements `events_seasonal_naive_mape`
+    (seasonality) and `events_changepoint_cusum` (level shifts) with
+    the monotone-drift view."""
+    daily = daily_value_series(load_table(spark, sf_dir, "events")).select(
+        "event_type",
+        F.datediff(F.to_date("day"), F.lit("2024-01-01").cast("date"))
+        .cast("double")
+        .alias("di"),
+        "x",
+    )
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.regr_slope("x", "di"), 4).alias("slope"),
+        F.round(F.regr_intercept("x", "di"), 4).alias("intercept"),
+        F.round(F.regr_r2("x", "di"), 4).alias("r2"),
+    )
