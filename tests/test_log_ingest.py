@@ -105,10 +105,11 @@ def test_restart_heals_missing_sidecar_rows(spark, sf_small, tmp_path):
 
 
 def test_compact_to_canonical_dump(spark, sf_small, tmp_path):
-    """Compaction rewrites the streamed slices as the canonical
-    attribute-partitioned LWW-compacted dump with a fresh index; the
-    compacted store answers the same current-state query as a store
-    built straight from the full log."""
+    """Compaction with a card-one schema REALLY collapses: the raw
+    compacted parquet holds exactly one user:last_type fact per
+    entity (superseded history gone), the declarations travel in the
+    dump (no re-declare on load), and the compacted store answers the
+    same current-state query as a store built straight from the log."""
     from tripl_spark.core.schema import CARD_ONE
     from tripl_spark.core.store import TripleStore
 
@@ -118,11 +119,17 @@ def test_compact_to_canonical_dump(spark, sf_small, tmp_path):
     for i, b in enumerate(batches):
         ing.process(b, batch_id=i)
     dst = str(tmp_path / "compacted")
-    ing.compact_to(dst)
+    schema = {"user:last_type": {"db:cardinality": CARD_ONE}}
+    ing.compact_to(dst, schema=schema)
     verify_skip_index(spark, dst)
 
+    # true LWW collapse, checked on the RAW compacted parquet
+    raw = spark.read.parquet(dst).filter(F.col("a") == "user:last_type")
+    per_entity = raw.groupBy("e").count().agg(F.max("count")).collect()[0][0]
+    assert per_entity == 1
+
     compacted = TripleStore.load_parquet(dst, spark=spark)
-    compacted.registry.declare("user:last_type", {"db:cardinality": CARD_ONE})
+    assert compacted.registry.cardinality("user:last_type") == CARD_ONE
     direct = TripleStore.from_facts_df(facts, spark=spark)
     direct.registry.declare("user:last_type", {"db:cardinality": CARD_ONE})
     got = {

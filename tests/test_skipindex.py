@@ -121,6 +121,29 @@ def test_stale_index_raises(spark, dump, tmp_path):
         verify_skip_index(spark, path)
 
 
+def test_unindexed_append_refuses_silent_partial_read(spark, dump, tmp_path):
+    """The OTHER staleness direction: data appended without a refresh
+    must make reads refuse (pruning would silently drop the new
+    files' rows), unless the caller explicitly asserts the writer
+    protocol with assume_fresh=True."""
+    import shutil
+
+    from tripl_spark.sources.skipindex import refresh_skip_index
+
+    path = str(tmp_path / "appended")
+    shutil.copytree(dump, path)
+    build_skip_index(spark, path)
+    full = spark.read.parquet(path)
+    full.limit(10).write.mode("append").partitionBy("a").parquet(path)
+    with pytest.raises(ValueError, match="not in"):
+        read_pruned(spark, path, as_of_t=2**62)
+    # assume_fresh skips the check (manifest-trusting reader) ...
+    assert read_pruned(spark, path, as_of_t=2**62, assume_fresh=True).count() >= 0
+    # ... and a refresh heals it
+    refresh_skip_index(spark, path)
+    assert read_pruned(spark, path, as_of_t=2**62).count() == full.count() + 10
+
+
 def test_refresh_appends_only_new_files(spark, dump, tmp_path):
     """Incremental maintenance: append a new time slice to a copy of
     the dump, refresh, and the sidecar (a) gains exactly the new

@@ -240,16 +240,14 @@ def whiten(emb: DataFrame, cov, mu, vec_col: str = "v") -> DataFrame:
 
 def project(emb: DataFrame, components, vec_col: str = "v") -> DataFrame:
     """Corpus projection onto the k components: broadcast d×k matrix
-    as literal expressions — map-only, codegen, no shuffle."""
+    as literal expressions (`similarity.dot`, the HOF dot product the
+    ANN family uses) — map-only, JVM-side, no shuffle."""
+    from tripl_spark.operators.similarity import dot
+
     cols = [
-        F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(float(x)) for x in components[:, c]]),
-                lambda a, b: a * b,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        dot(
+            F.col(vec_col),
+            F.array(*[F.lit(float(x)) for x in components[:, c]]),
         ).alias(f"pc_{c + 1}")
         for c in range(components.shape[1])
     ]

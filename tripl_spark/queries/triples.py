@@ -200,6 +200,40 @@ def triple_pull_df_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _last_type_fact_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events melted to the stamped ``user:last_type`` fact log,
+    t packed as millis(ts)*1e6 + event_id — ONE definition shared by
+    `triple_asof_snapshot` and `triple_skipindex_asof` (their oracles
+    are required to stay identical, so the melt must too; the packing
+    radix note in the asof docstring applies to both)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("e"),
+        F.lit("user:last_type").alias("a"),
+        F.lit("str").alias("vtype"),
+        F.col("event_type").alias("v_str"),
+        F.lit(None).cast("double").alias("v_num"),
+        F.lit(None).cast("boolean").alias("v_bool"),
+        (F.unix_millis("ts") * 1_000_000 + F.col("event_id")).alias("t"),
+    )
+
+
+def _jan15_cutoff_t(spark: SparkSession) -> int:
+    """The packed-stamp as-of cutoff both asof queries filter at:
+    strictly before Jan 15 2024 → last stamp ≤ millis(cutoff)*1e6 - 1."""
+    return (
+        spark.range(1)
+        .select(
+            (
+                F.unix_millis(F.lit("2024-01-15").cast("timestamp"))
+                * 1_000_000
+                - 1
+            ).alias("c")
+        )
+        .first()["c"]
+    )
+
+
 @query(
     "triple_asof_snapshot",
     oracle="""
@@ -232,22 +266,10 @@ def triple_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tripl_spark.core.schema import CARD_ONE
     from tripl_spark.core.store import TripleStore
 
-    events = load_table(spark, sf_dir, "events")
-    facts = events.select(
-        F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("e"),
-        F.lit("user:last_type").alias("a"),
-        F.lit("str").alias("vtype"),
-        F.col("event_type").alias("v_str"),
-        F.lit(None).cast("double").alias("v_num"),
-        F.lit(None).cast("boolean").alias("v_bool"),
-        (F.unix_millis("ts") * 1_000_000 + F.col("event_id")).alias("t"),
-    )
+    facts = _last_type_fact_log(spark, sf_dir)
     store = TripleStore.from_facts_df(facts, spark=spark)
     store.registry.declare("user:last_type", {"db:cardinality": CARD_ONE})
-    cutoff_t = (
-        F.unix_millis(F.lit("2024-01-15").cast("timestamp")) * 1_000_000 - 1
-    )
-    snap = store.as_of(events.select(cutoff_t.alias("c")).first()["c"])
+    snap = store.as_of(_jan15_cutoff_t(spark))
     return (
         snap.current_facts(cache=False)
         .filter(F.col("a") == "user:last_type")
@@ -284,41 +306,30 @@ def triple_skipindex_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     (repartitionByRange on t), the layout an append-only ingest
     produces naturally and the one that makes t-range pruning
     selective; at 100 TB this is the difference between opening a
-    bounded prefix of the log and LISTing the whole table."""
+    bounded prefix of the log and LISTing the whole table.
+
+    The staging dump lives at a DETERMINISTIC per-sf_dir temp path,
+    overwritten each call — not mkdtemp-per-call, which would leak one
+    full dump per harness run (the returned DataFrame reads the staged
+    files lazily, so the dir must outlive this function)."""
+    import hashlib
+    import os
     import tempfile
 
+    from tripl_spark.core.flatten import FACT_COLUMNS
     from tripl_spark.core.schema import CARD_ONE
     from tripl_spark.core.store import TripleStore
     from tripl_spark.sources.skipindex import build_skip_index, read_pruned
 
-    events = load_table(spark, sf_dir, "events")
-    facts = events.select(
-        F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("e"),
-        F.lit("user:last_type").alias("a"),
-        F.lit("str").alias("vtype"),
-        F.col("event_type").alias("v_str"),
-        F.lit(None).cast("double").alias("v_num"),
-        F.lit(None).cast("boolean").alias("v_bool"),
-        (F.unix_millis("ts") * 1_000_000 + F.col("event_id")).alias("t"),
-    )
-    path = tempfile.mkdtemp(prefix="tripl_spark_skipidx_")
+    facts = _last_type_fact_log(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"tripl_spark_skipidx_{tag}")
     facts.repartitionByRange(8, "t").write.mode("overwrite").partitionBy(
         "a"
     ).parquet(path)
     build_skip_index(spark, path)
-    cutoff = (
-        events.select(
-            (
-                F.unix_millis(F.lit("2024-01-15").cast("timestamp")) * 1_000_000
-                - 1
-            ).alias("c")
-        ).first()["c"]
-    )
-    pruned = read_pruned(spark, path, as_of_t=cutoff)
-    store = TripleStore.from_facts_df(
-        pruned.select("e", "a", "vtype", "v_str", "v_num", "v_bool", "t"),
-        spark=spark,
-    )
+    pruned = read_pruned(spark, path, as_of_t=_jan15_cutoff_t(spark))
+    store = TripleStore.from_facts_df(pruned.select(*FACT_COLUMNS), spark=spark)
     store.registry.declare("user:last_type", {"db:cardinality": CARD_ONE})
     return (
         store.current_facts(cache=False)

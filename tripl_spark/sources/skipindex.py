@@ -72,8 +72,18 @@ def build_skip_index(spark: SparkSession, path: str) -> DataFrame:
     ``input_file_name()``. Returns the stats frame after writing it to
     ``<path>/_skipindex`` (coalesced — the sidecar is file-count rows,
     always tiny relative to the data)."""
-    df = spark.read.parquet(path)
-    stats = (
+    stats = _stats_frame(spark.read.parquet(path))
+    stats.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, SIDECAR)
+    )
+    return spark.read.parquet(os.path.join(path, SIDECAR))
+
+
+def _stats_frame(df: DataFrame) -> DataFrame:
+    """The per-file stats aggregation — ONE definition, shared by the
+    full build and the incremental refresh so appended sidecar rows
+    can never drift from built ones."""
+    return (
         df.groupBy(F.input_file_name().alias("file"), "a")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
@@ -84,10 +94,6 @@ def build_skip_index(spark: SparkSession, path: str) -> DataFrame:
         )
         .select(*_STATS_COLS)
     )
-    stats.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(path, SIDECAR)
-    )
-    return spark.read.parquet(os.path.join(path, SIDECAR))
 
 
 def _load_sidecar(spark: SparkSession, path: str) -> DataFrame:
@@ -136,16 +142,34 @@ def plan_files(
     return files, {"total": total, "kept": len(files)}
 
 
-def _check_fresh(spark: SparkSession, path: str, files: list[str]) -> None:
-    """A sidecar written for a different dump generation would prune
-    against stale ranges — fail loudly if any indexed file vanished
-    (the rewrite signature; new unindexed files are the other half,
-    caught by comparing counts in `verify_skip_index`)."""
-    missing = [f for f in files if not os.path.exists(f)]
+def _check_fresh(spark: SparkSession, path: str) -> None:
+    """TWO-sided staleness check: an indexed file that vanished means
+    the dump was rewritten (stale ranges), and a data file the sidecar
+    doesn't know means an append never refreshed the index — pruning
+    on it would SILENTLY drop that file's rows, the worse failure.
+    Both refuse loudly. Cost: one driver-side listing of the dump —
+    the object-store LIST the manifest normally replaces; callers that
+    enforce the writer protocol (every commit refreshes the sidecar,
+    the `StreamingLogIngest` contract / the table-format posture) can
+    skip it with ``assume_fresh=True``."""
+    side = _load_sidecar(spark, path)
+    indexed = {
+        unquote(urlparse(r["file"]).path)
+        for r in side.select("file").distinct().collect()
+    }
+    live = set(_list_data_files(path))
+    missing = sorted(indexed - live)
     if missing:
         raise ValueError(
             f"skip index is stale: {len(missing)} indexed files missing "
             f"(first: {missing[0]}); rebuild with build_skip_index()"
+        )
+    unindexed = sorted(live - indexed)
+    if unindexed:
+        raise ValueError(
+            f"skip index is stale: {len(unindexed)} data files not in "
+            f"the sidecar (first: {unindexed[0]}); pruning would "
+            "silently drop their rows — refresh_skip_index() first"
         )
 
 
@@ -155,6 +179,7 @@ def read_pruned(
     attrs: list[str] | None = None,
     as_of_t: int | None = None,
     e_between: tuple[str, str] | None = None,
+    assume_fresh: bool = False,
 ) -> DataFrame:
     """Read the dump through the skip index: file list from the
     sidecar, then an explicit-file parquet read with ``basePath`` so
@@ -162,11 +187,17 @@ def read_pruned(
     predicates are re-applied as scan filters (pruning is a superset
     guarantee, not an exact one), so the result is row-identical to a
     full read + filter — `tests/test_skipindex.py` pins that
-    equivalence and that the kept-file count actually shrinks."""
+    equivalence and that the kept-file count actually shrinks.
+
+    By default the read verifies sidecar↔disk agreement both ways
+    (`_check_fresh`); ``assume_fresh=True`` skips that LIST for
+    readers under a writer protocol that updates the sidecar in the
+    same commit as the data (the table-format trust model)."""
     files, _ = plan_files(
         spark, path, attrs=attrs, as_of_t=as_of_t, e_between=e_between
     )
-    _check_fresh(spark, path, files)
+    if not assume_fresh:
+        _check_fresh(spark, path)
     if not files:
         base = spark.read.parquet(path)
         df = base.limit(0)
@@ -195,21 +226,44 @@ def _list_data_files(path: str) -> list[str]:
     return out
 
 
-def refresh_skip_index(spark: SparkSession, path: str) -> dict[str, int]:
+def _append_stats(spark: SparkSession, path: str, files: list[str]) -> None:
+    _stats_frame(
+        spark.read.option("basePath", path).parquet(*files)
+    ).coalesce(1).write.mode("append").parquet(os.path.join(path, SIDECAR))
+
+
+def refresh_skip_index(
+    spark: SparkSession,
+    path: str,
+    new_dirs: list[str] | None = None,
+) -> dict[str, int]:
     """Incremental sidecar maintenance for an append-only log: stat
     ONLY the files the sidecar doesn't know yet and append their rows.
     At 100 TB a per-ingest full rebuild is a full table scan — this is
     one pass over the new batch, the same cost class as writing it
-    (the manifest-commit pattern of the table formats). A file that
-    VANISHED from disk while indexed means the log was rewritten, not
-    appended — that invalidates every cached range, so refuse and
-    demand a rebuild rather than patching around it. A log with no
-    sidecar yet gets a full build (the first-ingest case). Returns
-    {added, total} file counts."""
+    (the manifest-commit pattern of the table formats).
+
+    Two modes. With ``new_dirs`` (a writer that KNOWS what it just
+    committed — the `StreamingLogIngest` per-batch path), only those
+    directories are listed and statted: per-commit cost is O(batch),
+    independent of log size, with no full LIST and no sidecar read —
+    the caller guarantees the dirs are new. Without it (the heal /
+    catch-up path), the diff is computed against a full listing: a
+    file that VANISHED from disk while indexed means the log was
+    rewritten, not appended — that invalidates every cached range, so
+    refuse and demand a rebuild rather than patching around it. A log
+    with no sidecar yet gets a full build (the first-ingest case).
+    Returns {added, total} file counts (total = -1 in targeted mode,
+    which never lists the log)."""
     if not os.path.isdir(os.path.join(path, SIDECAR)):
         n = _list_data_files(path)
         build_skip_index(spark, path)
         return {"added": len(n), "total": len(n)}
+    if new_dirs is not None:
+        new = [f for d in new_dirs for f in _list_data_files(d)]
+        if new:
+            _append_stats(spark, path, new)
+        return {"added": len(new), "total": -1}
     side = _load_sidecar(spark, path)
     indexed = {
         unquote(urlparse(r["file"]).path)
@@ -225,22 +279,7 @@ def refresh_skip_index(spark: SparkSession, path: str) -> dict[str, int]:
         )
     new = sorted(live - indexed)
     if new:
-        stats = (
-            spark.read.option("basePath", path)
-            .parquet(*new)
-            .groupBy(F.input_file_name().alias("file"), "a")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_rows"),
-                F.min("t").alias("min_t"),
-                F.max("t").alias("max_t"),
-                F.min("e").alias("min_e"),
-                F.max("e").alias("max_e"),
-            )
-            .select(*_STATS_COLS)
-        )
-        stats.coalesce(1).write.mode("append").parquet(
-            os.path.join(path, SIDECAR)
-        )
+        _append_stats(spark, path, new)
     return {"added": len(new), "total": len(live)}
 
 

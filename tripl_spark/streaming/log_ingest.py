@@ -37,13 +37,12 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
+from tripl_spark.core.flatten import FACT_COLUMNS as FACT_COLS
 from tripl_spark.sources.skipindex import (
     read_pruned,
     refresh_skip_index,
 )
 from tripl_spark.streaming.sinks import committed_batches
-
-FACT_COLS = ["e", "a", "vtype", "v_str", "v_num", "v_bool", "t"]
 
 
 class StreamingLogIngest:
@@ -76,16 +75,21 @@ class StreamingLogIngest:
         if int(batch_id) in self._seen:
             # replay of a committed batch: data is in place; make sure
             # the sidecar is too (covers crash-after-commit-
-            # before-refresh)
+            # before-refresh). This heal path is the rare case, so it
+            # may pay the full diff.
             refresh_skip_index(self.spark, self.log_path)
             return
+        batch_dir = os.path.join(self.log_path, f"batch_id={int(batch_id)}")
         (
             batch.select(*FACT_COLS)
             .write.mode("overwrite")
             .partitionBy("a")
-            .parquet(os.path.join(self.log_path, f"batch_id={int(batch_id)}"))
+            .parquet(batch_dir)
         )
-        refresh_skip_index(self.spark, self.log_path)
+        # targeted refresh: this writer KNOWS the one new directory, so
+        # per-batch maintenance is O(batch) — no full-log LIST, no
+        # sidecar read; the steady-state cost contract of the module
+        refresh_skip_index(self.spark, self.log_path, new_dirs=[batch_dir])
         self._seen.add(int(batch_id))
 
     def log_df(self) -> DataFrame:
@@ -98,17 +102,30 @@ class StreamingLogIngest:
             self.spark, self.log_path, attrs=attrs, as_of_t=int(t)
         ).select(*FACT_COLS)
 
-    def compact_to(self, dst: str) -> None:
+    def compact_to(self, dst: str, schema: dict | None = None) -> None:
         """Lifecycle OPTIMIZE: rewrite everything ingested so far as
         the canonical attribute-partitioned compacted dump (LWW
         collapse + exact-dup dedup via the store's merge-on-read view)
         with a fresh skip index — the periodic job that keeps a
         long-lived streamed log from accumulating per-batch small
-        files. Compaction discards superseded history: ``as_of`` times
-        BEFORE the compaction point answer correctly only against the
+        files.
+
+        ``schema`` ({attr: {"db:cardinality": ...}, ...}) matters: the
+        raw fact stream carries no declarations, and LWW collapse only
+        applies to attributes declared card-one — compacting without
+        it is exact-dup dedup only (every historical distinct value
+        retained). The declarations are ASSERTED into the store before
+        the dump, so they persist as meta facts in the compacted
+        output and every later ``load_parquet`` of it compacts the
+        same way without re-declaring.
+
+        Compaction discards superseded history: ``as_of`` times BEFORE
+        the compaction point answer correctly only against the
         original log (the standard MOR-compaction trade — keep the raw
         slices as long as time travel must reach them)."""
         from tripl_spark.core.store import TripleStore
 
         store = TripleStore.load_parquet(self.log_path, spark=self.spark)
+        if schema:
+            store.assert_schema(schema)
         store.dump_parquet(dst, skip_index=True)
