@@ -100,6 +100,10 @@ HEADLINE = [
     "sim_ann_lsh_filtered",
     "sim_knn_filtered",
     "graph_copurchase_lift",
+    # round-8b: the shuffle-twin contamination shape (distributed
+    # reference gram universe — distinct + left join on the gram key),
+    # benched next to the broadcast scan it complements
+    "dedup_reference_containment",
 ]
 
 
