@@ -303,3 +303,137 @@ def test_store_roundtrip_through_pruned_read(spark, sf_small, tmp_path):
     )
     assert pruned.count() == expect.count()
     assert pruned.count() > 0
+
+
+# -- property-based equivalence (hypothesis) ---------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_HYP = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_facts_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),    # entity
+        st.integers(min_value=0, max_value=2),    # attr
+        st.integers(min_value=0, max_value=100),  # stamp
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _write_random_dump(spark, tmp, rows, nfiles, by_range, partition_attr):
+    df = spark.createDataFrame(
+        [
+            (f"user-{e}", f"ns:a_{a}", "str", f"v{t}", None, None, t)
+            for e, a, t in rows
+        ],
+        "e string, a string, vtype string, v_str string, "
+        "v_num double, v_bool boolean, t long",
+    )
+    shaped = (
+        df.repartitionByRange(nfiles, "t") if by_range else df.repartition(nfiles)
+    )
+    w = shaped.write.mode("overwrite")
+    if partition_attr:
+        w = w.partitionBy("a")
+    w.parquet(tmp)
+    build_skip_index(spark, tmp)
+    return spark.read.parquet(tmp)
+
+
+@given(
+    rows=_facts_st,
+    nfiles=st.integers(min_value=1, max_value=4),
+    cutoff=st.integers(min_value=0, max_value=100),
+    by_range=st.booleans(),
+    partition_attr=st.booleans(),
+)
+@settings(**_HYP)
+def test_pruned_read_equals_full_filter_on_arbitrary_logs(
+    spark, rows, nfiles, cutoff, by_range, partition_attr
+):
+    """For ANY log content, file split, layout, and predicate, the
+    sidecar-pruned read is row-identical to full-read + filter —
+    including degenerate shapes (single file, one entity hot, every
+    row at the same stamp, cutoff below/above the whole range)."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="tripl_spark_skipprop_")
+    try:
+        full = _write_random_dump(
+            spark, tmp, rows, nfiles, by_range, partition_attr
+        )
+
+        def rowset(df):
+            return {(r.e, r.a, r.v_str, r.t) for r in df.collect()}
+
+        want_t = rowset(full.filter(F.col("t") <= cutoff))
+        assert rowset(read_pruned(spark, tmp, as_of_t=cutoff)) == want_t
+
+        want_a = rowset(full.filter(F.col("a") == "ns:a_1"))
+        assert rowset(read_pruned(spark, tmp, attrs=["ns:a_1"])) == want_a
+
+        lo, hi = "user-1", "user-3"
+        want_e = rowset(full.filter(F.col("e").between(lo, hi)))
+        assert rowset(read_pruned(spark, tmp, e_between=(lo, hi))) == want_e
+
+        want_all = rowset(
+            full.filter(
+                (F.col("t") <= cutoff)
+                & (F.col("a") == "ns:a_0")
+                & F.col("e").between(lo, hi)
+            )
+        )
+        got_all = rowset(
+            read_pruned(
+                spark, tmp, attrs=["ns:a_0"], as_of_t=cutoff, e_between=(lo, hi)
+            )
+        )
+        assert got_all == want_all
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@given(
+    rows=_facts_st,
+    extra=_facts_st,
+    cutoff=st.integers(min_value=0, max_value=100),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_refresh_equals_rebuild_on_arbitrary_appends(spark, rows, extra, cutoff):
+    """Append-then-refresh prunes identically to a from-scratch
+    rebuild, for any base/append contents."""
+    import shutil
+    import tempfile
+
+    from tripl_spark.sources.skipindex import refresh_skip_index
+
+    tmp = tempfile.mkdtemp(prefix="tripl_spark_skipprop_")
+    try:
+        _write_random_dump(spark, tmp, rows, 2, True, True)
+        batch = spark.createDataFrame(
+            [
+                (f"user-{e}", f"ns:a_{a}", "str", f"v{t}", None, None, t)
+                for e, a, t in extra
+            ],
+            "e string, a string, vtype string, v_str string, "
+            "v_num double, v_bool boolean, t long",
+        )
+        batch.write.mode("append").partitionBy("a").parquet(tmp)
+        refresh_skip_index(spark, tmp)
+        got = read_pruned(spark, tmp, as_of_t=cutoff).count()
+        build_skip_index(spark, tmp)  # from-scratch rebuild
+        want = read_pruned(spark, tmp, as_of_t=cutoff).count()
+        assert got == want
+        full = spark.read.parquet(tmp).filter(F.col("t") <= cutoff).count()
+        assert got == full
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
