@@ -468,3 +468,63 @@ def test_cli_datalog_rules_and_aggregate(tmp_path):
     )
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert json.loads(out2.read_text()) == [["a", 2], ["b", 1]]
+
+
+def test_cli_maintain_end_to_end(tmp_path, spark, sf_small):
+    """maintain: build + verify + refresh + compact a fact dump from
+    the shell — the ops surface for the skip-indexed log lifecycle."""
+    from pyspark.sql import functions as F
+
+    from tripl_spark.session import load_table
+
+    events = load_table(spark, sf_small, "events").limit(300)
+    facts = events.select(
+        F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("e"),
+        F.lit("user:last_type").alias("a"),
+        F.lit("str").alias("vtype"),
+        F.col("event_type").alias("v_str"),
+        F.lit(None).cast("double").alias("v_num"),
+        F.lit(None).cast("boolean").alias("v_bool"),
+        (F.unix_millis("ts") * 1_000_000 + F.col("event_id")).alias("t"),
+    )
+    dump = str(tmp_path / "dump")
+    facts.repartitionByRange(3, "t").write.partitionBy("a").parquet(dump)
+
+    def run(*flags):
+        return subprocess.run(
+            [sys.executable, "-m", "tripl_spark.cli", "maintain",
+             "--path", dump, *flags],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+
+    r = run("--build-index", "--verify-index")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])["verified"]["files"] >= 2
+
+    # append a slice, then refresh from the shell
+    facts.limit(20).withColumn("t", F.col("t") + F.lit(10**18)).write.mode(
+        "append"
+    ).partitionBy("a").parquet(dump)
+    r = run("--refresh-index", "--verify-index")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.strip().splitlines()[0])["refreshed"]["added"] > 0
+
+    dst = str(tmp_path / "compacted")
+    schema = json.dumps({"user:last_type": {"db:cardinality": "db.cardinality:one"}})
+    r = run("--compact", dst, "--schema", schema)
+    assert r.returncode == 0, r.stderr[-2000:]
+    raw = spark.read.parquet(dst).filter(F.col("a") == "user:last_type")
+    assert raw.groupBy("e").count().agg(F.max("count")).collect()[0][0] == 1
+
+    # drifted dump (deleted file) -> verify exits non-zero
+    import os as _os
+    data_files = [
+        _os.path.join(r2, f)
+        for r2, _, fs in _os.walk(dump)
+        for f in fs
+        if f.endswith(".parquet") and "_skipindex" not in r2
+    ]
+    _os.remove(data_files[0])
+    r = run("--verify-index")
+    assert r.returncode == 1
+    assert "stale" in r.stderr

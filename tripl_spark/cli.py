@@ -84,6 +84,28 @@ def get_args(argv: list[str] | None = None) -> argparse.Namespace:
                         help="also draw string values that resolve to an eid")
     p_plot.add_argument("--max-edges", type=int, default=500,
                         help="deterministic cap on emitted edges")
+
+    p_maint = sub.add_parser(
+        "maintain",
+        help="fact-dump maintenance: skip-index build/refresh/verify, "
+        "compaction to a fresh canonical dump",
+    )
+    p_maint.add_argument("--path", required=True,
+                         help="parquet fact dump / streamed log directory")
+    p_maint.add_argument("--build-index", action="store_true",
+                         help="(re)build the _skipindex stats sidecar")
+    p_maint.add_argument("--refresh-index", action="store_true",
+                         help="incrementally index files added since the "
+                         "last build/refresh")
+    p_maint.add_argument("--verify-index", action="store_true",
+                         help="audit sidecar vs live files; non-zero exit "
+                         "on drift")
+    p_maint.add_argument("--compact", metavar="DST",
+                         help="rewrite as the attribute-partitioned "
+                         "LWW-compacted dump (with skip index) at DST")
+    p_maint.add_argument("--schema", default=None,
+                         help="JSON {attr: {\"db:cardinality\": ...}} "
+                         "declarations applied before compaction")
     return parser.parse_args(argv)
 
 
@@ -210,6 +232,33 @@ def ingest(args: argparse.Namespace) -> TripleStore:
 
 def main(argv: list[str] | None = None) -> int:
     args = get_args(argv)
+    if args.command == "maintain":
+        from tripl_spark.session import get_spark
+        from tripl_spark.sources.skipindex import (
+            build_skip_index,
+            refresh_skip_index,
+            verify_skip_index,
+        )
+
+        spark = get_spark("tripl_maintain")
+        if args.build_index:
+            build_skip_index(spark, args.path)
+        if args.refresh_index:
+            rep = refresh_skip_index(spark, args.path)
+            print(json.dumps({"refreshed": rep}))
+        if args.verify_index:
+            try:
+                audit = verify_skip_index(spark, args.path)
+            except ValueError as exc:
+                print(str(exc), file=sys.stderr)
+                return 1
+            print(json.dumps({"verified": audit}))
+        if args.compact:
+            store = TripleStore.load_parquet(args.path, spark=spark)
+            if args.schema:
+                store.assert_schema(json.loads(args.schema))
+            store.dump_parquet(args.compact, skip_index=True)
+        return 0
     if args.command == "diff":
         a = TripleStore.load(args.inputs[0], id_attrs=args.id_attrs)
         b = TripleStore.load(args.inputs[1], id_attrs=args.id_attrs)
