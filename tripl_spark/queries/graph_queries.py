@@ -922,3 +922,142 @@ def graph_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "part_a", "part_b", "common", "lift", "confidence_ab",
         F.row_number().over(Window.orderBy(*order)).cast("long").alias("rank"),
     )
+
+
+PPR_DAMP = 0.85  # damping: (1-d) teleports back to the seed each step
+PPR_TOP = 10
+
+
+@query(
+    "graph_ppr_related_parts",
+    oracle=f"""
+    WITH buyers AS (
+      SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_partkey <= {LINK_PART_SLICE}
+    ),
+    kept AS (
+      SELECT part FROM buyers GROUP BY part
+      HAVING count(*) BETWEEN 2 AND {LINK_MAX_PART}
+    ),
+    fb AS (SELECT cust, part FROM buyers JOIN kept USING (part)),
+    edges AS (
+      SELECT a.part AS src, b.part AS dst, CAST(count(*) AS DOUBLE) AS w
+      FROM fb a JOIN fb b ON a.cust = b.cust AND a.part <> b.part
+      GROUP BY 1, 2
+    ),
+    seed AS (SELECT min(src) AS s FROM edges),
+    pn AS (
+      SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p FROM edges
+    ),
+    r1 AS (
+      SELECT node, sum(v) AS v FROM (
+        SELECT (SELECT s FROM seed) AS node, 1.0 - {PPR_DAMP} AS v
+        UNION ALL
+        SELECT dst AS node, {PPR_DAMP} * p AS v
+        FROM pn WHERE src = (SELECT s FROM seed)
+      ) GROUP BY node
+    ),
+    r2 AS (
+      SELECT node, sum(v) AS v FROM (
+        SELECT (SELECT s FROM seed) AS node, 1.0 - {PPR_DAMP} AS v
+        UNION ALL
+        SELECT pn.dst AS node, {PPR_DAMP} * r1.v * pn.p AS v
+        FROM r1 JOIN pn ON pn.src = r1.node
+      ) GROUP BY node
+    ),
+    top AS (
+      SELECT node, round(v, 6) AS ppr FROM r2
+      ORDER BY round(v, 6) DESC, node LIMIT {PPR_TOP}
+    )
+    SELECT CAST(node AS BIGINT) AS part, ppr,
+           CAST(row_number() OVER (ORDER BY ppr DESC, node) AS BIGINT) AS rank
+    FROM top
+    """,
+    doc=f"personalized PageRank (2 power steps, damping {PPR_DAMP}) from "
+    "the smallest kept part over the hub-capped part-part co-purchase "
+    f"graph; top-{PPR_TOP} related parts — fully hash-gated",
+)
+def graph_ppr_related_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank seed expansion — 'parts related to THIS
+    part through shared buyers', the graph-native recommendation
+    primitive (random walk with restart). Two exact power steps of
+    r_{{k+1}} = (1-d)·s + d·Pᵀr_k over the row-normalized co-purchase
+    graph, seeded at the smallest kept part (deterministic); both
+    engines evaluate the identical sparse arithmetic, so the result
+    hash-gates the normalization, the teleport, and the walk.
+
+    Scale shape: the edge build reuses the link-prediction posture —
+    part slice pushed to the scan, `LINK_MAX_PART` hub cap BEFORE the
+    cust-keyed self-join bounds pair work. The row-normalization
+    window partitions by src (per-part degree, bounded by the cap ×
+    slice). Each power step is one join of the CURRENT mass vector
+    (≤ |parts| rows — at web scale this is the sparse frontier, tiny
+    next to the edges) against the edge list: an edge-sized shuffle
+    per iteration, the same per-round cost LPA measures α 1.00 in
+    SCALE.md; the teleport is a 1-row union. The top-k is
+    TakeOrderedAndProject with the rank window over PPR_TOP rows only,
+    ordering on the ROUNDED score so float sum-order noise cannot flip
+    engine ranks (ties break by part id)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") <= LINK_PART_SLICE)
+        .select("l_orderkey", "l_partkey")
+    )
+    buyers = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    kept = (
+        buyers.groupBy("part")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .filter((F.col("sz") >= 2) & (F.col("sz") <= LINK_MAX_PART))
+        .select("part")
+    )
+    fb = buyers.join(F.broadcast(kept), "part")
+    a = fb.select("cust", F.col("part").alias("src"))
+    b = fb.select("cust", F.col("part").alias("dst"))
+    edges = (
+        a.join(b, "cust")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    pn = edges.withColumn(
+        "p", F.col("w") / F.sum("w").over(Window.partitionBy("src"))
+    ).select("src", "dst", "p")
+    pn = pn.localCheckpoint(eager=True)  # reused by both power steps
+    seed = pn.agg(F.min("src")).collect()[0][0]  # bounded scalar
+
+    def step(r):  # r: (node, v) -> (1-d)·s + d·Pᵀr
+        spread = (
+            r.join(pn, r.node == pn.src)
+            .select(F.col("dst").alias("node"), (PPR_DAMP * F.col("v") * F.col("p")).alias("v"))
+        )
+        teleport = spark.range(1).select(
+            F.lit(seed).alias("node"), F.lit(1.0 - PPR_DAMP).alias("v")
+        )
+        return spread.unionByName(teleport).groupBy("node").agg(
+            F.sum("v").alias("v")
+        )
+
+    r0 = spark.range(1).select(F.lit(seed).alias("node"), F.lit(1.0).alias("v"))
+    r2 = step(step(r0))
+    # TakeOrderedAndProject FIRST (per-partition heaps), THEN the rank
+    # window over only PPR_TOP rows — the jaccard/lift top-k discipline
+    top = (
+        r2.select(
+            F.col("node").cast("long").alias("part"),
+            F.round("v", 6).alias("ppr"),
+        )
+        .orderBy(F.col("ppr").desc(), "part")
+        .limit(PPR_TOP)
+    )
+    w = Window.orderBy(F.col("ppr").desc(), "part")
+    return top.select(
+        "part", "ppr", F.row_number().over(w).cast("long").alias("rank")
+    )
