@@ -88,3 +88,76 @@ def test_lpa_converged_agrees_with_earliest_terminal_prefix(
                 checked += 1
                 break
     assert checked > 0, "no component reached its terminal orbit in 8 rounds"
+
+
+# -- personalized PageRank fixpoint invariants --------------------------------
+
+
+@pytest.fixture(scope="module")
+def ppr_state(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from tripl_spark.queries.graph_queries import ppr_graph, ppr_step
+
+    pn, seed = ppr_graph(spark, sf_small)
+    r = spark.range(1).select(F.lit(seed).alias("node"), F.lit(1.0).alias("v"))
+    for _ in range(40):
+        nxt = ppr_step(spark, pn, seed, r).localCheckpoint(eager=True)
+        resid = (
+            nxt.join(r.withColumnRenamed("v", "pv"), "node", "full")
+            .select(
+                F.abs(
+                    F.coalesce(F.col("v"), F.lit(0.0))
+                    - F.coalesce(F.col("pv"), F.lit(0.0))
+                ).alias("d")
+            )
+            .agg(F.max("d"))
+            .collect()[0][0]
+        )
+        r = nxt
+        if resid is not None and resid < 1e-12:
+            break
+    return pn, seed, r
+
+
+def test_ppr_mass_is_conserved(ppr_state):
+    from pyspark.sql import functions as F
+
+    _pn, _seed, r = ppr_state
+    total = r.agg(F.sum("v")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-9
+
+
+def test_ppr_converged_vector_satisfies_fixpoint_equation(spark, ppr_state):
+    from pyspark.sql import functions as F
+
+    from tripl_spark.queries.graph_queries import ppr_step
+
+    pn, seed, r = ppr_state
+    again = ppr_step(spark, pn, seed, r)
+    resid = (
+        again.join(r.withColumnRenamed("v", "pv"), "node", "full")
+        .select(
+            F.abs(
+                F.coalesce(F.col("v"), F.lit(0.0))
+                - F.coalesce(F.col("pv"), F.lit(0.0))
+            ).alias("d")
+        )
+        .agg(F.max("d"))
+        .collect()[0][0]
+    )
+    assert resid < 1e-10
+
+
+def test_ppr_converged_agrees_with_gated_two_step_on_the_seed(spark, sf_small, ppr_state):
+    """The seed dominates its own PPR (rank 1 in both the converged run
+    and the hash-gated 2-step), and every score is in (0, 1]."""
+    from tripl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    _pn, seed, _r = ppr_state
+    two = REGISTRY["graph_ppr_related_parts"].fn(spark, sf_small).collect()
+    conv = REGISTRY["graph_ppr_converged"].fn(spark, sf_small).collect()
+    assert two[0]["part"] == seed == conv[0]["part"]
+    for rows in (two, conv):
+        assert all(0 < r["ppr"] <= 1 for r in rows)

@@ -999,6 +999,16 @@ def graph_ppr_related_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject with the rank window over PPR_TOP rows only,
     ordering on the ROUNDED score so float sum-order noise cannot flip
     engine ranks (ties break by part id)."""
+    pn, seed = ppr_graph(spark, sf_dir)
+    r0 = spark.range(1).select(F.lit(seed).alias("node"), F.lit(1.0).alias("v"))
+    r2 = ppr_step(spark, pn, seed, ppr_step(spark, pn, seed, r0))
+    return _ppr_top(r2)
+
+
+def ppr_graph(spark: SparkSession, sf_dir: str):
+    """(row-normalized edge frame localCheckpointed for reuse across
+    power steps, seed part id) — the capped co-purchase transition
+    graph shared by the 2-step gate and the converged run."""
     from pyspark.sql import Window
 
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -1030,27 +1040,34 @@ def graph_ppr_related_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pn = edges.withColumn(
         "p", F.col("w") / F.sum("w").over(Window.partitionBy("src"))
     ).select("src", "dst", "p")
-    pn = pn.localCheckpoint(eager=True)  # reused by both power steps
+    pn = pn.localCheckpoint(eager=True)
     seed = pn.agg(F.min("src")).collect()[0][0]  # bounded scalar
+    return pn, seed
 
-    def step(r):  # r: (node, v) -> (1-d)·s + d·Pᵀr
-        spread = (
-            r.join(pn, r.node == pn.src)
-            .select(F.col("dst").alias("node"), (PPR_DAMP * F.col("v") * F.col("p")).alias("v"))
-        )
-        teleport = spark.range(1).select(
-            F.lit(seed).alias("node"), F.lit(1.0 - PPR_DAMP).alias("v")
-        )
-        return spread.unionByName(teleport).groupBy("node").agg(
-            F.sum("v").alias("v")
-        )
 
-    r0 = spark.range(1).select(F.lit(seed).alias("node"), F.lit(1.0).alias("v"))
-    r2 = step(step(r0))
+def ppr_step(spark: SparkSession, pn: DataFrame, seed, r: DataFrame) -> DataFrame:
+    """One power step r → (1-d)·s + d·Pᵀr: one edge-sized join of the
+    sparse mass vector against the transition frame + a 1-row teleport
+    union."""
+    spread = r.join(pn, r.node == pn.src).select(
+        F.col("dst").alias("node"),
+        (PPR_DAMP * F.col("v") * F.col("p")).alias("v"),
+    )
+    teleport = spark.range(1).select(
+        F.lit(seed).alias("node"), F.lit(1.0 - PPR_DAMP).alias("v")
+    )
+    return spread.unionByName(teleport).groupBy("node").agg(
+        F.sum("v").alias("v")
+    )
+
+
+def _ppr_top(r: DataFrame) -> DataFrame:
     # TakeOrderedAndProject FIRST (per-partition heaps), THEN the rank
     # window over only PPR_TOP rows — the jaccard/lift top-k discipline
+    from pyspark.sql import Window
+
     top = (
-        r2.select(
+        r.select(
             F.col("node").cast("long").alias("part"),
             F.round("v", 6).alias("ppr"),
         )
@@ -1061,3 +1078,44 @@ def graph_ppr_related_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "part", "ppr", F.row_number().over(w).cast("long").alias("rank")
     )
+
+
+@query(
+    "graph_ppr_converged",
+    doc=f"personalized PageRank run to the L∞ < 1e-9 fixpoint (≤ 30 "
+    "power steps, localCheckpoint per round) over the same capped "
+    "co-purchase graph as the 2-step gate; rows-only — the fixpoint "
+    "residual, mass conservation, and gate-agreement invariants live "
+    "in tests/test_graph_invariants.py",
+)
+def graph_ppr_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`graph_ppr_related_parts` run to convergence — the
+    `cluster_kmeans_embeddings` / `graph_lpa_converged` discipline:
+    the 2-step twin hash-gates the per-step algebra, this registers
+    the production fixpoint loop. Each round is one edge-sized join
+    (the LPA-probe cost shape); localCheckpoint between rounds stops
+    plan stacking; the loop exits when the L∞ residual between
+    consecutive mass vectors drops below 1e-9 (geometric at rate d,
+    so ~120 rounds worst-case; ≤ 30 suffices here). Invariants pinned
+    in the suite: total mass 1 (teleport + row-stochastic spread
+    conserve it), the converged vector satisfies its own fixpoint
+    equation, and the top-ranked part agrees with the gated 2-step."""
+    pn, seed = ppr_graph(spark, sf_dir)
+    r = spark.range(1).select(F.lit(seed).alias("node"), F.lit(1.0).alias("v"))
+    for _ in range(30):
+        nxt = ppr_step(spark, pn, seed, r).localCheckpoint(eager=True)
+        resid = (
+            nxt.join(r.withColumnRenamed("v", "pv"), "node", "full")
+            .select(
+                F.abs(
+                    F.coalesce(F.col("v"), F.lit(0.0))
+                    - F.coalesce(F.col("pv"), F.lit(0.0))
+                ).alias("d")
+            )
+            .agg(F.max("d"))
+            .collect()[0][0]
+        )
+        r = nxt
+        if resid is not None and resid < 1e-9:
+            break
+    return _ppr_top(r)

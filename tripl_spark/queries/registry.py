@@ -148,6 +148,7 @@ _PRIORITY = [
     "sim_pca_explained_variance",
     "events_trend_ols",
     "graph_ppr_related_parts",
+    "graph_ppr_converged",
 ]
 # r9 rotation note: after the r8 window lands, every entry except the
 # late-r8 names above has a driver row no older than r5. The r9
