@@ -47,7 +47,7 @@ def test_ingest_builds_consistent_index_and_prunes(spark, sf_small, tmp_path):
     verify_skip_index(spark, log)
 
     # as_of below the first cut: only batch 0's files are opened
-    _, rep = plan_files(spark, log, as_of_t=int(cuts[0]))
+    _, rep, _idx = plan_files(spark, log, as_of_t=int(cuts[0]))
     assert 0 < rep["kept"] < rep["total"]
     got = ing.as_of(int(cuts[0])).count()
     want = facts.filter(F.col("t") <= cuts[0]).count()

@@ -64,7 +64,7 @@ def test_asof_prune_matches_full_read(spark, dump):
 def test_asof_prune_skips_files(spark, dump):
     full = spark.read.parquet(dump)
     cutoff = full.agg(F.percentile_approx("t", 0.1)).collect()[0][0]
-    _, report = plan_files(spark, dump, as_of_t=int(cutoff))
+    _, report, _idx = plan_files(spark, dump, as_of_t=int(cutoff))
     assert report["kept"] < report["total"]
 
 
@@ -72,7 +72,7 @@ def test_attr_prune_matches_and_skips(spark, dump):
     expect = spark.read.parquet(dump).filter(F.col("a") == "user:evt_0")
     got = read_pruned(spark, dump, attrs=["user:evt_0"])
     assert got.count() == expect.count()
-    _, report = plan_files(spark, dump, attrs=["user:evt_0"])
+    _, report, _idx = plan_files(spark, dump, attrs=["user:evt_0"])
     assert 0 < report["kept"] < report["total"]
 
 
@@ -170,7 +170,7 @@ def test_refresh_appends_only_new_files(spark, dump, tmp_path):
     assert audit["rows"] == spark.read.parquet(path).count()
 
     # pruning below the appended slice ignores every new file
-    _, rep_old = plan_files(spark, path, as_of_t=int(tmax))
+    _, rep_old, _idx = plan_files(spark, path, as_of_t=int(tmax))
     assert rep_old["kept"] == rep_old["total"] - rep["added"]
     got = read_pruned(spark, path, as_of_t=int(tmax)).count()
     want = spark.read.parquet(path).filter(F.col("t") <= tmax).count()
@@ -258,8 +258,8 @@ def test_zorder_tightens_entity_pruning(spark, sf_small, tmp_path):
     build_skip_index(spark, clustered)
 
     lo, hi = "user-1", "user-2"
-    _, rep_raw = plan_files(spark, raw, e_between=(lo, hi))
-    _, rep_z = plan_files(spark, clustered, e_between=(lo, hi))
+    _, rep_raw, _i1 = plan_files(spark, raw, e_between=(lo, hi))
+    _, rep_z, _i2 = plan_files(spark, clustered, e_between=(lo, hi))
     # raw layout: every file spans most of the entity range -> no skip
     assert rep_raw["kept"] == rep_raw["total"]
     assert rep_z["kept"] < rep_z["total"]

@@ -241,23 +241,25 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         spark = get_spark("tripl_maintain")
-        if args.build_index:
-            build_skip_index(spark, args.path)
-        if args.refresh_index:
-            rep = refresh_skip_index(spark, args.path)
-            print(json.dumps({"refreshed": rep}))
-        if args.verify_index:
-            try:
+        # every branch maps staleness to structured stderr + exit 1 —
+        # the cron/CI contract — never a raw traceback
+        try:
+            if args.build_index:
+                build_skip_index(spark, args.path)
+            if args.refresh_index:
+                rep = refresh_skip_index(spark, args.path)
+                print(json.dumps({"refreshed": rep}))
+            if args.verify_index:
                 audit = verify_skip_index(spark, args.path)
-            except ValueError as exc:
-                print(str(exc), file=sys.stderr)
-                return 1
-            print(json.dumps({"verified": audit}))
-        if args.compact:
-            store = TripleStore.load_parquet(args.path, spark=spark)
-            if args.schema:
-                store.assert_schema(json.loads(args.schema))
-            store.dump_parquet(args.compact, skip_index=True)
+                print(json.dumps({"verified": audit}))
+            if args.compact:
+                store = TripleStore.load_parquet(args.path, spark=spark)
+                if args.schema:
+                    store.assert_schema(json.loads(args.schema))
+                store.dump_parquet(args.compact, skip_index=True)
+        except ValueError as exc:
+            print(str(exc), file=sys.stderr)
+            return 1
         return 0
     if args.command == "diff":
         a = TripleStore.load(args.inputs[0], id_attrs=args.id_attrs)

@@ -1095,14 +1095,18 @@ def graph_ppr_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     the production fixpoint loop. Each round is one edge-sized join
     (the LPA-probe cost shape); localCheckpoint between rounds stops
     plan stacking; the loop exits when the L∞ residual between
-    consecutive mass vectors drops below 1e-9 (geometric at rate d,
-    so ~120 rounds worst-case; ≤ 30 suffices here). Invariants pinned
+    consecutive mass vectors drops below 1e-9. The cap covers the
+    geometric worst case (residual ≤ d^k, so 1e-9 needs ~128 rounds
+    at d=0.85 — well-mixing graphs exit far earlier); if the cap is
+    somehow hit anyway, the function raises rather than returning a
+    vector labeled converged that isn't. Invariants pinned
     in the suite: total mass 1 (teleport + row-stochastic spread
     conserve it), the converged vector satisfies its own fixpoint
     equation, and the top-ranked part agrees with the gated 2-step."""
     pn, seed = ppr_graph(spark, sf_dir)
     r = spark.range(1).select(F.lit(seed).alias("node"), F.lit(1.0).alias("v"))
-    for _ in range(30):
+    resid = None
+    for _ in range(140):  # d^140 << 1e-9: the cap can't cut convergence short
         nxt = ppr_step(spark, pn, seed, r).localCheckpoint(eager=True)
         resid = (
             nxt.join(r.withColumnRenamed("v", "pv"), "node", "full")
@@ -1118,4 +1122,10 @@ def graph_ppr_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         r = nxt
         if resid is not None and resid < 1e-9:
             break
+    else:
+        raise RuntimeError(
+            f"PPR failed to converge below 1e-9 in 140 rounds "
+            f"(last residual {resid}) — not returning an unconverged "
+            "vector under a 'converged' name"
+        )
     return _ppr_top(r)

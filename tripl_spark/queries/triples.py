@@ -200,6 +200,9 @@ def triple_pull_df_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STAGED_DUMPS: set[str] = set()  # staging dirs registered for atexit cleanup
+
+
 def _last_type_fact_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events melted to the stamped ``user:last_type`` fact log,
     t packed as millis(ts)*1e6 + event_id — ONE definition shared by
@@ -308,12 +311,17 @@ def triple_skipindex_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     selective; at 100 TB this is the difference between opening a
     bounded prefix of the log and LISTing the whole table.
 
-    The staging dump lives at a DETERMINISTIC per-sf_dir temp path,
-    overwritten each call — not mkdtemp-per-call, which would leak one
-    full dump per harness run (the returned DataFrame reads the staged
-    files lazily, so the dir must outlive this function)."""
+    The staging dump lives at a per-(sf_dir, process, user) temp path:
+    reused (overwritten) across calls WITHIN a process so repeated
+    harness invocations don't leak one dump each; isolated per pid and
+    user so a concurrent run can never clobber files a still-live lazy
+    DataFrame points at; removed at process exit via atexit (by then
+    every returned DataFrame has been evaluated or abandoned)."""
+    import atexit
+    import getpass
     import hashlib
     import os
+    import shutil
     import tempfile
 
     from tripl_spark.core.flatten import FACT_COLUMNS
@@ -322,8 +330,13 @@ def triple_skipindex_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tripl_spark.sources.skipindex import build_skip_index, read_pruned
 
     facts = _last_type_fact_log(spark, sf_dir)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    tag = hashlib.md5(
+        f"{sf_dir}:{os.getpid()}:{getpass.getuser()}".encode()
+    ).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"tripl_spark_skipidx_{tag}")
+    if path not in _STAGED_DUMPS:
+        _STAGED_DUMPS.add(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
     facts.repartitionByRange(8, "t").write.mode("overwrite").partitionBy(
         "a"
     ).parquet(path)

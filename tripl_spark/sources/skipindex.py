@@ -100,50 +100,65 @@ def _load_sidecar(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(os.path.join(path, SIDECAR))
 
 
+def _local_path(uri: str) -> str:
+    """input_file_name() returns URI-encoded paths (the partition dir
+    itself percent-escapes ':' etc., then the URI escapes the '%');
+    ONE unquote of the URI path yields the literal on-disk name.
+    realpath canonicalizes (symlinks, relative spellings) so sidecar
+    paths compare equal to filesystem listings however the caller
+    spelled the dump path."""
+    return os.path.realpath(unquote(urlparse(uri).path))
+
+
 def plan_files(
     spark: SparkSession,
     path: str,
     attrs: list[str] | None = None,
     as_of_t: int | None = None,
     e_between: tuple[str, str] | None = None,
-) -> tuple[list[str], dict[str, int]]:
-    """Select the data-file list from the sidecar alone. Returns
-    (files, report) where report carries {total, kept} file counts —
-    the observability hook the pruning tests assert on. Pruning drops
-    only files PROVEN disjoint from the predicate (range intersection
-    logic), so a file with any matching row always survives; rows
-    inside kept files that fail the predicate are filtered by the
-    normal pushed-down scan filter afterwards."""
-    side = _load_sidecar(spark, path)
-    # the sidecar keys on (file, a) — one file holds MANY attrs when
-    # the layout isn't attribute-partitioned — so every file-level
-    # count and the returned list must be DISTINCT files, or a
-    # multi-attr file would be read (and its rows counted) twice
-    total = side.select("file").distinct().count()
-    if attrs is not None:
-        side = side.filter(F.col("a").isin(list(attrs)))
-    if as_of_t is not None:
+) -> tuple[list[str], dict[str, int], set[str]]:
+    """Select the data-file list from the sidecar alone — collected
+    ONCE (the sidecar is file-count-sized by construction) with the
+    range-intersection pruning evaluated driver-side, so a read costs
+    a single sidecar job. Returns (files, report, indexed) where
+    report carries {total, kept} file counts — the observability hook
+    the pruning tests assert on — and indexed is the full canonical
+    file set (for freshness checks, avoiding a second collect).
+    Pruning drops only files PROVEN disjoint from the predicate, so a
+    file with any matching row always survives; rows inside kept
+    files that fail the predicate are filtered by the normal
+    pushed-down scan filter afterwards."""
+    rows = _load_sidecar(spark, path).collect()
+    attr_set = set(attrs) if attrs is not None else None
+    kept: set[str] = set()
+    indexed: set[str] = set()
+    for r in rows:
+        # the sidecar keys on (file, a) — one file holds MANY attrs
+        # when the layout isn't attribute-partitioned — so file-level
+        # counts and the returned list are DISTINCT files, or a
+        # multi-attr file would be read (and its rows counted) twice
+        f = _local_path(r["file"])
+        indexed.add(f)
+        if f in kept:
+            continue
+        if attr_set is not None and r["a"] not in attr_set:
+            continue
         # as_of keeps facts with t <= cutoff: a file whose min_t
         # already exceeds the cutoff has no qualifying row
-        side = side.filter(F.col("min_t") <= F.lit(int(as_of_t)))
-    if e_between is not None:
-        lo, hi = e_between
-        side = side.filter(
-            (F.col("max_e") >= F.lit(lo)) & (F.col("min_e") <= F.lit(hi))
-        )
-    # input_file_name() returns URI-encoded paths (the partition dir
-    # itself percent-escapes ':' etc., then the URI escapes the '%');
-    # ONE unquote of the URI path yields the literal on-disk name,
-    # which is what both os.path and spark.read.parquet want
-    files = [
-        unquote(urlparse(r["file"]).path)
-        for r in side.select("file").distinct().collect()
-    ]
-    return files, {"total": total, "kept": len(files)}
+        if as_of_t is not None and not r["min_t"] <= int(as_of_t):
+            continue
+        if e_between is not None and not (
+            r["max_e"] >= e_between[0] and r["min_e"] <= e_between[1]
+        ):
+            continue
+        kept.add(f)
+    files = sorted(kept)
+    return files, {"total": len(indexed), "kept": len(files)}, indexed
 
 
-def _check_fresh(spark: SparkSession, path: str) -> None:
-    """TWO-sided staleness check: an indexed file that vanished means
+def _check_fresh(path: str, indexed: set[str]) -> None:
+    """TWO-sided staleness check against the ALREADY-collected sidecar
+    file set (no extra Spark job): an indexed file that vanished means
     the dump was rewritten (stale ranges), and a data file the sidecar
     doesn't know means an append never refreshed the index — pruning
     on it would SILENTLY drop that file's rows, the worse failure.
@@ -151,12 +166,9 @@ def _check_fresh(spark: SparkSession, path: str) -> None:
     the object-store LIST the manifest normally replaces; callers that
     enforce the writer protocol (every commit refreshes the sidecar,
     the `StreamingLogIngest` contract / the table-format posture) can
-    skip it with ``assume_fresh=True``."""
-    side = _load_sidecar(spark, path)
-    indexed = {
-        unquote(urlparse(r["file"]).path)
-        for r in side.select("file").distinct().collect()
-    }
+    skip it with ``assume_fresh=True``. Both sides compare in
+    realpath-canonical form, so relative or symlinked dump paths
+    never read as drift."""
     live = set(_list_data_files(path))
     missing = sorted(indexed - live)
     if missing:
@@ -193,11 +205,11 @@ def read_pruned(
     (`_check_fresh`); ``assume_fresh=True`` skips that LIST for
     readers under a writer protocol that updates the sidecar in the
     same commit as the data (the table-format trust model)."""
-    files, _ = plan_files(
+    files, _, indexed = plan_files(
         spark, path, attrs=attrs, as_of_t=as_of_t, e_between=e_between
     )
     if not assume_fresh:
-        _check_fresh(spark, path)
+        _check_fresh(path, indexed)
     if not files:
         base = spark.read.parquet(path)
         df = base.limit(0)
@@ -222,7 +234,7 @@ def _list_data_files(path: str) -> list[str]:
         dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for f in files:
             if f.endswith(".parquet") and not f.startswith(("_", ".")):
-                out.append(os.path.join(root, f))
+                out.append(os.path.realpath(os.path.join(root, f)))
     return out
 
 
@@ -266,7 +278,7 @@ def refresh_skip_index(
         return {"added": len(new), "total": -1}
     side = _load_sidecar(spark, path)
     indexed = {
-        unquote(urlparse(r["file"]).path)
+        _local_path(r["file"])
         for r in side.select("file").distinct().collect()
     }
     live = set(_list_data_files(path))
@@ -287,9 +299,9 @@ def verify_skip_index(spark: SparkSession, path: str) -> dict[str, int]:
     """Freshness audit: compare the sidecar's file set and row total
     against the live dump. Returns counts; raises on drift."""
     side = _load_sidecar(spark, path)
-    indexed = {r["file"] for r in side.select("file").collect()}
+    indexed = {_local_path(r["file"]) for r in side.select("file").collect()}
     live_files = {
-        r["file"]
+        _local_path(r["file"])
         for r in spark.read.parquet(path)
         .select(F.input_file_name().alias("file"))
         .distinct()

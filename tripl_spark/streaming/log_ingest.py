@@ -97,9 +97,20 @@ class StreamingLogIngest:
         return self.spark.read.parquet(self.log_path).select(*FACT_COLS)
 
     def as_of(self, t: int, attrs: list[str] | None = None) -> DataFrame:
-        """Manifest-pruned time-travel read over everything ingested."""
+        """Manifest-pruned time-travel read over everything ingested.
+        ``assume_fresh``: this consumer IS the writer protocol — every
+        committed batch refreshes the sidecar before the next, and
+        construction heals the one crash window — so readers trust the
+        manifest instead of paying a full log LIST per read (and never
+        spuriously fail against a concurrent batch between its data
+        commit and refresh: those rows are correctly invisible until
+        the refresh lands). Audits go through `verify_skip_index`."""
         return read_pruned(
-            self.spark, self.log_path, attrs=attrs, as_of_t=int(t)
+            self.spark,
+            self.log_path,
+            attrs=attrs,
+            as_of_t=int(t),
+            assume_fresh=True,
         ).select(*FACT_COLS)
 
     def compact_to(self, dst: str, schema: dict | None = None) -> None:
