@@ -387,3 +387,53 @@ def tokenizer_bpe2_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
             "compression"
         ),
     )
+
+
+@query(
+    "tokenizer_fertility_by_lang",
+    oracle=r"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(regexp_extract_all(text,
+                ' ?[A-Za-z]+| ?[0-9]{1,3}| ?[^A-Za-z0-9\s]+'))) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+             AS n_words,
+           round(sum(len(regexp_extract_all(text,
+                ' ?[A-Za-z]+| ?[0-9]{1,3}| ?[^A-Za-z0-9\s]+'))) * 1.0
+                 / sum(len(string_split_regex(trim(text), '\s+'))), 4)
+             AS fertility
+    FROM documents GROUP BY lang
+    """,
+    doc="corpus-level tokenizer fertility per language — "
+    "sum(tokens)/sum(words), NOT the average of per-doc ratios (the "
+    "correct corpus aggregate); one map-side-combined pass, |langs| "
+    "output rows; fully hash-gated",
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (tokens per word) aggregated PER LANGUAGE —
+    the cross-lingual equity metric for a shared tokenizer: languages
+    whose fertility is high pay more sequence length (and training
+    cost) per word (cf. `text_bpe_token_count`, the per-doc view, and
+    `tokenizer_vocab_coverage`). Corpus-level = Σtokens/Σwords, which
+    weights by document length; averaging per-doc ratios would
+    over-weight short docs. Scale shape: the regex counts are codegen
+    scan expressions; one map-side-combined aggregation to |langs|
+    rows — nothing else moves."""
+    from tripl_spark.operators.text import BPE_ISH
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_bpe = F.size(
+        F.regexp_extract_all("text", F.lit(BPE_ISH), F.lit(0))
+    ).cast("long")
+    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    return (
+        docs.select("lang", n_bpe.alias("b"), n_words.alias("w"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("b").cast("long").alias("n_bpe_tokens"),
+            F.sum("w").cast("long").alias("n_words"),
+            F.round(F.sum("b") * 1.0 / F.sum("w"), 4).alias("fertility"),
+        )
+    )

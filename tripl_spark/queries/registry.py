@@ -149,6 +149,7 @@ _PRIORITY = [
     "events_trend_ols",
     "graph_ppr_related_parts",
     "graph_ppr_converged",
+    "tokenizer_fertility_by_lang",
 ]
 # r9 rotation note: after the r8 window lands, every entry except the
 # late-r8 names above has a driver row no older than r5. The r9
