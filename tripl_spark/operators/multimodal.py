@@ -524,6 +524,71 @@ def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_near_dup_pairs(image_dhash(image_table(spark, sf_dir)))
 
 
+def _image_groups_oracle() -> str:
+    """Transitive closure + canonical election over the image near-dup
+    pair oracle — the dedup_groups_canonical pattern applied to the
+    perceptual-hash modality (election: smallest doc_id keeps, a total
+    order both engines share)."""
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM ({_image_neardup_oracle()}) q
+    ),
+    sym AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS root, doc_id AS node FROM documents
+      UNION
+      SELECT r.root, sym.d AS node FROM reach r JOIN sym ON r.node = sym.s
+    ),
+    comp AS (SELECT root AS doc_id, min(node) AS group_id
+             FROM reach GROUP BY root)
+    SELECT doc_id, group_id,
+           CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT)
+             AS group_size,
+           (doc_id = group_id) AS keep
+    FROM comp
+    """
+
+
+@query("multimodal_image_dedup_groups",
+       oracle=_image_groups_oracle(),
+       doc="image near-dup GROUP resolution: dHash pigeonhole pairs -> "
+           "connected components -> one canonical image per family "
+           "(smallest doc_id keeps) — banding, Hamming verify, closure "
+           "and election all hash-gated vs the recursive-CTE rebuild")
+def multimodal_image_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep/drop decision for images, made per duplicate FAMILY
+    (near-duplication is transitive in practice) — the
+    `dedup_groups_canonical` pattern applied to the perceptual-hash
+    modality. Scale shape identical to the text version: the pair
+    graph is dup-rate-sized, so the iterative CC runs on edges only;
+    the corpus contributes one decode/dhash pass and one final
+    membership join; the election window partitions by group (size
+    bounded by the dup family)."""
+    from pyspark.sql import Window
+
+    from tripl_spark.plans.graph import connected_components
+    from tripl_spark.session import load_table
+
+    pairs = image_near_dup_pairs(image_dhash(image_table(spark, sf_dir)))
+    nodes = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node")
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components(edges, nodes=nodes).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("group_id")
+    )
+    w = Window.partitionBy("group_id")
+    return comp.select(
+        "doc_id",
+        "group_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
+        (F.col("doc_id") == F.col("group_id")).alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Audio fingerprinting (the audio twin of image dHash)
 # ---------------------------------------------------------------------------

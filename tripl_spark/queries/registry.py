@@ -150,6 +150,7 @@ _PRIORITY = [
     "graph_ppr_related_parts",
     "graph_ppr_converged",
     "tokenizer_fertility_by_lang",
+    "multimodal_image_dedup_groups",
 ]
 # r9 rotation note: after the r8 window lands, every entry except the
 # late-r8 names above has a driver row no older than r5. The r9
