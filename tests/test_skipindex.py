@@ -177,6 +177,93 @@ def test_refresh_appends_only_new_files(spark, dump, tmp_path):
     assert got == want
 
 
+def test_empty_part_files_are_indexed_and_pruned(spark, tmp_path):
+    """REGRESSION (r8 verdict #1): a zero-row parquet part file never
+    surfaces under input_file_name(), so the stats pass alone leaves
+    it unindexed and every subsequent pruned read raised 'stale'
+    permanently (1 row, repartition(2) was the Hypothesis falsifying
+    example). The sidecar must carry an n_rows=0 sentinel for it —
+    then freshness sees it as indexed and pruning drops it for free."""
+    df = spark.createDataFrame(
+        [("user-1", "ns:a_0", "str", "v1", None, None, 7)],
+        "e string, a string, vtype string, v_str string, "
+        "v_num double, v_bool boolean, t long",
+    )
+    path = str(tmp_path / "tinydump")
+    df.repartition(2).write.parquet(path)  # 1 row -> one part is empty
+    side = build_skip_index(spark, path)
+    sentinels = side.filter(F.col("n_rows") == 0).collect()
+    assert len(sentinels) >= 1
+    assert sentinels[0]["min_t"] is None  # no range stats to fake
+    verify_skip_index(spark, path)  # empty files count as indexed
+    # pruned reads work, match the full filter, and skip the empty file
+    assert read_pruned(spark, path, as_of_t=100).count() == 1
+    assert read_pruned(spark, path, as_of_t=0).count() == 0
+    files, rep, _ = plan_files(spark, path, as_of_t=100)
+    assert rep["kept"] < rep["total"]  # the empty file was pruned
+
+
+def test_refresh_indexes_empty_part_files(spark, tmp_path):
+    """The refresh path has the same blind spot: an appended batch
+    whose repartitioning leaves an empty part must still heal — the
+    old behavior re-statted the file to zero rows forever."""
+    from tripl_spark.sources.skipindex import refresh_skip_index
+
+    schema = (
+        "e string, a string, vtype string, v_str string, "
+        "v_num double, v_bool boolean, t long"
+    )
+    base = spark.createDataFrame(
+        [("user-1", "ns:a_0", "str", "v1", None, None, 1)], schema
+    )
+    path = str(tmp_path / "growdump")
+    base.write.parquet(path)
+    build_skip_index(spark, path)
+    batch = spark.createDataFrame(
+        [("user-2", "ns:a_1", "str", "v2", None, None, 50)], schema
+    )
+    batch.repartition(3).write.mode("append").parquet(path)  # empty parts
+    rep = refresh_skip_index(spark, path)
+    assert rep["added"] >= 2  # the data file plus >=1 empty part
+    side = spark.read.parquet(os.path.join(path, "_skipindex"))
+    assert side.filter(F.col("n_rows") == 0).count() >= 1
+    verify_skip_index(spark, path)
+    # refresh again: idempotent, nothing new to index
+    assert refresh_skip_index(spark, path)["added"] == 0
+    assert read_pruned(spark, path, as_of_t=10).count() == 1
+    assert read_pruned(spark, path, as_of_t=100).count() == 2
+
+
+def test_read_pruned_auto_heal_refresh(spark, dump, tmp_path):
+    """read_pruned(refresh=True) self-serves append-shaped staleness:
+    a raw append between ingests is healed transparently (incremental
+    refresh before planning); a rewritten log still refuses."""
+    import shutil
+
+    path = str(tmp_path / "heal")
+    shutil.copytree(dump, path)
+    build_skip_index(spark, path)
+    full = spark.read.parquet(path)
+    n0 = full.count()
+    full.limit(10).write.mode("append").partitionBy("a").parquet(path)
+    # default read refuses; refresh=True heals and reads everything
+    with pytest.raises(ValueError, match="stale"):
+        read_pruned(spark, path, as_of_t=2**62)
+    assert read_pruned(spark, path, as_of_t=2**62, refresh=True).count() == n0 + 10
+    # and the heal is durable: the next default read is fresh
+    assert read_pruned(spark, path, as_of_t=2**62).count() == n0 + 10
+    # rewrite-shaped staleness still raises even with refresh=True
+    data_files = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet") and "_skipindex" not in r
+    ]
+    os.remove(data_files[0])
+    with pytest.raises(ValueError, match="rewritten"):
+        read_pruned(spark, path, as_of_t=2**62, refresh=True)
+
+
 def test_refresh_refuses_rewritten_log(spark, dump, tmp_path):
     import shutil
 
@@ -194,6 +281,62 @@ def test_refresh_refuses_rewritten_log(spark, dump, tmp_path):
     os.remove(data_files[0])
     with pytest.raises(ValueError, match="rewritten"):
         refresh_skip_index(spark, path)
+
+
+def test_compaction_rewrite_then_rebuild_contract(spark, sf_small, tmp_path):
+    """The maintain/compaction ↔ skip-index contract (r8 verdict #3):
+    (a) reading a compacted (rewritten-in-place) dump through the OLD
+    sidecar fails loudly — the rewrite case _check_fresh is designed
+    for — and refresh=True cannot paper over it; (b) a rebuild after
+    the rewrite restores pruned ≡ full + filter across the whole
+    predicate set."""
+    import shutil
+
+    store, _facts = _melted_store(spark, sf_small)
+    store.assert_schema(
+        {"user:last_type": {"db:cardinality": "db.cardinality:one"}}
+    )
+    path = str(tmp_path / "log")
+    store.dump_parquet(path, skip_index=True)
+
+    # compaction rewrite: LWW-compact to a staging dir, then swap the
+    # data dirs in place WITHOUT touching the sidecar
+    staged = str(tmp_path / "staged")
+    TripleStore.load_parquet(path, spark=spark).dump_parquet(staged)
+    for d in os.listdir(path):
+        if d.startswith("a="):
+            shutil.rmtree(os.path.join(path, d))
+    for d in os.listdir(staged):
+        if d.startswith("a="):
+            shutil.move(os.path.join(staged, d), os.path.join(path, d))
+
+    with pytest.raises(ValueError, match="stale"):
+        read_pruned(spark, path, as_of_t=2**62)
+    with pytest.raises(ValueError, match="rewritten"):
+        read_pruned(spark, path, as_of_t=2**62, refresh=True)
+
+    build_skip_index(spark, path)
+    verify_skip_index(spark, path)
+    full = spark.read.parquet(path)
+    cutoff = int(full.agg(F.percentile_approx("t", 0.5)).collect()[0][0])
+    for kwargs in (
+        dict(as_of_t=cutoff),
+        dict(attrs=["user:last_type"]),
+        dict(attrs=["user:last_type"], as_of_t=cutoff),
+        dict(e_between=("user-1", "user-3")),
+    ):
+        got = read_pruned(spark, path, **kwargs)
+        cond = F.lit(True)
+        if "as_of_t" in kwargs:
+            cond = cond & (F.col("t") <= kwargs["as_of_t"])
+        if "attrs" in kwargs:
+            cond = cond & F.col("a").isin(kwargs["attrs"])
+        if "e_between" in kwargs:
+            lo, hi = kwargs["e_between"]
+            cond = cond & F.col("e").between(lo, hi)
+        expect = full.filter(cond)
+        assert got.count() == expect.count()
+        assert got.exceptAll(expect.select(*got.columns)).count() == 0
 
 
 def _melted_store(spark, sf_small, n=200):

@@ -470,6 +470,18 @@ def test_cli_datalog_rules_and_aggregate(tmp_path):
     assert json.loads(out2.read_text()) == [["a", 2], ["b", 1]]
 
 
+def test_cli_maintain_without_action_errors(tmp_path):
+    """A flag-less `maintain` run must NOT exit 0 — in cron/CI that
+    reads as a successful maintenance run that never happened."""
+    r = subprocess.run(
+        [sys.executable, "-m", "tripl_spark.cli", "maintain",
+         "--path", str(tmp_path)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 2
+    assert "no action" in r.stderr
+
+
 def test_cli_maintain_end_to_end(tmp_path, spark, sf_small):
     """maintain: build + verify + refresh + compact a fact dump from
     the shell — the ops surface for the skip-indexed log lifecycle."""

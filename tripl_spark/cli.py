@@ -240,6 +240,21 @@ def main(argv: list[str] | None = None) -> int:
             verify_skip_index,
         )
 
+        if not (
+            args.build_index
+            or args.refresh_index
+            or args.verify_index
+            or args.compact
+        ):
+            # a flag-less invocation exiting 0 would read as a
+            # successful maintenance run that never happened (cron/CI)
+            print(
+                "tripl maintain: no action given — pass at least one of "
+                "--build-index / --refresh-index / --verify-index / "
+                "--compact",
+                file=sys.stderr,
+            )
+            return 2
         spark = get_spark("tripl_maintain")
         # every branch maps staleness to structured stderr + exit 1 —
         # the cron/CI contract — never a raw traceback

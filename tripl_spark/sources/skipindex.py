@@ -71,11 +71,19 @@ def build_skip_index(spark: SparkSession, path: str) -> DataFrame:
     per-file (n_rows, min/max t, min/max e) grouped by
     ``input_file_name()``. Returns the stats frame after writing it to
     ``<path>/_skipindex`` (coalesced — the sidecar is file-count rows,
-    always tiny relative to the data)."""
+    always tiny relative to the data).
+
+    Zero-row part files (a normal artifact: repartition > rows, empty
+    partitions after a filter, speculative tasks) never appear under
+    ``input_file_name()`` — they are recorded explicitly with an
+    ``n_rows=0`` sentinel row so freshness checks see them as indexed
+    and pruning drops them unconditionally (an empty file is always
+    prunable)."""
     stats = _stats_frame(spark.read.parquet(path))
     stats.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, SIDECAR)
     )
+    _append_empty_sentinels(spark, path, _list_data_files(path))
     return spark.read.parquet(os.path.join(path, SIDECAR))
 
 
@@ -141,14 +149,27 @@ def plan_files(
         indexed.add(f)
         if f in kept:
             continue
+        # n_rows=0 sentinel (empty part file): always prunable — no
+        # predicate can match a row that doesn't exist
+        if r["n_rows"] == 0:
+            continue
         if attr_set is not None and r["a"] not in attr_set:
             continue
         # as_of keeps facts with t <= cutoff: a file whose min_t
-        # already exceeds the cutoff has no qualifying row
-        if as_of_t is not None and not r["min_t"] <= int(as_of_t):
+        # already exceeds the cutoff has no qualifying row. A None
+        # stat (every t in the file is NULL) cannot prove
+        # disjointness — keep the file, the scan filter handles it.
+        if (
+            as_of_t is not None
+            and r["min_t"] is not None
+            and not r["min_t"] <= int(as_of_t)
+        ):
             continue
-        if e_between is not None and not (
-            r["max_e"] >= e_between[0] and r["min_e"] <= e_between[1]
+        if (
+            e_between is not None
+            and r["min_e"] is not None
+            and r["max_e"] is not None
+            and not (r["max_e"] >= e_between[0] and r["min_e"] <= e_between[1])
         ):
             continue
         kept.add(f)
@@ -192,6 +213,7 @@ def read_pruned(
     as_of_t: int | None = None,
     e_between: tuple[str, str] | None = None,
     assume_fresh: bool = False,
+    refresh: bool = False,
 ) -> DataFrame:
     """Read the dump through the skip index: file list from the
     sidecar, then an explicit-file parquet read with ``basePath`` so
@@ -204,7 +226,16 @@ def read_pruned(
     By default the read verifies sidecar↔disk agreement both ways
     (`_check_fresh`); ``assume_fresh=True`` skips that LIST for
     readers under a writer protocol that updates the sidecar in the
-    same commit as the data (the table-format trust model)."""
+    same commit as the data (the table-format trust model).
+
+    ``refresh=True`` auto-heals append-shaped staleness before
+    planning: raw files appended since the last sidecar commit are
+    statted incrementally (`refresh_skip_index` — O(new files)), and
+    a missing sidecar triggers a first build. Rewrite-shaped
+    staleness (an indexed file VANISHED) still raises — cached ranges
+    for a rewritten log are unsalvageable and demand a rebuild."""
+    if refresh:
+        refresh_skip_index(spark, path)
     files, _, indexed = plan_files(
         spark, path, attrs=attrs, as_of_t=as_of_t, e_between=e_between
     )
@@ -228,7 +259,18 @@ def read_pruned(
 def _list_data_files(path: str) -> list[str]:
     """Driver-side listing of the dump's data files (the sidecar dir
     and other _-prefixed/hidden entries excluded, matching Spark's own
-    file-index rules)."""
+    file-index rules). Local filesystem only: on an object-store URI
+    os.walk would silently read as empty and every freshness check
+    would mis-report — refuse loudly instead (readers under a writer
+    protocol use ``assume_fresh=True`` there; a Hadoop-FS listing is
+    the upgrade path)."""
+    scheme = urlparse(path).scheme
+    if scheme not in ("", "file"):
+        raise NotImplementedError(
+            f"skip-index freshness checks list the local filesystem; "
+            f"got scheme {scheme!r} — pass assume_fresh=True under a "
+            "writer protocol or use a local mirror"
+        )
     out = []
     for root, dirs, files in os.walk(path):
         dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
@@ -238,10 +280,44 @@ def _list_data_files(path: str) -> list[str]:
     return out
 
 
+def _append_empty_sentinels(
+    spark: SparkSession, path: str, candidates: list[str]
+) -> None:
+    """Record zero-row part files the stats aggregation can never see
+    (``input_file_name()`` only iterates data ROWS): any candidate
+    file absent from the sidecar gets an ``n_rows=0`` row with NULL
+    range stats. Cost: one sidecar read (file-count rows) + a tiny
+    append — no data-file access at all."""
+    side = _load_sidecar(spark, path)
+    known = {
+        _local_path(r["file"]) for r in side.select("file").distinct().collect()
+    }
+    missing = sorted(f for f in candidates if f not in known)
+    if not missing:
+        return
+    sent = spark.createDataFrame(
+        [(f,) for f in missing], "file string"
+    ).select(
+        "file",
+        *[
+            (
+                F.lit(0).cast("long")
+                if c == "n_rows"
+                else F.lit(None).cast(side.schema[c].dataType)
+            ).alias(c)
+            for c in _STATS_COLS
+            if c != "file"
+        ],
+    )
+    sent.coalesce(1).write.mode("append").parquet(os.path.join(path, SIDECAR))
+
+
 def _append_stats(spark: SparkSession, path: str, files: list[str]) -> None:
     _stats_frame(
         spark.read.option("basePath", path).parquet(*files)
     ).coalesce(1).write.mode("append").parquet(os.path.join(path, SIDECAR))
+    # zero-row files in this batch produce no stats rows — sentinel them
+    _append_empty_sentinels(spark, path, files)
 
 
 def refresh_skip_index(
@@ -300,13 +376,10 @@ def verify_skip_index(spark: SparkSession, path: str) -> dict[str, int]:
     against the live dump. Returns counts; raises on drift."""
     side = _load_sidecar(spark, path)
     indexed = {_local_path(r["file"]) for r in side.select("file").collect()}
-    live_files = {
-        _local_path(r["file"])
-        for r in spark.read.parquet(path)
-        .select(F.input_file_name().alias("file"))
-        .distinct()
-        .collect()
-    }
+    # disk listing, not input_file_name(): zero-row part files never
+    # surface under input_file_name but ARE live files the sidecar
+    # must cover (as n_rows=0 sentinels)
+    live_files = set(_list_data_files(path))
     if indexed != live_files:
         raise ValueError(
             f"skip index is stale: {len(indexed - live_files)} indexed-"
