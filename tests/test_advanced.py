@@ -166,3 +166,19 @@ def test_label_propagation_fixpoint_and_oscillation_guard(spark):
     out = label_propagation(pair, max_iters=50).collect()
     assert len(out) == 2
     assert {r["label"] for r in out} <= {1, 2}
+
+
+def test_label_propagation_strict_raises_on_exhausted_cap(spark):
+    """A 'converged' run must never mislabel an intermediate state: a
+    long path graph mixes slower than a 2-round cap, so strict mode
+    raises; strict=False returns the bounded prefix explicitly."""
+    import pytest
+
+    from tripl_spark.queries.graph_queries import label_propagation
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint or 2-cycle"):
+        label_propagation(path, max_iters=2)
+    assert label_propagation(path, max_iters=2, strict=False).count() == 31

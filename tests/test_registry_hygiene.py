@@ -39,6 +39,20 @@ def test_coverage_counts_match_registry():
     assert m2 and int(m2.group(1)) == n_q - n_o
 
 
+def test_benchnotes_latest_counts_match_registry():
+    """BENCHNOTES is an append-per-round narrative: earlier count
+    claims were true when written, but the LAST one is the live claim
+    and must match a fresh registry load (the r8 verdict caught it
+    two commits stale)."""
+    n_q, n_o = _counts()
+    text = open("/root/repo/BENCHNOTES.md").read()
+    claims = re.findall(r"(\d+)\s*queries\s*/\s*(\d+)\s*oracle", text)
+    assert claims, "BENCHNOTES.md has no 'N queries / M oracle' claim"
+    assert (int(claims[-1][0]), int(claims[-1][1])) == (n_q, n_o), (
+        f"BENCHNOTES' latest claim {claims[-1]} != registry {(n_q, n_o)}"
+    )
+
+
 def test_every_priority_name_is_registered():
     # a _PRIORITY name that never lands in the registry silently wastes
     # a driver-window slot

@@ -580,6 +580,7 @@ def label_propagation(
     edges: DataFrame,
     nodes: DataFrame | None = None,
     max_iters: int = 10,
+    strict: bool = True,
 ) -> DataFrame:
     """(node, label) — synchronous LPA run to fixpoint (or until its
     known failure mode): each round is ``lpa_round`` with a
@@ -592,7 +593,14 @@ def label_propagation(
     round forever) — so the loop stops when the label hash-sum equals
     EITHER of the last two rounds' sums: fixpoint or oscillation, both
     are "done" (production LPA breaks cycles by randomizing update
-    order; we keep determinism and accept the cycle's either state)."""
+    order; we keep determinism and accept the cycle's either state).
+
+    ``strict`` mirrors the `graph_ppr_converged` discipline: if
+    ``max_iters`` is exhausted WITHOUT the terminal fixpoint/2-cycle
+    test firing (a graph whose mixing time exceeds the cap), raise
+    rather than silently returning an intermediate state under a
+    'converged' name; ``strict=False`` returns the last state for
+    callers that want a bounded-round prefix."""
     from pyspark.sql import Observation
 
     sym = (
@@ -609,6 +617,7 @@ def label_propagation(
         .localCheckpoint(eager=True)
     )
     prev = prev2 = None
+    terminal = False
     for i in range(max_iters):
         obs = Observation(f"lpa_round_{i}")
         labels = (
@@ -625,8 +634,16 @@ def label_propagation(
         )
         cur = obs.get["s"]
         if cur == prev or cur == prev2:
+            terminal = True
             break
         prev2, prev = prev, cur
+    if strict and not terminal:
+        raise RuntimeError(
+            f"LPA did not reach a fixpoint or 2-cycle in {max_iters} "
+            "rounds (graph mixing time exceeds the cap) — not "
+            "returning an intermediate state as converged; raise "
+            "max_iters or pass strict=False for a bounded prefix"
+        )
     return labels
 
 
@@ -793,7 +810,11 @@ def graph_lpa_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is the graph's mixing time (~5 on this ancestry tree), so
     cost is rounds x the 2-round query's cost, never a new shape."""
     nodes, edges = purchase_ancestry_graph(spark, sf_dir)
-    return label_propagation(edges, nodes=nodes).select(
+    # strict (the default) raises if the cap is exhausted before the
+    # terminal fixpoint/2-cycle test fires — same contract as
+    # graph_ppr_converged; the cap is sized well past this graph's
+    # mixing time (~5 rounds: log2 of the deepest ancestry chain)
+    return label_propagation(edges, nodes=nodes, max_iters=40).select(
         F.col("node").cast("long").alias("node"),
         F.col("label").cast("long").alias("community"),
     )
@@ -1080,13 +1101,26 @@ def _ppr_top(r: DataFrame) -> DataFrame:
     )
 
 
+PPR_MAX_ROUNDS = 140  # d^140 << 1e-9: the cap can't cut convergence short
+# residual-check rounds: geometric cadence (≤ 9 driver collects total)
+# instead of one blocking collect per power step — the residual decays
+# as d^k, so checking between powers of two costs at most 2× overshoot
+# in extra (cheap, edge-sized) steps while cutting driver round-trips
+# from up-to-140 to ≤ 9
+PPR_CHECK_ROUNDS = frozenset(
+    {1, 2, 4, 8, 16, 32, 64, 128, PPR_MAX_ROUNDS}
+)
+
+
 @query(
     "graph_ppr_converged",
-    doc=f"personalized PageRank run to the L∞ < 1e-9 fixpoint (≤ 30 "
-    "power steps, localCheckpoint per round) over the same capped "
-    "co-purchase graph as the 2-step gate; rows-only — the fixpoint "
-    "residual, mass conservation, and gate-agreement invariants live "
-    "in tests/test_graph_invariants.py",
+    doc=f"personalized PageRank run to the L∞ < 1e-9 fixpoint (≤ "
+    f"{PPR_MAX_ROUNDS} power steps, localCheckpoint per round, "
+    "residual collected on a geometric cadence — ≤ 9 driver "
+    "round-trips) over the same capped co-purchase graph as the "
+    "2-step gate; rows-only — the fixpoint residual, mass "
+    "conservation, and gate-agreement invariants live in "
+    "tests/test_graph_invariants.py",
 )
 def graph_ppr_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`graph_ppr_related_parts` run to convergence — the
@@ -1106,26 +1140,33 @@ def graph_ppr_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     pn, seed = ppr_graph(spark, sf_dir)
     r = spark.range(1).select(F.lit(seed).alias("node"), F.lit(1.0).alias("v"))
     resid = None
-    for _ in range(140):  # d^140 << 1e-9: the cap can't cut convergence short
+    converged = False
+    # residual is COLLECTED only on the geometric cadence: at scale the
+    # blocking per-round driver round-trip dominates, not the
+    # (edge-sized) power step — ≤ 9 collects total, worst-case 2×
+    # overshoot in extra steps, which only tighten the vector
+    for k in range(1, PPR_MAX_ROUNDS + 1):
         nxt = ppr_step(spark, pn, seed, r).localCheckpoint(eager=True)
-        resid = (
-            nxt.join(r.withColumnRenamed("v", "pv"), "node", "full")
-            .select(
-                F.abs(
-                    F.coalesce(F.col("v"), F.lit(0.0))
-                    - F.coalesce(F.col("pv"), F.lit(0.0))
-                ).alias("d")
+        if k in PPR_CHECK_ROUNDS:
+            resid = (
+                nxt.join(r.withColumnRenamed("v", "pv"), "node", "full")
+                .select(
+                    F.abs(
+                        F.coalesce(F.col("v"), F.lit(0.0))
+                        - F.coalesce(F.col("pv"), F.lit(0.0))
+                    ).alias("d")
+                )
+                .agg(F.max("d"))
+                .collect()[0][0]
             )
-            .agg(F.max("d"))
-            .collect()[0][0]
-        )
         r = nxt
         if resid is not None and resid < 1e-9:
+            converged = True
             break
-    else:
+    if not converged:
         raise RuntimeError(
-            f"PPR failed to converge below 1e-9 in 140 rounds "
-            f"(last residual {resid}) — not returning an unconverged "
-            "vector under a 'converged' name"
+            f"PPR failed to converge below 1e-9 in {PPR_MAX_ROUNDS} "
+            f"rounds (last residual {resid}) — not returning an "
+            "unconverged vector under a 'converged' name"
         )
     return _ppr_top(r)
