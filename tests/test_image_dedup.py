@@ -97,6 +97,90 @@ def test_video_shared_frame_detected(spark):
     assert all(p == (1, 2) for p in pairs), pairs
 
 
+def test_audio_gain_copies_pair_and_group(spark):
+    """Planted recall for the audio near-dup family: gain-halved
+    copies of a clip must pair (Hamming 0 — the fingerprint is
+    gain-invariant) and resolve to one canonical family; unrelated
+    random clips must not collide."""
+    import numpy as np
+
+    from tripl_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_near_dup_pairs,
+        dedup_groups_over_pairs,
+    )
+
+    rng = random.Random(21)
+    rows = []
+    for i in range(8):
+        base = np.array(
+            [rng.randrange(-20000, 20000) for _ in range(300 + i * 7)],
+            dtype=np.int16,
+        )
+        rows.append((i * 3, mc.encode_wav(base, 8000)))
+        rows.append((i * 3 + 1, mc.encode_wav((base // 2).astype(np.int16), 8000)))
+        rows.append((i * 3 + 2, mc.encode_wav((base // 4).astype(np.int16), 8000)))
+    audio = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [r[0] for r in rows],
+                      "payload": [r[1] for r in rows]})
+    )
+    fps = audio_fingerprint(audio)
+    pairs = audio_near_dup_pairs(fps)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    for i in range(8):
+        a, b, c = i * 3, i * 3 + 1, i * 3 + 2
+        assert got.get((a, b)) == 0 and got.get((a, c)) == 0, got
+    # no cross-family collisions
+    assert all(x // 3 == y // 3 for x, y in got), got
+
+    nodes = spark.createDataFrame([(r[0],) for r in rows], "doc_id long")
+    groups = {
+        r.doc_id: (r.group_id, r.group_size, r.keep)
+        for r in dedup_groups_over_pairs(spark, "", pairs, nodes=nodes).collect()
+    }
+    for i in range(8):
+        a = i * 3
+        for d in (a, a + 1, a + 2):
+            assert groups[d][0] == a and groups[d][1] == 3
+            assert groups[d][2] == (d == a)  # smallest doc_id keeps
+
+
+def test_video_shared_frame_families_group(spark):
+    """Planted recall for the video group resolver: a re-cut copy
+    chains to its source through any shared frame; transitive chains
+    (A~B, B~C via different frames) must land in ONE family."""
+    from tripl_spark.operators.multimodal import (
+        dedup_groups_over_pairs,
+        video_frame_dhashes,
+        video_near_dup_pairs,
+    )
+
+    rng = random.Random(5)
+    uniq = lambda: bytes(rng.randrange(256) for _ in range(16 * 3))
+    f1, f2 = uniq(), uniq()
+    def vid(*frames):
+        return b"".join(mc.encode_ppm(4, 4, f) for f in frames)
+    videos = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [0, 1, 2, 3, 4],
+            "n_frames": [2, 2, 2, 2, 2],
+            # 0~1 share f1, 1~2 share f2 (transitive chain), 3 and 4
+            # are unrelated
+            "payload": [vid(f1, uniq()), vid(f1, f2), vid(f2, uniq()),
+                        vid(uniq(), uniq()), vid(uniq(), uniq())],
+        })
+    )
+    pairs = video_near_dup_pairs(video_frame_dhashes(videos))
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    groups = {
+        r.doc_id: (r.group_id, r.group_size, r.keep)
+        for r in dedup_groups_over_pairs(spark, "", pairs, nodes=nodes).collect()
+    }
+    assert groups[0] == (0, 3, True)
+    assert groups[1] == (0, 3, False) and groups[2] == (0, 3, False)
+    assert groups[3] == (3, 1, True) and groups[4] == (4, 1, True)
+
+
 def test_video_pair_cache_does_not_outlive_the_call(spark):
     """Long-lived-session invariant: video_near_dup_pairs unpersists
     its distinct-hash intermediate before returning — after the call,

@@ -524,14 +524,14 @@ def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_near_dup_pairs(image_dhash(image_table(spark, sf_dir)))
 
 
-def _image_groups_oracle() -> str:
-    """Transitive closure + canonical election over the image near-dup
-    pair oracle — the dedup_groups_canonical pattern applied to the
-    perceptual-hash modality (election: smallest doc_id keeps, a total
-    order both engines share)."""
+def _groups_oracle(pair_sql: str) -> str:
+    """Transitive closure + canonical election over ANY near-dup pair
+    oracle — the dedup_groups_canonical pattern shared by the image,
+    video and audio modalities (election: smallest doc_id keeps, a
+    total order both engines share)."""
     return f"""
     WITH RECURSIVE pairs AS (
-      SELECT id_a, id_b FROM ({_image_neardup_oracle()}) q
+      SELECT id_a, id_b FROM ({pair_sql}) q
     ),
     sym AS (
       SELECT id_a AS s, id_b AS d FROM pairs
@@ -552,6 +552,48 @@ def _image_groups_oracle() -> str:
     """
 
 
+def _image_groups_oracle() -> str:
+    return _groups_oracle(_image_neardup_oracle())
+
+
+def dedup_groups_over_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, group_id, group_size, keep) — near-dup pair list →
+    connected components → one canonical doc per duplicate family
+    (smallest doc_id keeps). Shared by every media modality. Scale
+    shape: the pair graph is dup-rate-sized, so the iterative CC runs
+    on edges only; the corpus contributes one membership join; the
+    election window partitions by group (bounded by the dup family).
+    ``nodes`` (single-column doc-id frame) overrides the default
+    `documents` universe — the planted-fixture hook."""
+    from pyspark.sql import Window
+
+    from tripl_spark.plans.graph import connected_components
+    from tripl_spark.session import load_table
+
+    if nodes is None:
+        nodes = load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("node")
+        )
+    else:
+        nodes = nodes.select(F.col(nodes.columns[0]).alias("node"))
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components(edges, nodes=nodes).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("group_id")
+    )
+    w = Window.partitionBy("group_id")
+    return comp.select(
+        "doc_id",
+        "group_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
+        (F.col("doc_id") == F.col("group_id")).alias("keep"),
+    )
+
+
 @query("multimodal_image_dedup_groups",
        oracle=_image_groups_oracle(),
        doc="image near-dup GROUP resolution: dHash pigeonhole pairs -> "
@@ -567,26 +609,8 @@ def multimodal_image_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame
     the corpus contributes one decode/dhash pass and one final
     membership join; the election window partitions by group (size
     bounded by the dup family)."""
-    from pyspark.sql import Window
-
-    from tripl_spark.plans.graph import connected_components
-    from tripl_spark.session import load_table
-
     pairs = image_near_dup_pairs(image_dhash(image_table(spark, sf_dir)))
-    nodes = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("node")
-    )
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    comp = connected_components(edges, nodes=nodes).select(
-        F.col("node").alias("doc_id"), F.col("comp").alias("group_id")
-    )
-    w = Window.partitionBy("group_id")
-    return comp.select(
-        "doc_id",
-        "group_id",
-        F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
-        (F.col("doc_id") == F.col("group_id")).alias("keep"),
-    )
+    return dedup_groups_over_pairs(spark, sf_dir, pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -653,6 +677,142 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end: the oracle recomputes windowed abs-energy sums and
     delta signs from the sample-synthesis formula."""
     return audio_fingerprint(audio_table(spark, sf_dir))
+
+
+AUDIO_NEARDUP_MAX_HAMMING = 3
+AUDIO_BAND_MAX_BUCKET = 1000  # over-popular 8-bit band keys (silence,
+# constant tones — the audio analog of boilerplate frames) expand
+# quadratically in the candidate join; drop them BEFORE pairing, the
+# DEFAULT_MAX_BUCKET discipline, replicated in the oracle
+
+
+def audio_near_dup_pairs(
+    fps: DataFrame,
+    max_hamming: int = AUDIO_NEARDUP_MAX_HAMMING,
+    max_bucket: int | None = AUDIO_BAND_MAX_BUCKET,
+) -> DataFrame:
+    """(id_a, id_b, hamming) audio near-dup candidates: pigeonhole the
+    32 fingerprint bits into 4 x 8-bit bands (any pair within Hamming
+    <= 3 agrees on >= 1 whole band), equi-join per band with the
+    degenerate-bucket cap, verify exact Hamming JVM-side — candidates
+    only, never all-pairs. 8-bit band keys collide far more than the
+    image dHash's 16-bit bands, so the bucket cap is load-bearing
+    here: at corpus scale a silent-audio band key would otherwise
+    pair every silent clip with every other."""
+    bands = fps.select(
+        "doc_id", "fingerprint",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_id"),
+                    F.substring("fingerprint", i * 8 + 1, 8).alias("band_key"),
+                )
+                for i in range(4)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "fingerprint", "b.band_id", "b.band_key")
+    if max_bucket is not None:
+        small = (
+            bands.groupBy("band_id", "band_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("band_id", "band_key")
+        )
+        bands = bands.join(small, ["band_id", "band_key"])
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("fingerprint").alias("ha"),
+        "band_id", "band_key",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("fingerprint").alias("hb"),
+        "band_id", "band_key",
+    )
+    cand = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            F.split("ha", ""), F.split("hb", ""),
+            lambda x, y: F.when(x != y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda s, z: s + z,
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def _audio_neardup_oracle() -> str:
+    """The banded pair stage composed over the fingerprint oracle:
+    4 x 8-bit pigeonhole bands, the bucket cap, candidate equi-join,
+    exact character-wise Hamming verify."""
+    return f"""
+    WITH sigs AS ({_audio_fp_oracle()}),
+    bands AS (
+      SELECT doc_id, fingerprint, b.i AS band_id,
+             substring(fingerprint, b.i * 8 + 1, 8) AS band_key
+      FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS i) b
+    ),
+    keepb AS (
+      SELECT band_id, band_key FROM bands
+      GROUP BY band_id, band_key
+      HAVING count(*) <= {AUDIO_BAND_MAX_BUCKET}
+    ),
+    b2 AS (SELECT bands.* FROM bands JOIN keepb USING (band_id, band_key)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.fingerprint AS ha, b.fingerprint AS hb
+      FROM b2 a JOIN b2 b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM (
+      SELECT id_a, id_b,
+             CAST(sum(CASE WHEN substring(ha, p.i + 1, 1)
+                            <> substring(hb, p.i + 1, 1)
+                      THEN 1 ELSE 0 END) AS INT) AS hamming
+      FROM cand CROSS JOIN (SELECT unnest(range(32)) AS i) p
+      GROUP BY id_a, id_b
+    ) WHERE hamming <= {AUDIO_NEARDUP_MAX_HAMMING}
+    """
+
+
+@query("multimodal_audio_neardup",
+       oracle=_audio_neardup_oracle(),
+       doc="Audio near-dup pairs via energy-delta fingerprint pigeonhole "
+           "banding (4 x 8-bit bands, degenerate-bucket cap) — banding, "
+           "cap, candidates and the exact Hamming verify all hash-match "
+           "the SQL rebuild composed over the fingerprint oracle; "
+           "planted-gain-change recall in tests/test_image_dedup.py")
+def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate audio pairs (Hamming <= 3 on the 32-bit
+    energy-delta fingerprint) — the audio twin of image dHash
+    banding; robust to uniform gain/offset edits by construction of
+    the fingerprint."""
+    return audio_near_dup_pairs(audio_fingerprint(audio_table(spark, sf_dir)))
+
+
+@query("multimodal_audio_dedup_groups",
+       oracle=_groups_oracle(_audio_neardup_oracle()),
+       doc="audio near-dup GROUP resolution: fingerprint band pairs -> "
+           "connected components -> one canonical clip per family "
+           "(smallest doc_id keeps) — banding, cap, Hamming verify, "
+           "closure and election all hash-gated vs the recursive-CTE "
+           "rebuild")
+def multimodal_audio_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep/drop decision for audio clips, made per duplicate
+    FAMILY — `dedup_groups_over_pairs` composed over the banded
+    fingerprint pair stage; scale shape identical to the image/text
+    group resolvers (CC over a dup-rate-sized pair list, one decode/
+    fingerprint pass over the corpus)."""
+    pairs = audio_near_dup_pairs(audio_fingerprint(audio_table(spark, sf_dir)))
+    return dedup_groups_over_pairs(spark, sf_dir, pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -791,6 +951,25 @@ def _video_neardup_oracle() -> str:
 def multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video pairs sharing >= 1 exact frame hash."""
     return video_near_dup_pairs(video_frame_dhashes(video_table(spark, sf_dir)))
+
+
+@query("multimodal_video_dedup_groups",
+       oracle=_groups_oracle(_video_neardup_oracle()),
+       doc="video near-dup GROUP resolution: shared-frame-hash pairs -> "
+           "connected components -> one canonical video per family "
+           "(smallest doc_id keeps) — frame hashing, bucket cap, pair "
+           "counting, closure and election all hash-gated vs the "
+           "recursive-CTE rebuild")
+def multimodal_video_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep/drop decision for videos, made per duplicate FAMILY —
+    `dedup_groups_over_pairs` composed over the shared-frame pair
+    stage; a re-encoded or re-cut copy chains to its source through
+    any shared frame, and the family election keeps exactly one.
+    Scale shape identical to the image/audio group resolvers: CC over
+    a dup-rate-sized pair list, one decode/hash pass over the corpus,
+    the boilerplate-frame cap bounding the pair join."""
+    pairs = video_near_dup_pairs(video_frame_dhashes(video_table(spark, sf_dir)))
+    return dedup_groups_over_pairs(spark, sf_dir, pairs)
 
 
 SCENE_CUT_BITS = 4  # Hamming threshold between consecutive frame hashes

@@ -67,73 +67,26 @@ _LOADED = False
 # representative TPC-H/analytics rows. Names listed here come first, in
 # this order; everything else follows in registration order.
 _PRIORITY = [
-    # Round-8 rotation, exactly per VERDICT r7 item 1: (a) first rows
-    # for the queries added in r8 (the LSH-composed filtered-ANN twin,
-    # LPA-to-convergence, the datalog rule+aggregate composition),
-    # then (b) the FULL 43-entry cohort whose latest driver row is
-    # r4-vintage (computed from CORRECTNESS_r01..r07: multimodal and
-    # tokenizer families, pagerank/triangles, ivfpq/multiprobe, skew,
-    # streaming-adjacent, triple r4 stragglers, q1). 43 + new ≤ the
-    # 50-slot window, so after r8 every registry entry has a driver
-    # row no older than r5. Displaced names keep local DuckDB parity
-    # coverage in tests/test_oracle_parity.py every suite run.
+    # Round-9 rotation, exactly per VERDICT r8 item 2 and the r8 note
+    # here: (a) first driver rows for queries NEW in r9, (b) first
+    # rows for the 17 late-r8 additions (zero driver rows so far;
+    # triple_skipindex_asof leads — it gates the persistence path the
+    # r9 skip-index fix touched), then (c) r5-vintage refresh slots
+    # filling the 50-row window (latest-row histogram from
+    # CORRECTNESS_r01..r08: r5×43, r6×33, r7×50, r8×50). Displaced
+    # names keep local DuckDB parity coverage in
+    # tests/test_oracle_parity.py every suite run.
     #
-    # (a) NEW in r8 — first driver rows
-    "sim_ann_lsh_filtered",
-    "graph_lpa_converged",
-    "triple_datalog_rule_aggregate",
-    "events_autocorr_daily",
-    "events_seasonal_naive_mape",
-    "graph_copurchase_lift",
-    "text_zipf_fit",
-    # (b) the r4-vintage refresh cohort (latest row ≤ r4), grouped by
-    # family; alphabetical within a family for auditability
-    "triple_asof_snapshot",
-    "triple_datalog_ancestor",
-    "triple_match_nested",
-    "triple_pull_projection",
-    "triple_pull_recursive",
-    "q1_pricing_summary",
-    "hypertable_rollup_daily",
-    "range_join_error_followups",
-    "stream_join_error_followups",
-    "stateful_sessions_stream",
-    "skew_salted_agg_events",
-    "skew_salted_join_user_spend",
-    "graph_components_purchasers",
-    "graph_pagerank_purchasers",
-    "graph_triangle_count",
-    "cluster_kmeans_embeddings",
-    "sim_ann_ivfpq",
-    "sim_ann_multiprobe",
-    "sim_embedding_stats",
-    "sim_knn_bruteforce",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "sketch_countmin_terms",
-    "multimodal_audio_features",
-    "multimodal_audio_fingerprint",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_image_dhash",
-    "multimodal_video_frame_dhash",
-    "text_bpe_token_count",
-    "text_chunking",
-    "text_fingerprint",
-    "text_repetition_filters",
-    "text_tfidf_top_terms",
-    "text_unigram_logprob",
-    "tokenizer_bpe_merges",
-    "tokenizer_first_merge",
-    "curation_quota_per_stratum",
-    "curation_redacted_texts",
-    "curation_top_quality_per_lang",
-    "mixing_split_assign",
-    "packing_bin_assign",
-    "pipeline_curation_end2end",
-    # (c) LATE-r8 additions past the 50-slot window (positions 51+;
-    # the r6-late precedent): zero driver rows until r9 — local DuckDB
-    # parity covers them meanwhile; they lead the r9 window.
+    # (a) NEW in r9 — first driver rows
+    "multimodal_video_dedup_groups",
+    "multimodal_audio_dedup_groups",
+    "multimodal_audio_neardup",
+    # (b) late-r8 — first driver rows
+    "triple_skipindex_asof",
+    "graph_ppr_related_parts",
+    "sim_covariance_slice",
+    "dedup_reference_containment",
+    "multimodal_image_dedup_groups",
     "events_anomaly_mad",
     "text_ttr_by_source",
     "sim_label_separation",
@@ -142,22 +95,65 @@ _PRIORITY = [
     "sim_mmr_rerank",
     "triple_attr_stats",
     "triple_history_audit",
-    "dedup_reference_containment",
-    "triple_skipindex_asof",
-    "sim_covariance_slice",
     "sim_pca_explained_variance",
     "events_trend_ols",
-    "graph_ppr_related_parts",
     "graph_ppr_converged",
     "tokenizer_fertility_by_lang",
-    "multimodal_image_dedup_groups",
+    # (c) r5-vintage refresh cohort, alphabetical for auditability
+    # (fills the window; the remainder of the 43 r5 names queue first
+    # for r10 — see the r10 note below)
+    "classifier_auc_eval",
+    "classifier_linear_probe_2step",
+    "classifier_logreg_2step",
+    "cluster_kmeans_2iter",
+    "curation_weighted_sample",
+    "dedup_groups_canonical",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "graph_user_ancestry",
+    "multimodal_image_neardup",
+    "multimodal_video_neardup",
+    "multimodal_video_scene_cuts",
+    "packing_greedy",
+    "pipeline_classifier_curation",
+    "pipeline_decontaminated_corpus",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q20_seasonal_shippers",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "search_bm25",
+    # (d) r5-vintage remainder past the 50-slot window (positions
+    # 51+): still r5 after r9 — they lead the r10 refresh cohort
+    "sim_ann_ivf",
+    "sim_ann_ivf_kmeans",
+    "sim_ann_knn_graph",
+    "sketch_bloom_membership",
+    "sketch_heavy_hitters",
+    "sketch_hll_registers",
+    "sketch_quantile_merge",
+    "tokenizer_bpe2_compression",
+    "tokenizer_bpe_2merges",
+    "tokenizer_vocab_coverage",
+    "top3_customers_per_nation",
+    "triple_match_segment",
+    "triple_pull_df_wildcard",
 ]
-# r9 rotation note: after the r8 window lands, every entry except the
-# late-r8 names above has a driver row no older than r5. The r9
-# window: (1) the late-r8 additions (first rows), (2) the
-# entries whose latest row is r5 vintage (recompute from
-# CORRECTNESS_r01..r09 the way r8 did), (3) any query whose oracle
-# text changes in r9.
+# r10 rotation note: after the r9 window lands, the oldest remaining
+# vintages are the 13 (d)-section r5 names above, then the 33
+# r6-vintage entries (recompute from CORRECTNESS_r01..r09 the way r9
+# did). The r10 window: (1) any queries new in r10, (2) the (d)
+# names, (3) r6-vintage slots to fill, (4) any query whose oracle
+# text changed.
 
 
 def _ensure_loaded() -> None:
