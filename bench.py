@@ -104,6 +104,12 @@ HEADLINE = [
     # reference gram universe — distinct + left join on the gram key),
     # benched next to the broadcast scan it complements
     "dedup_reference_containment",
+    # round-9: media group resolution (decode → per-frame hash → CC →
+    # election, the heaviest multimodal data path) and the trained-
+    # tokenizer fertility (vocab learn + broadcast-literal encode —
+    # two corpus scans, zero corpus shuffles for encoding)
+    "multimodal_video_dedup_groups",
+    "tokenizer_trained_fertility_by_lang",
 ]
 
 

@@ -341,6 +341,80 @@ def main() -> None:
                timed(lambda: pair_count(grown), work=pair_work(grown)),
                "(production: constant occupancy)")
 
+        # ---- reference containment: claimed shape is two LINEAR gram
+        # streams (candidate shingles, reference distinct shingles) +
+        # an N:1 left join on the gram key + one groupBy(doc) — no
+        # pair stage. Crucially, even a HOT gram (the same 3-gram
+        # opening 50% of all docs) cannot expand the join: the ref
+        # side is DISTINCT, exactly one row per gram, so the join
+        # stays N:1 whatever the gram's document frequency (contrast
+        # the LSH/copurchase hazards where both join sides grow).
+        # Work driver = candidate gram rows + ref gram-stream rows
+        # (the two shuffle inputs).
+        from tripl_spark.operators.dedup import shingle_frame
+
+        n_docs_c = 5_000 * mult
+
+        def containment_docs(hot: bool):
+            toks = F.transform(
+                F.sequence(F.lit(0), F.lit(39)),
+                lambda i: F.concat(
+                    F.lit("w"),
+                    F.pmod(i * 7919 + F.col("doc_id") * 81, F.lit(2000))
+                    .cast("string"),
+                ),
+            )
+            if hot:
+                toks = F.when(
+                    F.pmod("doc_id", 2) == 0,
+                    F.concat(
+                        F.array(F.lit("h0"), F.lit("h0"), F.lit("h0"),
+                                F.lit("h0")),
+                        F.slice(toks, 5, 36),
+                    ),
+                ).otherwise(toks)
+            return (
+                spark.range(n_docs_c)
+                .select(
+                    F.col("id").alias("doc_id"),
+                    F.concat_ws(" ", toks).alias("text"),
+                )
+                .localCheckpoint(eager=True)
+            )
+
+        def containment_count(docs_c) -> int:
+            cand = shingle_frame(docs_c.filter(F.pmod("doc_id", 5) == 0))
+            ref = (
+                shingle_frame(docs_c.filter(F.pmod("doc_id", 5) != 0))
+                .select("g").distinct().withColumn("_hit", F.lit(1))
+            )
+            return (
+                cand.join(ref, "g", "left")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .count()
+            )
+
+        def containment_work(docs_c) -> int:
+            """The two gram-shuffle inputs (candidate + reference
+            shingle streams) — what the join actually moves."""
+            cand = shingle_frame(docs_c.filter(F.pmod("doc_id", 5) == 0))
+            ref_stream = shingle_frame(docs_c.filter(F.pmod("doc_id", 5) != 0))
+            return cand.count() + ref_stream.count()
+
+        for hot, tag, note in (
+            (False, "uniform grams", "(two linear gram shuffles, N:1 join)"),
+            (True, "hot-gram skew", "(one 3-gram in 50% of docs: ref side "
+             "distinct -> join stays N:1)"),
+        ):
+            dc = containment_docs(hot)
+            record(
+                f"reference_containment {tag}", mult,
+                timed(lambda dc=dc: containment_count(dc),
+                      work=containment_work(dc)),
+                note,
+            )
+
         # ---- LPA round: claimed shape is ONE edge-sized shuffle (the
         # vote rows) + a partial-aggregable max_by argmax — no windows,
         # so even a hub whose degree grows WITH n (here node 0 gains an

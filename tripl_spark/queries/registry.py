@@ -81,6 +81,7 @@ _PRIORITY = [
     "multimodal_video_dedup_groups",
     "multimodal_audio_dedup_groups",
     "multimodal_audio_neardup",
+    "tokenizer_trained_fertility_by_lang",
     # (b) late-r8 — first driver rows
     "triple_skipindex_asof",
     "graph_ppr_related_parts",
