@@ -1212,3 +1212,218 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(3).cast("int").alias("mmr_rank"), F.col("mmr3").alias("mmr_score"),
     )
     return out1.unionByName(out2).unionByName(out3)
+
+
+# ---------------------------------------------------------------------------
+# Bitext mining — margin-scored cross-lingual pairing (Artetxe & Schwenk)
+# ---------------------------------------------------------------------------
+
+BT_X = 30   # source-side slice (en docs, smallest doc_ids — deterministic)
+BT_Y = 120  # target-side slice (de docs)
+BT_K = 4    # neighborhood size for the margin normalizer
+
+
+@query(
+    "sim_bitext_margin_pairs",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         x AS (SELECT doc_id AS x_id, v AS xv
+               FROM documents JOIN e ON doc_id = vec_id
+               WHERE lang = 'en' ORDER BY doc_id LIMIT {BT_X}),
+         y AS (SELECT doc_id AS y_id, v AS yv
+               FROM documents JOIN e ON doc_id = vec_id
+               WHERE lang = 'de' ORDER BY doc_id LIMIT {BT_Y}),
+         s AS (SELECT x_id, y_id,
+                      round(list_cosine_similarity(xv, yv), 4) AS cosine
+               FROM x CROSS JOIN y),
+         kx AS (SELECT x_id, round(avg(cosine), 6) AS knx FROM (
+                  SELECT *, row_number() OVER (PARTITION BY x_id
+                            ORDER BY cosine DESC, y_id) AS rk FROM s
+                ) WHERE rk <= {BT_K} GROUP BY x_id),
+         ky AS (SELECT y_id, round(avg(cosine), 6) AS kny FROM (
+                  SELECT *, row_number() OVER (PARTITION BY y_id
+                            ORDER BY cosine DESC, x_id) AS rk FROM s
+                ) WHERE rk <= {BT_K} GROUP BY y_id),
+         m AS (SELECT s.x_id, s.y_id, s.cosine,
+                      round(s.cosine * 2 / (knx + kny), 4) AS margin
+               FROM s JOIN kx USING (x_id) JOIN ky USING (y_id))
+    SELECT x_id, y_id AS match_id, cosine, margin
+    FROM (SELECT *, row_number() OVER (PARTITION BY x_id
+                    ORDER BY margin DESC, y_id) AS rk FROM m)
+    WHERE rk = 1
+    """,
+    doc=f"margin-based bitext mining (ratio margin, Artetxe & Schwenk "
+    f"2019): best cross-lingual match per en doc against a de slice, "
+    f"scored cosine / mean-of-{BT_K}-NN-cosines both directions — the "
+    "CCMatrix-style parallel-corpus miner; bounded slices, fully "
+    "hash-gated (cosines 4 dp, normalizers 6 dp, ties by id)",
+)
+def sim_bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual bitext mining with the RATIO MARGIN score: a raw
+    cosine threshold can't separate true translations from hubs
+    (vectors cosine-close to everything), so each candidate cosine is
+    normalized by the mean cosine of BOTH endpoints' k-nearest
+    neighborhoods — margin(x,y) = cos(x,y) / ((kNN̄(x)+kNN̄(y))/2) —
+    and the best-margin target is kept per source doc. This is the
+    mining objective behind CCMatrix/WikiMatrix parallel-corpus
+    construction, a first-class acquisition op for multilingual
+    training data.
+
+    Registered shape: deterministic bounded slices (smallest doc_ids
+    per lang) so the oracle replays exactly; the scored frame is a
+    BroadcastNestedLoopJoin of the slices (never a shuffle). At
+    100 TB the slices become ANN candidate lists — compose
+    `sim_ann_lsh_filtered`'s bucket probe per side, then this margin
+    arithmetic runs unchanged over (x_id, y_id, cosine) rows: the
+    normalizers need only each endpoint's OWN top-k, which the ANN
+    search already produces. Both kNN̄ aggregations are bounded by
+    the candidate lists, margins are pure row arithmetic, and the
+    final per-source argmax is a window over candidate rows only."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    de = docs.join(emb, docs.doc_id == emb.vec_id)
+
+    def side(lang: str, n: int, idc: str, vc: str) -> DataFrame:
+        return (
+            de.filter(F.col("lang") == lang)
+            .select(F.col("doc_id").alias(idc), F.col("v").alias(vc))
+            .orderBy(idc)
+            .limit(n)
+        )
+
+    x = side("en", BT_X, "x_id", "xv")
+    y = side("de", BT_Y, "y_id", "yv")
+    s = x.join(F.broadcast(y), F.col("x_id") != F.col("y_id")).select(
+        "x_id", "y_id",
+        F.round(cosine(F.col("xv"), F.col("yv")), 4).alias("cosine"),
+    )
+    wx = Window.partitionBy("x_id").orderBy(F.desc("cosine"), "y_id")
+    wy = Window.partitionBy("y_id").orderBy(F.desc("cosine"), "x_id")
+    kx = (
+        s.withColumn("rk", F.row_number().over(wx))
+        .filter(F.col("rk") <= BT_K)
+        .groupBy("x_id")
+        .agg(F.round(F.avg("cosine"), 6).alias("knx"))
+    )
+    ky = (
+        s.withColumn("rk", F.row_number().over(wy))
+        .filter(F.col("rk") <= BT_K)
+        .groupBy("y_id")
+        .agg(F.round(F.avg("cosine"), 6).alias("kny"))
+    )
+    m = (
+        s.join(kx, "x_id")
+        .join(ky, "y_id")
+        .select(
+            "x_id", "y_id", "cosine",
+            F.round(F.col("cosine") * 2 / (F.col("knx") + F.col("kny")), 4)
+            .alias("margin"),
+        )
+    )
+    wbest = Window.partitionBy("x_id").orderBy(F.desc("margin"), "y_id")
+    return (
+        m.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select("x_id", F.col("y_id").alias("match_id"), "cosine", "margin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-center diversity selection — greedy farthest-point coreset picks
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_kcenter_diverse",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         s1 AS (SELECT vec_id AS id1, v AS v1 FROM e ORDER BY vec_id LIMIT 1),
+         d1 AS (SELECT e.vec_id, e.v,
+                       round(1 - list_cosine_similarity(e.v, s1.v1), 6) AS d1
+                FROM e CROSS JOIN s1 WHERE e.vec_id <> s1.id1),
+         s2 AS (SELECT vec_id AS id2, v AS v2, d1 AS dist2 FROM d1
+                ORDER BY d1 DESC, vec_id LIMIT 1),
+         d2 AS (SELECT d1.vec_id,
+                       least(d1.d1,
+                             round(1 - list_cosine_similarity(d1.v, s2.v2), 6))
+                         AS d2
+                FROM d1 CROSS JOIN s2 WHERE d1.vec_id <> s2.id2),
+         s3 AS (SELECT vec_id AS id3, d2 AS dist3 FROM d2
+                ORDER BY d2 DESC, vec_id LIMIT 1)
+    SELECT CAST(1 AS INT) AS sel_rank, id1 AS vec_id,
+           CAST(0.0 AS DOUBLE) AS coverage_dist FROM s1
+    UNION ALL
+    SELECT CAST(2 AS INT), id2, dist2 FROM s2
+    UNION ALL
+    SELECT CAST(3 AS INT), id3, dist3 FROM s3
+    """,
+    doc="greedy k-center (farthest-point) diversity selection, 3 picks "
+    "unrolled corpus-wide: each pick is one scan + a 1-row TakeOrdered "
+    "argmax (cosine distance, 6 dp, ties by vec_id) — the coreset/"
+    "diverse-sampling primitive; fully hash-gated",
+)
+def sim_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (Gonzalez 1985 farthest-point traversal) over
+    the embedding corpus: pick the seed, then repeatedly the point
+    farthest (max-min cosine distance) from everything picked — the
+    classic 2-approximation for diverse coreset selection, used to
+    seed diverse training subsets and kmeans++-style initializations
+    (`cluster_kmeans_embeddings` starts from id-ordered seeds; this
+    is the diversity-aware alternative).
+
+    Scale shape: selection k is small by construction, and each round
+    is ONE linear scan (distance column against the last pick's
+    broadcast 1-row vector, folded into the running min) + a 1-row
+    TakeOrdered argmax — k scans total, no pair stage, no window over
+    the corpus. The crossJoins are 1-row broadcast scalars (the
+    picked vector), the same discipline as the lift support scalar."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    s1 = e.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("id1"), F.col("v").alias("v1")
+    )
+    d1 = (
+        e.crossJoin(F.broadcast(s1))
+        .filter(F.col("vec_id") != F.col("id1"))
+        .select(
+            "vec_id", "v",
+            F.round(1 - cosine(F.col("v"), F.col("v1")), 6).alias("d1"),
+        )
+    )
+    s2 = d1.orderBy(F.desc("d1"), "vec_id").limit(1).select(
+        F.col("vec_id").alias("id2"), F.col("v").alias("v2"),
+        F.col("d1").alias("dist2"),
+    )
+    d2 = (
+        d1.crossJoin(F.broadcast(s2))
+        .filter(F.col("vec_id") != F.col("id2"))
+        .select(
+            "vec_id",
+            F.least(
+                F.col("d1"),
+                F.round(1 - cosine(F.col("v"), F.col("v2")), 6),
+            ).alias("d2"),
+        )
+    )
+    s3 = d2.orderBy(F.desc("d2"), "vec_id").limit(1).select(
+        F.col("vec_id").alias("id3"), F.col("d2").alias("dist3")
+    )
+    r1 = s1.select(
+        F.lit(1).cast("int").alias("sel_rank"),
+        F.col("id1").alias("vec_id"),
+        F.lit(0.0).cast("double").alias("coverage_dist"),
+    )
+    r2 = s2.select(
+        F.lit(2).cast("int").alias("sel_rank"),
+        F.col("id2").alias("vec_id"),
+        F.col("dist2").alias("coverage_dist"),
+    )
+    r3 = s3.select(
+        F.lit(3).cast("int").alias("sel_rank"),
+        F.col("id3").alias("vec_id"),
+        F.col("dist3").alias("coverage_dist"),
+    )
+    return r1.unionByName(r2).unionByName(r3)

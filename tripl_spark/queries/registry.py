@@ -82,6 +82,8 @@ _PRIORITY = [
     "multimodal_audio_dedup_groups",
     "multimodal_audio_neardup",
     "tokenizer_trained_fertility_by_lang",
+    "sim_bitext_margin_pairs",
+    "sim_kcenter_diverse",
     # (b) late-r8 — first driver rows
     "triple_skipindex_asof",
     "graph_ppr_related_parts",

@@ -43,6 +43,17 @@ Scale discipline:
   raises rather than silently mis-reading (`_check_fresh`).
 * reads preserve the partition column by passing ``basePath`` so the
   directory-encoded ``a`` survives explicit-file-list reads.
+* freshness checks LIST the dump driver-side, which this module
+  implements for the LOCAL filesystem only (`_list_data_files` raises
+  on other URI schemes rather than reading an empty listing as "no
+  files"); object-store deployments read with ``assume_fresh=True``
+  under a writer protocol that refreshes the sidecar in the same
+  commit as the data — the table-format trust model — or swap in a
+  Hadoop-FS listing.
+* zero-row part files (repartition > rows, filtered-empty partitions,
+  speculative tasks) are first-class: they get ``n_rows=0`` sentinel
+  rows at build/refresh time, count as indexed for freshness, and are
+  always pruned.
 """
 
 from __future__ import annotations
