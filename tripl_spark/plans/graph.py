@@ -99,12 +99,16 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    seeds = sym.select(F.col("src").alias("node"))
-    if nodes is not None:
-        # isolated nodes (degree 0) still get a singleton component
-        seeds = seeds.union(nodes.select(F.col(nodes.columns[0]).alias("node")))
+    # the ITERATION runs over edge-incident nodes only — in the dedup
+    # use the pair graph is dup-rate-sized while `nodes` is the whole
+    # corpus, and labeling the corpus per round would drag it through
+    # every shuffle of every round (measured: the video group resolver
+    # spent most of its 7.7 s there at sf0.1). Isolated nodes can never
+    # change their own-min label, so they join AFTER convergence as
+    # one membership join (comp = own id).
     labels = (
-        seeds.distinct()
+        sym.select(F.col("src").alias("node"))
+        .distinct()
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
@@ -147,6 +151,14 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    if nodes is not None:
+        # isolated nodes (degree 0) get a singleton component; a FULL
+        # join keeps edge nodes even when the caller's universe misses
+        # them (the pre-r9 union semantics)
+        uni = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
+        labels = uni.join(labels, "node", "full").select(
+            "node", F.coalesce("comp", F.col("node")).alias("comp")
+        )
     return labels
 
 
