@@ -770,3 +770,122 @@ def text_ttr_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("term").cast("long").alias("n_types"),
         F.round(F.countDistinct("term") * 1.0 / F.count(F.lit(1)), 4).alias("ttr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule filter (Rae et al. 2021, published heuristics)
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3.0, 10.0
+GOPHER_MIN_ALPHA = 0.8  # fraction of words containing a letter
+GOPHER_MAX_SYMBOL = 0.1  # (#'#' + #'...') per word
+GOPHER_MIN_STOP = 2  # distinct-occurrence stop-word floor
+
+
+@query(
+    "text_gopher_rules",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_words,
+             length(regexp_replace(text, '\s+', '', 'g')) AS n_ch,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> regexp_matches(x, '[A-Za-z]')))
+                  AS BIGINT) AS n_alpha,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             (length(text) - length(replace(text, '...', ''))) / 3.0 AS n_ell,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x IN ('the', 'a', 'of', 'and')))
+                  AS BIGINT) AS n_stopwords
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_words,
+             round(n_ch * 1.0 / n_words, 4) AS mean_word_len,
+             round(n_alpha * 1.0 / n_words, 4) AS alpha_word_ratio,
+             round((n_hash + n_ell) / n_words, 4) AS symbol_ratio,
+             n_stopwords
+      FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_word_ratio, symbol_ratio,
+           n_stopwords,
+           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+             AS wc_ok,
+           (mean_word_len >= {GOPHER_MIN_MWL}
+            AND mean_word_len <= {GOPHER_MAX_MWL}) AS mwl_ok,
+           (alpha_word_ratio >= {GOPHER_MIN_ALPHA}) AS alpha_ok,
+           (symbol_ratio <= {GOPHER_MAX_SYMBOL}) AS symbol_ok,
+           (n_stopwords >= {GOPHER_MIN_STOP}) AS stop_ok,
+           ((n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+            AND mean_word_len >= {GOPHER_MIN_MWL}
+            AND mean_word_len <= {GOPHER_MAX_MWL}
+            AND alpha_word_ratio >= {GOPHER_MIN_ALPHA}
+            AND symbol_ratio <= {GOPHER_MAX_SYMBOL}
+            AND n_stopwords >= {GOPHER_MIN_STOP}) AS passes
+    FROM r
+    """,
+    doc="Gopher-style rule-based quality filter (word-count bounds, "
+    "mean word length, alphabetic-word ratio, symbol ratio, stop-word "
+    "floor) with per-rule flags + the combined pass verdict — the "
+    "published heuristic battery; pure scan expressions, fully "
+    "hash-gated (every flag computed from 4-dp-rounded ratios on "
+    "both engines)",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher corpus-filter rule battery (Rae et al. 2021 §A1.1):
+    unlike `text_quality_score`'s single blended score, production
+    filters want per-RULE diagnostics — which rule killed a document
+    drives both threshold tuning and per-source health dashboards
+    (`curation` composes on `passes`; the flags are the observability
+    columns). Every ratio is rounded to 4 dp BEFORE its threshold
+    comparison so the boolean can never flip between engines on a
+    last-bit double difference.
+
+    Scale shape: pure codegen scan expressions over `text` — no
+    shuffle, no UDF; the flags add nothing to the one corpus pass the
+    quality score already costs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_words = F.size(toks).cast("long")
+    mean_wl = F.round(
+        F.length(F.regexp_replace("text", r"\s+", "")) * 1.0 / n_words, 4
+    )
+    alpha_ratio = F.round(
+        F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))) * 1.0 / n_words,
+        4,
+    )
+    n_hash = F.length("text") - F.length(
+        F.replace(F.col("text"), F.lit("#"), F.lit(""))
+    )
+    n_ell = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+    ) / 3.0
+    symbol_ratio = F.round((n_hash + n_ell) / n_words, 4)
+    n_stop = _count_tokens_in(STOPWORDS)
+    base = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        symbol_ratio.alias("symbol_ratio"),
+        n_stop.alias("n_stopwords"),
+    )
+    wc_ok = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    mwl_ok = (F.col("mean_word_len") >= GOPHER_MIN_MWL) & (
+        F.col("mean_word_len") <= GOPHER_MAX_MWL
+    )
+    alpha_ok = F.col("alpha_word_ratio") >= GOPHER_MIN_ALPHA
+    symbol_ok = F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL
+    stop_ok = F.col("n_stopwords") >= GOPHER_MIN_STOP
+    return base.select(
+        "*",
+        wc_ok.alias("wc_ok"),
+        mwl_ok.alias("mwl_ok"),
+        alpha_ok.alias("alpha_ok"),
+        symbol_ok.alias("symbol_ok"),
+        stop_ok.alias("stop_ok"),
+        (wc_ok & mwl_ok & alpha_ok & symbol_ok & stop_ok).alias("passes"),
+    )

@@ -84,6 +84,7 @@ _PRIORITY = [
     "tokenizer_trained_fertility_by_lang",
     "sim_bitext_margin_pairs",
     "sim_kcenter_diverse",
+    "text_gopher_rules",
     # (b) late-r8 — first driver rows
     "triple_skipindex_asof",
     "graph_ppr_related_parts",
