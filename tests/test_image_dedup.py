@@ -7,6 +7,7 @@ from __future__ import annotations
 import random
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from tripl_spark.operators import media_codecs as mc
 from tripl_spark.operators.multimodal import image_dhash, image_near_dup_pairs
@@ -179,6 +180,70 @@ def test_video_shared_frame_families_group(spark):
     assert groups[0] == (0, 3, True)
     assert groups[1] == (0, 3, False) and groups[2] == (0, 3, False)
     assert groups[3] == (3, 1, True) and groups[4] == (4, 1, True)
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_memberships = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),   # doc
+        st.integers(min_value=0, max_value=5),   # frame-hash bucket
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(mem=_memberships)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_star_edges_equal_pair_clique_components(spark, mem):
+    """The r9 video-groups optimization replaces the all-pairs clique
+    inside each frame-hash bucket with star edges to the bucket's min
+    doc. For a shares->=1 relation these give IDENTICAL connected
+    components — pinned here against a pure-Python closure over the
+    full pair clique, for arbitrary membership shapes (hub buckets,
+    singleton docs, multi-bucket docs chaining families)."""
+    from tripl_spark.plans.graph import connected_components
+
+    docs = sorted({d for d, _ in mem})
+    # python reference: union-find over ALL within-bucket pairs
+    parent = {d: d for d in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    buckets: dict = {}
+    for d, h in mem:
+        buckets.setdefault(h, set()).add(d)
+    for members in buckets.values():
+        ms = sorted(members)
+        for b in ms[1:]:
+            ra, rb = find(ms[0]), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    want = {d: find(d) for d in docs}
+
+    fh = spark.createDataFrame(
+        sorted(set(mem)), "doc_id long, dhash long"
+    )
+    small = fh.groupBy("dhash").agg(F.min("doc_id").alias("root"))
+    stars = (
+        fh.join(small, "dhash")
+        .filter(F.col("doc_id") != F.col("root"))
+        .select(F.col("root").alias("src"), F.col("doc_id").alias("dst"))
+        .distinct()
+    )
+    nodes = spark.createDataFrame([(d,) for d in docs], "node long")
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components(stars, nodes=nodes).collect()
+    }
+    assert got == want
 
 
 def test_video_pair_cache_does_not_outlive_the_call(spark):
