@@ -1427,3 +1427,131 @@ def sim_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dist3").alias("coverage_dist"),
     )
     return r1.unionByName(r2).unionByName(r3)
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization — storage-reduction recall eval
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_int8_quant_recall",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         sc AS (SELECT vec_id, v,
+                       greatest(list_max(list_transform(v, x -> abs(x))),
+                                1e-12) AS s
+                FROM e),
+         d8 AS (SELECT vec_id,
+                       list_transform(v, x -> round(x * 127 / s) * s / 127)
+                         AS v8
+                FROM sc),
+         q AS (SELECT vec_id AS query_id, v AS qv
+               FROM e WHERE vec_id < {N_QUERIES}),
+         exact AS (
+           SELECT query_id, vec_id FROM (
+             SELECT q.query_id, e.vec_id,
+                    row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY round(list_cosine_similarity(qv, v), 4) DESC,
+                               e.vec_id) AS rk
+             FROM q JOIN e ON q.query_id <> e.vec_id
+           ) WHERE rk <= {TOP_K}
+         ),
+         approx AS (
+           SELECT query_id, vec_id FROM (
+             SELECT q.query_id, d8.vec_id,
+                    row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY round(list_cosine_similarity(qv, v8), 4) DESC,
+                               d8.vec_id) AS rk
+             FROM q JOIN d8 ON q.query_id <> d8.vec_id
+           ) WHERE rk <= {TOP_K}
+         )
+    SELECT exact.query_id,
+           CAST(count(approx.vec_id) AS BIGINT) AS n_hits,
+           round(count(approx.vec_id) * 1.0 / {TOP_K}, 4) AS recall_at_k
+    FROM exact LEFT JOIN approx
+      ON exact.query_id = approx.query_id AND exact.vec_id = approx.vec_id
+    GROUP BY exact.query_id
+    """,
+    doc=f"int8 scalar-quantization recall@{TOP_K}: per-vector max-abs "
+    "scale, symmetric round-to-127 quantize/dequantize of the CORPUS "
+    "(queries stay float — the asymmetric-distance convention), exact "
+    "top-k under both representations compared per query — the eval "
+    "that gates a 4x-storage-reduction rollout; fully hash-gated",
+)
+def sim_int8_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization is the standard first storage lever
+    for a 100 TB embedding corpus (4x smaller than float32, 8x than
+    float64, usually within a point of full recall; PQ is the next
+    lever, `sim_ann_pq`). This registers the ROLLOUT GATE: quantize
+    the corpus with a per-vector max-abs symmetric scale, keep
+    queries float (asymmetric distance, the FAISS SQ convention), and
+    compare exact top-k under both representations per panel query.
+
+    Determinism: quantize/dequantize is pure double arithmetic with
+    identical association on both engines (round(x*127/s)*s/127 —
+    Spark HALF_UP and DuckDB round() both round ties away from zero),
+    cosines 4 dp, ties by vec_id. Scale shape: the quantized corpus
+    is MATERIALIZED once (localCheckpoint here; a written table in
+    production — it IS the serving index) so the per-vector scale
+    never recomputes per query pair; both top-k sides are panel-
+    bounded brute-force scans, and the compare join touches
+    ≤ 2·|panel|·k rows."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sc = emb.select(
+        "vec_id", "v",
+        F.greatest(
+            F.array_max(F.transform(F.col("v"), F.abs)), F.lit(1e-12)
+        ).alias("s"),
+    )
+    d8 = sc.select(
+        "vec_id",
+        F.transform(
+            F.col("v"),
+            lambda x: F.round(x * 127 / F.col("s"), 0) * F.col("s") / 127,
+        ).alias("v8"),
+    ).localCheckpoint(eager=True)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), "vec_id")
+    exact = (
+        emb.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id", "vec_id",
+            F.round(cosine(F.col("qv"), F.col("v")), 4).alias("c"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+    approx = (
+        d8.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .select(
+            F.col("query_id").alias("aq"), F.col("vec_id").alias("an"),
+            F.round(cosine(F.col("qv"), F.col("v8")), 4).alias("c"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("aq").orderBy(F.desc("c"), "an")
+            ),
+        )
+        .filter(F.col("rk") <= TOP_K)
+        .select("aq", "an")
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("aq"))
+            & (F.col("vec_id") == F.col("an")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("an").cast("long").alias("n_hits"),
+            F.round(F.count("an") * 1.0 / TOP_K, 4).alias("recall_at_k"),
+        )
+    )

@@ -85,6 +85,7 @@ _PRIORITY = [
     "sim_bitext_margin_pairs",
     "sim_kcenter_diverse",
     "text_gopher_rules",
+    "sim_int8_quant_recall",
     # (b) late-r8 — first driver rows
     "triple_skipindex_asof",
     "graph_ppr_related_parts",
@@ -131,13 +132,13 @@ _PRIORITY = [
     "q22_global_sales_opportunity",
     "q2_min_cost_supplier",
     "q3_shipping_priority",
+    # (d) r5-vintage remainder past the 50-slot window (positions
+    # 51+): still r5 after r9 — they lead the r10 refresh cohort
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q7_volume_shipping",
     "q9_product_profit",
     "search_bm25",
-    # (d) r5-vintage remainder past the 50-slot window (positions
-    # 51+): still r5 after r9 — they lead the r10 refresh cohort
     "sim_ann_ivf",
     "sim_ann_ivf_kmeans",
     "sim_ann_knn_graph",
@@ -153,7 +154,7 @@ _PRIORITY = [
     "triple_pull_df_wildcard",
 ]
 # r10 rotation note: after the r9 window lands, the oldest remaining
-# vintages are the 13 (d)-section r5 names above, then the 33
+# vintages are the 18 (d)-section r5 names above, then the 33
 # r6-vintage entries (recompute from CORRECTNESS_r01..r09 the way r9
 # did). The r10 window: (1) any queries new in r10, (2) the (d)
 # names, (3) r6-vintage slots to fill, (4) any query whose oracle
