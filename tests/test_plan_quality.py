@@ -336,3 +336,42 @@ def test_lsh_filtered_pushes_predicate_and_composes_semi_join(spark, sf_small):
     assert "EqualTo(lang,en)" in plan, plan
     assert "LeftSemi" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bitext_is_broadcast_nested_loop_over_slices(spark, sf_small):
+    # the scored frame is bounded-slice x bounded-slice: the target
+    # slice must BROADCAST into a nested-loop join — a CartesianProduct
+    # (checked globally) or a shuffled join here would be wrong for
+    # two tiny slices; the margin normalizers are plain aggregates
+    plan = _plan(spark, sf_small, "sim_bitext_margin_pairs")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_kcenter_argmaxes_are_take_ordered(spark, sf_small):
+    # each greedy pick is a 1-row argmax: orderBy().limit(1) must plan
+    # TakeOrderedAndProject (per-partition heaps), never a global sort
+    # of the distance column
+    plan = _plan(spark, sf_small, "sim_kcenter_diverse")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row pick vectors
+
+
+def test_gopher_rules_is_scan_shaped(spark, sf_small):
+    # the rule battery is pure codegen scan expressions: no shuffle
+    # (no Exchange), no join, no window — one pass over documents
+    plan = _plan(spark, sf_small, "text_gopher_rules")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_video_groups_has_no_pair_clique_join(spark, sf_small):
+    # the r9 star-edge rewrite: grouping must NOT pay the frame-hash
+    # self-join pair stage — the only dhash-keyed join is the star
+    # root attach (fh x per-hash min), and CC then runs over star
+    # edges. A clique build would show the id_a < id_b pair filter.
+    plan = _plan(spark, sf_small, "multimodal_video_dedup_groups")
+    assert "id_a" not in plan or "hamming" not in plan, plan
+    # group election window partitions by group — allowed; the plan
+    # must still contain the CC membership join and no cartesian
+    assert "Window" in plan, plan

@@ -119,3 +119,76 @@ def test_copurchase_lift_invariants(spark, sf_small):
     assert (pdf.common >= 2).all()  # LIFT_MIN_COMMON
     assert list(pdf["rank"]) == sorted(pdf["rank"])
     assert pdf["rank"].iloc[0] == 1
+
+
+def test_kcenter_picks_are_distinct_and_coverage_shrinks(spark, sf_small):
+    """Farthest-point invariants: 3 distinct picks; the k-th coverage
+    distance is the max-min distance to the growing picked set, so it
+    can only shrink (d2 <= d1 pointwise => max d2 <= max d1); every
+    distance lies in the cosine-distance range [0, 2]."""
+    from tripl_spark.queries.registry import REGISTRY
+
+    rows = {r["sel_rank"]: r for r in
+            REGISTRY["sim_kcenter_diverse"].fn(spark, sf_small).collect()}
+    assert set(rows) == {1, 2, 3}
+    picks = [rows[k]["vec_id"] for k in (1, 2, 3)]
+    assert len(set(picks)) == 3
+    assert rows[1]["coverage_dist"] == 0.0
+    assert 0.0 <= rows[3]["coverage_dist"] <= rows[2]["coverage_dist"] <= 2.0
+
+
+def test_kcenter_second_pick_is_true_farthest(spark, sf_small):
+    """The second pick must be the exact argmax of cosine distance to
+    the seed — replayed directly from the embeddings."""
+    import numpy as np
+
+    from tripl_spark.queries.registry import REGISTRY
+    from tripl_spark.session import load_table
+
+    emb = {r["vec_id"]: np.array(r["embedding"], dtype=float)
+           for r in load_table(spark, sf_small, "embeddings").collect()}
+    seed = min(emb)
+
+    def dist(a, b):
+        return round(1 - float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    best = max(
+        ((dist(emb[seed], v), -i) for i, v in emb.items() if i != seed),
+    )
+    rows = {r["sel_rank"]: r for r in
+            REGISTRY["sim_kcenter_diverse"].fn(spark, sf_small).collect()}
+    assert rows[2]["vec_id"] == -best[1]
+    assert abs(rows[2]["coverage_dist"] - best[0]) < 1e-9
+
+
+def test_bitext_margin_demotes_hub_vectors(spark, sf_small):
+    """The point of the ratio margin: a match's margin is its cosine
+    normalized by BOTH endpoints' neighborhoods, so margins hover
+    around 1 (a hub that is close to everything gets ~1, a uniquely
+    close pair gets > 1) — and every source doc gets exactly one
+    best match from the target lang."""
+    from tripl_spark.queries.registry import REGISTRY
+    from tripl_spark.session import load_table
+
+    out = REGISTRY["sim_bitext_margin_pairs"].fn(spark, sf_small).collect()
+    assert len(out) == len({r["x_id"] for r in out})  # one per source
+    langs = {r["doc_id"]: r["lang"]
+             for r in load_table(spark, sf_small, "documents")
+             .select("doc_id", "lang").collect()}
+    assert all(langs[r["x_id"]] == "en" and langs[r["match_id"]] == "de"
+               for r in out)
+    # ratio margins concentrate near 1 by construction
+    assert all(0.2 <= r["margin"] <= 5.0 for r in out)
+    # the best-margin match's raw cosine need not be the raw-cosine
+    # argmax — but the margin must be >= the margin of any other row,
+    # which the per-source window already guarantees; sanity: > 0
+    assert all(r["margin"] > 0 for r in out)
+
+
+def test_int8_quant_recall_is_high_and_bounded(spark, sf_small):
+    from tripl_spark.queries.registry import REGISTRY
+
+    rows = REGISTRY["sim_int8_quant_recall"].fn(spark, sf_small).collect()
+    assert rows and all(0.0 <= r["recall_at_k"] <= 1.0 for r in rows)
+    mean = sum(r["recall_at_k"] for r in rows) / len(rows)
+    assert mean >= 0.9, mean  # int8 with per-vector scale barely hurts
