@@ -783,9 +783,7 @@ GOPHER_MAX_SYMBOL = 0.1  # (#'#' + #'...') per word
 GOPHER_MIN_STOP = 2  # distinct-occurrence stop-word floor
 
 
-@query(
-    "text_gopher_rules",
-    oracle=rf"""
+_GOPHER_ORACLE = rf"""
     WITH t AS (
       SELECT doc_id,
              CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
@@ -825,7 +823,12 @@ GOPHER_MIN_STOP = 2  # distinct-occurrence stop-word floor
             AND symbol_ratio <= {GOPHER_MAX_SYMBOL}
             AND n_stopwords >= {GOPHER_MIN_STOP}) AS passes
     FROM r
-    """,
+    """
+
+
+@query(
+    "text_gopher_rules",
+    oracle=_GOPHER_ORACLE,
     doc="Gopher-style rule-based quality filter (word-count bounds, "
     "mean word length, alphabetic-word ratio, symbol ratio, stop-word "
     "floor) with per-rule flags + the combined pass verdict — the "
@@ -888,4 +891,67 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         symbol_ok.alias("symbol_ok"),
         stop_ok.alias("stop_ok"),
         (wc_ok & mwl_ok & alpha_ok & symbol_ok & stop_ok).alias("passes"),
+    )
+
+
+@query(
+    "curation_gopher_scorecard",
+    oracle=f"""
+    WITH g AS ({_GOPHER_ORACLE})
+    SELECT d.source, d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(CASE WHEN g.passes THEN 1.0 ELSE 0.0 END), 4)
+             AS pass_rate,
+           round(avg(CASE WHEN g.wc_ok THEN 0.0 ELSE 1.0 END), 4)
+             AS fail_wc,
+           round(avg(CASE WHEN g.mwl_ok THEN 0.0 ELSE 1.0 END), 4)
+             AS fail_mwl,
+           round(avg(CASE WHEN g.alpha_ok THEN 0.0 ELSE 1.0 END), 4)
+             AS fail_alpha,
+           round(avg(CASE WHEN g.symbol_ok THEN 0.0 ELSE 1.0 END), 4)
+             AS fail_symbol,
+           round(avg(CASE WHEN g.stop_ok THEN 0.0 ELSE 1.0 END), 4)
+             AS fail_stop
+    FROM g JOIN documents d USING (doc_id)
+    GROUP BY d.source, d.lang
+    """,
+    doc="per-(source, lang) Gopher scorecard: pass rate + per-rule "
+    "failure rates over the rule battery — the corpus-health "
+    "dashboard a filtering rollout is tuned against; one groupBy to "
+    "|sources|x|langs| rows; fully hash-gated",
+)
+def curation_gopher_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The observability rollup over `text_gopher_rules`: per
+    (source, lang) stratum, what fraction passes and WHICH rule kills
+    the failures — the view that tells you a crawl source regressed
+    on symbol ratio vs a language the stop-word list simply doesn't
+    cover (tune per-lang stop lists before dropping a language's
+    corpus). Scale shape: the rule battery is the scan pass; this
+    adds one doc_id-keyed join back to (source, lang) and one
+    map-side-combined aggregation to strata-count rows."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    g = text_gopher_rules(spark, sf_dir)
+
+    def fail_rate(c: str) -> F.Column:
+        return F.round(
+            F.avg(F.when(F.col(c), F.lit(0.0)).otherwise(F.lit(1.0))), 4
+        )
+
+    return (
+        g.join(docs, "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.avg(F.when(F.col("passes"), F.lit(1.0)).otherwise(F.lit(0.0))),
+                4,
+            ).alias("pass_rate"),
+            fail_rate("wc_ok").alias("fail_wc"),
+            fail_rate("mwl_ok").alias("fail_mwl"),
+            fail_rate("alpha_ok").alias("fail_alpha"),
+            fail_rate("symbol_ok").alias("fail_symbol"),
+            fail_rate("stop_ok").alias("fail_stop"),
+        )
     )

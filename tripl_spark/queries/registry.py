@@ -86,6 +86,7 @@ _PRIORITY = [
     "sim_kcenter_diverse",
     "text_gopher_rules",
     "sim_int8_quant_recall",
+    "curation_gopher_scorecard",
     # (b) late-r8 — first driver rows
     "triple_skipindex_asof",
     "graph_ppr_related_parts",
@@ -131,9 +132,9 @@ _PRIORITY = [
     "q21_waiting_suppliers",
     "q22_global_sales_opportunity",
     "q2_min_cost_supplier",
-    "q3_shipping_priority",
     # (d) r5-vintage remainder past the 50-slot window (positions
     # 51+): still r5 after r9 — they lead the r10 refresh cohort
+    "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q7_volume_shipping",
@@ -154,7 +155,7 @@ _PRIORITY = [
     "triple_pull_df_wildcard",
 ]
 # r10 rotation note: after the r9 window lands, the oldest remaining
-# vintages are the 18 (d)-section r5 names above, then the 33
+# vintages are the 19 (d)-section r5 names above, then the 33
 # r6-vintage entries (recompute from CORRECTNESS_r01..r09 the way r9
 # did). The r10 window: (1) any queries new in r10, (2) the (d)
 # names, (3) r6-vintage slots to fill, (4) any query whose oracle
