@@ -192,3 +192,29 @@ def test_epoch_schedule_cap_and_spill_redistribution(spark):
     total = sum(r["allocated_tokens"] for r in rows.values())
     budget = 3 * (100 + 10_000 + 90_000)
     assert abs(total - budget) < 1.0, (total, budget)
+
+
+def test_leakage_safe_split_keeps_families_together(spark, sf_small):
+    """The leakage property itself: every near-dup family lands in ONE
+    split; singleton docs agree with the plain doc-id splitter (the
+    family id degenerates to the doc id)."""
+    from tripl_spark.queries.registry import REGISTRY
+
+    safe = {r["doc_id"]: (r["group_id"], r["split"]) for r in
+            REGISTRY["mixing_leakage_safe_split"].fn(spark, sf_small).collect()}
+    plain = {r["doc_id"]: r["split"] for r in
+             REGISTRY["mixing_split_assign"].fn(spark, sf_small).collect()}
+    assert set(safe) == set(plain)
+    by_group: dict = {}
+    for doc, (gid, split) in safe.items():
+        by_group.setdefault(gid, set()).add(split)
+    # one split per family — the invariant random splits violate
+    assert all(len(s) == 1 for s in by_group.values()), by_group
+    # singletons (group of one, gid == doc_id) match the plain splitter
+    singles = [d for d, (g, _) in safe.items()
+               if g == d and sum(1 for x in safe.values() if x[0] == g) == 1]
+    assert singles, "fixture must contain singleton docs"
+    assert all(safe[d][1] == plain[d] for d in singles)
+    # and the fixture must actually exercise a multi-doc family
+    assert any(len([1 for x in safe.values() if x[0] == g]) > 1
+               for g in by_group), "no dup family in fixture"

@@ -353,3 +353,66 @@ def epoch_schedule(
         F.round(final_target / F.col("src_tokens"), 4).alias("epochs"),
         F.round(final_target, 2).alias("allocated_tokens"),
     )
+
+
+def _leakage_safe_split_oracle() -> str:
+    from tripl_spark.operators.dedup_groups import _groups_oracle_sql
+
+    return f"""
+    WITH g AS ({_groups_oracle_sql()})
+    SELECT doc_id, group_id,
+           CAST(CAST('0x' || substring(md5('split:' || CAST(group_id AS VARCHAR)), 1, 15)
+                     AS BIGINT) % 100 AS BIGINT) AS bucket,
+           CASE
+             WHEN CAST('0x' || substring(md5('split:' || CAST(group_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 100 < 90 THEN 'train'
+             WHEN CAST('0x' || substring(md5('split:' || CAST(group_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 100 < 95 THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM g
+    """
+
+
+@query(
+    "mixing_leakage_safe_split",
+    oracle=_leakage_safe_split_oracle(),
+    doc="leakage-safe train/val/test split: the split hash keys on the "
+    "near-dup FAMILY's canonical id (MinHash groups closure), so no "
+    "duplicate family ever straddles train and test — eval "
+    "contamination by near-copies is impossible by construction; "
+    "singleton docs hash exactly like mixing_split_assign (group_id = "
+    "doc_id), so the two splitters agree outside dup families; fully "
+    "hash-gated",
+)
+def mixing_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random splits leak: a near-duplicate pair split across train
+    and test inflates eval scores with memorized copies (the classic
+    benchmark-contamination mechanism inside one corpus). The fix is
+    to make the split decision per duplicate FAMILY — hash the
+    family's canonical id (the dedup-groups component), so every
+    member lands in the same split. For singleton documents the
+    family id IS the doc id, so this agrees with `mixing_split_assign`
+    everywhere dedup found nothing — the plain splitter is the
+    degenerate case of this one.
+
+    Scale shape: the groups closure is the dedup pipeline's existing
+    cost (CC over the dup-rate-sized pair list + one corpus
+    membership join); the split itself stays a pure projection of the
+    group id — no new shuffle over the corpus."""
+    from tripl_spark.operators.dedup_groups import dedup_groups_canonical
+
+    groups = dedup_groups_canonical(spark, sf_dir).select("doc_id", "group_id")
+    bucket = F.pmod(
+        _md5_hash60(F.concat(F.lit("split:"), F.col("group_id").cast("string"))),
+        F.lit(100),
+    ).cast("long")
+    return groups.select(
+        "doc_id",
+        "group_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
