@@ -266,3 +266,40 @@ def test_video_pair_cache_does_not_outlive_the_call(spark):
     res = video_near_dup_pairs(fh)
     assert {(r.id_a, r.id_b) for r in res.collect()} == {(1, 2)}
     assert n_cached() <= before + 1, sc._jsc.sc().getRDDStorageInfo()
+
+
+_fp_pairs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=(1 << 32) - 1),  # base fp
+        st.sets(st.integers(min_value=0, max_value=31),     # flipped bits
+                min_size=0, max_size=3),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(pairs=_fp_pairs)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_audio_banding_pigeonhole_guarantee(spark, pairs):
+    """The recall guarantee of 4x8-bit pigeonhole banding: ANY pair
+    within Hamming <= 3 must agree on >= 1 whole band and therefore be
+    emitted (uncapped) with its EXACT Hamming distance — for arbitrary
+    fingerprints and arbitrary <=3-bit perturbations."""
+    from tripl_spark.operators.multimodal import audio_near_dup_pairs
+
+    rows, want = [], {}
+    for i, (base, flips) in enumerate(pairs):
+        pert = base
+        for b in flips:
+            pert ^= 1 << b
+        a_id, b_id = i * 2, i * 2 + 1
+        rows.append((a_id, format(base, "032b")))
+        rows.append((b_id, format(pert, "032b")))
+        want[(a_id, b_id)] = len(flips)
+    fps = spark.createDataFrame(rows, "doc_id long, fingerprint string")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in audio_near_dup_pairs(fps, max_bucket=None).collect()}
+    for pair, ham in want.items():
+        assert got.get(pair) == ham, (pair, ham, got)
