@@ -988,3 +988,69 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_both") * 1.0 / F.when(union == 0, None).otherwise(union), 4
         ).alias("pair_jaccard"),
     )
+
+
+@query(
+    "dedup_gram_novelty",
+    oracle=r"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS shingles
+      FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+            FROM documents)
+    ),
+    g AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+    dfreq AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY g)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+             AS novelty
+    FROM g JOIN dfreq USING (g)
+    GROUP BY doc_id
+    """,
+    doc="per-document n-gram NOVELTY: the fraction of a doc's distinct "
+    "3-grams appearing in NO other document (corpus document "
+    "frequency 1) — the inverse readout of containment: low novelty "
+    "flags boilerplate/templated/near-copied docs that pairwise dedup "
+    "under-catches when the copying is many-to-many; one gram-DF "
+    "shuffle + one join back + one groupBy(doc), all linear; fully "
+    "hash-gated",
+)
+def dedup_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of this document exists nowhere else? Containment
+    (`dedup_reference_containment`) asks it against a named reference;
+    novelty asks it against the REST OF THE CORPUS — a per-doc
+    diversity score used to down-weight templated/boilerplate-heavy
+    documents that survive pairwise dedup because no single partner
+    crosses the similarity threshold (the many-to-many copying shape:
+    500 pages sharing the same boilerplate half).
+
+    Scale shape: the gram document-frequency table is one map-side-
+    combined shuffle of the distinct-gram stream (`shingle_frame`
+    emits distinct grams per doc, so count(*) per gram IS document
+    frequency); the join back is gram-keyed and N:1 against the DF
+    table; one groupBy(doc) closes it — the containment probe's
+    measured-linear cost class (SCALE.md r9 rows), no pair stage, no
+    cap needed."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = shingle_frame(docs)
+    dfreq = g.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    return (
+        g.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+            F.round(
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                * 1.0
+                / F.count(F.lit(1)),
+                4,
+            ).alias("novelty"),
+        )
+    )
