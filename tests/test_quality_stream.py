@@ -1,0 +1,108 @@
+"""Streaming quality monitor ≡ the oracled batch scorecard, for any
+micro-batch split, with the snapshot-sink restart contract
+(`streaming/quality_stream.py`)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tripl_spark.queries.registry import REGISTRY, _ensure_loaded
+from tripl_spark.session import load_table
+from tripl_spark.streaming.quality_stream import (
+    StreamingQualityMonitor,
+    quality_partials,
+)
+
+_ensure_loaded()
+
+
+def _docs(spark, sf):
+    return load_table(spark, sf, "documents")
+
+
+def _card_map(df):
+    return {
+        (r.source, r.lang): (
+            r.n_docs, r.pass_rate, r.fail_wc, r.fail_mwl,
+            r.fail_alpha, r.fail_symbol, r.fail_stop,
+        )
+        for r in df.collect()
+    }
+
+
+@pytest.mark.parametrize("split", ["one", "mod3", "skew"])
+def test_quality_monitor_is_split_invariant_and_matches_batch(
+    spark, sf_small, split
+):
+    """The maintained scorecard after ANY split equals the oracled
+    `curation_gopher_scorecard` one-shot — counters are integers, the
+    read-time ratios use the batch query's rounding, so the equality
+    is exact, not approximate."""
+    docs = _docs(spark, sf_small)
+    batches = {
+        "one": [docs],
+        "mod3": [docs.filter(F.pmod("doc_id", 3) == i) for i in range(3)],
+        "skew": [
+            docs.filter(F.pmod("doc_id", 10) != 0),
+            docs.filter(F.pmod("doc_id", 10) == 0),
+            docs.limit(0),
+        ],
+    }[split]
+    mon = StreamingQualityMonitor(spark)
+    for i, b in enumerate(batches):
+        mon.process(b, batch_id=i)
+    want = _card_map(REGISTRY["curation_gopher_scorecard"].fn(spark, sf_small))
+    assert _card_map(mon.scorecard()) == want
+
+
+def test_quality_monitor_sink_mode_survives_driver_restart(
+    spark, sf_small, tmp_path
+):
+    """Process half the stream, lose the driver, resume: the recovered
+    monitor (a) skips replayed committed batches, (b) continues from
+    the snapshot, and the final scorecard equals one-shot."""
+    docs = _docs(spark, sf_small)
+    sink = str(tmp_path / "qsink")
+    mon = StreamingQualityMonitor(spark, sink_path=sink)
+    mon.process(docs.filter(F.pmod("doc_id", 2) == 0), batch_id=0)
+
+    mon2 = StreamingQualityMonitor(spark, sink_path=sink)  # restart
+    mon2.process(docs.filter(F.pmod("doc_id", 2) == 0), batch_id=0)  # replay
+    mon2.process(docs.filter(F.pmod("doc_id", 2) == 1), batch_id=1)
+    want = _card_map(REGISTRY["curation_gopher_scorecard"].fn(spark, sf_small))
+    assert _card_map(mon2.scorecard()) == want
+
+
+def test_quality_monitor_flags_a_planted_regression(spark):
+    """A source that flips to boilerplate (all '#', no stopwords) must
+    show a pass-rate collapse in the maintained scorecard while the
+    healthy source stays green."""
+    good = spark.createDataFrame(
+        [(i, "the appled oranges and buildings of streams " * 10, "web", "en")
+         for i in range(20)],
+        "doc_id long, text string, source string, lang string",
+    )
+    bad = spark.createDataFrame(
+        [(100 + i, "### ## #### " * 30, "feed", "en") for i in range(10)],
+        "doc_id long, text string, source string, lang string",
+    )
+    mon = StreamingQualityMonitor(spark)
+    mon.process(good, batch_id=0)
+    mon.process(bad, batch_id=1)
+    card = {r.source: r for r in mon.scorecard().collect()}
+    assert card["web"].pass_rate == 1.0
+    assert card["feed"].pass_rate == 0.0
+    # the per-rule diagnostics say WHY: symbols and stop words
+    assert card["feed"].fail_symbol == 1.0
+    assert card["feed"].fail_stop == 1.0
+    assert card["web"].fail_symbol == 0.0
+
+
+def test_quality_partials_counters_sum_consistently(spark, sf_small):
+    p = quality_partials(_docs(spark, sf_small)).collect()
+    for r in p:
+        assert 0 <= r.n_pass <= r.n_docs
+        for c in ("n_fail_wc", "n_fail_mwl", "n_fail_alpha",
+                  "n_fail_symbol", "n_fail_stop"):
+            assert 0 <= r[c] <= r.n_docs

@@ -849,7 +849,15 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: pure codegen scan expressions over `text` — no
     shuffle, no UDF; the flags add nothing to the one corpus pass the
     quality score already costs."""
-    docs = load_table(spark, sf_dir, "documents")
+    return gopher_flag_frame(load_table(spark, sf_dir, "documents"))
+
+
+def gopher_flag_frame(docs: DataFrame, keep: tuple = ()) -> DataFrame:
+    """The per-document rule battery as a reusable projection — the
+    registered query and the streaming quality monitor
+    (`streaming/quality_stream.py`) share THIS definition so the
+    maintained scorecard can never drift from the oracled flags.
+    ``keep`` passes extra doc columns (e.g. source/lang) through."""
     toks = _tokens()
     n_words = F.size(toks).cast("long")
     mean_wl = F.round(
@@ -870,6 +878,7 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stop = _count_tokens_in(STOPWORDS)
     base = docs.select(
         "doc_id",
+        *keep,
         n_words.alias("n_words"),
         mean_wl.alias("mean_word_len"),
         alpha_ratio.alias("alpha_word_ratio"),
