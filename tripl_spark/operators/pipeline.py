@@ -594,3 +594,80 @@ def _full_curation_df(spark: SparkSession, sf_dir: str, bucketing: str) -> DataF
             "ppl_bucket", "rk",
         )
     )
+
+
+def _leakage_safe_corpus_oracle() -> str:
+    from tripl_spark.operators.dedup_groups import _groups_oracle_sql
+    from tripl_spark.operators.text import _GOPHER_ORACLE
+
+    return rf"""
+    WITH g AS ({_groups_oracle_sql()}),
+    flags AS ({_GOPHER_ORACLE}),
+    train AS (
+      SELECT g.doc_id, g.group_id
+      FROM g JOIN flags ON g.doc_id = flags.doc_id
+      WHERE g.keep AND flags.passes
+        AND CAST('0x' || substring(md5('split:' || CAST(g.group_id AS VARCHAR)), 1, 15)
+                 AS BIGINT) % 100 < 90
+    )
+    SELECT t.doc_id, t.group_id, d.source, d.lang,
+           CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT)
+             AS n_tokens
+    FROM train t JOIN documents d ON t.doc_id = d.doc_id
+    """
+
+
+@query(
+    "pipeline_leakage_safe_corpus",
+    oracle=_leakage_safe_corpus_oracle(),
+    doc="the leakage-safe training-corpus builder, fused: near-dup "
+    "family resolution (canonical survivor per MinHash group) -> "
+    "Gopher rule battery -> family-keyed train split (no dup family "
+    "straddles train/eval) -> token-counted manifest; one Catalyst "
+    "plan composing three oracled stages; fully hash-gated",
+)
+def pipeline_leakage_safe_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus a careful team actually trains on, as ONE fused
+    plan: (1) fuzzy-dedup GROUP resolution keeps the canonical
+    survivor per near-dup family (`dedup_groups_canonical` — pairwise
+    keep/drop over-retains transitive chains); (2) the Gopher rule
+    battery drops rule-failing documents (`text_gopher_rules`); (3)
+    the train split keys on the FAMILY id
+    (`mixing_leakage_safe_split`), so even the dropped near-dups'
+    surviving canonical lands opposite no family member — eval
+    contamination by near-copies is structurally impossible; (4) the
+    manifest carries token counts for budget accounting.
+
+    Scale shape: stage 1 is the dedup pipeline's existing cost
+    (banded candidate pairs + CC over the dup-rate-sized pair list +
+    one corpus membership join); stages 2-3 are scan projections
+    fused into the same plan (the split is a hash of a column already
+    present); stage 4 is one doc_id-keyed join back to documents.
+    Catalyst sees the whole chain, so the documents scan serves both
+    the flag projection and the final join with column pruning
+    intact."""
+    from tripl_spark.operators.dedup_groups import dedup_groups_canonical
+    from tripl_spark.operators.text import gopher_flag_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    groups = dedup_groups_canonical(spark, sf_dir)
+    passing = gopher_flag_frame(docs).filter(F.col("passes")).select("doc_id")
+    bucket = F.pmod(
+        _md5_hash60(
+            F.concat(F.lit("split:"), F.col("group_id").cast("string"))
+        ),
+        F.lit(100),
+    )
+    train = (
+        groups.filter(F.col("keep"))
+        .join(passing, "doc_id")
+        .filter(bucket < 90)
+        .select("doc_id", "group_id")
+    )
+    return train.join(docs, "doc_id").select(
+        "doc_id",
+        "group_id",
+        "source",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
