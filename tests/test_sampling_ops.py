@@ -218,3 +218,27 @@ def test_leakage_safe_split_keeps_families_together(spark, sf_small):
     # and the fixture must actually exercise a multi-doc family
     assert any(len([1 for x in safe.values() if x[0] == g]) > 1
                for g in by_group), "no dup family in fixture"
+
+
+def test_drop_ledger_conserves_and_agrees_with_survivors(spark, sf_small):
+    """Conservation: every corpus doc appears exactly once with one
+    fate; the 'train' rows are exactly pipeline_leakage_safe_corpus's
+    survivor set; fate precedence means a non-canonical family member
+    is never blamed on a quality rule."""
+    from tripl_spark.queries.registry import REGISTRY
+    from tripl_spark.session import load_table
+
+    ledger = {r["doc_id"]: r["fate"] for r in
+              REGISTRY["pipeline_drop_ledger"].fn(spark, sf_small).collect()}
+    n_docs = load_table(spark, sf_small, "documents").count()
+    assert len(ledger) == n_docs  # one fate per doc, none lost
+    train = {r["doc_id"] for r in
+             REGISTRY["pipeline_leakage_safe_corpus"].fn(spark, sf_small).collect()}
+    assert {d for d, f in ledger.items() if f == "train"} == train
+    # precedence: every non-keep family member is 'dropped:near_dup'
+    groups = REGISTRY["dedup_groups_canonical"].fn(spark, sf_small).collect()
+    for r in groups:
+        if not r["keep"]:
+            assert ledger[r["doc_id"]] == "dropped:near_dup"
+    # the fixture must exercise several fates
+    assert len(set(ledger.values())) >= 3, set(ledger.values())

@@ -671,3 +671,89 @@ def pipeline_leakage_safe_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
     )
+
+
+def _drop_ledger_oracle() -> str:
+    from tripl_spark.operators.dedup_groups import _groups_oracle_sql
+    from tripl_spark.operators.text import _GOPHER_ORACLE
+
+    return rf"""
+    WITH g AS ({_groups_oracle_sql()}),
+    flags AS ({_GOPHER_ORACLE}),
+    b AS (
+      SELECT g.doc_id, g.group_id, g.keep,
+             flags.wc_ok, flags.mwl_ok, flags.alpha_ok, flags.symbol_ok,
+             flags.stop_ok,
+             CAST('0x' || substring(md5('split:' || CAST(g.group_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 100 AS bucket
+      FROM g JOIN flags ON g.doc_id = flags.doc_id
+    )
+    SELECT doc_id, group_id,
+           CASE
+             WHEN NOT keep THEN 'dropped:near_dup'
+             WHEN NOT wc_ok THEN 'dropped:rule_wc'
+             WHEN NOT mwl_ok THEN 'dropped:rule_mwl'
+             WHEN NOT alpha_ok THEN 'dropped:rule_alpha'
+             WHEN NOT symbol_ok THEN 'dropped:rule_symbol'
+             WHEN NOT stop_ok THEN 'dropped:rule_stop'
+             WHEN bucket >= 95 THEN 'held_out:test'
+             WHEN bucket >= 90 THEN 'held_out:val'
+             ELSE 'train'
+           END AS fate
+    FROM b
+    """
+
+
+@query(
+    "pipeline_drop_ledger",
+    oracle=_drop_ledger_oracle(),
+    doc="per-document FATE through the leakage-safe corpus build: the "
+    "first stage that dropped it (near-dup election, then the Gopher "
+    "rules in battery order) or its held-out/train assignment — the "
+    "'why was my document dropped' debugger and the conservation "
+    "ledger (every input doc appears exactly once); fully hash-gated",
+)
+def pipeline_drop_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`pipeline_leakage_safe_corpus` emits the survivors; THIS emits
+    everything else with a reason — the observability surface a data
+    team actually debugs with ('why did doc X vanish?') and the
+    conservation check (ledger rows == corpus rows, exactly one fate
+    each; pinned in tests/test_sampling_ops.py). Fate precedence
+    mirrors execution order: near-dup election first (a non-canonical
+    family member is dropped before its quality is ever consulted),
+    then the Gopher rules in battery order (first failing rule
+    named), then the family-keyed split.
+
+    Scale shape: the same fused plan as the corpus builder — the
+    groups closure plus scan projections — with the CASE fate a pure
+    projection on top; no new shuffle."""
+    from tripl_spark.operators.dedup_groups import dedup_groups_canonical
+    from tripl_spark.operators.text import gopher_flag_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    groups = dedup_groups_canonical(spark, sf_dir).select(
+        "doc_id", "group_id", "keep"
+    )
+    flags = gopher_flag_frame(docs).select(
+        "doc_id", "wc_ok", "mwl_ok", "alpha_ok", "symbol_ok", "stop_ok"
+    )
+    bucket = F.pmod(
+        _md5_hash60(
+            F.concat(F.lit("split:"), F.col("group_id").cast("string"))
+        ),
+        F.lit(100),
+    )
+    fate = (
+        F.when(~F.col("keep"), F.lit("dropped:near_dup"))
+        .when(~F.col("wc_ok"), F.lit("dropped:rule_wc"))
+        .when(~F.col("mwl_ok"), F.lit("dropped:rule_mwl"))
+        .when(~F.col("alpha_ok"), F.lit("dropped:rule_alpha"))
+        .when(~F.col("symbol_ok"), F.lit("dropped:rule_symbol"))
+        .when(~F.col("stop_ok"), F.lit("dropped:rule_stop"))
+        .when(bucket >= 95, F.lit("held_out:test"))
+        .when(bucket >= 90, F.lit("held_out:val"))
+        .otherwise(F.lit("train"))
+    )
+    return groups.join(flags, "doc_id").select(
+        "doc_id", "group_id", fate.alias("fate")
+    )
