@@ -915,3 +915,131 @@ def events_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept("x", "di"), 4).alias("intercept"),
         F.round(F.regr_r2("x", "di"), 4).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Population-stability-index drift between two time windows
+# ---------------------------------------------------------------------------
+
+PSI_BINS = 5  # fixed-width value bins per event type
+
+
+@query(
+    "events_psi_drift",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, value,
+             CASE WHEN day(ts) <= 15 THEN 'a' ELSE 'b' END AS w
+      FROM events
+    ),
+    mm AS (SELECT event_type, min(value) AS mn, max(value) AS mx
+           FROM e GROUP BY event_type),
+    binned AS (
+      SELECT e.event_type, w,
+             CAST(coalesce(least(floor((value - mn) / nullif(mx - mn, 0)
+                                       * {PSI_BINS}), {PSI_BINS - 1}), 0)
+                  AS BIGINT) AS bin
+      FROM e JOIN mm USING (event_type)
+    ),
+    counts AS (SELECT event_type, w, bin, CAST(count(*) AS BIGINT) AS n
+               FROM binned GROUP BY event_type, w, bin),
+    tot AS (SELECT event_type, w, sum(n) AS nt FROM counts
+            GROUP BY event_type, w),
+    grid AS (
+      SELECT t.event_type, t.w, b.bin, t.nt
+      FROM tot t CROSS JOIN (SELECT unnest(range({PSI_BINS})) AS bin) b
+    ),
+    dense AS (
+      SELECT g.event_type, g.w, g.bin,
+             (coalesce(c.n, 0) + 1) * 1.0 / (g.nt + {PSI_BINS}) AS p
+      FROM grid g LEFT JOIN counts c
+        ON g.event_type = c.event_type AND g.w = c.w AND g.bin = c.bin
+    ),
+    pq AS (
+      SELECT a.event_type, a.bin, a.p AS pa, b.p AS pb
+      FROM dense a JOIN dense b
+        ON a.event_type = b.event_type AND a.bin = b.bin
+       AND a.w = 'a' AND b.w = 'b'
+    )
+    SELECT event_type,
+           round(sum((pa - pb) * ln(pa / pb)), 4) AS psi
+    FROM pq GROUP BY event_type
+    """,
+    doc=f"population stability index per event type between the first "
+    f"and second half-month of the stream: {PSI_BINS} fixed-width "
+    "value bins from per-type global min/max, Laplace-smoothed "
+    "proportions, PSI = sum (p-q) ln(p/q) — the standard drift score "
+    "(<0.1 stable, >0.25 drifted); all proportions derive from "
+    "integer counts so both engines see identical doubles; fully "
+    "hash-gated",
+)
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI is the drift metric monitoring teams actually page on
+    (credit-risk lineage, now standard for feature/label drift): bin
+    a value's distribution in a reference window, compare the
+    proportion vector in the current window. Complements the level
+    detectors (`events_anomaly_mad` catches an outlier DAY;
+    PSI catches a reshaped DISTRIBUTION at the same level —
+    e.g. variance collapse after an upstream bug zeroes a field).
+
+    Determinism: fixed-width bins from per-type global min/max (no
+    quantile estimation), Laplace +1 smoothing so empty bins
+    contribute finite terms, proportions derived from integer counts
+    — both engines compute ln over bit-identical doubles. Scale
+    shape: two map-side-combined aggregations (min/max, then
+    (type, window, bin) counts — bounded keys), the PSI arithmetic
+    runs over |types| x {PSI_BINS} x 2 rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.when(F.dayofmonth("ts") <= 15, "a").otherwise("b").alias("w"),
+    )
+    mm = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    span = F.when(F.col("mx") != F.col("mn"), F.col("mx") - F.col("mn"))
+    binned = ev.join(F.broadcast(mm), "event_type").select(
+        "event_type",
+        "w",
+        F.coalesce(
+            F.least(
+                F.floor((F.col("value") - F.col("mn")) / span * PSI_BINS),
+                F.lit(PSI_BINS - 1),
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "w", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = counts.groupBy("event_type", "w").agg(F.sum("n").alias("nt"))
+    bins = ev.sparkSession.range(PSI_BINS).select(F.col("id").alias("bin"))
+    grid = tot.crossJoin(F.broadcast(bins))  # |types| x 2 x PSI_BINS rows
+    dense = grid.join(counts, ["event_type", "w", "bin"], "left").select(
+        "event_type",
+        "w",
+        "bin",
+        (
+            (F.coalesce(F.col("n"), F.lit(0)) + 1)
+            * 1.0
+            / (F.col("nt") + PSI_BINS)
+        ).alias("p"),
+    )
+    a = dense.filter(F.col("w") == "a").select(
+        "event_type", "bin", F.col("p").alias("pa")
+    )
+    b = dense.filter(F.col("w") == "b").select(
+        "event_type", "bin", F.col("p").alias("pb")
+    )
+    return (
+        a.join(b, ["event_type", "bin"])
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))),
+                4,
+            ).alias("psi")
+        )
+    )

@@ -91,6 +91,7 @@ _PRIORITY = [
     "dedup_gram_novelty",
     "pipeline_leakage_safe_corpus",
     "pipeline_drop_ledger",
+    "events_psi_drift",
     # (b) late-r8 — first driver rows
     "triple_skipindex_asof",
     "graph_ppr_related_parts",
@@ -131,9 +132,9 @@ _PRIORITY = [
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
-    "q19_discounted_revenue",
     # (d) r5-vintage remainder past the 50-slot window (positions
     # 51+): still r5 after r9 — they lead the r10 refresh cohort
+    "q19_discounted_revenue",
     "q20_seasonal_shippers",
     "q21_waiting_suppliers",
     "q22_global_sales_opportunity",
@@ -159,7 +160,7 @@ _PRIORITY = [
     "triple_pull_df_wildcard",
 ]
 # r10 rotation note: after the r9 window lands, the oldest remaining
-# vintages are the 23 (d)-section r5 names above, then the 33
+# vintages are the 24 (d)-section r5 names above, then the 33
 # r6-vintage entries (recompute from CORRECTNESS_r01..r09 the way r9
 # did). The r10 window: (1) any queries new in r10, (2) the (d)
 # names, (3) r6-vintage slots to fill, (4) any query whose oracle
