@@ -106,3 +106,30 @@ def test_quality_partials_counters_sum_consistently(spark, sf_small):
         for c in ("n_fail_wc", "n_fail_mwl", "n_fail_alpha",
                   "n_fail_symbol", "n_fail_stop"):
             assert 0 <= r[c] <= r.n_docs
+
+
+def test_quality_monitor_readstream_end_to_end(spark, sf_small, tmp_path):
+    """A real readStream → foreachBatch(mon.process) availableNow
+    drain over a file-split corpus equals the oracled batch scorecard
+    — the deployment shape, not just the unit-level process() calls.
+    documents.text may embed newlines, so the stream source is
+    parquet, not a text format."""
+    docs = _docs(spark, sf_small).select("doc_id", "text", "source", "lang")
+    src = str(tmp_path / "src")
+    for i in range(3):
+        docs.filter(F.pmod("doc_id", 3) == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    mon = StreamingQualityMonitor(spark, sink_path=str(tmp_path / "sink"))
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(mon.process)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    want = _card_map(REGISTRY["curation_gopher_scorecard"].fn(spark, sf_small))
+    assert _card_map(mon.scorecard()) == want
