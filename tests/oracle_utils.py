@@ -54,5 +54,12 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name:
                 if math.isnan(a) and math.isnan(b):
                     continue
                 assert a == b, f"{name}: col {col} row {i}: {a!r} != {b!r}"
+                # `==` treats -0.0 == +0.0 but the driver hashes bytes,
+                # so signed-zero disagreement must fail here too.
+                assert math.copysign(1.0, a) == math.copysign(1.0, b), (
+                    f"{name}: col {col} row {i}: signed-zero mismatch "
+                    f"{a!r} (sign {math.copysign(1.0, a)}) != "
+                    f"{b!r} (sign {math.copysign(1.0, b)})"
+                )
             else:
                 assert str(a) == str(b), f"{name}: col {col} row {i}: {a!r} != {b!r}"

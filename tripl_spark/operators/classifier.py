@@ -77,7 +77,7 @@ def logreg_step(feats: DataFrame, w: list[float], lr: float = LR) -> tuple[list[
         -(F.col("y") * F.log(p) + (1 - F.col("y")) * F.log(1 - p))
     ).alias("loss")
     r = feats.agg(*grad_cols, loss_col).first()
-    new_w = [round(w[i] + lr * r[f"g{i}"], 6) for i in range(N_FEATURES)]
+    new_w = [round(w[i] + lr * r[f"g{i}"], 6) + 0.0 for i in range(N_FEATURES)]
     return new_w, round(float(r["loss"]), 4)
 
 
@@ -116,10 +116,10 @@ def _train2_sql(extra_g2: str = "") -> str:
     appends additional aggregate columns (e.g. the loss) to g2."""
     return f"""
     g1 AS (
-      SELECT round(avg(x0 * (y - 0.5)) * {LR}, 6) AS w0,
-             round(avg(x1 * (y - 0.5)) * {LR}, 6) AS w1,
-             round(avg(x2 * (y - 0.5)) * {LR}, 6) AS w2,
-             round(avg(x3 * (y - 0.5)) * {LR}, 6) AS w3
+      SELECT round(avg(x0 * (y - 0.5)) * {LR}, 6) + 0.0 AS w0,
+             round(avg(x1 * (y - 0.5)) * {LR}, 6) + 0.0 AS w1,
+             round(avg(x2 * (y - 0.5)) * {LR}, 6) + 0.0 AS w2,
+             round(avg(x3 * (y - 0.5)) * {LR}, 6) + 0.0 AS w3
       FROM feats
     ),
     s2 AS (
@@ -128,10 +128,10 @@ def _train2_sql(extra_g2: str = "") -> str:
       FROM feats f CROSS JOIN g1
     ),
     g2 AS (
-      SELECT round(any_value(g1.w0) + {LR} * avg(x0 * (y - p)), 6) AS w0,
-             round(any_value(g1.w1) + {LR} * avg(x1 * (y - p)), 6) AS w1,
-             round(any_value(g1.w2) + {LR} * avg(x2 * (y - p)), 6) AS w2,
-             round(any_value(g1.w3) + {LR} * avg(x3 * (y - p)), 6) AS w3{extra_g2}
+      SELECT round(any_value(g1.w0) + {LR} * avg(x0 * (y - p)), 6) + 0.0 AS w0,
+             round(any_value(g1.w1) + {LR} * avg(x1 * (y - p)), 6) + 0.0 AS w1,
+             round(any_value(g1.w2) + {LR} * avg(x2 * (y - p)), 6) + 0.0 AS w2,
+             round(any_value(g1.w3) + {LR} * avg(x3 * (y - p)), 6) + 0.0 AS w3{extra_g2}
       FROM s2 CROSS JOIN g1
     )"""
 
@@ -217,8 +217,8 @@ def probe_step(
         *[F.avg(F.col("v")[i] * (F.col("y") - p)).alias(f"g{i + 1}") for i in range(PROBE_DIM)],
         F.avg(-(F.col("y") * F.log(p) + (1 - F.col("y")) * F.log(1 - p))).alias("loss"),
     ).first()
-    new_w0 = round(w0 + lr * r["g0"], 6)
-    new_w = [round(w[i] + lr * r[f"g{i + 1}"], 6) for i in range(PROBE_DIM)]
+    new_w0 = round(w0 + lr * r["g0"], 6) + 0.0
+    new_w = [round(w[i] + lr * r[f"g{i + 1}"], 6) + 0.0 for i in range(PROBE_DIM)]
     return new_w0, new_w, round(float(r["loss"]), 4)
 
 
@@ -235,10 +235,10 @@ def probe_step(
     ),
     dims AS (SELECT unnest(range(1, {PROBE_DIM} + 1)) AS i),
     g1d AS (
-      SELECT d.i, round(avg(f.v[d.i] * (f.y - 0.5)) * {PROBE_LR}, 6) AS w
+      SELECT d.i, round(avg(f.v[d.i] * (f.y - 0.5)) * {PROBE_LR}, 6) + 0.0 AS w
       FROM feats f CROSS JOIN dims d GROUP BY d.i
     ),
-    g1b AS (SELECT round(avg(y - 0.5) * {PROBE_LR}, 6) AS w0 FROM feats),
+    g1b AS (SELECT round(avg(y - 0.5) * {PROBE_LR}, 6) + 0.0 AS w0 FROM feats),
     w1 AS (SELECT (SELECT w0 FROM g1b) AS w0, list(w ORDER BY i) AS wv FROM g1d),
     s2 AS (
       SELECT f.*, 1.0 / (1.0 + exp(-(w1.w0 + list_sum(
@@ -251,11 +251,11 @@ def probe_step(
     g2d AS (
       SELECT d.i,
              round(any_value(w1.wv[d.i]) + {PROBE_LR} * avg(s2.v[d.i] * (s2.y - s2.p)), 6)
-               AS w
+               + 0.0 AS w
       FROM s2 CROSS JOIN dims d CROSS JOIN w1 GROUP BY d.i
     ),
     g2b AS (
-      SELECT round(any_value(w1.w0) + {PROBE_LR} * avg(y - p), 6) AS w0
+      SELECT round(any_value(w1.w0) + {PROBE_LR} * avg(y - p), 6) + 0.0 AS w0
       FROM s2 CROSS JOIN w1
     )
     SELECT CAST(1 AS BIGINT) AS step, CAST(0 AS BIGINT) AS dim, w0 AS w,

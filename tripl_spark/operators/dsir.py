@@ -98,7 +98,7 @@ def dsir_log_ratios(tok: DataFrame, is_target: F.Column, n_buckets: int = N_BUCK
     ),
     dc AS (SELECT doc_id, b, count(*) AS c FROM bkt GROUP BY doc_id, b),
     w AS (
-      SELECT doc_id, round(sum(c * lr), 4) AS dsir_logweight
+      SELECT doc_id, round(sum(c * lr), 4) + 0.0 AS dsir_logweight
       FROM dc JOIN lr USING (b) GROUP BY doc_id
     ),
     top AS (SELECT * FROM w ORDER BY dsir_logweight DESC, doc_id LIMIT {DSIR_TOP})
@@ -135,7 +135,7 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         dc.join(F.broadcast(lr), "b")
         .groupBy("doc_id")
-        .agg(F.round(F.sum(F.col("c") * F.col("lr")), 4).alias("dsir_logweight"))
+        .agg((F.round(F.sum(F.col("c") * F.col("lr")), 4) + F.lit(0.0)).alias("dsir_logweight"))
     )
     order = [F.col("dsir_logweight").desc(), F.col("doc_id")]
     top = w.orderBy(*order).limit(DSIR_TOP)

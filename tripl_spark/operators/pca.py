@@ -54,7 +54,7 @@ _PARTIAL_SCHEMA = T.StructType(
            round(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[j] AS DOUBLE))
                    / count(*)
                  - (sum(CAST(embedding[i] AS DOUBLE)) / count(*))
-                   * (sum(CAST(embedding[j] AS DOUBLE)) / count(*)), 5) AS cov
+                   * (sum(CAST(embedding[j] AS DOUBLE)) / count(*)), 5) + 0.0 AS cov
     FROM embeddings, generate_series(1, {COV_SLICE}) t1(i),
          generate_series(1, {COV_SLICE}) t2(j)
     WHERE i <= j
@@ -85,11 +85,18 @@ def sim_covariance_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(
                 F.lit(i + 1).alias("i"),
                 F.lit(j + 1).alias("j"),
-                F.round(
-                    F.col(f"p_{i}_{j}") / F.col("n")
-                    - (F.col(f"s_{i}") / F.col("n"))
-                    * (F.col(f"s_{j}") / F.col("n")),
-                    5,
+                (
+                    F.round(
+                        F.col(f"p_{i}_{j}") / F.col("n")
+                        - (F.col(f"s_{i}") / F.col("n"))
+                        * (F.col(f"s_{j}") / F.col("n")),
+                        5,
+                    )
+                    # `+ 0.0` on BOTH sides: a tiny negative rounds to
+                    # -0.0 in DuckDB but +0.0 under Spark's round();
+                    # adding positive zero normalizes -0.0 → +0.0 in
+                    # IEEE 754, making the byte hashes agree.
+                    + F.lit(0.0)
                 ).alias("cov"),
             )
             for i in range(COV_SLICE)

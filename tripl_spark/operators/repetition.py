@@ -176,11 +176,11 @@ ENTROPY_MIN = 2.5  # nats; the synthetic corpus spans ~1.9-3.3, so the
       SELECT tc.doc_id,
              CAST(max(n) AS BIGINT) AS n_tokens,
              CAST(count(*) AS BIGINT) AS n_distinct,
-             round(-sum((c * 1.0 / n) * ln(c * 1.0 / n)), 4) AS entropy
+             round(-sum((c * 1.0 / n) * ln(c * 1.0 / n)), 4) + 0.0 AS entropy
       FROM tc JOIN n USING (doc_id) GROUP BY tc.doc_id
     )
     SELECT doc_id, n_tokens, n_distinct, entropy,
-           CASE WHEN n_distinct > 1 THEN round(entropy / ln(n_distinct), 4)
+           CASE WHEN n_distinct > 1 THEN round(entropy / ln(n_distinct), 4) + 0.0
                 ELSE 0.0 END AS evenness,
            entropy >= {ENTROPY_MIN} AS keep
     FROM e
@@ -215,7 +215,7 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("n").cast("long").alias("n_tokens"),
             F.count(F.lit(1)).cast("long").alias("n_distinct"),
-            F.round(-F.sum(frac * F.log(frac)), 4).alias("entropy"),
+            (F.round(-F.sum(frac * F.log(frac)), 4) + F.lit(0.0)).alias("entropy"),
         )
     )
     return e.select(
@@ -225,7 +225,7 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "entropy",
         F.when(
             F.col("n_distinct") > 1,
-            F.round(F.col("entropy") / F.log(F.col("n_distinct")), 4),
+            F.round(F.col("entropy") / F.log(F.col("n_distinct")), 4) + F.lit(0.0),
         ).otherwise(F.lit(0.0)).alias("evenness"),
         (F.col("entropy") >= ENTROPY_MIN).alias("keep"),
     )

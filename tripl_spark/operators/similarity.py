@@ -115,7 +115,7 @@ def _bucket_sql(vec_expr: str) -> str:
     SELECT query_id, vec_id AS neighbor_id, cosine, CAST(rk AS INT) AS rk
     FROM (
       SELECT q.query_id, c.vec_id,
-             round(list_cosine_similarity(qv, cv), 4) AS cosine,
+             round(list_cosine_similarity(qv, cv), 4) + 0.0 AS cosine,
              row_number() OVER (PARTITION BY q.query_id
                                 ORDER BY round(list_cosine_similarity(qv, cv), 4) DESC,
                                          c.vec_id) AS rk
@@ -137,7 +137,7 @@ def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 4).alias("cosine"),
+            (F.round(cosine(F.col("qv"), F.col("v")), 4) + F.lit(0.0)).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
@@ -157,7 +157,7 @@ def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT query_id, vec_id AS neighbor_id, cosine, CAST(rk AS INT) AS rk
     FROM (
       SELECT q.query_id, e.vec_id,
-             round(list_cosine_similarity(qv, v), 4) AS cosine,
+             round(list_cosine_similarity(qv, v), 4) + 0.0 AS cosine,
              row_number() OVER (PARTITION BY q.query_id
                                 ORDER BY round(list_cosine_similarity(qv, v), 4) DESC,
                                          e.vec_id) AS rk
@@ -187,7 +187,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 4).alias("cosine"),
+            (F.round(cosine(F.col("qv"), F.col("v")), 4) + F.lit(0.0)).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
@@ -244,7 +244,7 @@ IVF_NPROBE = 4
     SELECT query_id, vec_id AS neighbor_id, cosine, CAST(rk AS INT) AS rk
     FROM (
       SELECT probes.query_id, e.vec_id,
-             round(list_cosine_similarity(qv, v), 4) AS cosine,
+             round(list_cosine_similarity(qv, v), 4) + 0.0 AS cosine,
              row_number() OVER (PARTITION BY probes.query_id
                                 ORDER BY round(list_cosine_similarity(qv, v), 4) DESC,
                                          e.vec_id) AS rk
@@ -281,7 +281,7 @@ def sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "query_id", F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 4).alias("cosine"),
+            (F.round(cosine(F.col("qv"), F.col("v")), 4) + F.lit(0.0)).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
@@ -314,7 +314,7 @@ def sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT query_id, vec_id AS neighbor_id, cosine, CAST(rk AS INT) AS rk
     FROM (
       SELECT qprobe.query_id, e.vec_id,
-             round(list_cosine_similarity(qe.v, e.v), 4) AS cosine,
+             round(list_cosine_similarity(qe.v, e.v), 4) + 0.0 AS cosine,
              row_number() OVER (PARTITION BY qprobe.query_id
                                 ORDER BY round(list_cosine_similarity(qe.v, e.v), 4) DESC,
                                          e.vec_id) AS rk
@@ -367,7 +367,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign.join(F.broadcast(qprobe),
                     (assign.cid == qprobe.cid) & (F.col("query_id") != F.col("vec_id")))
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                F.round(cosine(F.col("qv"), F.col("v")), 4).alias("cosine"))
+                (F.round(cosine(F.col("qv"), F.col("v")), 4) + F.lit(0.0)).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= TOP_K)
@@ -772,7 +772,7 @@ FILTER_LANG = "en"  # the metadata predicate for filtered search
     SELECT query_id, vec_id AS neighbor_id, cosine, CAST(rk AS INT) AS rk
     FROM (
       SELECT q.query_id, c.vec_id,
-             round(list_cosine_similarity(qv, cv), 4) AS cosine,
+             round(list_cosine_similarity(qv, cv), 4) + 0.0 AS cosine,
              row_number() OVER (PARTITION BY q.query_id
                                 ORDER BY round(list_cosine_similarity(qv, cv), 4) DESC,
                                          c.vec_id) AS rk
@@ -819,7 +819,7 @@ def sim_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cand.join(F.broadcast(q), F.col("query_id") != F.col("vec_id")).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("qv"), F.col("v")), 4).alias("cosine"),
+        (F.round(cosine(F.col("qv"), F.col("v")), 4) + F.lit(0.0)).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return scored.withColumn("rk", F.row_number().over(w)).filter(
@@ -841,7 +841,7 @@ def sim_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT query_id, vec_id AS neighbor_id, cosine, CAST(rk AS INT) AS rk
     FROM (
       SELECT q.query_id, c.vec_id,
-             round(list_cosine_similarity(qv, v), 4) AS cosine,
+             round(list_cosine_similarity(qv, v), 4) + 0.0 AS cosine,
              row_number() OVER (PARTITION BY q.query_id
                                 ORDER BY round(list_cosine_similarity(qv, v), 4) DESC,
                                          c.vec_id) AS rk
@@ -893,7 +893,7 @@ def sim_ann_lsh_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("qv"), F.col("v")), 4).alias("cosine"),
+        (F.round(cosine(F.col("qv"), F.col("v")), 4) + F.lit(0.0)).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return scored.withColumn("rk", F.row_number().over(w)).filter(
@@ -916,14 +916,14 @@ def sim_ann_lsh_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT e.label,
              CAST(count(*) AS BIGINT) AS n_vectors,
              round(CAST(sum(CAST(round(list_cosine_similarity(v, cv), 6)
-                                 AS DECIMAL(18,6)) ) AS DOUBLE) / count(*), 4)
+                                 AS DECIMAL(18,6)) ) AS DOUBLE) / count(*), 4) + 0.0
                AS intra_cos
       FROM e JOIN cent ON e.label = cent.label
       GROUP BY e.label
     ),
     cross_sep AS (
       SELECT a.label,
-             round(max(list_cosine_similarity(a.cv, b.cv)), 4) AS max_other_cos
+             round(max(list_cosine_similarity(a.cv, b.cv)), 4) + 0.0 AS max_other_cos
       FROM cent a JOIN cent b ON a.label <> b.label
       GROUP BY a.label
     )
@@ -972,9 +972,9 @@ def sim_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_vectors"),
-            F.round(
+            (F.round(
                 F.sum("cos6").cast("double") / F.count(F.lit(1)), 4
-            ).alias("intra_cos"),
+            ) + F.lit(0.0)).alias("intra_cos"),
         )
     )
     a = cent.select(F.col("label"), F.col("cv"))
@@ -982,7 +982,7 @@ def sim_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross_sep = (
         a.join(F.broadcast(b), F.col("label") != F.col("label_b"))
         .groupBy("label")
-        .agg(F.round(F.max(cosine(F.col("cv"), F.col("cv_b"))), 4).alias("max_other_cos"))
+        .agg((F.round(F.max(cosine(F.col("cv"), F.col("cv_b"))), 4) + F.lit(0.0)).alias("max_other_cos"))
     )
     return intra.join(cross_sep, "label")
 
@@ -1072,7 +1072,7 @@ MMR_LAMBDA = 0.7  # relevance-vs-diversity tradeoff
          cand AS (
            SELECT query_id, vec_id, v, rel FROM (
              SELECT q.query_id, e.vec_id, e.v,
-                    round(list_cosine_similarity(qv, e.v), 4) AS rel,
+                    round(list_cosine_similarity(qv, e.v), 4) + 0.0 AS rel,
                     row_number() OVER (PARTITION BY q.query_id
                       ORDER BY round(list_cosine_similarity(qv, e.v), 4) DESC,
                                e.vec_id) AS rk
@@ -1088,7 +1088,7 @@ MMR_LAMBDA = 0.7  # relevance-vs-diversity tradeoff
          s2 AS (
            SELECT c.query_id, c.vec_id, c.v,
                   round({MMR_LAMBDA} * c.rel - {1 - MMR_LAMBDA}
-                        * round(list_cosine_similarity(c.v, p1.v), 6), 6) AS mmr
+                        * round(list_cosine_similarity(c.v, p1.v), 6), 6) + 0.0 AS mmr
            FROM cand c JOIN p1 ON c.query_id = p1.query_id
            WHERE c.vec_id <> p1.vec_id
          ),
@@ -1102,7 +1102,7 @@ MMR_LAMBDA = 0.7  # relevance-vs-diversity tradeoff
            SELECT c.query_id, c.vec_id,
                   round({MMR_LAMBDA} * c.rel - {1 - MMR_LAMBDA}
                         * greatest(round(list_cosine_similarity(c.v, p1.v), 6),
-                                   round(list_cosine_similarity(c.v, p2.v), 6)), 6)
+                                   round(list_cosine_similarity(c.v, p2.v), 6)), 6) + 0.0
                     AS mmr
            FROM cand c
            JOIN p1 ON c.query_id = p1.query_id
@@ -1156,7 +1156,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id", "vec_id", "v",
-            F.round(cosine(F.col("qv"), F.col("v")), 4).alias("rel"),
+            (F.round(cosine(F.col("qv"), F.col("v")), 4) + F.lit(0.0)).alias("rel"),
         )
         .withColumn("rk", F.row_number().over(w_rel))
         .filter(F.col("rk") <= MMR_POOL)
@@ -1171,9 +1171,9 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("n1"))
         .select(
             "query_id", "vec_id", "v", "rel",
-            F.round(
+            (F.round(
                 lam * F.col("rel") - mu * F.round(cosine(F.col("v"), F.col("v1")), 6), 6
-            ).alias("mmr"),
+            ) + F.lit(0.0)).alias("mmr"),
         )
     )
     w_mmr = Window.partitionBy("query_id").orderBy(F.desc("mmr"), "vec_id")
@@ -1187,13 +1187,13 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("vec_id") != F.col("n1")) & (F.col("vec_id") != F.col("n2")))
         .select(
             "query_id", "vec_id",
-            F.round(
+            (F.round(
                 lam * F.col("rel")
                 - mu * F.greatest(
                     F.round(cosine(F.col("v"), F.col("v1")), 6),
                     F.round(cosine(F.col("v"), F.col("v2")), 6),
                 ), 6,
-            ).alias("mmr"),
+            ) + F.lit(0.0)).alias("mmr"),
         )
     )
     p3 = s3.withColumn("rk", F.row_number().over(w_mmr)).filter(
@@ -1234,7 +1234,7 @@ BT_K = 4    # neighborhood size for the margin normalizer
                FROM documents JOIN e ON doc_id = vec_id
                WHERE lang = 'de' ORDER BY doc_id LIMIT {BT_Y}),
          s AS (SELECT x_id, y_id,
-                      round(list_cosine_similarity(xv, yv), 4) AS cosine
+                      round(list_cosine_similarity(xv, yv), 4) + 0.0 AS cosine
                FROM x CROSS JOIN y),
          kx AS (SELECT x_id, round(avg(cosine), 6) AS knx FROM (
                   SELECT *, row_number() OVER (PARTITION BY x_id
@@ -1245,7 +1245,7 @@ BT_K = 4    # neighborhood size for the margin normalizer
                             ORDER BY cosine DESC, x_id) AS rk FROM s
                 ) WHERE rk <= {BT_K} GROUP BY y_id),
          m AS (SELECT s.x_id, s.y_id, s.cosine,
-                      round(s.cosine * 2 / (knx + kny), 4) AS margin
+                      round(s.cosine * 2 / (knx + kny), 4) + 0.0 AS margin
                FROM s JOIN kx USING (x_id) JOIN ky USING (y_id))
     SELECT x_id, y_id AS match_id, cosine, margin
     FROM (SELECT *, row_number() OVER (PARTITION BY x_id
@@ -1297,7 +1297,7 @@ def sim_bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = side("de", BT_Y, "y_id", "yv")
     s = x.join(F.broadcast(y), F.col("x_id") != F.col("y_id")).select(
         "x_id", "y_id",
-        F.round(cosine(F.col("xv"), F.col("yv")), 4).alias("cosine"),
+        (F.round(cosine(F.col("xv"), F.col("yv")), 4) + F.lit(0.0)).alias("cosine"),
     )
     wx = Window.partitionBy("x_id").orderBy(F.desc("cosine"), "y_id")
     wy = Window.partitionBy("y_id").orderBy(F.desc("cosine"), "x_id")
@@ -1318,8 +1318,8 @@ def sim_bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ky, "y_id")
         .select(
             "x_id", "y_id", "cosine",
-            F.round(F.col("cosine") * 2 / (F.col("knx") + F.col("kny")), 4)
-            .alias("margin"),
+            (F.round(F.col("cosine") * 2 / (F.col("knx") + F.col("kny")), 4)
+             + F.lit(0.0)).alias("margin"),
         )
     )
     wbest = Window.partitionBy("x_id").orderBy(F.desc("margin"), "y_id")
@@ -1341,13 +1341,13 @@ def sim_bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          s1 AS (SELECT vec_id AS id1, v AS v1 FROM e ORDER BY vec_id LIMIT 1),
          d1 AS (SELECT e.vec_id, e.v,
-                       round(1 - list_cosine_similarity(e.v, s1.v1), 6) AS d1
+                       round(1 - list_cosine_similarity(e.v, s1.v1), 6) + 0.0 AS d1
                 FROM e CROSS JOIN s1 WHERE e.vec_id <> s1.id1),
          s2 AS (SELECT vec_id AS id2, v AS v2, d1 AS dist2 FROM d1
                 ORDER BY d1 DESC, vec_id LIMIT 1),
          d2 AS (SELECT d1.vec_id,
                        least(d1.d1,
-                             round(1 - list_cosine_similarity(d1.v, s2.v2), 6))
+                             round(1 - list_cosine_similarity(d1.v, s2.v2), 6) + 0.0)
                          AS d2
                 FROM d1 CROSS JOIN s2 WHERE d1.vec_id <> s2.id2),
          s3 AS (SELECT vec_id AS id3, d2 AS dist3 FROM d2
@@ -1390,7 +1390,7 @@ def sim_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("id1"))
         .select(
             "vec_id", "v",
-            F.round(1 - cosine(F.col("v"), F.col("v1")), 6).alias("d1"),
+            (F.round(1 - cosine(F.col("v"), F.col("v1")), 6) + F.lit(0.0)).alias("d1"),
         )
     )
     s2 = d1.orderBy(F.desc("d1"), "vec_id").limit(1).select(
@@ -1404,7 +1404,7 @@ def sim_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.least(
                 F.col("d1"),
-                F.round(1 - cosine(F.col("v"), F.col("v2")), 6),
+                F.round(1 - cosine(F.col("v"), F.col("v2")), 6) + F.lit(0.0),
             ).alias("d2"),
         )
     )

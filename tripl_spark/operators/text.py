@@ -379,7 +379,7 @@ def bigram_scored_ctes(p: str = "") -> str:
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
              round(sum(ln(({p}c2.c + {BIGRAM_ALPHA})
                           / ({p}c1.c + {BIGRAM_ALPHA} * {p}v.vsz))) / count(*), 4)
-               AS avg_logprob
+               + 0.0 AS avg_logprob
       FROM {p}big
       JOIN {p}c2 USING (bg)
       JOIN {p}c1 ON {p}c1.term = string_split({p}big.bg, ' ')[1]
@@ -418,11 +418,11 @@ def bigram_logprob_scores(docs: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(
+            (F.round(
                 F.sum(F.log((F.col("c2") + BIGRAM_ALPHA) / (F.col("c1") + BIGRAM_ALPHA * vsz)))
                 / F.count(F.lit(1)),
                 4,
-            ).alias("avg_logprob"),
+            ) + F.lit(0.0)).alias("avg_logprob"),
         )
     )
 
@@ -686,7 +686,7 @@ ZIPF_TOP = 200  # fit over the top-K terms (the power-law head)
       SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rk FROM top
     )
     SELECT CAST(count(*) AS BIGINT) AS n_terms,
-           round(regr_slope(ln(c), ln(rk)), 4) AS zipf_slope,
+           round(regr_slope(ln(c), ln(rk)), 4) + 0.0 AS zipf_slope,
            round(regr_r2(ln(c), ln(rk)), 4) AS r2
     FROM ranked
     """,
@@ -723,7 +723,7 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n_terms"),
-        F.round(F.regr_slope(F.log("c"), F.log("rk")), 4).alias("zipf_slope"),
+        (F.round(F.regr_slope(F.log("c"), F.log("rk")), 4) + F.lit(0.0)).alias("zipf_slope"),
         F.round(F.regr_r2(F.log("c"), F.log("rk")), 4).alias("r2"),
     )
 

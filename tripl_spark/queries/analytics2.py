@@ -480,10 +480,10 @@ Z_CRIT = 1.96  # two-sided 95%
       FROM events WHERE event_type IN ('{AB_GROUP_A}', '{AB_GROUP_B}')
     )
     SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-           round(sx_a / n_a, 4) AS mean_a, round(sx_b / n_b, 4) AS mean_b,
+           round(sx_a / n_a, 4) + 0.0 AS mean_a, round(sx_b / n_b, 4) + 0.0 AS mean_b,
            round((sx_a / n_a - sx_b / n_b)
                  / sqrt(((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a
-                        + ((sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b), 4) AS z,
+                        + ((sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b), 4) + 0.0 AS z,
            abs((sx_a / n_a - sx_b / n_b)
                / sqrt(((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a
                       + ((sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b)) > {Z_CRIT}
@@ -525,9 +525,11 @@ def events_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
-        F.round(F.col("sx_a") / F.col("n_a"), 4).alias("mean_a"),
-        F.round(F.col("sx_b") / F.col("n_b"), 4).alias("mean_b"),
-        F.round(z, 4).alias("z"),
+        # `+ 0.0` everywhere a rounded value can be a tiny negative:
+        # -0.0 vs +0.0 byte-hash differently between engines.
+        (F.round(F.col("sx_a") / F.col("n_a"), 4) + F.lit(0.0)).alias("mean_a"),
+        (F.round(F.col("sx_b") / F.col("n_b"), 4) + F.lit(0.0)).alias("mean_b"),
+        (F.round(z, 4) + F.lit(0.0)).alias("z"),
         (F.abs(z) > Z_CRIT).alias("significant"),
     )
 
@@ -554,7 +556,7 @@ def events_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     cusum AS (
       SELECT event_type, day,
              round(sum(z) OVER (PARTITION BY event_type ORDER BY day
-                                ROWS UNBOUNDED PRECEDING), 4) AS cusum
+                                ROWS UNBOUNDED PRECEDING), 4) + 0.0 AS cusum
       FROM z
     ),
     peak AS (
@@ -605,7 +607,8 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cusum = z.select(
-        "event_type", "day", F.round(F.sum("z").over(w_run), 4).alias("cusum")
+        "event_type", "day",
+        (F.round(F.sum("z").over(w_run), 4) + F.lit(0.0)).alias("cusum"),
     )
     w_peak = Window.partitionBy("event_type").orderBy(F.abs(F.col("cusum")).desc(), "day")
     return (
@@ -638,8 +641,8 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_days,
-           round(corr(x, x1), 4) AS r_lag1,
-           round(corr(x, x7), 4) AS r_lag7
+           round(corr(x, x1), 4) + 0.0 AS r_lag1,
+           round(corr(x, x7), 4) + 0.0 AS r_lag7
     FROM lagged
     GROUP BY event_type
     """,
@@ -673,8 +676,8 @@ def events_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return lagged.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_days"),
-        F.round(F.corr("x", "x1"), 4).alias("r_lag1"),
-        F.round(F.corr("x", "x7"), 4).alias("r_lag7"),
+        (F.round(F.corr("x", "x1"), 4) + F.lit(0.0)).alias("r_lag1"),
+        (F.round(F.corr("x", "x7"), 4) + F.lit(0.0)).alias("r_lag7"),
     )
 
 
@@ -881,8 +884,8 @@ def events_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_days,
-           round(regr_slope(x, di), 4) AS slope,
-           round(regr_intercept(x, di), 4) AS intercept,
+           round(regr_slope(x, di), 4) + 0.0 AS slope,
+           round(regr_intercept(x, di), 4) + 0.0 AS intercept,
            round(regr_r2(x, di), 4) AS r2
     FROM daily GROUP BY event_type
     """,
@@ -911,8 +914,8 @@ def events_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return daily.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_days"),
-        F.round(F.regr_slope("x", "di"), 4).alias("slope"),
-        F.round(F.regr_intercept("x", "di"), 4).alias("intercept"),
+        (F.round(F.regr_slope("x", "di"), 4) + F.lit(0.0)).alias("slope"),
+        (F.round(F.regr_intercept("x", "di"), 4) + F.lit(0.0)).alias("intercept"),
         F.round(F.regr_r2("x", "di"), 4).alias("r2"),
     )
 
@@ -962,7 +965,7 @@ PSI_BINS = 5  # fixed-width value bins per event type
        AND a.w = 'a' AND b.w = 'b'
     )
     SELECT event_type,
-           round(sum((pa - pb) * ln(pa / pb)), 4) AS psi
+           round(sum((pa - pb) * ln(pa / pb)), 4) + 0.0 AS psi
     FROM pq GROUP BY event_type
     """,
     doc=f"population stability index per event type between the first "
@@ -1037,9 +1040,15 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, ["event_type", "bin"])
         .groupBy("event_type")
         .agg(
-            F.round(
-                F.sum((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))),
-                4,
+            (
+                F.round(
+                    F.sum(
+                        (F.col("pa") - F.col("pb"))
+                        * F.log(F.col("pa") / F.col("pb"))
+                    ),
+                    4,
+                )
+                + F.lit(0.0)
             ).alias("psi")
         )
     )

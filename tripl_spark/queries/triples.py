@@ -452,7 +452,7 @@ def triple_pull_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n_name,
            CAST(count(c_custkey) AS BIGINT) AS count_c,
            round(sum(c_acctbal), 2) AS sum_bal,
-           round(min(c_acctbal), 2) AS min_bal
+           round(min(c_acctbal), 2) + 0.0 AS min_bal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name
     """,
@@ -488,7 +488,7 @@ def triple_datalog_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(df["?n_name"], 3, 1 << 20).alias("n_name"),
         F.col("count_c"),
         F.round(F.col("sum_bal"), 2).alias("sum_bal"),
-        F.round(F.substring(F.col("min_bal"), 3, 64).cast("double"), 2).alias("min_bal"),
+        (F.round(F.substring(F.col("min_bal"), 3, 64).cast("double"), 2) + F.lit(0.0)).alias("min_bal"),
     )
 
 
