@@ -482,6 +482,164 @@ def main() -> None:
                      work=batch_n),
                "(fixed 2k-doc batch; broadcast bounded by batch)")
 
+        # ---- image dHash banding: 4 x 16-bit pigeonhole bands. Band
+        # keys are CONTENT-correlated, not uniform: a solid-color /
+        # boilerplate family shares ONE dhash, so 30% degenerate mass
+        # is a single quadratic class in the band join. The
+        # IMAGE_BAND_MAX_BUCKET cap drops degenerate keys BEFORE
+        # pairing; the uniform residue keeps Sigma|bucket|^2 ~ n +
+        # n^2/2^16 (key space 65536/band — collision mass negligible
+        # until n approaches it). Work driver = Sigma eligible
+        # |bucket|^2 over the 4 bands; time = emitted pair count.
+        from tripl_spark.operators.multimodal import (
+            IMAGE_BAND_MAX_BUCKET,
+            image_near_dup_pairs,
+        )
+
+        n_img = 2_000 * mult
+
+        def synth_hashes(n: int, bits: int, degenerate_pct: int,
+                         id_col: str = "doc_id", sig: str = "dhash"):
+            """n synthetic signatures: murmur-bit uniform strings, with
+            ``degenerate_pct``% of ids collapsed onto the all-zeros
+            signature (the solid-color / silence class)."""
+            rand = F.concat_ws(
+                "",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bits - 1)),
+                    lambda i: F.pmod(F.abs(F.hash(F.col("id"), i)), F.lit(2))
+                    .cast("string"),
+                ),
+            )
+            sig_col = (
+                F.when(F.pmod("id", 100) < degenerate_pct, F.lit("0" * bits))
+                .otherwise(rand)
+                if degenerate_pct
+                else rand
+            )
+            return spark.range(n).select(
+                F.col("id").alias(id_col), sig_col.alias(sig)
+            ).localCheckpoint(eager=True)
+
+        def band_space(sigs, sig: str, n_bands: int, width: int,
+                       cap: int | None) -> int:
+            """Sigma over eligible (band, key) buckets of |bucket|^2 —
+            the candidate space the band equi-join evaluates."""
+            b = sigs.select(
+                F.explode(
+                    F.array(*[
+                        F.substring(sig, i * width + 1, width)
+                        .alias("k") for i in range(n_bands)
+                    ])
+                ).alias("k"),
+                F.lit(1).alias("one"),
+            )
+            sizes = b.groupBy("k").agg(F.count("one").alias("c"))
+            if cap is not None:
+                sizes = sizes.filter(F.col("c") <= cap)
+            row = sizes.agg(F.sum(F.col("c") * F.col("c"))).first()[0]
+            return int(row or 0)
+
+        img_uni = synth_hashes(n_img, 64, 0)
+        img_hot = synth_hashes(n_img, 64, 30)
+        record("image_band_pairs uniform uncapped", mult,
+               timed(lambda: image_near_dup_pairs(img_uni, max_bucket=None).count(),
+                     work=band_space(img_uni, "dhash", 4, 16, None)),
+               "(16-bit keys: collision mass ~ n^2/2^16, tiny)")
+        # the degenerate class would MATERIALIZE (0.3n)^2/2 pairs —
+        # 162M at the 30x point — so the hazard row is arithmetic
+        # work only (the id_attrs-unpruned precedent), and the timed
+        # row is the capped path that exists to prevent it.
+        record("image_band_pairs 30%-degenerate UNCAPPED", mult,
+               (0.0, band_space(img_hot, "dhash", 4, 16, None)),
+               "(the hazard: one solid-color class = (0.3n)^2; work only)")
+        record("image_band_pairs 30%-degenerate capped", mult,
+               timed(lambda: image_near_dup_pairs(img_hot).count(),
+                     work=band_space(img_hot, "dhash", 4, 16,
+                                     IMAGE_BAND_MAX_BUCKET)),
+               f"(IMAGE_BAND_MAX_BUCKET={IMAGE_BAND_MAX_BUCKET})")
+
+        # ---- audio fingerprint banding: 4 x 8-bit bands over the
+        # 32-bit energy-delta print. 8-bit keys (256/band) saturate
+        # far sooner than the image 16-bit keys: at 30x the UNIFORM
+        # occupancy is already ~n/256 per bucket, so Sigma|bucket|^2
+        # grows ~n^2/256 even without a degenerate class — banding
+        # over a fixed key space is a guard against degenerate mass
+        # (silence), not a scaling strategy; the corpus-scale path is
+        # longer fingerprints / wider bands (key space grows with n,
+        # the n_planes_for occupancy rule applied to bands).
+        from tripl_spark.operators.multimodal import (
+            AUDIO_BAND_MAX_BUCKET,
+            audio_near_dup_pairs,
+        )
+
+        n_aud = 500 * mult  # 8-bit keys saturate fast; smaller n keeps
+        # the timed candidate joins countable at 30x
+        aud_uni = synth_hashes(n_aud, 32, 0, sig="fingerprint")
+        aud_hot = synth_hashes(n_aud, 32, 30, sig="fingerprint")
+        record("audio_band_pairs uniform uncapped", mult,
+               timed(lambda: audio_near_dup_pairs(aud_uni, max_bucket=None).count(),
+                     work=band_space(aud_uni, "fingerprint", 4, 8, None)),
+               "(8-bit keys saturate: ~n^2/256 even uniform)")
+        record("audio_band_pairs 30%-silence UNCAPPED", mult,
+               (0.0, band_space(aud_hot, "fingerprint", 4, 8, None)),
+               "(the hazard: silence class = (0.3n)^2; work only)")
+        record("audio_band_pairs 30%-silence capped", mult,
+               timed(lambda: audio_near_dup_pairs(aud_hot).count(),
+                     work=band_space(aud_hot, "fingerprint", 4, 8,
+                                     AUDIO_BAND_MAX_BUCKET)),
+               f"(AUDIO_BAND_MAX_BUCKET={AUDIO_BAND_MAX_BUCKET})")
+
+        # ---- video group resolution: frame-hash buckets -> edges ->
+        # CC. The r9 optimization replaces the within-bucket pair
+        # CLIQUE (|bucket|^2 edges — quadratic on a boilerplate intro
+        # frame shared by 10% of videos) with STAR edges to the
+        # bucket's min doc (|bucket| edges), identical components
+        # (property-tested in test_image_dedup). Work driver = edge
+        # rows entering CC; the clique row is computed arithmetically
+        # for contrast, never materialized.
+        from tripl_spark.plans.graph import connected_components
+
+        n_vid = 5_000 * mult
+        fh = (
+            spark.range(n_vid)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.explode(
+                    F.array(*[
+                        # 3 unique frames per video + a boilerplate
+                        # intro frame on 10% of them
+                        *[F.concat(F.lit(f"u{j}-"), F.col("id").cast("string"))
+                          for j in range(3)],
+                        F.when(F.pmod("id", 10) == 0, F.lit("INTRO"))
+                        .otherwise(
+                            F.concat(F.lit("u3-"), F.col("id").cast("string"))
+                        ),
+                    ])
+                ).alias("fhash"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        clique_pairs = int(
+            fh.groupBy("fhash").count()
+            .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2)).first()[0]
+        )
+        mins = fh.groupBy("fhash").agg(F.min("doc_id").alias("root"))
+        stars = (
+            fh.join(mins, "fhash")
+            .filter(F.col("doc_id") != F.col("root"))
+            .select(F.col("root").alias("src"), F.col("doc_id").alias("dst"))
+            .distinct()
+        )
+        nodes = spark.range(n_vid).select(F.col("id").alias("node"))
+        record("video_groups star-edge CC", mult,
+               timed(lambda: connected_components(stars, nodes=nodes).count(),
+                     work=stars.count()),
+               f"(clique would be {clique_pairs} pair rows)")
+        record("video_groups pair-clique (hazard, arithmetic)", mult,
+               (0.0, clique_pairs),
+               "(|bucket|^2 on the 10% intro frame — never materialized)")
+
         if mult not in (1, SCALE):
             continue  # docs-side + registered queries: 1x/10x only
         record(

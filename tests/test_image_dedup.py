@@ -303,3 +303,43 @@ def test_audio_banding_pigeonhole_guarantee(spark, pairs):
            for r in audio_near_dup_pairs(fps, max_bucket=None).collect()}
     for pair, ham in want.items():
         assert got.get(pair) == ham, (pair, ham, got)
+
+
+def test_image_degenerate_band_bucket_capped(spark):
+    """A solid-color image family all share the all-zero-gradient
+    dHash, so every band key is identical across the family — the
+    content-correlated degenerate class that makes an uncapped band
+    join quadratic at corpus scale. With the cap (max_bucket below the
+    family size) the degenerate buckets are dropped BEFORE pairing, so
+    the family contributes ZERO candidate pairs while normal near-dup
+    recall is untouched."""
+    rng = random.Random(17)
+    rows = []
+    # a planted "boilerplate" family: 12 solid-color images (identical
+    # gradients -> identical dHash) ...
+    for i in range(12):
+        shade = 10 * i  # different colors, SAME (flat) gradient signs
+        rows.append((i, mc.encode_ppm(32, 24, bytes([shade % 256]) * (32 * 24 * 3))))
+    # ... plus one genuine near-dup pair of textured images
+    px = _image(rng)
+    pert = bytearray(px)
+    pert[0] = min(255, pert[0] + 4)
+    rows.append((100, mc.encode_ppm(32, 24, px)))
+    rows.append((101, mc.encode_bmp(32, 24, bytes(pert))))
+    images = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [r[0] for r in rows],
+                      "codec": ["x"] * len(rows),
+                      "payload": [r[1] for r in rows]})
+    )
+    hashes = image_dhash(images)
+    # the solid-color family really is degenerate: one shared dhash
+    assert hashes.filter(F.col("doc_id") < 100).select("dhash").distinct().count() == 1
+
+    capped = {(r.id_a, r.id_b)
+              for r in image_near_dup_pairs(hashes, max_bucket=8).collect()}
+    assert capped == {(100, 101)}, capped  # family dropped, real pair kept
+
+    # uncapped, the family explodes to C(12,2) = 66 pairs — the
+    # quadratic blowup the cap exists to prevent
+    uncapped = image_near_dup_pairs(hashes, max_bucket=None).count()
+    assert uncapped == 66 + 1

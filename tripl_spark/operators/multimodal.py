@@ -403,12 +403,26 @@ def image_dhash(images: DataFrame) -> DataFrame:
     return images.mapInPandas(op, schema="doc_id long, dhash string")
 
 
-def image_near_dup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+IMAGE_BAND_MAX_BUCKET = 1000  # over-popular 16-bit band keys expand
+# quadratically in the candidate join. 16-bit keys collide less than
+# the audio 8-bit bands, but the collision mass is CONTENT-correlated,
+# not uniform: a solid-color / boilerplate image family all share the
+# same all-zero-gradient dHash, so one degenerate class is a quadratic
+# pair stage at corpus scale. Same DEFAULT_MAX_BUCKET discipline as
+# audio_near_dup_pairs, replicated in the oracle.
+
+
+def image_near_dup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int | None = IMAGE_BAND_MAX_BUCKET,
+) -> DataFrame:
     """(id_a, id_b, hamming) image near-dup candidates: pigeonhole the
     64 bits into 4 x 16-bit bands (any pair within Hamming <= 3 agrees
-    on >= 1 whole band), equi-join per band, verify exact Hamming
-    JVM-side (zip_with over char arrays — candidates only, never
-    all-pairs)."""
+    on >= 1 whole band), equi-join per band with the degenerate-bucket
+    cap (solid-color images share one dHash — uncapped, that class is
+    an O(class²) join), verify exact Hamming JVM-side (zip_with over
+    char arrays — candidates only, never all-pairs)."""
     bands = hashes.select(
         "doc_id", "dhash",
         F.explode(
@@ -421,6 +435,14 @@ def image_near_dup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
             ])
         ).alias("b"),
     ).select("doc_id", "dhash", "b.band_id", "b.band_key")
+    if max_bucket is not None:
+        small = (
+            bands.groupBy("band_id", "band_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("band_id", "band_key")
+        )
+        bands = bands.join(small, ["band_id", "band_key"])
     a = bands.select(
         F.col("doc_id").alias("id_a"), F.col("dhash").alias("ha"),
         "band_id", "band_key",
@@ -486,7 +508,8 @@ def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _image_neardup_oracle() -> str:
     """The pair stage composed over the dHash oracle: pigeonhole bands,
-    candidate equi-join, exact character-wise Hamming verify."""
+    the degenerate-bucket cap, candidate equi-join, exact
+    character-wise Hamming verify."""
     return f"""
     WITH sigs AS ({_dhash_oracle()}),
     bands AS (
@@ -494,10 +517,16 @@ def _image_neardup_oracle() -> str:
              substring(dhash, b.i * 16 + 1, 16) AS band_key
       FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS i) b
     ),
+    keepb AS (
+      SELECT band_id, band_key FROM bands
+      GROUP BY band_id, band_key
+      HAVING count(*) <= {IMAGE_BAND_MAX_BUCKET}
+    ),
+    b2 AS (SELECT bands.* FROM bands JOIN keepb USING (band_id, band_key)),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
              a.dhash AS ha, b.dhash AS hb
-      FROM bands a JOIN bands b
+      FROM b2 a JOIN b2 b
         ON a.band_id = b.band_id AND a.band_key = b.band_key
            AND a.doc_id < b.doc_id
     )
