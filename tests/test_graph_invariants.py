@@ -150,14 +150,23 @@ def test_ppr_converged_vector_satisfies_fixpoint_equation(spark, ppr_state):
 
 
 def test_ppr_converged_agrees_with_gated_two_step_on_the_seed(spark, sf_small, ppr_state):
-    """The seed dominates its own PPR (rank 1 in both the converged run
-    and the hash-gated 2-step), and every score is in (0, 1]."""
+    """The seed dominates its own PPR (rank 1 in both the converged
+    vector and the hash-gated 2-step), every score is in (0, 1], and
+    the registered conservation projection matches the vector it
+    summarizes (seed, support size, unit mass)."""
+    from pyspark.sql import functions as F
+
     from tripl_spark.queries.registry import REGISTRY, _ensure_loaded
 
     _ensure_loaded()
-    _pn, seed, _r = ppr_state
+    _pn, seed, r = ppr_state
     two = REGISTRY["graph_ppr_related_parts"].fn(spark, sf_small).collect()
-    conv = REGISTRY["graph_ppr_converged"].fn(spark, sf_small).collect()
-    assert two[0]["part"] == seed == conv[0]["part"]
-    for rows in (two, conv):
-        assert all(0 < r["ppr"] <= 1 for r in rows)
+    conv_vec = sorted(r.collect(), key=lambda x: (-x["v"], x["node"]))
+    assert two[0]["part"] == seed == conv_vec[0]["node"]
+    assert all(0 < row["ppr"] <= 1 for row in two)
+    assert all(0 < row["v"] <= 1 for row in conv_vec)
+    gate = REGISTRY["graph_ppr_converged"].fn(spark, sf_small).collect()
+    assert len(gate) == 1
+    assert gate[0]["seed_part"] == seed
+    assert gate[0]["n_parts"] == len(conv_vec)
+    assert gate[0]["total_mass"] == 1.0

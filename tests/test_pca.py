@@ -90,11 +90,91 @@ def test_whitened_corpus_has_identity_covariance(spark, emb, cov_n):
     assert np.allclose(wcov, np.eye(len(wcov)), atol=1e-6)
 
 
-def test_explained_variance_query_runs(spark, sf_small):
+def test_explained_variance_spectrum_and_trace_gate(spark, sf_small, cov_n):
+    from tripl_spark.operators.pca import explained_variance_spectrum
     from tripl_spark.queries.registry import REGISTRY, _ensure_loaded
 
     _ensure_loaded()
-    df = REGISTRY["sim_pca_explained_variance"].fn(spark, sf_small)
-    rows = df.collect()
+    rows = explained_variance_spectrum(spark, sf_small).collect()
     assert len(rows) == PCA_K
     assert [r["component"] for r in rows] == list(range(1, PCA_K + 1))
+    # the registered projection: Σ all eigenvalues = trace (the
+    # conservation law the driver hash gates)
+    gate = REGISTRY["sim_pca_explained_variance"].fn(spark, sf_small).collect()
+    assert len(gate) == 1
+    cov, _mu, _n = cov_n
+    assert gate[0]["eigen_sum"] == gate[0]["total_variance"]
+    assert gate[0]["total_variance"] == pytest.approx(np.trace(cov), abs=1e-4)
+    # the spectrum's top-k is a prefix of the same mass
+    assert sum(r["eigenvalue"] for r in rows) <= gate[0]["eigen_sum"] + 1e-6
+
+
+def test_whitened_lsh_recall_query_shape(spark, sf_small):
+    """The registered whitening→ANN composition: both variants report
+    a full panel of per-query recalls in [0, 1]."""
+    from tripl_spark.operators.similarity import N_QUERIES
+    from tripl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    rows = REGISTRY["sim_whitened_lsh_recall"].fn(spark, sf_small).collect()
+    by_variant: dict = {}
+    for r in rows:
+        by_variant.setdefault(r["variant"], []).append(r)
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+    assert set(by_variant) == {"raw", "whitened"}
+    assert len(by_variant["raw"]) == len(by_variant["whitened"]) == N_QUERIES
+
+
+def test_whitening_rebalances_lsh_buckets_on_offset_corpus(spark):
+    """The calibration claim that matters at 100 TB, pinned on a
+    PLANTED miscalibrated corpus: give the embeddings a large mean
+    offset (every real encoder drifts off-origin) plus a stretched
+    axis, and ORIGIN-crossing sign planes put essentially the whole
+    corpus in ONE bucket — the LSH candidate join degenerates to
+    Σ|bucket|² ≈ n² (the quadratic class the occupancy rules exist to
+    prevent). Whitening (center + rescale) restores ~uniform bucket
+    occupancy, so per-bucket candidate work is bounded again.
+    Deterministic seeded corpus; both occupancy profiles measured
+    through the same bucket_key the registered queries use."""
+    import random
+
+    from tripl_spark.operators.pca import (
+        covariance_matrix,
+        covariance_partials,
+        whiten,
+    )
+    from tripl_spark.operators.similarity import DIM, N_PLANES, bucket_key
+
+    rng = random.Random(7)
+    n = 400
+    rows = []
+    for i in range(n):
+        # off-origin in EVERY dim (the constant term then dominates
+        # every plane's dot product) + one stretched axis
+        v = [rng.gauss(0.0, 1.0) + 10.0 for _ in range(DIM)]
+        v[0] = (v[0] - 10.0) * 30.0 + 10.0
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>") \
+        .localCheckpoint(eager=True)
+
+    def occupancy(bucketed):
+        sizes = [
+            r["c"]
+            for r in bucketed.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        ]
+        return max(sizes), sum(s * s for s in sizes)
+
+    raw_max, raw_work = occupancy(emb.withColumn("bucket", bucket_key(F.col("v"))))
+    cov, mu, _n = covariance_matrix(covariance_partials(emb))
+    white = whiten(emb, cov, mu, keep=["vec_id"])
+    wh_max, wh_work = occupancy(white.withColumn("bucket", bucket_key(F.col("v"))))
+
+    # raw: the offset puts (essentially) everything in one bucket —
+    # the degenerate quadratic class
+    assert raw_max >= 0.9 * n, (raw_max, n)
+    # whitened: occupancy back near uniform (n / 2^planes), candidate
+    # work collapses by an order of magnitude
+    assert wh_max <= 3 * n / (2 ** N_PLANES), (wh_max, n)
+    assert wh_work * 5 <= raw_work, (wh_work, raw_work)

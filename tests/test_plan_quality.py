@@ -216,7 +216,6 @@ _GLOBAL_WINDOW_ALLOWED = {
     "graph_copurchase_lift",  # rank window post-TakeOrdered, ≤ LIFT_TOP rows
     "graph_jaccard_links",  # rank window post-TakeOrdered, ≤ LINK_TOP rows
     "graph_ppr_related_parts",  # rank window post-TakeOrdered, ≤ PPR_TOP rows
-    "graph_ppr_converged",  # same _ppr_top rank window, ≤ PPR_TOP rows
     "text_zipf_fit",  # rank window post-TakeOrdered, ≤ ZIPF_TOP rows
     "search_bm25",
     "sim_hybrid_rrf",  # all three rank windows post-TakeOrdered, ≤ LIST_N rows

@@ -177,16 +177,16 @@ def pca_components(cov, k: int = PCA_K):
     return w, v
 
 
-@query("sim_pca_explained_variance")
-def sim_pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{PCA_K} principal components of the embedding corpus:
-    (component, eigenvalue, explained_ratio). GEMM partials → driver
-    eigh on the 64×64 covariance → bounded result. Rows-only for the
-    driver (no SQL eigendecomposition); the suite pins the invariants
-    instead — eigenvalues descend, ratios lie in [0,1] and sum ≤ 1,
-    the covariance feeding it equals the oracled expression slice,
-    and the variance of the corpus projected on component c equals
-    eigenvalue c (PCA's defining property, tested on the data)."""
+def explained_variance_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(component, eigenvalue, explained_ratio) for the top-{PCA_K}
+    principal components — the full per-component spectrum. GEMM
+    partials → driver eigh on the 64×64 covariance → bounded result.
+    Not SQL-expressible per component (no eigendecomposition in
+    DuckDB), so the spectrum detail is pinned by invariants in
+    tests/test_pca.py (eigenvalues descend, ratios in [0,1] and sum
+    ≤ 1, per-component projected variance equals its eigenvalue); the
+    registered `sim_pca_explained_variance` hash-gates the
+    SQL-checkable projection of the same run instead."""
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -201,6 +201,58 @@ def sim_pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         rows, "component int, eigenvalue double, explained_ratio double"
+    )
+
+
+@query(
+    "sim_pca_explained_variance",
+    # Trace conservation is the eigendecomposition's mass-conservation
+    # law: Σ all eigenvalues = trace(cov) exactly, and the trace IS
+    # SQL-expressible (Σ per-dim variances over all 64 dims). The
+    # oracle computes the trace once and emits it for BOTH columns, so
+    # a Spark run whose eigh leaks or double-counts variance — or
+    # whose covariance disagrees with the data — fails the hash. The
+    # 1.0-style constant-by-law column follows the classifier oracle's
+    # round(ln(2), 4) precedent.
+    oracle=f"""
+    SELECT CAST({DIM} AS BIGINT) AS n_components,
+           round(t, 5) + 0.0 AS eigen_sum,
+           round(t, 5) + 0.0 AS total_variance
+    FROM (
+      SELECT sum(sxx / n - (sx / n) * (sx / n)) AS t
+      FROM (
+        SELECT i,
+               sum(CAST(embedding[i] AS DOUBLE)
+                   * CAST(embedding[i] AS DOUBLE)) AS sxx,
+               sum(CAST(embedding[i] AS DOUBLE)) AS sx,
+               count(*) AS n
+        FROM embeddings, generate_series(1, {DIM}) t1(i)
+        GROUP BY i
+      )
+    )
+    """,
+)
+def sim_pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash-gated projection of the full PCA run: eigendecompose
+    the 64×64 corpus covariance (GEMM partials → driver eigh) and emit
+    (n_components, Σ all eigenvalues, trace) — equal by the trace
+    identity, and the trace replays in SQL as the sum of per-dim
+    variances, so the driver hash gates the sufficient statistics AND
+    the eigendecomposition's variance conservation on real data. The
+    per-component spectrum (not SQL-expressible) stays in
+    `explained_variance_spectrum`, invariant-tested in
+    tests/test_pca.py."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    cov, _mu, _n = covariance_matrix(covariance_partials(emb))
+    w, _v = pca_components(cov, DIM)  # full spectrum
+    return spark.createDataFrame(
+        [(DIM, round(float(np.sum(w)), 5) + 0.0,
+          round(float(np.trace(cov)), 5) + 0.0)],
+        "n_components long, eigen_sum double, total_variance double",
     )
 
 
@@ -220,15 +272,20 @@ def whitening_matrix(cov, eps: float = 1e-8):
     return (v / np.sqrt(w)).T
 
 
-def whiten(emb: DataFrame, cov, mu, vec_col: str = "v") -> DataFrame:
+def whiten(
+    emb: DataFrame, cov, mu, vec_col: str = "v", keep: list[str] | None = None
+) -> DataFrame:
     """Corpus whitening as one broadcast d×d affine map in an Arrow
     GEMM pass (map-only, no shuffle): rows of the result have
     covariance ≈ I — pinned on the corpus itself in
-    `tests/test_pca.py`."""
+    `tests/test_pca.py`. ``keep`` carries id columns through the
+    projection (the `doc_features` passthrough idiom) so consumers
+    like the whitened-LSH rebuild don't need a re-join."""
     import numpy as np
 
     wmat = whitening_matrix(cov)
     mu = np.asarray(mu, dtype=float)
+    keep = keep or []
 
     def gemm(batches):
         import pandas as pd
@@ -238,10 +295,17 @@ def whiten(emb: DataFrame, cov, mu, vec_col: str = "v") -> DataFrame:
                 continue
             x = np.stack(pdf[vec_col].to_numpy())
             z = (x - mu) @ wmat.T
-            yield pd.DataFrame({vec_col: list(z)})
+            out = {k: pdf[k] for k in keep}
+            out[vec_col] = list(z)
+            yield pd.DataFrame(out)
 
-    return emb.select(vec_col).mapInPandas(
-        gemm, schema=f"{vec_col} array<double>"
+    keep_schema = "".join(
+        f"{f.name} {f.dataType.simpleString()}, "
+        for f in emb.schema.fields
+        if f.name in keep
+    )
+    return emb.select(*keep, vec_col).mapInPandas(
+        gemm, schema=f"{keep_schema}{vec_col} array<double>"
     )
 
 
@@ -259,3 +323,120 @@ def project(emb: DataFrame, components, vec_col: str = "v") -> DataFrame:
         for c in range(components.shape[1])
     ]
     return emb.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Whitening composed with the ANN family — the calibration step the
+# module docstring promises: rebuild the sign-LSH buckets in WHITENED
+# space and report recall@k against exact raw-cosine ground truth,
+# side by side with the unwhitened index.
+# ---------------------------------------------------------------------------
+
+
+def lsh_recall_rows(
+    bucketed: DataFrame, exact: DataFrame, variant: str
+) -> DataFrame:
+    """(variant, query_id, n_hits, recall_at_k) for one bucketed index:
+    same-bucket candidates per panel query, ranked by RAW cosine (the
+    bucket assignment changes, the scoring metric the user cares about
+    does not), top-k joined against the exact ground truth —
+    `sim_recall_at_k_eval`'s compare join parameterized by the index.
+
+    Scale shape: the panel is broadcast; candidates are bucket-pruned
+    (~n/2^planes per query); the compare join touches ≤ 2·|panel|·k
+    rows. ``bucketed`` must carry (vec_id, v, bucket)."""
+    from pyspark.sql import Window
+
+    from tripl_spark.operators.similarity import TOP_K, cosine
+
+    q = bucketed.filter(F.col("vec_id") < _N_QUERIES()).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qb"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    approx = (
+        bucketed.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (F.round(cosine(F.col("qv"), F.col("v")), 4) + F.lit(0.0)).alias("cosine"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select(F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an"))
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("aq")) & (F.col("neighbor_id") == F.col("an")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("an").cast("long").alias("n_hits"),
+            F.round(F.count("an") * 1.0 / TOP_K, 4).alias("recall_at_k"),
+        )
+        .select(F.lit(variant).alias("variant"), "query_id", "n_hits", "recall_at_k")
+    )
+
+
+def _N_QUERIES() -> int:
+    from tripl_spark.operators.similarity import N_QUERIES
+
+    return N_QUERIES
+
+
+def whitened_vs_raw_lsh_recall(
+    spark: SparkSession, emb: DataFrame, exact: DataFrame
+) -> DataFrame:
+    """(variant, query_id, n_hits, recall_at_k) for the raw-space and
+    whitened-space sign-LSH indexes over the same corpus and ground
+    truth. One covariance pass (O(batches·d²) shuffle), one map-only
+    whitening pass, two bucket-pruned probe joins. The whitening
+    matrix and mean are the broadcast driver-side d×d / d state —
+    exactly the k-means-centroid state class."""
+    from tripl_spark.operators.similarity import bucket_key
+
+    cov, mu, _n = covariance_matrix(covariance_partials(emb))
+    raw_b = emb.withColumn("bucket", bucket_key(F.col("v")))
+    white = whiten(emb, cov, mu, keep=["vec_id"]).select(
+        "vec_id", F.col("v").alias("vw")
+    )
+    white_b = emb.join(white, "vec_id").withColumn(
+        "bucket", bucket_key(F.col("vw"))
+    ).select("vec_id", "v", "bucket")
+    return lsh_recall_rows(raw_b, exact, "raw").unionByName(
+        lsh_recall_rows(white_b, exact, "whitened")
+    )
+
+
+@query(
+    "sim_whitened_lsh_recall",
+    doc="whitening composed with the ANN family: sign-LSH buckets "
+    "rebuilt in whitened space vs the raw index, per-query recall@k "
+    "against exact ground truth — rows-only (eigendecomposition is "
+    "not SQL-expressible); the calibration win (bucket balance: an "
+    "off-origin/anisotropic corpus collapses sign-LSH into one "
+    "quadratic mega-bucket, whitening restores uniform occupancy) is "
+    "pinned on a planted corpus in tests/test_pca.py",
+)
+def sim_whitened_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does whitening help the LSH index on THIS corpus? Rebuild the
+    sign-LSH buckets over whitened vectors (anisotropic corpora waste
+    sign bits on the dominant variance direction; whitening spends
+    them evenly) and report per-query recall@k for both indexes
+    against the same exact raw-cosine top-k — the index-rollout A/B
+    this module's calibration story promises. Candidate scoring stays
+    raw cosine in both variants: whitening changes WHERE vectors land
+    (bucket balance), not the similarity the user asked for."""
+    from tripl_spark.operators.similarity import sim_knn_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    exact = sim_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    return whitened_vs_raw_lsh_recall(spark, emb, exact)

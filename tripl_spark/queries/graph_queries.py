@@ -1112,39 +1112,24 @@ PPR_CHECK_ROUNDS = frozenset(
 )
 
 
-@query(
-    "graph_ppr_converged",
-    doc=f"personalized PageRank run to the L∞ < 1e-9 fixpoint (≤ "
-    f"{PPR_MAX_ROUNDS} power steps, localCheckpoint per round, "
-    "residual collected on a geometric cadence — ≤ 9 driver "
-    "round-trips) over the same capped co-purchase graph as the "
-    "2-step gate; rows-only — the fixpoint residual, mass "
-    "conservation, and gate-agreement invariants live in "
-    "tests/test_graph_invariants.py",
-)
-def graph_ppr_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`graph_ppr_related_parts` run to convergence — the
-    `cluster_kmeans_embeddings` / `graph_lpa_converged` discipline:
-    the 2-step twin hash-gates the per-step algebra, this registers
-    the production fixpoint loop. Each round is one edge-sized join
-    (the LPA-probe cost shape); localCheckpoint between rounds stops
-    plan stacking; the loop exits when the L∞ residual between
-    consecutive mass vectors drops below 1e-9. The cap covers the
-    geometric worst case (residual ≤ d^k, so 1e-9 needs ~128 rounds
-    at d=0.85 — well-mixing graphs exit far earlier); if the cap is
-    somehow hit anyway, the function raises rather than returning a
-    vector labeled converged that isn't. Invariants pinned
-    in the suite: total mass 1 (teleport + row-stochastic spread
-    conserve it), the converged vector satisfies its own fixpoint
-    equation, and the top-ranked part agrees with the gated 2-step."""
-    pn, seed = ppr_graph(spark, sf_dir)
+def ppr_converged_vector(
+    spark: SparkSession, pn: DataFrame, seed
+) -> DataFrame:
+    """(node, v) — the PPR mass vector run to the L∞ < 1e-9 fixpoint:
+    the `cluster_kmeans_embeddings` / `graph_lpa_converged` loop
+    discipline. Each round is one edge-sized join (the LPA-probe cost
+    shape); localCheckpoint between rounds stops plan stacking; the
+    residual is COLLECTED only on the geometric cadence (at scale the
+    blocking per-round driver round-trip dominates, not the edge-sized
+    power step — ≤ 9 collects total, worst-case 2× overshoot in extra
+    steps, which only tighten the vector). The cap covers the
+    geometric worst case (residual ≤ d^k, so 1e-9 needs ~128 rounds at
+    d=0.85 — well-mixing graphs exit far earlier); if it is somehow
+    hit anyway, raise rather than return a vector labeled converged
+    that isn't."""
     r = spark.range(1).select(F.lit(seed).alias("node"), F.lit(1.0).alias("v"))
     resid = None
     converged = False
-    # residual is COLLECTED only on the geometric cadence: at scale the
-    # blocking per-round driver round-trip dominates, not the
-    # (edge-sized) power step — ≤ 9 collects total, worst-case 2×
-    # overshoot in extra steps, which only tighten the vector
     for k in range(1, PPR_MAX_ROUNDS + 1):
         nxt = ppr_step(spark, pn, seed, r).localCheckpoint(eager=True)
         if k in PPR_CHECK_ROUNDS:
@@ -1169,4 +1154,75 @@ def graph_ppr_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"rounds (last residual {resid}) — not returning an "
             "unconverged vector under a 'converged' name"
         )
-    return _ppr_top(r)
+    return r
+
+
+@query(
+    "graph_ppr_converged",
+    # The converged run's SQL-checkable projection: a random walk with
+    # restart conserves total mass at exactly 1 (teleport (1-d) +
+    # row-stochastic spread d), and its support is exactly the set of
+    # parts reachable from the seed — both replayable in SQL (the
+    # constant-by-law 1.0 follows the classifier oracle's round(ln(2))
+    # precedent; reachability is a recursive CTE over the same capped
+    # co-purchase edges the 2-step gate hashes). A loop that leaks
+    # mass, mis-normalizes an edge row, or stops spreading early fails
+    # this hash; the per-node converged scores (not SQL-expressible —
+    # no fixpoint iteration in the oracle) stay invariant-tested in
+    # tests/test_graph_invariants.py via ppr_converged_vector.
+    oracle=f"""
+    WITH RECURSIVE buyers AS (
+      SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_partkey <= {LINK_PART_SLICE}
+    ),
+    kept AS (
+      SELECT part FROM buyers GROUP BY part
+      HAVING count(*) BETWEEN 2 AND {LINK_MAX_PART}
+    ),
+    fb AS (SELECT cust, part FROM buyers JOIN kept USING (part)),
+    edges AS (
+      SELECT DISTINCT a.part AS src, b.part AS dst
+      FROM fb a JOIN fb b ON a.cust = b.cust AND a.part <> b.part
+    ),
+    seed AS (SELECT min(src) AS s FROM edges),
+    reach AS (
+      SELECT (SELECT s FROM seed) AS node
+      UNION
+      SELECT e.dst AS node FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT CAST((SELECT s FROM seed) AS BIGINT) AS seed_part,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           1.0 AS total_mass
+    FROM reach
+    """,
+    doc=f"personalized PageRank run to the L∞ < 1e-9 fixpoint (≤ "
+    f"{PPR_MAX_ROUNDS} power steps, localCheckpoint per round, "
+    "residual collected on a geometric cadence — ≤ 9 driver "
+    "round-trips) over the same capped co-purchase graph as the "
+    "2-step gate; hash-gated on the conservation projection (seed, "
+    "reachable support size, total mass 1); per-node fixpoint "
+    "invariants live in tests/test_graph_invariants.py",
+)
+def graph_ppr_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`graph_ppr_related_parts` run to convergence, emitting the
+    checkable conservation projection: (seed_part, n_parts =
+    |support| = parts reachable from the seed, total_mass = Σv rounded
+    to 6 dp = 1 by the conservation law). The 2-step twin hash-gates
+    the per-step algebra; this gates the production fixpoint loop's
+    global invariants against SQL-recomputed reachability on the same
+    data. (The support-equals-reachability identity needs the loop to
+    run at least the component diameter in rounds — guaranteed: the
+    earliest possible exit is far later, since the residual is ≥
+    d^k·(spread mass) and the check cadence starts passing only once
+    d^k < 1e-9.)"""
+    pn, seed = ppr_graph(spark, sf_dir)
+    r = ppr_converged_vector(spark, pn, seed)
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        (F.round(F.sum("v"), 6) + F.lit(0.0)).alias("total_mass"),
+    ).select(
+        F.lit(int(seed)).cast("long").alias("seed_part"),
+        "n_parts",
+        "total_mass",
+    )

@@ -67,73 +67,31 @@ _LOADED = False
 # representative TPC-H/analytics rows. Names listed here come first, in
 # this order; everything else follows in registration order.
 _PRIORITY = [
-    # Round-9 rotation, exactly per VERDICT r8 item 2 and the r8 note
-    # here: (a) first driver rows for queries NEW in r9, (b) first
-    # rows for the 17 late-r8 additions (zero driver rows so far;
-    # triple_skipindex_asof leads — it gates the persistence path the
-    # r9 skip-index fix touched), then (c) r5-vintage refresh slots
-    # filling the 50-row window (latest-row histogram from
-    # CORRECTNESS_r01..r08: r5×43, r6×33, r7×50, r8×50). Displaced
-    # names keep local DuckDB parity coverage in
-    # tests/test_oracle_parity.py every suite run.
+    # Round-11 rotation, per VERDICT r10 item 2 (the scripted r10
+    # rotation that never ran, plus this round's semantic changes):
+    # (a) the query NEW in r11, (b) re-drives whose oracle/output
+    # SEMANTICS changed this round — sim_covariance_slice (the r9/r10
+    # hash FAIL, fixed by the signed-zero normalization),
+    # sim_pca_explained_variance + graph_ppr_converged (converted from
+    # rows-only to hash-gated conservation projections), the two
+    # multimodal image queries (band-bucket cap added to operator and
+    # oracle) — then (c) the 24 r5-vintage names, (d) r6-vintage
+    # refresh slots filling the 50-row window (latest-row histogram
+    # from CORRECTNESS_r01..r10: r5×24, r6×33, r7×50, r8×50, r10×50).
+    # Displaced names keep local DuckDB parity coverage in
+    # tests/test_oracle_parity.py every suite run; the signed-zero
+    # `+ 0.0` oracle normalizations are value-preserving and verified
+    # by full sf0.01 parity locally, so they don't force slots.
     #
-    # (a) NEW in r9 — first driver rows
-    "multimodal_video_dedup_groups",
-    "multimodal_audio_dedup_groups",
-    "multimodal_audio_neardup",
-    "tokenizer_trained_fertility_by_lang",
-    "sim_bitext_margin_pairs",
-    "sim_kcenter_diverse",
-    "text_gopher_rules",
-    "sim_int8_quant_recall",
-    "curation_gopher_scorecard",
-    "mixing_leakage_safe_split",
-    "dedup_gram_novelty",
-    "pipeline_leakage_safe_corpus",
-    "pipeline_drop_ledger",
-    "events_psi_drift",
-    # (b) late-r8 — first driver rows
-    "triple_skipindex_asof",
-    "graph_ppr_related_parts",
+    # (a) NEW in r11 — first driver row
+    "sim_whitened_lsh_recall",
+    # (b) changed-semantics re-drives
     "sim_covariance_slice",
-    "dedup_reference_containment",
-    "multimodal_image_dedup_groups",
-    "events_anomaly_mad",
-    "text_ttr_by_source",
-    "sim_label_separation",
-    "events_weekday_profile",
-    "sim_recall_at_k_eval",
-    "sim_mmr_rerank",
-    "triple_attr_stats",
-    "triple_history_audit",
     "sim_pca_explained_variance",
-    "events_trend_ols",
     "graph_ppr_converged",
-    "tokenizer_fertility_by_lang",
-    # (c) r5-vintage refresh cohort, alphabetical for auditability
-    # (fills the window; the remainder of the 43 r5 names queue first
-    # for r10 — see the r10 note below)
-    "classifier_auc_eval",
-    "classifier_linear_probe_2step",
-    "classifier_logreg_2step",
-    "cluster_kmeans_2iter",
-    "curation_weighted_sample",
-    "dedup_groups_canonical",
-    "events_funnel_conversion",
-    "events_retention_cohorts",
-    "graph_user_ancestry",
     "multimodal_image_neardup",
-    "multimodal_video_neardup",
-    "multimodal_video_scene_cuts",
-    "packing_greedy",
-    "pipeline_classifier_curation",
-    "pipeline_decontaminated_corpus",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    # (d) r5-vintage remainder past the 50-slot window (positions
-    # 51+): still r5 after r9 — they lead the r10 refresh cohort
+    "multimodal_image_dedup_groups",
+    # (c) r5-vintage refresh cohort, alphabetical for auditability
     "q19_discounted_revenue",
     "q20_seasonal_shippers",
     "q21_waiting_suppliers",
@@ -158,13 +116,39 @@ _PRIORITY = [
     "top3_customers_per_nation",
     "triple_match_segment",
     "triple_pull_df_wildcard",
+    # (d) r6-vintage refresh cohort, alphabetical, first 20 of 33
+    # (fills the window at exactly 50)
+    "approx_distinct_users",
+    "approx_quantiles_value",
+    "asof_last_purchase",
+    "churned_buyers_1995_vs_2001",
+    "classifier_quality_train",
+    "customers_without_orders",
+    "events_cube_type_year",
+    "events_daily_active_users",
+    "events_hourly_tumbling",
+    "events_moving_total_7d",
+    "events_running_total",
+    "events_sessionization",
+    "events_sliding_hourly",
+    "events_type_share",
+    "events_user_props_stats",
+    "lapsed_buyers_except",
+    "nation_year_rollup",
+    "order_count_distribution",
+    "order_status_pivot",
+    "part_price_unpivot",
 ]
-# r10 rotation note: after the r9 window lands, the oldest remaining
-# vintages are the 24 (d)-section r5 names above, then the 33
-# r6-vintage entries (recompute from CORRECTNESS_r01..r09 the way r9
-# did). The r10 window: (1) any queries new in r10, (2) the (d)
-# names, (3) r6-vintage slots to fill, (4) any query whose oracle
-# text changed.
+# r12 rotation note: after the r11 window lands, the oldest remaining
+# vintages are the 13 r6-vintage names NOT in section (d) above —
+# q11_important_parts, q12_ship_priority, q14_promo_revenue,
+# q15_top_supplier, q16_part_supplier_relationship, q4_order_priority,
+# q8_market_share, repeat_buyers_intersect, scalar_functions_showcase,
+# top5_parts_per_brand, triple_datalog_join, triple_reverse_fanin,
+# window_functions_showcase — then the r7 cohort (recompute from
+# CORRECTNESS_r01..r11 the way r9/r11 did). The r12 window: (1) any
+# queries new in r12, (2) those 13, (3) r7-vintage slots to fill,
+# (4) any query whose oracle text changed semantically.
 
 
 def _ensure_loaded() -> None:
