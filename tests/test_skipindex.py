@@ -580,3 +580,48 @@ def test_refresh_equals_rebuild_on_arbitrary_appends(spark, rows, extra, cutoff)
         assert got == full
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_file_uri_dump_builds_verifies_and_prunes(spark, sf_small, tmp_path):
+    """The Hadoop-FS listing path under an explicit file:// URI: build,
+    verify, refresh-after-append, and a pruned read must all work with
+    the scheme-qualified spelling (the object-store shape, exercised on
+    the local FS), and the pruned read must equal the full-read filter."""
+    from tripl_spark.sources.skipindex import refresh_skip_index
+
+    facts = load_table(spark, sf_small, "nation").select(
+        F.concat(F.lit("nation-"), F.col("n_nationkey").cast("string")).alias("e"),
+        F.lit("nation:name").alias("a"),
+        F.lit("str").alias("vtype"),
+        F.col("n_name").alias("v_str"),
+        F.lit(None).cast("double").alias("v_num"),
+        F.lit(None).cast("boolean").alias("v_bool"),
+        F.col("n_nationkey").cast("long").alias("t"),
+    )
+    uri = "file://" + str(tmp_path / "facts")
+    facts.repartitionByRange(3, "t").write.partitionBy("a").parquet(uri)
+    build_skip_index(spark, uri)
+    audit = verify_skip_index(spark, uri)
+    assert audit["files"] >= 2 and audit["rows"] == facts.count()
+
+    # refresh sees the sidecar through the URI (no spurious full build)
+    r0 = refresh_skip_index(spark, uri)
+    assert r0 == {"added": 0, "total": audit["files"]}
+    # append → heal-mode refresh indexes exactly the new files
+    facts.limit(2).withColumn("t", F.col("t") + 1000).coalesce(1) \
+        .write.mode("append").partitionBy("a").parquet(uri)
+    r1 = refresh_skip_index(spark, uri)
+    assert r1["added"] >= 1 and r1["total"] == audit["files"] + r1["added"]
+
+    got = read_pruned(spark, uri, as_of_t=10).select("e", "v_str", "t")
+    want = spark.read.parquet(uri).filter(F.col("t") <= 10).select("e", "v_str", "t")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    files, report, _ = plan_files(spark, uri, as_of_t=10)
+    assert 0 < report["kept"] < report["total"]  # pruning actually skipped
+
+
+def test_unresolvable_scheme_refuses_loudly(spark, dump):
+    from tripl_spark.sources.skipindex import _list_data_files
+
+    with pytest.raises(NotImplementedError, match="no\nHadoop FileSystem|no Hadoop|scheme"):
+        _list_data_files(spark, "nosuchfs://bucket/path")

@@ -43,13 +43,15 @@ Scale discipline:
   raises rather than silently mis-reading (`_check_fresh`).
 * reads preserve the partition column by passing ``basePath`` so the
   directory-encoded ``a`` survives explicit-file-list reads.
-* freshness checks LIST the dump driver-side, which this module
-  implements for the LOCAL filesystem only (`_list_data_files` raises
-  on other URI schemes rather than reading an empty listing as "no
-  files"); object-store deployments read with ``assume_fresh=True``
-  under a writer protocol that refreshes the sidecar in the same
-  commit as the data — the table-format trust model — or swap in a
-  Hadoop-FS listing.
+* freshness checks LIST the dump driver-side through the JVM Hadoop
+  ``FileSystem`` (`_list_data_files`) — the listing works on any
+  scheme the cluster's Hadoop configuration can resolve (file://,
+  hdfs://, s3a://, …) and raises loudly on a scheme with no handler
+  rather than reading an empty listing as "no files". Object-store
+  deployments that want to skip even that single LIST read with
+  ``assume_fresh=True`` under a writer protocol that refreshes the
+  sidecar in the same commit as the data — the table-format trust
+  model.
 * zero-row part files (repartition > rows, filtered-empty partitions,
   speculative tasks) are first-class: they get ``n_rows=0`` sentinel
   rows at build/refresh time, count as indexed for freshness, and are
@@ -94,7 +96,7 @@ def build_skip_index(spark: SparkSession, path: str) -> DataFrame:
     stats.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, SIDECAR)
     )
-    _append_empty_sentinels(spark, path, _list_data_files(path))
+    _append_empty_sentinels(spark, path, _list_data_files(spark, path))
     return spark.read.parquet(os.path.join(path, SIDECAR))
 
 
@@ -120,13 +122,19 @@ def _load_sidecar(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _local_path(uri: str) -> str:
-    """input_file_name() returns URI-encoded paths (the partition dir
-    itself percent-escapes ':' etc., then the URI escapes the '%');
-    ONE unquote of the URI path yields the literal on-disk name.
-    realpath canonicalizes (symlinks, relative spellings) so sidecar
-    paths compare equal to filesystem listings however the caller
-    spelled the dump path."""
-    return os.path.realpath(unquote(urlparse(uri).path))
+    """Canonical form for file-identity comparisons. input_file_name()
+    returns URI-encoded paths (the partition dir itself
+    percent-escapes ':' etc., then the URI escapes the '%'); ONE
+    unquote of the URI path yields the literal name. Local paths
+    (no scheme / file://) canonicalize via realpath (symlinks,
+    relative spellings) so sidecar paths compare equal to filesystem
+    listings however the caller spelled the dump path; remote schemes
+    keep scheme + authority (an s3a:// key has no realpath, and
+    dropping the bucket would alias files across buckets)."""
+    p = urlparse(uri)
+    if p.scheme in ("", "file"):
+        return os.path.realpath(unquote(p.path) if p.scheme else unquote(uri))
+    return f"{p.scheme}://{p.netloc}{unquote(p.path)}"
 
 
 def plan_files(
@@ -188,7 +196,7 @@ def plan_files(
     return files, {"total": len(indexed), "kept": len(files)}, indexed
 
 
-def _check_fresh(path: str, indexed: set[str]) -> None:
+def _check_fresh(spark: SparkSession, path: str, indexed: set[str]) -> None:
     """TWO-sided staleness check against the ALREADY-collected sidecar
     file set (no extra Spark job): an indexed file that vanished means
     the dump was rewritten (stale ranges), and a data file the sidecar
@@ -201,7 +209,7 @@ def _check_fresh(path: str, indexed: set[str]) -> None:
     skip it with ``assume_fresh=True``. Both sides compare in
     realpath-canonical form, so relative or symlinked dump paths
     never read as drift."""
-    live = set(_list_data_files(path))
+    live = set(_list_data_files(spark, path))
     missing = sorted(indexed - live)
     if missing:
         raise ValueError(
@@ -251,7 +259,7 @@ def read_pruned(
         spark, path, attrs=attrs, as_of_t=as_of_t, e_between=e_between
     )
     if not assume_fresh:
-        _check_fresh(path, indexed)
+        _check_fresh(spark, path, indexed)
     if not files:
         base = spark.read.parquet(path)
         df = base.limit(0)
@@ -267,28 +275,70 @@ def read_pruned(
     return df
 
 
-def _list_data_files(path: str) -> list[str]:
+def _list_data_files(spark: SparkSession, path: str) -> list[str]:
     """Driver-side listing of the dump's data files (the sidecar dir
     and other _-prefixed/hidden entries excluded, matching Spark's own
-    file-index rules). Local filesystem only: on an object-store URI
-    os.walk would silently read as empty and every freshness check
-    would mis-report — refuse loudly instead (readers under a writer
-    protocol use ``assume_fresh=True`` there; a Hadoop-FS listing is
-    the upgrade path)."""
-    scheme = urlparse(path).scheme
-    if scheme not in ("", "file"):
+    file-index rules) through the JVM Hadoop ``FileSystem`` — ONE
+    recursive LIST against whatever filesystem the scheme resolves to
+    (local, file://, hdfs://, s3a://, …), exactly the call Spark's own
+    InMemoryFileIndex makes, so the freshness view can never disagree
+    with the engine's. A scheme the Hadoop configuration has no
+    handler for refuses loudly (readers under a writer protocol use
+    ``assume_fresh=True`` there) — an empty listing silently read as
+    "no files" would pass every freshness check while pruning dropped
+    the whole dump."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    if urlparse(path).scheme == "":
+        path = os.path.abspath(path)
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    try:
+        fs = hpath.getFileSystem(hconf)
+    except Exception as e:  # org.apache.hadoop.fs.UnsupportedFileSystemException et al.
         raise NotImplementedError(
-            f"skip-index freshness checks list the local filesystem; "
-            f"got scheme {scheme!r} — pass assume_fresh=True under a "
-            "writer protocol or use a local mirror"
-        )
+            f"skip-index freshness checks cannot list {path!r}: no "
+            f"Hadoop FileSystem for its scheme ({e}) — pass "
+            "assume_fresh=True under a writer protocol or configure "
+            "the filesystem"
+        ) from e
+    base = fs.makeQualified(hpath).toUri().getPath().rstrip("/")
     out = []
-    for root, dirs, files in os.walk(path):
-        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-        for f in files:
-            if f.endswith(".parquet") and not f.startswith(("_", ".")):
-                out.append(os.path.realpath(os.path.join(root, f)))
+    it = fs.listFiles(hpath, True)  # recursive, files only
+    while it.hasNext():
+        st = it.next()
+        uri = st.getPath().toUri()
+        # java.net.URI.getPath() DECODES percent-escapes, which yields
+        # exactly the literal on-disk name (partition dirs like
+        # `a=ns%3Aattr` are stored escaped; the URI layer re-escapes
+        # the '%', and one decode lands back on the literal) — the
+        # same form `_local_path` produces from input_file_name(). Do
+        # NOT round-trip through _local_path here: its unquote would
+        # decode the name a second time.
+        lit = uri.getPath()
+        rel = lit[len(base):].lstrip("/")
+        segs = rel.split("/")
+        # _-prefixed / hidden path segments (the sidecar, _SUCCESS,
+        # .crc files) are metadata, not data — Spark's own rule
+        if any(s.startswith(("_", ".")) for s in segs):
+            continue
+        if not segs[-1].endswith(".parquet"):
+            continue
+        scheme = uri.getScheme()
+        if scheme is None or scheme == "file":
+            out.append(os.path.realpath(lit))
+        else:
+            out.append(f"{scheme}://{uri.getAuthority() or ''}{lit}")
     return out
+
+
+def _sidecar_exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop-FS existence probe for ``<path>/_skipindex`` — the
+    scheme-agnostic form of ``os.path.isdir`` (which reads any URI as
+    absent and would force a full rebuild on every refresh)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(os.path.join(path, SIDECAR))
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
 
 
 def _append_empty_sentinels(
@@ -354,12 +404,12 @@ def refresh_skip_index(
     with no sidecar yet gets a full build (the first-ingest case).
     Returns {added, total} file counts (total = -1 in targeted mode,
     which never lists the log)."""
-    if not os.path.isdir(os.path.join(path, SIDECAR)):
-        n = _list_data_files(path)
+    if not _sidecar_exists(spark, path):
+        n = _list_data_files(spark, path)
         build_skip_index(spark, path)
         return {"added": len(n), "total": len(n)}
     if new_dirs is not None:
-        new = [f for d in new_dirs for f in _list_data_files(d)]
+        new = [f for d in new_dirs for f in _list_data_files(spark, d)]
         if new:
             _append_stats(spark, path, new)
         return {"added": len(new), "total": -1}
@@ -368,7 +418,7 @@ def refresh_skip_index(
         _local_path(r["file"])
         for r in side.select("file").distinct().collect()
     }
-    live = set(_list_data_files(path))
+    live = set(_list_data_files(spark, path))
     missing = sorted(indexed - live)
     if missing:
         raise ValueError(
@@ -390,7 +440,7 @@ def verify_skip_index(spark: SparkSession, path: str) -> dict[str, int]:
     # disk listing, not input_file_name(): zero-row part files never
     # surface under input_file_name but ARE live files the sidecar
     # must cover (as n_rows=0 sentinels)
-    live_files = set(_list_data_files(path))
+    live_files = set(_list_data_files(spark, path))
     if indexed != live_files:
         raise ValueError(
             f"skip index is stale: {len(indexed - live_files)} indexed-"
