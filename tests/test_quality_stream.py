@@ -31,6 +31,37 @@ def _card_map(df):
     }
 
 
+def _ledger_map(df):
+    return {
+        (r.source, r.lang): (
+            r.n_docs, r.n_kept, r.dropped_rule_wc, r.dropped_rule_mwl,
+            r.dropped_rule_alpha, r.dropped_rule_symbol, r.dropped_rule_stop,
+        )
+        for r in df.collect()
+    }
+
+
+def _batch_rule_ledger(spark, docs):
+    """One-shot rule-fate counts over the SHARED precedence expression
+    (`text.first_failing_rule`) — what the streaming ledger must equal
+    after any split."""
+    from tripl_spark.operators.text import first_failing_rule, gopher_flag_frame
+
+    flags = gopher_flag_frame(docs, keep=("source", "lang"))
+    fate = first_failing_rule()
+    out = flags.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(fate.isNull(), 1).otherwise(0)).cast("long").alias("n_kept"),
+        *[
+            F.sum(F.when(fate == f"rule_{r}", 1).otherwise(0))
+            .cast("long")
+            .alias(f"dropped_rule_{r}")
+            for r in ("wc", "mwl", "alpha", "symbol", "stop")
+        ],
+    )
+    return _ledger_map(out)
+
+
 @pytest.mark.parametrize("split", ["one", "mod3", "skew"])
 def test_quality_monitor_is_split_invariant_and_matches_batch(
     spark, sf_small, split
@@ -54,6 +85,9 @@ def test_quality_monitor_is_split_invariant_and_matches_batch(
         mon.process(b, batch_id=i)
     want = _card_map(REGISTRY["curation_gopher_scorecard"].fn(spark, sf_small))
     assert _card_map(mon.scorecard()) == want
+    # the fused drop ledger is split-invariant too, and equals the
+    # one-shot rule-fate counts under the shared precedence expression
+    assert _ledger_map(mon.drop_ledger()) == _batch_rule_ledger(spark, docs)
 
 
 def test_quality_monitor_sink_mode_survives_driver_restart(
@@ -72,6 +106,7 @@ def test_quality_monitor_sink_mode_survives_driver_restart(
     mon2.process(docs.filter(F.pmod("doc_id", 2) == 1), batch_id=1)
     want = _card_map(REGISTRY["curation_gopher_scorecard"].fn(spark, sf_small))
     assert _card_map(mon2.scorecard()) == want
+    assert _ledger_map(mon2.drop_ledger()) == _batch_rule_ledger(spark, docs)
 
 
 def test_quality_monitor_flags_a_planted_regression(spark):
@@ -133,3 +168,43 @@ def test_quality_monitor_readstream_end_to_end(spark, sf_small, tmp_path):
     q.awaitTermination()
     want = _card_map(REGISTRY["curation_gopher_scorecard"].fn(spark, sf_small))
     assert _card_map(mon.scorecard()) == want
+    assert _ledger_map(mon.drop_ledger()) == _batch_rule_ledger(
+        spark, _docs(spark, sf_small)
+    )
+
+
+def test_streaming_ledger_agrees_with_batch_drop_ledger(spark, sf_small):
+    """The fused contract end-to-end: the streaming monitor's per-rule
+    drop counts, summed over (source, lang), equal the batch
+    `pipeline_drop_ledger`'s rule-fate counts over the SAME documents
+    restricted to docs that reach the rule battery (the ledger tries
+    near-dup election first; the monitor sees the full stream). One
+    precedence definition, two surfaces."""
+    docs = _docs(spark, sf_small)
+    mon = StreamingQualityMonitor(spark)
+    mon.process(docs.filter(F.pmod("doc_id", 2) == 0), batch_id=0)
+    mon.process(docs.filter(F.pmod("doc_id", 2) == 1), batch_id=1)
+    stream_drops = {
+        f"dropped:rule_{r}": v
+        for r in ("wc", "mwl", "alpha", "symbol", "stop")
+        for v in [
+            sum(x[f"dropped_rule_{r}"] for x in mon.drop_ledger().collect())
+        ]
+    }
+    ledger = REGISTRY["pipeline_drop_ledger"].fn(spark, sf_small)
+    # restrict the batch ledger to docs the rules actually judged
+    # (fate precedence puts near-dup losses first)
+    batch_rule_fates = {
+        r["fate"]: r["n"]
+        for r in ledger.filter(F.col("fate").startswith("dropped:rule_"))
+        .groupBy("fate").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # every rule fate the batch ledger emits must appear in the stream
+    # counters with at least that count (the stream also judges docs
+    # the ledger dropped as near-dups first)
+    for fate, n in batch_rule_fates.items():
+        assert stream_drops[fate] >= n, (fate, n, stream_drops)
+    # conservation on the stream side: drops + kept == docs, per stratum
+    for (src_, lang), row in _ledger_map(mon.drop_ledger()).items():
+        n_docs, n_kept, *drops = row
+        assert n_kept + sum(drops) == n_docs, (src_, lang, row)

@@ -743,13 +743,12 @@ def pipeline_drop_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(100),
     )
+    from tripl_spark.operators.text import first_failing_rule
+
+    rule_fate = first_failing_rule()  # the SHARED battery order
     fate = (
         F.when(~F.col("keep"), F.lit("dropped:near_dup"))
-        .when(~F.col("wc_ok"), F.lit("dropped:rule_wc"))
-        .when(~F.col("mwl_ok"), F.lit("dropped:rule_mwl"))
-        .when(~F.col("alpha_ok"), F.lit("dropped:rule_alpha"))
-        .when(~F.col("symbol_ok"), F.lit("dropped:rule_symbol"))
-        .when(~F.col("stop_ok"), F.lit("dropped:rule_stop"))
+        .when(rule_fate.isNotNull(), F.concat(F.lit("dropped:"), rule_fate))
         .when(bucket >= 95, F.lit("held_out:test"))
         .when(bucket >= 90, F.lit("held_out:val"))
         .otherwise(F.lit("train"))

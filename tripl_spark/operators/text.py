@@ -903,6 +903,24 @@ def gopher_flag_frame(docs: DataFrame, keep: tuple = ()) -> DataFrame:
     )
 
 
+# THE battery precedence order — a document's drop reason is its FIRST
+# failing rule in this order. One definition, shared by the batch drop
+# ledger (`pipeline_drop_ledger`) and the streaming quality monitor's
+# drop counters (`streaming/quality_stream.py`), so the two ledgers
+# cannot disagree on why a document was dropped.
+GOPHER_RULE_ORDER = ("wc_ok", "mwl_ok", "alpha_ok", "symbol_ok", "stop_ok")
+
+
+def first_failing_rule() -> F.Column:
+    """'rule_wc' / 'rule_mwl' / … for the first rule (battery order)
+    a document fails over `gopher_flag_frame` columns; NULL when every
+    rule passes."""
+    expr = F.lit(None).cast("string")
+    for r in reversed(GOPHER_RULE_ORDER):
+        expr = F.when(~F.col(r), F.lit(f"rule_{r[:-3]}")).otherwise(expr)
+    return expr
+
+
 @query(
     "curation_gopher_scorecard",
     oracle=f"""

@@ -24,6 +24,16 @@ Restart safety follows the running-aggregate snapshot-sink scheme of
 ``batch_id=N`` partition snapshots the POST-MERGE counters, recovery
 resumes from the last committed snapshot, and an already-committed
 batch never re-merges (the committed sink is authoritative).
+
+The state also carries the DROP-LEDGER counters (r11): per (source,
+lang), how many documents each rule dropped under the battery's
+FIRST-failing-rule precedence (`text.first_failing_rule` — the same
+expression `pipeline_drop_ledger`'s fate column uses), so the
+streaming `drop_ledger()` view and the batch ledger's rule fates are
+one definition. A fail counter says "rule r is violated"; a drop
+counter says "rule r is the REASON the doc left the corpus" — the
+number the drop-rate alert should page on, because a doc failing two
+rules must not be double-counted as two lost docs.
 """
 
 from __future__ import annotations
@@ -31,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tripl_spark.operators.text import gopher_flag_frame
+from tripl_spark.operators.text import gopher_flag_frame, first_failing_rule
 
 __all__ = ["StreamingQualityMonitor", "quality_partials"]
 
@@ -39,9 +49,13 @@ _RULES = ("wc_ok", "mwl_ok", "alpha_ok", "symbol_ok", "stop_ok")
 
 
 def quality_partials(batch: DataFrame) -> DataFrame:
-    """(source, lang, n_docs, n_pass, fail_<rule>...) — long counters
-    for one slice of documents, from the shared flag projection."""
+    """(source, lang, n_docs, n_pass, n_fail_<rule>..., n_drop_<rule>...)
+    — long counters for one slice of documents, from the shared flag
+    projection. n_fail counts every violation of a rule; n_drop counts
+    docs whose FIRST failing rule (battery order) is that rule — the
+    conservation form: Σ n_drop = n_docs − n_pass exactly."""
     flags = gopher_flag_frame(batch, keep=("source", "lang"))
+    fate = first_failing_rule()
     aggs = [
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.when(F.col("passes"), 1).otherwise(0))
@@ -51,6 +65,11 @@ def quality_partials(batch: DataFrame) -> DataFrame:
         F.sum(F.when(F.col(r), 0).otherwise(1))
         .cast("long")
         .alias(f"n_fail_{r[:-3]}")
+        for r in _RULES
+    ] + [
+        F.sum(F.when(fate == f"rule_{r[:-3]}", 1).otherwise(0))
+        .cast("long")
+        .alias(f"n_drop_{r[:-3]}")
         for r in _RULES
     ]
     return flags.groupBy("source", "lang").agg(*aggs)
@@ -64,11 +83,15 @@ class StreamingQualityMonitor:
     _STATE_SCHEMA = (
         "source string, lang string, n_docs long, n_pass long, "
         "n_fail_wc long, n_fail_mwl long, n_fail_alpha long, "
-        "n_fail_symbol long, n_fail_stop long"
+        "n_fail_symbol long, n_fail_stop long, "
+        "n_drop_wc long, n_drop_mwl long, n_drop_alpha long, "
+        "n_drop_symbol long, n_drop_stop long"
     )
     _COUNTERS = (
         "n_docs", "n_pass", "n_fail_wc", "n_fail_mwl", "n_fail_alpha",
         "n_fail_symbol", "n_fail_stop",
+        "n_drop_wc", "n_drop_mwl", "n_drop_alpha", "n_drop_symbol",
+        "n_drop_stop",
     )
 
     def __init__(self, spark: SparkSession, sink_path: str | None = None) -> None:
@@ -82,9 +105,12 @@ class StreamingQualityMonitor:
             committed = committed_batches(sink_path)
             self._seen = set(committed)
             if committed:
+                # na.fill(0): a snapshot written before a counter was
+                # added reads the new column as NULL — resume it at 0
+                # rather than poisoning every later sum
                 self.state = self.spark.read.schema(self._STATE_SCHEMA).parquet(
                     f"{sink_path}/batch_id={max(committed)}"
-                ).localCheckpoint(eager=True)
+                ).na.fill(0).localCheckpoint(eager=True)
 
     def process(self, batch: DataFrame, batch_id: int) -> None:
         if batch_id in self._seen:  # replay: idempotent skip
@@ -113,6 +139,27 @@ class StreamingQualityMonitor:
             )
         self.state = new_state
         self._seen.add(batch_id)
+
+    def drop_ledger(self) -> DataFrame | None:
+        """The maintained streaming drop ledger: per (source, lang),
+        raw long counters of documents each rule DROPPED under the
+        battery's first-failing-rule precedence, plus the kept count.
+        Integer-exact (split-invariant by associativity) and equal to
+        the batch `pipeline_drop_ledger`'s rule-fate counts over the
+        same documents — pinned in tests/test_quality_stream.py."""
+        if self.state is None:
+            return None
+        return self.state.select(
+            "source",
+            "lang",
+            "n_docs",
+            F.col("n_pass").alias("n_kept"),
+            F.col("n_drop_wc").alias("dropped_rule_wc"),
+            F.col("n_drop_mwl").alias("dropped_rule_mwl"),
+            F.col("n_drop_alpha").alias("dropped_rule_alpha"),
+            F.col("n_drop_symbol").alias("dropped_rule_symbol"),
+            F.col("n_drop_stop").alias("dropped_rule_stop"),
+        )
 
     def scorecard(self) -> DataFrame | None:
         """The maintained scorecard in the oracled batch query's exact
