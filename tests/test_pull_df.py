@@ -215,3 +215,94 @@ def test_readme_walkthrough_pull_df_reverse_wildcard(readme_store):
     parents = by_tp["dpi1204"]["cft.seq:_timepoint"]
     assert sorted(p["cft.seq:id"] for p in parents) == ["15423-1", "QA255-092.Vh"]
     assert all(p["cft.seq:seq"] == "AGCGGTGAGCTGA" for p in parents)
+
+
+# --------------------------------------------------------------------------
+# pull_many's scale switch: past PULL_DISTRIBUTED_THRESHOLD roots the
+# assembly runs on the cluster (pull_df JSON) — pinned equal to the
+# driver loop, for arbitrary graphs.
+# --------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_graph = st.fixed_dictionaries(
+    {
+        "parents": st.lists(
+            st.fixed_dictionaries(
+                {
+                    "name": st.one_of(st.none(), st.text("ab", min_size=1, max_size=3)),
+                    "scores": st.lists(
+                        st.integers(0, 9), min_size=0, max_size=3, unique=True
+                    ),
+                    "kids": st.lists(st.integers(0, 3), min_size=0, max_size=3,
+                                     unique=True),
+                }
+            ),
+            min_size=1,
+            max_size=5,
+        ),
+    }
+)
+
+
+def _build_store(spark, parents):
+    schema = {
+        "t:kid": {"db:valueType": "db.type:ref",
+                  "db:cardinality": "db.cardinality:many"},
+        "t:score": {"db:cardinality": "db.cardinality:many"},
+    }
+    ts = TripleStore(schema=schema, default_cardinality="db.cardinality:one",
+                     spark=spark)
+    kid_ids = sorted({k for p in parents for k in p["kids"]})
+    docs = [{"k:id": f"kid-{k}", "db:ident": f"kid-{k}"} for k in kid_ids]
+    for i, p in enumerate(parents):
+        d = {"db:ident": f"par-{i}", "t:id": f"par-{i}"}
+        if p["name"] is not None:
+            d["t:name"] = p["name"]
+        if p["scores"]:
+            d["t:score"] = set(p["scores"])
+        if p["kids"]:
+            d["t:kid"] = {f"kid-{k}" for k in p["kids"]}
+        docs.append(d)
+    ts.assert_facts(docs)
+    return ts, [f"par-{i}" for i in range(len(parents))]
+
+
+@given(g=_graph)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pull_many_distributed_equals_driver_assembly(spark, g):
+    """The equivalence property behind the scale switch: for arbitrary
+    graphs (missing attrs, shared children, empty multi-values), BOTH
+    assembly paths produce identical nested documents — so flipping
+    `distributed` (what the threshold does automatically) can never
+    change a result."""
+    ts, roots = _build_store(spark, g["parents"])
+    for expr in (
+        ["t:name", "t:score", {"t:kid": ["k:id"]}],
+        ["*"],
+        ["t:name", {"t:kid": ["k:id", "k:_kid"]}],
+    ):
+        drv = ts.pull_many(expr, roots, distributed=False)
+        dst = ts.pull_many(expr, roots, distributed=True)
+        assert drv == dst, (expr, drv, dst)
+
+
+def test_pull_many_threshold_auto_switch(spark):
+    """At >= PULL_DISTRIBUTED_THRESHOLD roots the default path flips to
+    cluster-side assembly and stays result-identical; a '...' recursion
+    expression stays on the driver loop (divergent cycle semantics)."""
+    schema = {"t:kid": {"db:valueType": "db.type:ref"}}
+    ts = TripleStore(schema=schema, default_cardinality="db.cardinality:one",
+                     spark=spark)
+    ts.assert_facts(
+        [{"db:ident": f"e-{i}", "t:name": f"n{i % 7}"} for i in range(20)]
+    )
+    ts.PULL_DISTRIBUTED_THRESHOLD = 10  # instance override for the test
+    roots = [f"e-{i}" for i in range(20)]
+    auto = ts.pull_many(["t:name"], roots)  # 20 >= 10 -> distributed
+    drv = ts.pull_many(["t:name"], roots, distributed=False)
+    assert auto == drv
+    assert ts._expr_has_recur([{"t:kid": "..."}])
+    assert not ts._expr_has_recur(["t:name", {"t:kid": ["t:name"]}])

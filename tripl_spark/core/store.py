@@ -466,6 +466,27 @@ class TripleStore:
             max_depth=max_depth,
         )[0]
 
+    # Root count past which pull_many assembles on the CLUSTER (the
+    # pull_df JSON path) instead of the driver-side fetch loop: the
+    # driver path costs a collect() per expression position per level
+    # and re-nests row-by-row in Python — fine for a page of entities,
+    # quadratic-feeling at a million roots. The distributed path is one
+    # job + ONE collect of finished documents. The two assemblies are
+    # pinned row-identical by tests/test_pull_df.py's equivalence
+    # property, so the switch is invisible to callers.
+    PULL_DISTRIBUTED_THRESHOLD = 512
+
+    @staticmethod
+    def _expr_has_recur(expr: list[Any]) -> bool:
+        for item in expr:
+            if isinstance(item, dict):
+                for sub in item.values():
+                    if sub == pull_plan.RECUR or (
+                        isinstance(sub, list) and TripleStore._expr_has_recur(sub)
+                    ):
+                        return True
+        return False
+
     def pull_many(
         self,
         pull_expr: list[Any],
@@ -474,20 +495,52 @@ class TripleStore:
         sort_desc: bool = True,
         ascending: bool | None = None,
         max_depth: int = 20,
+        distributed: bool | None = None,
     ) -> list[dict[str, Any]]:
         """Reference-compat note (SURVEY.md Q7): the reference's
         ``sort_desc=True`` default yields ASCENDING order and ``False``
         applies ``reversed()``. We keep that behavior for compatibility
-        but expose ``ascending=`` which, when given, wins."""
+        but expose ``ascending=`` which, when given, wins.
+
+        ``distributed`` selects the assembly path: None (default)
+        auto-switches to cluster-side JSON assembly
+        (`plans/pull_df.py`) past ``PULL_DISTRIBUTED_THRESHOLD`` roots
+        — except for ``'...'`` expressions, whose cycle handling
+        differs between the paths (driver: first-revisit stub;
+        distributed: bounded unroll), so recursion stays on the driver
+        loop unless forced. True/False force a path."""
         if isinstance(eids_or_pattern, dict):
             eids = sorted(self.match(eids_or_pattern))
         else:
             eids = [e.ident if hasattr(e, "ident") and not isinstance(e, str) else str(e)
                     for e in eids_or_pattern]
-        results = pull_plan.pull_many_plan(
-            self.spark, self.current_facts(), self.registry, pull_expr, eids,
-            max_depth=max_depth,
+        use_df = (
+            distributed
+            if distributed is not None
+            else (
+                len(eids) >= self.PULL_DISTRIBUTED_THRESHOLD
+                and not self._expr_has_recur(pull_expr)
+            )
         )
+        if use_df:
+            import json as _json
+
+            from tripl_spark.plans.pull_df import pull_json_df
+
+            roots = self.spark.createDataFrame(
+                [(e,) for e in sorted(set(eids))], "e string"
+            )
+            rows = pull_json_df(
+                self.current_facts(), self.registry, pull_expr, roots,
+                recur_depth=max_depth,
+            ).collect()
+            by_e = {r["e"]: _json.loads(r["doc"]) for r in rows}
+            results = [by_e[e] for e in eids]
+        else:
+            results = pull_plan.pull_many_plan(
+                self.spark, self.current_facts(), self.registry, pull_expr, eids,
+                max_depth=max_depth,
+            )
         if sort_by:
             results = sorted(
                 results, key=lambda x: (x.get(sort_by) is None, str(x.get(sort_by)))
