@@ -110,6 +110,11 @@ HEADLINE = [
     # two corpus scans, zero corpus shuffles for encoding)
     "multimodal_video_dedup_groups",
     "tokenizer_trained_fertility_by_lang",
+    # round-11: whitening composed with the ANN family — one
+    # covariance GEMM pass, a map-only whitening projection, and two
+    # bucket-probe joins (raw + whitened index recall vs exact ground
+    # truth); the round's one new data path
+    "sim_whitened_lsh_recall",
 ]
 
 
