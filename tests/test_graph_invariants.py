@@ -19,12 +19,32 @@ _ensure_loaded()
 
 @pytest.fixture(scope="module")
 def lpa_state(spark, sf_small):
+    from tripl_spark.queries.graph_queries import lpa_converged_labels
+
     nodes, edges = purchase_ancestry_graph(spark, sf_small)
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
-    converged = REGISTRY["graph_lpa_converged"].fn(spark, sf_small)
+    converged = lpa_converged_labels(spark, sf_small)
     return nodes, sym, {(r.node, r.community) for r in converged.collect()}
+
+
+def test_lpa_conservation_projection_matches_the_run(spark, sf_small, lpa_state):
+    """The registered hash-gated projection must summarize the SAME
+    run: node universe, all labels within-component (recomputed here
+    from scratch), and isolated nodes self-labeled."""
+    nodes, sym, state = lpa_state
+    gate = REGISTRY["graph_lpa_converged"].fn(spark, sf_small).collect()
+    assert len(gate) == 1
+    g = gate[0]
+    assert g["n_nodes"] == len(state)
+    assert g["labels_within_component"] == g["n_nodes"]
+    assert g["n_isolated_selflabeled"] == g["n_isolated"]
+    touched = {r.src for r in sym.collect()}
+    iso = {n for n, _ in state} - touched
+    assert g["n_isolated"] == len(iso)
+    full = dict(state)
+    assert all(full[n] == n for n in iso)
 
 
 def test_lpa_converged_one_label_per_node_and_labels_are_node_ids(lpa_state):
@@ -170,3 +190,21 @@ def test_ppr_converged_agrees_with_gated_two_step_on_the_seed(spark, sf_small, p
     assert gate[0]["seed_part"] == seed
     assert gate[0]["n_parts"] == len(conv_vec)
     assert gate[0]["total_mass"] == 1.0
+
+
+def test_lpa_keeps_isolated_nodes_self_labeled(spark):
+    """The isolated-node law the registered projection gates is
+    vacuous on the ancestry graph (no isolated purchasers at test SFs)
+    — plant one: a node with no edges must survive the vote join with
+    its own id as its label, at every round and at convergence."""
+    from tripl_spark.queries.graph_queries import label_propagation
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (99,)], "node long")
+    got = {
+        r.node: r.label
+        for r in label_propagation(edges, nodes=nodes, max_iters=10).collect()
+    }
+    assert 99 in got and got[99] == 99
+    assert set(got) == {1, 2, 3, 99}
+    assert all(lbl in {1, 2, 3} for n, lbl in got.items() if n != 99)

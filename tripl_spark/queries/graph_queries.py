@@ -788,27 +788,21 @@ def purchase_ancestry_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame
     return nodes, edges
 
 
-@query(
-    "graph_lpa_converged",
-    doc="label propagation run to CONVERGENCE (fixpoint-or-2-cycle by "
-    "the (node,label) hash-sum observe metric) over the purchaser "
-    "ancestry graph — iterative, rows-only; invariants (one label per "
-    "node, labels are node ids, round-squared stability, agreement "
-    "with the 2-round prefix on early-converged components) in "
-    "tests/test_graph_invariants.py",
-)
-def graph_lpa_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`graph_lpa_2round` gates the per-round algebra with a hash; this
-    is the FULL run the 2-round docstring describes: `label_propagation`
-    iterates `lpa_round` with a localCheckpoint per round (one job per
-    round, convergence scalar riding the checkpoint job as an
-    `observe()` metric — the `connected_components` loop discipline)
-    until the (node,label) hash-sum matches either of the last two
-    rounds: fixpoint or the bipartite 2-cycle, both terminal for
-    synchronous LPA. Scale shape per round is unchanged — one
-    edge-sized shuffle + a max_by argmax, no windows — and the round
-    count is the graph's mixing time (~5 on this ancestry tree), so
-    cost is rounds x the 2-round query's cost, never a new shape."""
+def lpa_converged_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, community) — the FULL converged LPA run the 2-round
+    docstring describes: `label_propagation` iterates `lpa_round` with
+    a localCheckpoint per round (one job per round, convergence scalar
+    riding the checkpoint job as an `observe()` metric — the
+    `connected_components` loop discipline) until the (node,label)
+    hash-sum matches either of the last two rounds: fixpoint or the
+    bipartite 2-cycle, both terminal for synchronous LPA. Scale shape
+    per round is unchanged — one edge-sized shuffle + a max_by argmax,
+    no windows — and the round count is the graph's mixing time (~5 on
+    this ancestry tree). Per-node invariants (one label per node,
+    labels are node ids, round-squared stability, coherent terminal
+    phase per component) live in tests/test_graph_invariants.py; the
+    registered `graph_lpa_converged` hash-gates the SQL-checkable
+    conservation projection of the same run."""
     nodes, edges = purchase_ancestry_graph(spark, sf_dir)
     # strict (the default) raises if the cap is exhausted before the
     # terminal fixpoint/2-cycle test fires — same contract as
@@ -817,6 +811,98 @@ def graph_lpa_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, nodes=nodes, max_iters=40).select(
         F.col("node").cast("long").alias("node"),
         F.col("label").cast("long").alias("community"),
+    )
+
+
+@query(
+    "graph_lpa_converged",
+    # LPA's conservation laws are SQL-checkable even though the
+    # converged assignment isn't (no fixpoint iteration in the
+    # oracle): labels only ever propagate along edges, so every node's
+    # final label must be a node id inside its OWN connected component
+    # (components via the same recursive-CTE closure that gates
+    # graph_components_purchasers), and an isolated node — no
+    # neighbors, no votes — must still be present and self-labeled (an
+    # inner-join vote shape would silently drop it). The
+    # constant-by-law columns follow the classifier round(ln(2)) /
+    # PPR unit-mass precedent: the oracle recomputes the node universe
+    # and isolated set from the data, and the law says the Spark-side
+    # counts must land exactly there.
+    oracle="""
+    WITH RECURSIVE nodes AS (
+      SELECT DISTINCT user_id AS node FROM events WHERE event_type = 'purchase'
+    ),
+    edges AS (
+      SELECT n1.node AS src, n2.node AS dst
+      FROM nodes n1
+      JOIN nodes n2 ON n2.node = CAST(floor(n1.node / 2) AS BIGINT)
+      WHERE n1.node > 0
+    ),
+    sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    touched AS (SELECT DISTINCT src AS node FROM sym),
+    iso AS (
+      SELECT node FROM nodes
+      WHERE node NOT IN (SELECT node FROM touched)
+    )
+    SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM iso) AS BIGINT) AS n_isolated,
+           CAST((SELECT count(*) FROM iso) AS BIGINT)
+             AS n_isolated_selflabeled,
+           CAST((SELECT count(*) FROM nodes) AS BIGINT)
+             AS labels_within_component
+    """,
+    doc="label propagation run to CONVERGENCE (fixpoint-or-2-cycle by "
+    "the (node,label) hash-sum observe metric) over the purchaser "
+    "ancestry graph — hash-gated on the conservation projection "
+    "(node universe, isolated nodes self-labeled, every label inside "
+    "its own component vs a recursive-CTE closure); per-node "
+    "invariants in tests/test_graph_invariants.py",
+)
+def graph_lpa_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The converged LPA run's checkable projection: (n_nodes,
+    n_isolated, n_isolated_selflabeled, labels_within_component) — one
+    row. A vote join that drops isolated nodes, a label escaping its
+    component (impossible under correct propagation), or a wrong node
+    universe each fails the driver hash; the assignment itself stays
+    in `lpa_converged_labels` under its invariant tests."""
+    from tripl_spark.plans.graph import connected_components
+
+    labels = lpa_converged_labels(spark, sf_dir)
+    nodes, edges = purchase_ancestry_graph(spark, sf_dir)
+    comp = connected_components(edges, nodes=nodes)  # (node, comp)
+    lab = labels.join(comp, "node").join(
+        comp.select(
+            F.col("node").alias("community"),
+            F.col("comp").alias("comp_of_label"),
+        ),
+        "community",
+    )
+    touched = (
+        edges.select("src").unionByName(edges.select(F.col("dst").alias("src")))
+        .distinct()
+        .select(F.col("src").alias("node"))
+    )
+    iso = nodes.join(touched, "node", "left_anti")
+    iso_lab = labels.join(iso, "node")
+    counts = lab.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.coalesce(
+            F.sum(F.when(F.col("comp") == F.col("comp_of_label"), 1).otherwise(0)),
+            F.lit(0),
+        ).cast("long").alias("labels_within_component"),
+    )
+    iso_counts = iso_lab.agg(
+        F.count(F.lit(1)).cast("long").alias("n_isolated"),
+        # sum over an EMPTY frame is NULL, not 0 — a corpus with no
+        # isolated nodes must still emit a 0 counter
+        F.coalesce(
+            F.sum(F.when(F.col("community") == F.col("node"), 1).otherwise(0)),
+            F.lit(0),
+        ).cast("long").alias("n_isolated_selflabeled"),
+    )
+    return counts.crossJoin(iso_counts).select(
+        "n_nodes", "n_isolated", "n_isolated_selflabeled",
+        "labels_within_component",
     )
 
 

@@ -89,6 +89,7 @@ _PRIORITY = [
     "sim_covariance_slice",
     "sim_pca_explained_variance",
     "graph_ppr_converged",
+    "graph_lpa_converged",
     "multimodal_image_neardup",
     "multimodal_image_dedup_groups",
     # (c) r5-vintage refresh cohort, alphabetical for auditability
@@ -137,17 +138,18 @@ _PRIORITY = [
     "nation_year_rollup",
     "order_count_distribution",
     "order_status_pivot",
-    "part_price_unpivot",
 ]
 # r12 rotation note: after the r11 window lands, the oldest remaining
-# vintages are the 13 r6-vintage names NOT in section (d) above —
-# q11_important_parts, q12_ship_priority, q14_promo_revenue,
-# q15_top_supplier, q16_part_supplier_relationship, q4_order_priority,
-# q8_market_share, repeat_buyers_intersect, scalar_functions_showcase,
+# vintages are the 14 r6-vintage names NOT in section (d) above —
+# part_price_unpivot (displaced by the late graph_lpa_converged
+# conversion re-drive), q11_important_parts, q12_ship_priority,
+# q14_promo_revenue, q15_top_supplier,
+# q16_part_supplier_relationship, q4_order_priority, q8_market_share,
+# repeat_buyers_intersect, scalar_functions_showcase,
 # top5_parts_per_brand, triple_datalog_join, triple_reverse_fanin,
 # window_functions_showcase — then the r7 cohort (recompute from
 # CORRECTNESS_r01..r11 the way r9/r11 did). The r12 window: (1) any
-# queries new in r12, (2) those 13, (3) r7-vintage slots to fill,
+# queries new in r12, (2) those 14, (3) r7-vintage slots to fill,
 # (4) any query whose oracle text changed semantically.
 
 
