@@ -625,3 +625,26 @@ def test_unresolvable_scheme_refuses_loudly(spark, dump):
 
     with pytest.raises(NotImplementedError, match="no\nHadoop FileSystem|no Hadoop|scheme"):
         _list_data_files(spark, "nosuchfs://bucket/path")
+
+
+def test_local_path_canonicalization_is_scheme_aware():
+    """Pure-function contract of the identity canonicalizer: local
+    spellings realpath-collapse, remote URIs keep scheme + authority
+    (dropping the bucket would alias files across buckets), and the
+    single-unquote rule lands on the literal on-disk name for
+    percent-escaped partition values."""
+    from tripl_spark.sources.skipindex import _local_path
+
+    # local: file:// URI and plain path converge
+    assert _local_path("file:///tmp/x/part-0.parquet") == _local_path(
+        "/tmp/x/part-0.parquet"
+    )
+    # one unquote: the escaped ':' in a partition dir decodes once
+    assert _local_path("file:///d/a=ns%3Aattr/p.parquet").endswith(
+        "/d/a=ns:attr/p.parquet"
+    )
+    # remote: scheme + bucket survive; same key in another bucket differs
+    a = _local_path("s3a://bucket-a/log/a=x/p.parquet")
+    b = _local_path("s3a://bucket-b/log/a=x/p.parquet")
+    assert a == "s3a://bucket-a/log/a=x/p.parquet" and a != b
+    assert _local_path("hdfs://nn:8020/warehouse/p.parquet").startswith("hdfs://nn:8020/")
