@@ -178,3 +178,21 @@ def test_whitening_rebalances_lsh_buckets_on_offset_corpus(spark):
     # work collapses by an order of magnitude
     assert wh_max <= 3 * n / (2 ** N_PLANES), (wh_max, n)
     assert wh_work * 5 <= raw_work, (wh_work, raw_work)
+
+
+def test_whiten_keep_order_is_caller_order(spark):
+    """REGRESSION (r11 review): the mapInPandas schema binds Arrow
+    columns POSITIONALLY, so a `keep` list spelled in a different
+    order than the source schema must still come back with each
+    column's own values."""
+    from tripl_spark.operators.pca import covariance_matrix, covariance_partials, whiten
+
+    emb = spark.createDataFrame(
+        [(1, "a", [1.0, 2.0]), (2, "b", [3.0, 4.0])],
+        "vec_id long, tag string, v array<double>",
+    )
+    cov, mu, _ = covariance_matrix(covariance_partials(emb))
+    # keep order deliberately REVERSED vs the schema order
+    out = {r["vec_id"]: r["tag"]
+           for r in whiten(emb, cov, mu, keep=["tag", "vec_id"]).collect()}
+    assert out == {1: "a", 2: "b"}

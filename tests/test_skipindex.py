@@ -648,3 +648,33 @@ def test_local_path_canonicalization_is_scheme_aware():
     b = _local_path("s3a://bucket-b/log/a=x/p.parquet")
     assert a == "s3a://bucket-a/log/a=x/p.parquet" and a != b
     assert _local_path("hdfs://nn:8020/warehouse/p.parquet").startswith("hdfs://nn:8020/")
+
+
+def test_zero_row_sentinel_inside_escaped_partition_dir(spark, tmp_path):
+    """REGRESSION (r11 review): sentinel rows are written from the
+    already-canonical listing path, while stats rows store raw
+    input_file_name() URIs — readers decode every sidecar value ONCE,
+    so sentinels must be re-encoded at write (`_sidecar_form`) or a
+    literal '%' in an escaped partition dir (any ':'-carrying
+    attribute) double-decodes and the dump reads permanently stale."""
+    from tripl_spark.sources.skipindex import refresh_skip_index
+
+    schema = (
+        "e string, vtype string, v_str string, "
+        "v_num double, v_bool boolean, t long, a string"
+    )
+    df = spark.createDataFrame(
+        [("user-1", "str", "v1", None, None, 7, "ns:attr")], schema
+    )
+    path = str(tmp_path / "escdump")
+    df.write.partitionBy("a").parquet(path)  # dir is a=ns%3Aattr
+    # plant a ZERO-ROW part file inside the escaped partition dir
+    df.drop("a").limit(0).coalesce(1).write.mode("append").parquet(
+        os.path.join(path, "a=ns%3Aattr")
+    )
+    build_skip_index(spark, path)
+    verify_skip_index(spark, path)  # double-decode made this raise
+    assert refresh_skip_index(spark, path)["added"] == 0  # idempotent
+    assert read_pruned(spark, path, attrs=["ns:attr"]).count() == 1
+    side = spark.read.parquet(os.path.join(path, "_skipindex"))
+    assert side.filter(F.col("n_rows") == 0).count() >= 1

@@ -471,9 +471,10 @@ class TripleStore:
     # driver path costs a collect() per expression position per level
     # and re-nests row-by-row in Python — fine for a page of entities,
     # quadratic-feeling at a million roots. The distributed path is one
-    # job + ONE collect of finished documents. The two assemblies are
-    # pinned row-identical by tests/test_pull_df.py's equivalence
-    # property, so the switch is invisible to callers.
+    # job + ONE collect of finished documents. The auto-switch applies
+    # only to FLAT expressions (see pull_many), where the assemblies
+    # are equivalent on every store — pinned by tests/test_pull_df.py's
+    # equivalence property — so the switch is invisible to callers.
     PULL_DISTRIBUTED_THRESHOLD = 512
 
     @staticmethod
@@ -486,6 +487,17 @@ class TripleStore:
                     ):
                         return True
         return False
+
+    @staticmethod
+    def _expr_is_flat(expr: list[Any]) -> bool:
+        """No dict children (and therefore no '...' either): the pull
+        shapes whose two assembly paths are equivalent on EVERY store —
+        plain attrs, '*', bare reverse lookups. Nested dict patterns
+        diverge on CYCLIC ref data (the driver loop stubs any revisited
+        ancestor, the distributed path expands fully) and ignore
+        ``max_depth``, so they only auto-switch when the caller forces
+        ``distributed=True``."""
+        return not any(isinstance(item, dict) for item in expr)
 
     def pull_many(
         self,
@@ -505,10 +517,14 @@ class TripleStore:
         ``distributed`` selects the assembly path: None (default)
         auto-switches to cluster-side JSON assembly
         (`plans/pull_df.py`) past ``PULL_DISTRIBUTED_THRESHOLD`` roots
-        — except for ``'...'`` expressions, whose cycle handling
-        differs between the paths (driver: first-revisit stub;
-        distributed: bounded unroll), so recursion stays on the driver
-        loop unless forced. True/False force a path."""
+        — but only for FLAT expressions (plain attrs / '*' / bare
+        reverse), where the two paths are equivalent on every store.
+        Expressions with dict children stay on the driver loop unless
+        forced: their cycle handling differs (driver: stub any
+        revisited ancestor; distributed: full bottom-up expansion,
+        ``'...'`` bounded-unrolled) and the distributed path ignores
+        ``max_depth``, so an automatic flip could change results on
+        cyclic ref data. True/False force a path."""
         if isinstance(eids_or_pattern, dict):
             eids = sorted(self.match(eids_or_pattern))
         else:
@@ -519,7 +535,7 @@ class TripleStore:
             if distributed is not None
             else (
                 len(eids) >= self.PULL_DISTRIBUTED_THRESHOLD
-                and not self._expr_has_recur(pull_expr)
+                and self._expr_is_flat(pull_expr)
             )
         )
         if use_df:

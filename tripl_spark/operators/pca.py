@@ -299,10 +299,14 @@ def whiten(
             out[vec_col] = list(z)
             yield pd.DataFrame(out)
 
+    # Arrow batch columns match the declared schema POSITIONALLY, so
+    # the schema must list the keep columns in the exact order the
+    # generator yields them (the caller's `keep` order) — schema-order
+    # iteration would silently miswire any keep list spelled in a
+    # different order than emb's columns.
+    by_name = {f.name: f for f in emb.schema.fields}
     keep_schema = "".join(
-        f"{f.name} {f.dataType.simpleString()}, "
-        for f in emb.schema.fields
-        if f.name in keep
+        f"{k} {by_name[k].dataType.simpleString()}, " for k in keep
     )
     return emb.select(*keep, vec_col).mapInPandas(
         gemm, schema=f"{keep_schema}{vec_col} array<double>"
@@ -396,19 +400,24 @@ def whitened_vs_raw_lsh_recall(
     """(variant, query_id, n_hits, recall_at_k) for the raw-space and
     whitened-space sign-LSH indexes over the same corpus and ground
     truth. One covariance pass (O(batches·d²) shuffle), one map-only
-    whitening pass, two bucket-pruned probe joins. The whitening
-    matrix and mean are the broadcast driver-side d×d / d state —
-    exactly the k-means-centroid state class."""
+    whitening pass — the RAW vector rides through it as a kept column,
+    so recovering it for candidate scoring costs no re-join — and two
+    bucket-pruned probe joins. The whitening matrix and mean are the
+    broadcast driver-side d×d / d state — exactly the
+    k-means-centroid state class."""
     from tripl_spark.operators.similarity import bucket_key
 
     cov, mu, _n = covariance_matrix(covariance_partials(emb))
     raw_b = emb.withColumn("bucket", bucket_key(F.col("v")))
-    white = whiten(emb, cov, mu, keep=["vec_id"]).select(
-        "vec_id", F.col("v").alias("vw")
+    white = whiten(
+        emb.withColumn("v_raw", F.col("v")), cov, mu,
+        keep=["vec_id", "v_raw"],
     )
-    white_b = emb.join(white, "vec_id").withColumn(
-        "bucket", bucket_key(F.col("vw"))
-    ).select("vec_id", "v", "bucket")
+    white_b = white.select(
+        "vec_id",
+        F.col("v_raw").alias("v"),
+        bucket_key(F.col("v")).alias("bucket"),  # v here = whitened
+    )
     return lsh_recall_rows(raw_b, exact, "raw").unionByName(
         lsh_recall_rows(white_b, exact, "whitened")
     )

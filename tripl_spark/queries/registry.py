@@ -117,8 +117,9 @@ _PRIORITY = [
     "top3_customers_per_nation",
     "triple_match_segment",
     "triple_pull_df_wildcard",
-    # (d) r6-vintage refresh cohort, alphabetical, first 20 of 33
-    # (fills the window at exactly 50)
+    # (d) r6-vintage refresh cohort, alphabetical, first 19 of 33
+    # (fills the window at exactly 50; part_price_unpivot was displaced
+    # by the late graph_lpa_converged conversion re-drive in (b))
     "approx_distinct_users",
     "approx_quantiles_value",
     "asof_last_purchase",

@@ -61,7 +61,7 @@ Scale discipline:
 from __future__ import annotations
 
 import os
-from urllib.parse import unquote, urlparse
+from urllib.parse import quote, unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -334,11 +334,36 @@ def _list_data_files(spark: SparkSession, path: str) -> list[str]:
 def _sidecar_exists(spark: SparkSession, path: str) -> bool:
     """Hadoop-FS existence probe for ``<path>/_skipindex`` — the
     scheme-agnostic form of ``os.path.isdir`` (which reads any URI as
-    absent and would force a full rebuild on every refresh)."""
+    absent and would force a full rebuild on every refresh). Same
+    loud-refusal contract as ``_list_data_files`` for schemes with no
+    handler."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(os.path.join(path, SIDECAR))
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    try:
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    except Exception as e:
+        raise NotImplementedError(
+            f"skip-index maintenance cannot probe {path!r}: no Hadoop "
+            f"FileSystem for its scheme ({e}) — pass assume_fresh=True "
+            "under a writer protocol or configure the filesystem"
+        ) from e
     return bool(fs.exists(hpath))
+
+
+def _sidecar_form(canonical: str) -> str:
+    """Inverse of ``_local_path`` for WRITING file identities into the
+    sidecar. Stats rows store raw ``input_file_name()`` URIs, which are
+    URI-encoded ONCE — so readers decode every sidecar value once.
+    Sentinel rows start from the canonical (literal, decoded) listing
+    path instead; storing that verbatim would make the reader's single
+    unquote decode it a SECOND time (a partition dir like
+    ``a=ns%3Aattr`` — any ':'-carrying attribute — would corrupt to
+    ``a=ns:attr`` and read as permanently stale). Re-encode so one
+    decode lands exactly back on the canonical form."""
+    p = urlparse(canonical)
+    if p.scheme == "":  # local canonical path
+        return "file://" + quote(canonical, safe="/")
+    return f"{p.scheme}://{p.netloc}{quote(p.path, safe='/')}"
 
 
 def _append_empty_sentinels(
@@ -357,7 +382,7 @@ def _append_empty_sentinels(
     if not missing:
         return
     sent = spark.createDataFrame(
-        [(f,) for f in missing], "file string"
+        [(_sidecar_form(f),) for f in missing], "file string"
     ).select(
         "file",
         *[

@@ -41,11 +41,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tripl_spark.operators.text import gopher_flag_frame, first_failing_rule
+from tripl_spark.operators.text import (
+    GOPHER_RULE_ORDER,
+    first_failing_rule,
+    gopher_flag_frame,
+)
 
 __all__ = ["StreamingQualityMonitor", "quality_partials"]
 
-_RULES = ("wc_ok", "mwl_ok", "alpha_ok", "symbol_ok", "stop_ok")
+# the shared battery-order definition — a private copy here could
+# silently drift from first_failing_rule()'s fate strings
+_RULES = GOPHER_RULE_ORDER
 
 
 def quality_partials(batch: DataFrame) -> DataFrame:
