@@ -590,6 +590,27 @@ def main() -> None:
                                      AUDIO_BAND_MAX_BUCKET)),
                f"(AUDIO_BAND_MAX_BUCKET={AUDIO_BAND_MAX_BUCKET})")
 
+        # ---- PCA sufficient statistics: the covariance GEMM pass
+        # claims O(batches·d²) shuffle ROWS whatever n is — the
+        # reduced partial frame is ≤ d²+d+1 keys, so alpha_work must
+        # be ~0 while the (embarrassingly parallel) scan time grows
+        # at most linearly past the job floor. Work driver = the rows
+        # the groupBy shuffle EMITS (what a 1000-executor reduce
+        # actually moves to the driver-side eigh).
+        from tripl_spark.operators.pca import (
+            covariance_matrix,
+            covariance_partials,
+        )
+
+        emb_v = emb.select("v")
+        record(
+            "pca_covariance_gemm sufficient-stats", mult,
+            timed(lambda: int(covariance_matrix(
+                covariance_partials(emb_v))[2]),
+                  work=covariance_partials(emb_v).count()),
+            "(reduced shuffle keys <= d^2+d+1 — constant in n)",
+        )
+
         # ---- video group resolution: frame-hash buckets -> edges ->
         # CC. The r9 optimization replaces the within-bucket pair
         # CLIQUE (|bucket|^2 edges — quadratic on a boilerplate intro
