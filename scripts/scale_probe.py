@@ -559,34 +559,42 @@ def main() -> None:
                                      IMAGE_BAND_MAX_BUCKET)),
                f"(IMAGE_BAND_MAX_BUCKET={IMAGE_BAND_MAX_BUCKET})")
 
-        # ---- audio fingerprint banding: 4 x 8-bit bands over the
-        # 32-bit energy-delta print. 8-bit keys (256/band) saturate
-        # far sooner than the image 16-bit keys: at 30x the UNIFORM
-        # occupancy is already ~n/256 per bucket, so Sigma|bucket|^2
-        # grows ~n^2/256 even without a degenerate class — banding
-        # over a fixed key space is a guard against degenerate mass
-        # (silence), not a scaling strategy; the corpus-scale path is
-        # longer fingerprints / wider bands (key space grows with n,
-        # the n_planes_for occupancy rule applied to bands).
+        # ---- audio fingerprint banding: 4 x 16-bit bands over the
+        # 64-bit energy-delta print (widened in r12 from 4 x 8-bit /
+        # 32-bit, whose 256-key band space the r11 probe measured at
+        # alpha_work 1.96 on a UNIFORM corpus — saturated, so the
+        # bucket cap was dropping non-degenerate mass). With 65,536
+        # keys per band the uniform occupancy stays <<1 per bucket at
+        # every probed size, so the expectation is alpha_work ~= 1
+        # (pair mass ~ n^2/2^16 is negligible next to the linear band
+        # rows) and the cap back on degenerate-only duty, matching
+        # the image twin.
         from tripl_spark.operators.multimodal import (
             AUDIO_BAND_MAX_BUCKET,
+            AUDIO_BAND_WIDTH,
+            AUDIO_FP_WINDOWS,
+            AUDIO_NEARDUP_BANDS,
             audio_near_dup_pairs,
         )
 
-        n_aud = 500 * mult  # 8-bit keys saturate fast; smaller n keeps
-        # the timed candidate joins countable at 30x
-        aud_uni = synth_hashes(n_aud, 32, 0, sig="fingerprint")
-        aud_hot = synth_hashes(n_aud, 32, 30, sig="fingerprint")
-        record("audio_band_pairs uniform uncapped", mult,
+        n_aud = 2_000 * mult  # same scale as the image probe: 16-bit
+        # keys keep the uniform candidate join countable at 30x
+        aud_uni = synth_hashes(n_aud, AUDIO_FP_WINDOWS, 0, sig="fingerprint")
+        aud_hot = synth_hashes(n_aud, AUDIO_FP_WINDOWS, 30, sig="fingerprint")
+        record("audio_band_pairs uniform uncapped (16-bit)", mult,
                timed(lambda: audio_near_dup_pairs(aud_uni, max_bucket=None).count(),
-                     work=band_space(aud_uni, "fingerprint", 4, 8, None)),
-               "(8-bit keys saturate: ~n^2/256 even uniform)")
-        record("audio_band_pairs 30%-silence UNCAPPED", mult,
-               (0.0, band_space(aud_hot, "fingerprint", 4, 8, None)),
+                     work=band_space(aud_uni, "fingerprint",
+                                     AUDIO_NEARDUP_BANDS, AUDIO_BAND_WIDTH,
+                                     None)),
+               "(16-bit keys: collision mass ~ n^2/2^16, tiny)")
+        record("audio_band_pairs 30%-silence UNCAPPED (16-bit)", mult,
+               (0.0, band_space(aud_hot, "fingerprint",
+                                AUDIO_NEARDUP_BANDS, AUDIO_BAND_WIDTH, None)),
                "(the hazard: silence class = (0.3n)^2; work only)")
-        record("audio_band_pairs 30%-silence capped", mult,
+        record("audio_band_pairs 30%-silence capped (16-bit)", mult,
                timed(lambda: audio_near_dup_pairs(aud_hot).count(),
-                     work=band_space(aud_hot, "fingerprint", 4, 8,
+                     work=band_space(aud_hot, "fingerprint",
+                                     AUDIO_NEARDUP_BANDS, AUDIO_BAND_WIDTH,
                                      AUDIO_BAND_MAX_BUCKET)),
                f"(AUDIO_BAND_MAX_BUCKET={AUDIO_BAND_MAX_BUCKET})")
 

@@ -70,7 +70,7 @@ def test_audio_fingerprint_robust_to_gain(spark):
                       "payload": [mc.encode_wav(base, 8000), mc.encode_wav(half, 8000)]})
     )
     fps = {r.doc_id: r.fingerprint for r in audio_fingerprint(audio).collect()}
-    assert fps[1] == fps[2] and len(fps[1]) == 32
+    assert fps[1] == fps[2] and len(fps[1]) == 64
 
 
 def test_video_shared_frame_detected(spark):
@@ -270,8 +270,8 @@ def test_video_pair_cache_does_not_outlive_the_call(spark):
 
 _fp_pairs = st.lists(
     st.tuples(
-        st.integers(min_value=0, max_value=(1 << 32) - 1),  # base fp
-        st.sets(st.integers(min_value=0, max_value=31),     # flipped bits
+        st.integers(min_value=0, max_value=(1 << 64) - 1),  # base fp
+        st.sets(st.integers(min_value=0, max_value=63),     # flipped bits
                 min_size=0, max_size=3),
     ),
     min_size=1,
@@ -283,7 +283,7 @@ _fp_pairs = st.lists(
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_audio_banding_pigeonhole_guarantee(spark, pairs):
-    """The recall guarantee of 4x8-bit pigeonhole banding: ANY pair
+    """The recall guarantee of 4x16-bit pigeonhole banding: ANY pair
     within Hamming <= 3 must agree on >= 1 whole band and therefore be
     emitted (uncapped) with its EXACT Hamming distance — for arbitrary
     fingerprints and arbitrary <=3-bit perturbations."""
@@ -295,8 +295,8 @@ def test_audio_banding_pigeonhole_guarantee(spark, pairs):
         for b in flips:
             pert ^= 1 << b
         a_id, b_id = i * 2, i * 2 + 1
-        rows.append((a_id, format(base, "032b")))
-        rows.append((b_id, format(pert, "032b")))
+        rows.append((a_id, format(base, "064b")))
+        rows.append((b_id, format(pert, "064b")))
         want[(a_id, b_id)] = len(flips)
     fps = spark.createDataFrame(rows, "doc_id long, fingerprint string")
     got = {(r.id_a, r.id_b): r.hamming
@@ -343,3 +343,60 @@ def test_image_degenerate_band_bucket_capped(spark):
     # quadratic blowup the cap exists to prevent
     uncapped = image_near_dup_pairs(hashes, max_bucket=None).count()
     assert uncapped == 66 + 1
+
+
+def test_audio_cap_spares_uniform_mass_wide_bands(spark):
+    """The r12 point of the 16-bit band widening: on a UNIFORM corpus
+    the cap must be a no-op — capped and uncapped pair sets identical
+    at a corpus size where the old 8-bit keys (256/band) already
+    averaged >1 member per bucket and the cap was provably at risk of
+    dropping real near-dups. Also pins recall: planted gain-copies
+    survive the cap at every corpus size step (recall does not decay
+    with corpus growth, the r11 'weak' failure mode)."""
+    import numpy as np
+
+    from tripl_spark.operators.multimodal import (
+        AUDIO_BAND_MAX_BUCKET,
+        audio_fingerprint,
+        audio_near_dup_pairs,
+    )
+
+    rng = random.Random(99)
+
+    def corpus(n_uniform: int, n_families: int):
+        rows = []
+        for i in range(n_uniform):
+            samples = np.array(
+                [rng.randrange(-20000, 20000) for _ in range(280 + i % 60)],
+                dtype=np.int16,
+            )
+            rows.append((10_000 + i, mc.encode_wav(samples, 8000)))
+        planted = []
+        for f in range(n_families):
+            base = np.array(
+                [rng.randrange(-20000, 20000) for _ in range(300 + f * 3)],
+                dtype=np.int16,
+            )
+            a, b = f * 2, f * 2 + 1
+            rows.append((a, mc.encode_wav(base, 8000)))
+            rows.append((b, mc.encode_wav((base // 2).astype(np.int16), 8000)))
+            planted.append((a, b))
+        return rows, planted
+
+    for n_uniform in (200, 800):  # 800 clips * 4 bands >> 256 old keys
+        rows, planted = corpus(n_uniform, n_families=5)
+        audio = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [r[0] for r in rows],
+                          "payload": [r[1] for r in rows]})
+        )
+        fps = audio_fingerprint(audio)
+        capped = {(r.id_a, r.id_b) for r in audio_near_dup_pairs(fps).collect()}
+        uncapped = {
+            (r.id_a, r.id_b)
+            for r in audio_near_dup_pairs(fps, max_bucket=None).collect()
+        }
+        # cap is a no-op on uniform mass: identical pair sets
+        assert capped == uncapped, (n_uniform, capped ^ uncapped)
+        # planted recall holds at every corpus size (no decay)
+        assert set(planted) <= capped, (n_uniform, set(planted) - capped)
+    assert AUDIO_BAND_MAX_BUCKET is not None  # cap still on for degenerates

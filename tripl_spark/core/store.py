@@ -550,8 +550,11 @@ class TripleStore:
                 self.current_facts(), self.registry, pull_expr, roots,
                 recur_depth=max_depth,
             ).collect()
-            by_e = {r["e"]: _json.loads(r["doc"]) for r in rows}
-            results = [by_e[e] for e in eids]
+            raw_by_e = {r["e"]: r["doc"] for r in rows}
+            # parse PER OCCURRENCE: duplicate eids must get independent
+            # dicts (the driver path builds one per root — a caller
+            # mutating one returned doc must not mutate its twins)
+            results = [_json.loads(raw_by_e[e]) for e in eids]
         else:
             results = pull_plan.pull_many_plan(
                 self.spark, self.current_facts(), self.registry, pull_expr, eids,

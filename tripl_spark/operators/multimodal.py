@@ -404,12 +404,13 @@ def image_dhash(images: DataFrame) -> DataFrame:
 
 
 IMAGE_BAND_MAX_BUCKET = 1000  # over-popular 16-bit band keys expand
-# quadratically in the candidate join. 16-bit keys collide less than
-# the audio 8-bit bands, but the collision mass is CONTENT-correlated,
+# quadratically in the candidate join. A uniform corpus's 16-bit
+# buckets stay tiny, but the collision mass is CONTENT-correlated,
 # not uniform: a solid-color / boilerplate image family all share the
 # same all-zero-gradient dHash, so one degenerate class is a quadratic
 # pair stage at corpus scale. Same DEFAULT_MAX_BUCKET discipline as
-# audio_near_dup_pairs, replicated in the oracle.
+# audio_near_dup_pairs (16-bit bands there too since r12), replicated
+# in the oracle.
 
 
 def image_near_dup_pairs(
@@ -646,14 +647,19 @@ def multimodal_image_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame
 # Audio fingerprinting (the audio twin of image dHash)
 # ---------------------------------------------------------------------------
 
-AUDIO_FP_WINDOWS = 32
+AUDIO_FP_WINDOWS = 64  # 64-bit fingerprint → four 16-bit bands: 65,536
+# keys per band, matching the image dHash band arithmetic. The r11
+# 32-bit / 8-bit-band version saturated its 256-key band space on
+# UNIFORM corpora (SCALE.md probe: alpha_work 1.96 uncapped), which
+# made the bucket cap drop non-degenerate mass at corpus scale; the
+# wider key space returns the cap to degenerate-only duty.
 
 
 def audio_fingerprint(audio: DataFrame) -> DataFrame:
     """(doc_id, fingerprint) — energy-delta signature over DECODED PCM:
-    abs samples binned into 32 fixed windows (floor mapping
-    w = i*32 // n), bit w set iff energy(w+1 mod 32) > energy(w)
-    (wrap-around keeps 32 bits → four 8-bit bands). Robust to uniform
+    abs samples binned into 64 fixed windows (floor mapping
+    w = i*64 // n), bit w set iff energy(w+1 mod 64) > energy(w)
+    (wrap-around keeps 64 bits → four 16-bit bands). Robust to uniform
     gain/offset changes the way dHash is robust to brightness."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -709,10 +715,15 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 AUDIO_NEARDUP_MAX_HAMMING = 3
-AUDIO_BAND_MAX_BUCKET = 1000  # over-popular 8-bit band keys (silence,
-# constant tones — the audio analog of boilerplate frames) expand
-# quadratically in the candidate join; drop them BEFORE pairing, the
-# DEFAULT_MAX_BUCKET discipline, replicated in the oracle
+AUDIO_NEARDUP_BANDS = 4
+AUDIO_BAND_WIDTH = AUDIO_FP_WINDOWS // AUDIO_NEARDUP_BANDS  # 16 bits
+AUDIO_BAND_MAX_BUCKET = 1000  # degenerate band keys (silence, constant
+# tones — the audio analog of boilerplate frames) expand quadratically
+# in the candidate join; drop them BEFORE pairing, the
+# DEFAULT_MAX_BUCKET discipline, replicated in the oracle. With 16-bit
+# bands (65,536 keys) the cap is degenerate-ONLY duty: a uniform
+# corpus stays under it until buckets average ~1000 members, i.e.
+# ~65M clips per band key — the cap no longer drops uniform mass.
 
 
 def audio_near_dup_pairs(
@@ -721,22 +732,25 @@ def audio_near_dup_pairs(
     max_bucket: int | None = AUDIO_BAND_MAX_BUCKET,
 ) -> DataFrame:
     """(id_a, id_b, hamming) audio near-dup candidates: pigeonhole the
-    32 fingerprint bits into 4 x 8-bit bands (any pair within Hamming
+    64 fingerprint bits into 4 x 16-bit bands (any pair within Hamming
     <= 3 agrees on >= 1 whole band), equi-join per band with the
     degenerate-bucket cap, verify exact Hamming JVM-side — candidates
-    only, never all-pairs. 8-bit band keys collide far more than the
-    image dHash's 16-bit bands, so the bucket cap is load-bearing
-    here: at corpus scale a silent-audio band key would otherwise
-    pair every silent clip with every other."""
+    only, never all-pairs. Band arithmetic now mirrors the image
+    dHash's 16-bit bands: 65,536 keys per band keep a uniform corpus's
+    buckets tiny, so the cap only fires on content-degenerate classes
+    (silence, constant tones) — measured uncapped-uniform alpha_work
+    ~= 1 in SCALE.md (vs 1.96 under the old 8-bit keys)."""
     bands = fps.select(
         "doc_id", "fingerprint",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("band_id"),
-                    F.substring("fingerprint", i * 8 + 1, 8).alias("band_key"),
+                    F.substring(
+                        "fingerprint", i * AUDIO_BAND_WIDTH + 1, AUDIO_BAND_WIDTH
+                    ).alias("band_key"),
                 )
-                for i in range(4)
+                for i in range(AUDIO_NEARDUP_BANDS)
             ])
         ).alias("b"),
     ).select("doc_id", "fingerprint", "b.band_id", "b.band_key")
@@ -779,14 +793,15 @@ def audio_near_dup_pairs(
 
 def _audio_neardup_oracle() -> str:
     """The banded pair stage composed over the fingerprint oracle:
-    4 x 8-bit pigeonhole bands, the bucket cap, candidate equi-join,
+    4 x 16-bit pigeonhole bands, the bucket cap, candidate equi-join,
     exact character-wise Hamming verify."""
     return f"""
     WITH sigs AS ({_audio_fp_oracle()}),
     bands AS (
       SELECT doc_id, fingerprint, b.i AS band_id,
-             substring(fingerprint, b.i * 8 + 1, 8) AS band_key
-      FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS i) b
+             substring(fingerprint, b.i * {AUDIO_BAND_WIDTH} + 1,
+                       {AUDIO_BAND_WIDTH}) AS band_key
+      FROM sigs CROSS JOIN (SELECT unnest(range({AUDIO_NEARDUP_BANDS})) AS i) b
     ),
     keepb AS (
       SELECT band_id, band_key FROM bands
@@ -806,7 +821,7 @@ def _audio_neardup_oracle() -> str:
              CAST(sum(CASE WHEN substring(ha, p.i + 1, 1)
                             <> substring(hb, p.i + 1, 1)
                       THEN 1 ELSE 0 END) AS INT) AS hamming
-      FROM cand CROSS JOIN (SELECT unnest(range(32)) AS i) p
+      FROM cand CROSS JOIN (SELECT unnest(range({AUDIO_FP_WINDOWS})) AS i) p
       GROUP BY id_a, id_b
     ) WHERE hamming <= {AUDIO_NEARDUP_MAX_HAMMING}
     """
@@ -815,12 +830,12 @@ def _audio_neardup_oracle() -> str:
 @query("multimodal_audio_neardup",
        oracle=_audio_neardup_oracle(),
        doc="Audio near-dup pairs via energy-delta fingerprint pigeonhole "
-           "banding (4 x 8-bit bands, degenerate-bucket cap) — banding, "
+           "banding (4 x 16-bit bands, degenerate-bucket cap) — banding, "
            "cap, candidates and the exact Hamming verify all hash-match "
            "the SQL rebuild composed over the fingerprint oracle; "
            "planted-gain-change recall in tests/test_image_dedup.py")
 def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate audio pairs (Hamming <= 3 on the 32-bit
+    """Near-duplicate audio pairs (Hamming <= 3 on the 64-bit
     energy-delta fingerprint) — the audio twin of image dHash
     banding; robust to uniform gain/offset edits by construction of
     the fingerprint."""

@@ -249,9 +249,16 @@ def sim_pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cov, _mu, _n = covariance_matrix(covariance_partials(emb))
     w, _v = pca_components(cov, DIM)  # full spectrum
+    trace = float(np.trace(cov))
+    # Σ eigenvalues == trace is a law (pinned in tests/test_pca.py),
+    # but eigh's float sum drifts from the trace by ~1e-12 — enough to
+    # round the two gated columns apart on a 5th-decimal half-boundary
+    # (the knife-edge class SCALE.md's floor note covers). Assert the
+    # law driver-side, then emit the ONE trace for both columns, which
+    # is exactly what the oracle does.
+    assert abs(float(np.sum(w)) - trace) < 1e-9 * max(1.0, abs(trace))
     return spark.createDataFrame(
-        [(DIM, round(float(np.sum(w)), 5) + 0.0,
-          round(float(np.trace(cov)), 5) + 0.0)],
+        [(DIM, round(trace, 5) + 0.0, round(trace, 5) + 0.0)],
         "n_components long, eigen_sum double, total_variance double",
     )
 
@@ -413,11 +420,12 @@ def whitened_vs_raw_lsh_recall(
         emb.withColumn("v_raw", F.col("v")), cov, mu,
         keep=["vec_id", "v_raw"],
     )
+    # two steps, no shadowing: bucket from the whitened `v` first, THEN
+    # rename the raw vector to the `v` slot lsh_recall_rows scores on —
+    # correctness must not ride on select-binding order
     white_b = white.select(
-        "vec_id",
-        F.col("v_raw").alias("v"),
-        bucket_key(F.col("v")).alias("bucket"),  # v here = whitened
-    )
+        "vec_id", bucket_key(F.col("v")).alias("bucket"), "v_raw"
+    ).withColumnRenamed("v_raw", "v")
     return lsh_recall_rows(raw_b, exact, "raw").unionByName(
         lsh_recall_rows(white_b, exact, "whitened")
     )

@@ -1279,7 +1279,7 @@ def ppr_converged_vector(
     )
     SELECT CAST((SELECT s FROM seed) AS BIGINT) AS seed_part,
            CAST(count(*) AS BIGINT) AS n_parts,
-           1.0 AS total_mass
+           CAST(1.0 AS DOUBLE) AS total_mass
     FROM reach
     """,
     doc=f"personalized PageRank run to the L∞ < 1e-9 fixpoint (≤ "
