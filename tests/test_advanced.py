@@ -8,10 +8,31 @@ from tripl_spark.queries.registry import all_queries
 
 
 def test_approx_distinct_error_bound(spark, sf_medium):
+    # the registered query uses the repo's 64-register SQL-replicable
+    # HLL (rsd ~ 1.04/sqrt(64) ~ 13%) — bound at ~2.7 sigma
     rows = all_queries()["approx_distinct_users"](spark, sf_medium).collect()
     for r in rows:
         rel_err = abs(r.approx_users - r.exact_users) / max(r.exact_users, 1)
-        assert rel_err < 0.1, f"{r.event_type}: HLL rel err {rel_err}"
+        assert rel_err < 0.35, f"{r.event_type}: HLL rel err {rel_err}"
+
+    # Spark's native HLL++ path (opaque sketch state, so not driver-
+    # gated) keeps its tighter bound here
+    from pyspark.sql import functions as F
+
+    from tripl_spark.session import load_table
+
+    native = (
+        load_table(spark, sf_medium, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .collect()
+    )
+    for r in native:
+        rel_err = abs(r.approx_users - r.exact_users) / max(r.exact_users, 1)
+        assert rel_err < 0.1, f"{r.event_type}: native HLL rel err {rel_err}"
 
 
 def test_approx_quantile_error_bound(spark, sf_medium):

@@ -168,17 +168,67 @@ def classifier_logreg_2step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(logreg_fit(feats, n_steps=2))
 
 
+QUALITY_TRAIN_STEPS = 20
+
+
+def _train_loop_sql(n_steps: int) -> str:
+    """The full n-step gradient descent unrolled as a CTE chain —
+    `_train2_sql` generalized. Step k's CTEs: s{k} scores under
+    g{k-1}'s 6-dp weights, g{k} re-rounds the updated weights and
+    carries the pre-update loss. Because every step's weights are
+    6-dp-rounded on BOTH engines (the kmeans_2iter determinism
+    discipline), the chain replays bit-identically however deep.
+
+    Every CTE is MATERIALIZED: DuckDB inlines CTEs by default, and
+    g{{k}} references g{{k-1}} twice, so an inlined chain expands
+    2^n-fold (and re-opens documents.parquet per expansion — fd
+    exhaustion before the planner even finishes)."""
+    ctes = [
+        f"""g1 AS MATERIALIZED (
+      SELECT round(avg(x0 * (y - 0.5)) * {LR}, 6) + 0.0 AS w0,
+             round(avg(x1 * (y - 0.5)) * {LR}, 6) + 0.0 AS w1,
+             round(avg(x2 * (y - 0.5)) * {LR}, 6) + 0.0 AS w2,
+             round(avg(x3 * (y - 0.5)) * {LR}, 6) + 0.0 AS w3,
+             round(ln(2), 4) AS loss
+      FROM feats
+    )"""
+    ]
+    for k in range(2, n_steps + 1):
+        ctes.append(f"""s{k} AS MATERIALIZED (
+      SELECT f.*, 1.0 / (1.0 + exp(-(g.w0*f.x0 + g.w1*f.x1 + g.w2*f.x2 + g.w3*f.x3)))
+               AS p
+      FROM feats f CROSS JOIN g{k - 1} g
+    ),
+    g{k} AS MATERIALIZED (
+      SELECT round(any_value(g.w0) + {LR} * avg(x0 * (y - p)), 6) + 0.0 AS w0,
+             round(any_value(g.w1) + {LR} * avg(x1 * (y - p)), 6) + 0.0 AS w1,
+             round(any_value(g.w2) + {LR} * avg(x2 * (y - p)), 6) + 0.0 AS w2,
+             round(any_value(g.w3) + {LR} * avg(x3 * (y - p)), 6) + 0.0 AS w3,
+             round(avg(-(y * ln(p) + (1 - y) * ln(1 - p))), 4) AS loss
+      FROM s{k} CROSS JOIN g{k - 1} g
+    )""")
+    selects = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({k} AS BIGINT) AS step, w0, w1, w2, w3, loss FROM g{k}"
+        for k in range(1, n_steps + 1)
+    )
+    feats = _feature_sql().replace("feats AS (", "feats AS MATERIALIZED (", 1)
+    return f"WITH {feats},\n    " + ",\n    ".join(ctes) + f"\n    {selects}"
+
+
 @query(
     "classifier_quality_train",
-    doc="free-running logistic-regression training (iterative — "
-    "rows-only; loss-decrease + planted-separation invariants in "
-    "tests/test_classifier.py)",
+    oracle=_train_loop_sql(QUALITY_TRAIN_STEPS),
+    doc="free-running logistic-regression training, hash-gated in r12: "
+    "the full 20-step loss curve and per-step weights replayed by an "
+    "unrolled SQL CTE chain (the classifier_logreg_2step gate "
+    "generalized); loss-decrease + planted-separation invariants stay "
+    "in tests/test_classifier.py",
 )
 def classifier_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """20 gradient steps; emits the per-step loss curve, which must be
     non-increasing (asserted in tests)."""
     feats = doc_features(load_table(spark, sf_dir, "documents"))
-    return spark.createDataFrame(logreg_fit(feats, n_steps=20))
+    return spark.createDataFrame(logreg_fit(feats, n_steps=QUALITY_TRAIN_STEPS))
 
 
 def score_docs(docs: DataFrame, w: list[float]) -> DataFrame:

@@ -108,16 +108,75 @@ def stats_corr_value_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_users", doc="HLL approximate distinct (rows-only; "
-                                    "error bound asserted in tests/test_advanced.py)")
+def _approx_distinct_oracle() -> str:
+    from tripl_spark.operators.sketches import (
+        HLL_M,
+        _HLL_VAL_BITS,
+        _hll_est_sql,
+        _POW2,
+    )
+
+    return rf"""
+    WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (
+      SELECT event_type,
+             CAST('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS hv
+      FROM tu
+    ),
+    parts AS (SELECT event_type, hv % {HLL_M} AS register, hv // {HLL_M} AS w FROM h),
+    regs AS (
+      SELECT event_type, register,
+             max(CASE WHEN w = 0 THEN {_HLL_VAL_BITS + 1}
+                      ELSE {_HLL_VAL_BITS + 1}
+                           - len(list_filter({_POW2}, p -> p <= w))
+                 END) AS r
+      FROM parts GROUP BY 1, 2
+    ),
+    est AS (SELECT event_type, {_hll_est_sql()} AS est_users
+            FROM regs GROUP BY event_type),
+    exact AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           round(e.est_users, 2) + 0.0 AS approx_users,
+           x.exact_users
+    FROM est e JOIN exact x USING (event_type)
+    """
+
+
+@query("approx_distinct_users", oracle=_approx_distinct_oracle(),
+       doc="HLL approximate distinct per event type, hash-gated at the "
+           "register level (the sketch_hll_registers recipe per group; "
+           "integer-exact harmonic sums) — converted from rows-only in "
+           "r12; Spark's native approx_count_distinct stays covered by "
+           "the error-bound test in tests/test_advanced.py")
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) per event type — the
-    constant-memory path for distinct counting at 100 TB; exact distinct
-    shuffles every key, HLL shuffles one sketch per partition."""
+    """Approximate distinct users per event type — the constant-memory
+    path for distinct counting at 100 TB: exact distinct shuffles every
+    key, the sketch shuffles ≤ m register rows per group. Uses the
+    repo's SQL-replicable 64-register HLL (`hll_register_rho` +
+    `_hll_est_agg`) rather than Spark's opaque-state
+    `approx_count_distinct`, so the driver hash gates the estimate
+    end-to-end; the exact count rides alongside for the error story."""
+    from tripl_spark.operators.sketches import _hll_est_agg, hll_register_rho
+
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
+    tu = events.select("event_type", "user_id").distinct()
+    regs = (
+        hll_register_rho(tu, F.col("user_id").cast("string"), ["event_type"])
+        .groupBy("event_type", "register")
+        .agg(F.max("r").alias("r"))
+    )
+    est = regs.groupBy("event_type").agg(
+        (F.round(_hll_est_agg(), 2) + F.lit(0.0)).alias("approx_users")
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "approx_users", "exact_users"
     )
 
 

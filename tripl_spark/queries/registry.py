@@ -67,91 +67,82 @@ _LOADED = False
 # representative TPC-H/analytics rows. Names listed here come first, in
 # this order; everything else follows in registration order.
 _PRIORITY = [
-    # Round-11 rotation, per VERDICT r10 item 2 (the scripted r10
-    # rotation that never ran, plus this round's semantic changes):
-    # (a) the query NEW in r11, (b) re-drives whose oracle/output
-    # SEMANTICS changed this round — sim_covariance_slice (the r9/r10
-    # hash FAIL, fixed by the signed-zero normalization),
-    # sim_pca_explained_variance + graph_ppr_converged (converted from
-    # rows-only to hash-gated conservation projections), the two
-    # multimodal image queries (band-bucket cap added to operator and
-    # oracle) — then (c) the 24 r5-vintage names, (d) r6-vintage
-    # refresh slots filling the 50-row window (latest-row histogram
-    # from CORRECTNESS_r01..r10: r5×24, r6×33, r7×50, r8×50, r10×50).
-    # Displaced names keep local DuckDB parity coverage in
-    # tests/test_oracle_parity.py every suite run; the signed-zero
-    # `+ 0.0` oracle normalizations are value-preserving and verified
-    # by full sf0.01 parity locally, so they don't force slots.
+    # Round-12 rotation, per VERDICT r11 item 2 (the scripted recipe
+    # at the r11 rotation note, executed): (a) queries whose ORACLE
+    # or output semantics changed in r12 — the three audio queries
+    # (fingerprint widened to 64-bit / 4x16-bit bands, operator AND
+    # oracle), classifier_quality_train + approx_distinct_users
+    # (converted rows-only -> full hash gates), sim_pca_explained_
+    # variance (now emits the trace for both gated columns),
+    # graph_ppr_converged (oracle total_mass CAST AS DOUBLE) —
+    # then (b) the 14 r6-vintage names (the oldest driver evidence
+    # after r11), then (c) r7-vintage refresh slots, alphabetical
+    # first 29 of 50, filling the window at exactly 50. Latest-row
+    # histogram from CORRECTNESS_r01..r11: r6x14, r7x50, r8x49,
+    # r10x45, r11x50. Displaced names keep local DuckDB parity
+    # coverage in tests/test_oracle_parity.py every suite run.
     #
-    # (a) NEW in r11 — first driver row
-    "sim_whitened_lsh_recall",
-    # (b) changed-semantics re-drives
-    "sim_covariance_slice",
+    # (a) changed-semantics re-drives (r12)
+    "multimodal_audio_fingerprint",
+    "multimodal_audio_neardup",
+    "multimodal_audio_dedup_groups",
+    "classifier_quality_train",
+    "approx_distinct_users",
     "sim_pca_explained_variance",
     "graph_ppr_converged",
-    "graph_lpa_converged",
-    "multimodal_image_neardup",
-    "multimodal_image_dedup_groups",
-    # (c) r5-vintage refresh cohort, alphabetical for auditability
-    "q19_discounted_revenue",
-    "q20_seasonal_shippers",
-    "q21_waiting_suppliers",
-    "q22_global_sales_opportunity",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "search_bm25",
-    "sim_ann_ivf",
-    "sim_ann_ivf_kmeans",
-    "sim_ann_knn_graph",
-    "sketch_bloom_membership",
-    "sketch_heavy_hitters",
-    "sketch_hll_registers",
-    "sketch_quantile_merge",
-    "tokenizer_bpe2_compression",
-    "tokenizer_bpe_2merges",
-    "tokenizer_vocab_coverage",
-    "top3_customers_per_nation",
-    "triple_match_segment",
-    "triple_pull_df_wildcard",
-    # (d) r6-vintage refresh cohort, alphabetical, first 19 of 33
-    # (fills the window at exactly 50; part_price_unpivot was displaced
-    # by the late graph_lpa_converged conversion re-drive in (b))
-    "approx_distinct_users",
-    "approx_quantiles_value",
-    "asof_last_purchase",
-    "churned_buyers_1995_vs_2001",
-    "classifier_quality_train",
-    "customers_without_orders",
-    "events_cube_type_year",
-    "events_daily_active_users",
-    "events_hourly_tumbling",
-    "events_moving_total_7d",
-    "events_running_total",
-    "events_sessionization",
-    "events_sliding_hourly",
-    "events_type_share",
-    "events_user_props_stats",
-    "lapsed_buyers_except",
-    "nation_year_rollup",
-    "order_count_distribution",
-    "order_status_pivot",
+    # (b) r6-vintage refresh cohort, alphabetical
+    "part_price_unpivot",
+    "q11_important_parts",
+    "q12_ship_priority",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_relationship",
+    "q4_order_priority",
+    "q8_market_share",
+    "repeat_buyers_intersect",
+    "scalar_functions_showcase",
+    "top5_parts_per_brand",
+    "triple_datalog_join",
+    "triple_reverse_fanin",
+    "window_functions_showcase",
+    # (c) r7-vintage refresh cohort, alphabetical, first 29 of 50
+    "classifier_calibration_bins",
+    "corpus_datacard",
+    "curation_dsir_weights",
+    "curation_stratified_sample",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_incremental_minhash",
+    "dedup_incremental_semantic",
+    "dedup_method_agreement",
+    "dedup_minhash_oracled",
+    "dedup_ngram_jaccard",
+    "dedup_semantic_clusters",
+    "dedup_semantic_groups",
+    "dedup_simhash_oracled",
+    "dedup_substring_spans",
+    "events_ab_ztest",
+    "events_changepoint_cusum",
+    "events_gapfill_hourly",
+    "events_markov_transitions",
+    "graph_jaccard_links",
+    "graph_kcore_2peel",
+    "graph_lpa_2round",
+    "mixing_epoch_schedule",
+    "mixing_temperature_sample",
+    "mixing_token_budget",
+    "multimodal_metadata",
+    "pipeline_full_curation",
+    "pipeline_full_curation_bycutoff",
+    "pipeline_perplexity_buckets",
 ]
-# r12 rotation note: after the r11 window lands, the oldest remaining
-# vintages are the 14 r6-vintage names NOT in section (d) above —
-# part_price_unpivot (displaced by the late graph_lpa_converged
-# conversion re-drive), q11_important_parts, q12_ship_priority,
-# q14_promo_revenue, q15_top_supplier,
-# q16_part_supplier_relationship, q4_order_priority, q8_market_share,
-# repeat_buyers_intersect, scalar_functions_showcase,
-# top5_parts_per_brand, triple_datalog_join, triple_reverse_fanin,
-# window_functions_showcase — then the r7 cohort (recompute from
-# CORRECTNESS_r01..r11 the way r9/r11 did). The r12 window: (1) any
-# queries new in r12, (2) those 14, (3) r7-vintage slots to fill,
-# (4) any query whose oracle text changed semantically.
+# r13 rotation note: after the r12 window lands, the oldest remaining
+# vintages are the 21 r7-vintage names NOT in section (c) above
+# (alphabetically from pipeline_perplexity_bycutoff onward), then the
+# 49 r8-vintage names (recompute from CORRECTNESS_r01..r12 the way
+# r9/r11/r12 did). The r13 window: (1) any queries new in r13,
+# (2) those 21, (3) r8-vintage slots to fill, (4) any query whose
+# oracle text changed semantically.
 
 
 def _ensure_loaded() -> None:
