@@ -669,6 +669,62 @@ def main() -> None:
                (0.0, clique_pairs),
                "(|bucket|^2 on the 10% intro frame — never materialized)")
 
+        # ---- pull_many assembly paths: driver loop vs cluster-side
+        # JSON (the PULL_DISTRIBUTED_THRESHOLD auto-switch). Both end
+        # driver-resident by contract (list of dicts), so the probe
+        # separates the three cost shapes: the driver loop's Python
+        # re-nesting (alpha ~ 1 with the big constant the threshold
+        # exists for), the distributed path through the same contract
+        # (cluster assembly + one json.loads per doc), and the pure
+        # cluster path pull_df().count() — what a parquet sink would
+        # pay, no driver materialization at all. Work driver = root
+        # count. Includes the nested-expression safety check
+        # (ancestor_revisit_exists) in the distributed timing, since
+        # the auto path pays it.
+        from tripl_spark.core.store import TripleStore
+
+        n_roots = 2_000 * mult
+        pull_schema = {"p:kid": {"db:valueType": "db.type:ref"}}
+        ts = TripleStore(schema=pull_schema,
+                         default_cardinality="db.cardinality:one", spark=spark)
+        n_kids = max(1, n_roots // 2)
+        ts.assert_facts(
+            [{"db:ident": f"c-{j}", "k:id": f"kid-{j}"} for j in range(n_kids)]
+            + [
+                {
+                    "db:ident": f"r-{i}",
+                    "p:name": f"name-{i % 97}",
+                    "p:score": i,
+                    "p:kid": f"c-{i % n_kids}",
+                }
+                for i in range(n_roots)
+            ]
+        )
+        ts.compact()  # checkpoint ingestion so the probe times pull only
+        pull_roots = [f"r-{i}" for i in range(n_roots)]
+        pull_expr = ["p:name", "p:score", {"p:kid": ["k:id"]}]
+        record(
+            "pull_many driver-loop assembly", mult,
+            timed(lambda: len(ts.pull_many(pull_expr, pull_roots,
+                                           distributed=False)),
+                  work=n_roots),
+        )
+        def _auto_pull() -> int:
+            # what the auto path pays: safety check, then cluster assembly
+            assert ts._distributed_safe(pull_expr, pull_roots, 20)
+            return len(ts.pull_many(pull_expr, pull_roots, distributed=True))
+
+        record(
+            "pull_many distributed assembly (auto path)", mult,
+            timed(_auto_pull, work=n_roots),
+            "(includes ancestor_revisit_exists safety check)",
+        )
+        record(
+            "pull_df cluster-only (sink path, no collect)", mult,
+            timed(lambda: ts.pull_df(pull_expr, pull_roots).count(),
+                  work=n_roots),
+        )
+
         if mult not in (1, SCALE):
             continue  # docs-side + registered queries: 1x/10x only
         record(

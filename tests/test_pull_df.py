@@ -289,6 +289,155 @@ def test_pull_many_distributed_equals_driver_assembly(spark, g):
         assert drv == dst, (expr, drv, dst)
 
 
+# Hypothesis graphs that can be CYCLIC: parents may reference other
+# parents through a card-one ref. The auto-switch (threshold forced to
+# 1) must equal the driver loop on every such graph — acyclic ones take
+# the cluster path, cyclic ones are detected and fall back.
+_maybe_cyclic = st.fixed_dictionaries(
+    {
+        "parents": st.lists(
+            st.fixed_dictionaries(
+                {
+                    "name": st.text("ab", min_size=1, max_size=2),
+                    "next": st.one_of(st.none(), st.integers(0, 4)),
+                    "kids": st.lists(st.integers(0, 2), max_size=2, unique=True),
+                }
+            ),
+            min_size=1,
+            max_size=5,
+        ),
+    }
+)
+
+
+def _build_maybe_cyclic(spark, parents):
+    schema = {
+        "t:next": {"db:valueType": "db.type:ref"},
+        "t:kid": {"db:valueType": "db.type:ref",
+                  "db:cardinality": "db.cardinality:many"},
+    }
+    ts = TripleStore(schema=schema, default_cardinality="db.cardinality:one",
+                     spark=spark)
+    kid_ids = sorted({k for p in parents for k in p["kids"]})
+    docs = [{"db:ident": f"kid-{k}", "k:id": f"kid-{k}"} for k in kid_ids]
+    for i, p in enumerate(parents):
+        d = {"db:ident": f"par-{i}", "t:name": p["name"]}
+        if p["next"] is not None and p["next"] < len(parents):
+            d["t:next"] = f"par-{p['next']}"
+        if p["kids"]:
+            d["t:kid"] = {f"kid-{k}" for k in p["kids"]}
+        docs.append(d)
+    ts.assert_facts(docs)
+    return ts, [f"par-{i}" for i in range(len(parents))]
+
+
+@given(g=_maybe_cyclic)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pull_many_auto_switch_safe_on_any_graph(spark, g):
+    """The nested auto-switch property: with the threshold forced to 1,
+    the default path must equal the driver loop on EVERY graph —
+    including self-loops and ref cycles, where _distributed_safe must
+    detect the revisit and fall back."""
+    ts, roots = _build_maybe_cyclic(spark, g["parents"])
+    ts.PULL_DISTRIBUTED_THRESHOLD = 1
+    for expr in (
+        ["t:name", {"t:next": ["t:name", {"t:kid": ["k:id"]}]}],
+        ["t:name", {"t:next": ["t:name", {"t:next": ["t:name"]}]}],
+    ):
+        drv = ts.pull_many(expr, roots, distributed=False)
+        auto = ts.pull_many(expr, roots)
+        assert auto == drv, (expr, auto, drv)
+
+
+def test_auto_switch_falls_back_on_cycle(spark):
+    """Deterministic pin of the fallback: a 2-cycle a<->b. The driver
+    loop stubs the revisited ancestor; the auto path must return the
+    SAME stubbed document (i.e. it detected the cycle and used the
+    driver loop), while a forced distributed=True expands fully and
+    genuinely differs — the divergence the gate exists for."""
+    schema = {"t:next": {"db:valueType": "db.type:ref"}}
+    ts = TripleStore(schema=schema, default_cardinality="db.cardinality:one",
+                     spark=spark)
+    ts.assert_facts(
+        [
+            {"db:ident": "a", "t:name": "a", "t:next": "b"},
+            {"db:ident": "b", "t:name": "b", "t:next": "a"},
+        ]
+    )
+    ts.PULL_DISTRIBUTED_THRESHOLD = 1
+    expr = ["t:name", {"t:next": ["t:name", {"t:next": ["t:name"]}]}]
+    drv = ts.pull_many(expr, ["a"], distributed=False)
+    auto = ts.pull_many(expr, ["a"])
+    assert auto == drv
+    # depth-2 child of the root 'a' is 'a' again -> ancestor stub
+    assert drv[0]["t:next"]["t:next"] == {"db:ident": "a"}
+    forced = ts.pull_many(expr, ["a"], distributed=True)
+    assert forced != drv  # full bottom-up expansion, no path stubs
+
+
+def test_ancestor_revisit_detector_exactness(spark):
+    """ancestor_revisit_exists fires exactly on the driver's stub
+    condition: reachable revisits within the expression depth — not on
+    chains, not on diamonds, not on cycles deeper than the expression
+    traverses."""
+    from tripl_spark.plans.pull import compile_expr
+    from tripl_spark.plans.pull_df import ancestor_revisit_exists
+
+    schema = {
+        "t:next": {"db:valueType": "db.type:ref"},
+        "t:kid": {"db:valueType": "db.type:ref",
+                  "db:cardinality": "db.cardinality:many"},
+    }
+    ts = TripleStore(schema=schema, default_cardinality="db.cardinality:one",
+                     spark=spark)
+    ts.assert_facts(
+        [
+            # chain: c1 -> c2 -> c3
+            {"db:ident": "c1", "t:next": "c2"},
+            {"db:ident": "c2", "t:next": "c3"},
+            {"db:ident": "c3", "t:name": "end"},
+            # diamond: d0 -> {d1, d2} -> d3 (shared child, no revisit)
+            {"db:ident": "d0", "t:kid": {"d1", "d2"}},
+            {"db:ident": "d1", "t:next": "d3"},
+            {"db:ident": "d2", "t:next": "d3"},
+            {"db:ident": "d3", "t:name": "sink"},
+            # self-loop
+            {"db:ident": "s", "t:next": "s"},
+            # 2-cycle reachable only at depth 3+: r -> x -> y -> x
+            {"db:ident": "r", "t:next": "x"},
+            {"db:ident": "x", "t:next": "y"},
+            {"db:ident": "y", "t:next": "x"},
+        ]
+    )
+    facts = ts.current_facts()
+
+    def check(expr, roots):
+        roots_df = spark.createDataFrame([(r,) for r in roots], "e string")
+        return ancestor_revisit_exists(facts, compile_expr(expr), roots_df)
+
+    deep2 = ["t:name", {"t:next": ["t:name", {"t:next": ["t:name"]}]}]
+    assert not check(deep2, ["c1"])                       # chain
+    assert not check([{"t:kid": [{"t:next": ["t:name"]}]}], ["d0"])  # diamond
+    assert check(["t:name", {"t:next": ["t:name"]}], ["s"])  # self-loop
+    assert check(deep2, ["x"])                            # 2-cycle from inside
+    # the x<->y cycle is 3 hops from r; a depth-2 expression never
+    # completes the revisit -> distributed is safe from r
+    assert not check(deep2, ["r"])
+    deep3 = ["t:name", {"t:next": deep2}]
+    assert check(deep3, ["r"])                            # now it reaches
+    # reverse traversal revisits too: follow t:next forward then back
+    rev = [{"t:next": [{"t:_next": ["t:name"]}]}]
+    assert check(rev, ["c1"])
+    # frontier cap: conservative True even on the plain chain
+    roots_df = spark.createDataFrame([("c1",)], "e string")
+    assert ancestor_revisit_exists(
+        facts, compile_expr(deep2), roots_df, frontier_cap=0
+    )
+    # '...' recursion: conservatively divergent
+    assert check(["t:name", {"t:next": "..."}], ["c1"])
+
+
 def test_pull_many_threshold_auto_switch(spark):
     """At >= PULL_DISTRIBUTED_THRESHOLD roots the default path flips to
     cluster-side assembly and stays result-identical; a '...' recursion

@@ -472,10 +472,25 @@ class TripleStore:
     # and re-nests row-by-row in Python — fine for a page of entities,
     # quadratic-feeling at a million roots. The distributed path is one
     # job + ONE collect of finished documents. The auto-switch applies
-    # only to FLAT expressions (see pull_many), where the assemblies
-    # are equivalent on every store — pinned by tests/test_pull_df.py's
-    # equivalence property — so the switch is invisible to callers.
-    PULL_DISTRIBUTED_THRESHOLD = 512
+    # to FLAT expressions unconditionally (the assemblies are
+    # equivalent on every store) and to NESTED non-'...' expressions
+    # whenever no traversal path revisits an ancestor — the driver
+    # loop's cycle-stub condition, checked exactly by
+    # plans/pull_df.ancestor_revisit_exists — so the switch is
+    # invisible to callers (pinned by tests/test_pull_df.py's
+    # equivalence properties).
+    #
+    # Threshold tuning (r12 probe, SCALE.md "pull_many assembly"
+    # rows): the driver loop costs ~0.1 ms/doc of Python re-nesting
+    # on 4-attr docs (alpha_time 0.45 across 30x), the distributed
+    # path ~2 s of fixed job overhead + the nested-expr safety check
+    # (alpha_time 0.11, flat) — locally the lines cross around ~20k
+    # roots; wider docs pull the crossover down, a real cluster's
+    # per-level collect round-trips pull it down further. 8192 sits
+    # under the measured crossover while keeping driver collects
+    # bounded at ~10^5 rows — the page-of-entities regime stays on
+    # the cheap loop, anything bulk goes cluster-side.
+    PULL_DISTRIBUTED_THRESHOLD = 8192
 
     @staticmethod
     def _expr_has_recur(expr: list[Any]) -> bool:
@@ -492,12 +507,58 @@ class TripleStore:
     def _expr_is_flat(expr: list[Any]) -> bool:
         """No dict children (and therefore no '...' either): the pull
         shapes whose two assembly paths are equivalent on EVERY store —
-        plain attrs, '*', bare reverse lookups. Nested dict patterns
-        diverge on CYCLIC ref data (the driver loop stubs any revisited
-        ancestor, the distributed path expands fully) and ignore
-        ``max_depth``, so they only auto-switch when the caller forces
-        ``distributed=True``."""
+        plain attrs, '*', bare reverse lookups — with no per-store
+        check needed."""
         return not any(isinstance(item, dict) for item in expr)
+
+    @staticmethod
+    def _expr_depth(expr: list[Any]) -> int:
+        """Nesting depth of dict children (flat = 0). '...' counts as
+        one level here; callers gate recursion separately."""
+        d = 0
+        for item in expr:
+            if isinstance(item, dict):
+                for sub in item.values():
+                    child = (
+                        1 + TripleStore._expr_depth(sub)
+                        if isinstance(sub, list)
+                        else 1
+                    )
+                    d = max(d, child)
+        return d
+
+    def _distributed_safe(
+        self, pull_expr: list[Any], eids: list[str], max_depth: int
+    ) -> bool:
+        """Is cluster-side assembly provably result-identical to the
+        driver loop for THIS expression on THIS store?
+
+        * flat expressions: always (equivalent on every store);
+        * '...' recursion: never auto (bounded-unroll vs max_depth/
+          cycle-stub semantics diverge on cyclic data);
+        * expressions nested deeper than ``max_depth``: never auto (the
+          driver loop truncates, the distributed path expands fully);
+        * other nested expressions: exactly when no traversal path
+          revisits an ancestor — the driver loop's cycle-stub
+          condition, decided by a bounded path-BFS
+          (plans/pull_df.ancestor_revisit_exists). Cyclic or
+          cap-exceeding stores fall back to the driver loop."""
+        if self._expr_is_flat(pull_expr):
+            return True
+        if self._expr_has_recur(pull_expr):
+            return False
+        if self._expr_depth(pull_expr) > max_depth:
+            return False
+        from tripl_spark.plans.pull_df import ancestor_revisit_exists
+
+        roots = self.spark.createDataFrame(
+            [(e,) for e in sorted(set(eids))], "e string"
+        )
+        return not ancestor_revisit_exists(
+            self.current_facts(),
+            pull_plan.compile_expr(pull_expr),
+            roots,
+        )
 
     def pull_many(
         self,
@@ -517,14 +578,13 @@ class TripleStore:
         ``distributed`` selects the assembly path: None (default)
         auto-switches to cluster-side JSON assembly
         (`plans/pull_df.py`) past ``PULL_DISTRIBUTED_THRESHOLD`` roots
-        — but only for FLAT expressions (plain attrs / '*' / bare
-        reverse), where the two paths are equivalent on every store.
-        Expressions with dict children stay on the driver loop unless
-        forced: their cycle handling differs (driver: stub any
-        revisited ancestor; distributed: full bottom-up expansion,
-        ``'...'`` bounded-unrolled) and the distributed path ignores
-        ``max_depth``, so an automatic flip could change results on
-        cyclic ref data. True/False force a path."""
+        whenever the two paths are provably result-identical — always
+        for FLAT expressions; for nested dict-children expressions
+        after an exact per-store check that no traversal path revisits
+        an ancestor (the driver loop's cycle-stub condition — see
+        ``_distributed_safe``). ``'...'`` recursion, expressions
+        nested past ``max_depth``, and cyclic stores stay on the
+        driver loop. True/False force a path."""
         if isinstance(eids_or_pattern, dict):
             eids = sorted(self.match(eids_or_pattern))
         else:
@@ -535,7 +595,7 @@ class TripleStore:
             if distributed is not None
             else (
                 len(eids) >= self.PULL_DISTRIBUTED_THRESHOLD
-                and self._expr_is_flat(pull_expr)
+                and self._distributed_safe(pull_expr, eids, max_depth)
             )
         )
         if use_df:

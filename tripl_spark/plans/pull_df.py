@@ -53,6 +53,98 @@ def pull_json_df(
     )
 
 
+# Path-frontier size past which ancestor_revisit_exists stops proving
+# and conservatively reports a revisit (caller falls back to the driver
+# loop). The frontier counts PATHS, not nodes — dense diamond fan-out
+# can square it per level — so the cap bounds detection cost on
+# adversarial DAGs while staying far above any sane document graph.
+REVISIT_FRONTIER_CAP = 10_000_000
+
+
+def ancestor_revisit_exists(
+    facts: DataFrame,
+    tree: PullPos,
+    roots: DataFrame,
+    frontier_cap: int = REVISIT_FRONTIER_CAP,
+) -> bool:
+    """Does any traversal path from a root revisit its own ancestor?
+
+    This is EXACTLY the driver loop's cycle-stub condition
+    (``plans/pull.py`` ``PullRun.assemble``: ``node in ancestors``) —
+    when it never fires, the driver assembly is path-independent and
+    provably equal to this module's bottom-up assembly, so
+    ``pull_many`` may auto-switch nested expressions to the cluster
+    path. Checked by a level-wise path-BFS over the expression's dict
+    children (bare reverse lookups render ident stubs without
+    recursing, so they can't revisit): each frontier row carries its
+    ancestor path; one aggregate per expression level reports a hit.
+    Levels are bounded by the (finite) expression depth; ``'...'``
+    recursion returns True up front (its bounded-unroll semantics
+    diverge regardless). Returns True conservatively when the path
+    frontier exceeds ``frontier_cap``.
+    """
+    positions: dict[int, PullPos] = {}
+
+    def _walk(p: PullPos) -> bool:
+        positions[p.pos] = p
+        for _, _, c in p.children:
+            if c == RECUR or not _walk(c):
+                return False
+        return True
+
+    if not _walk(tree):
+        return True
+    frontier = roots.select(
+        F.col("e").alias("node"),
+        F.lit(tree.pos).alias("pos"),
+        F.array(F.col("e")).alias("path"),
+    )
+    while True:
+        parts: list[DataFrame] = []
+        for p in positions.values():
+            if not p.children:
+                continue
+            sub = frontier.filter(F.col("pos") == p.pos)
+            for attr, fwd, child in p.children:
+                if fwd is None:
+                    edges = facts.filter(
+                        (F.col("a") == attr) & F.col("v_str").isNotNull()
+                    ).select(F.col("e").alias("node"), F.col("v_str").alias("child"))
+                else:
+                    edges = facts.filter(
+                        (F.col("a") == fwd) & F.col("v_str").isNotNull()
+                    ).select(F.col("v_str").alias("node"), F.col("e").alias("child"))
+                parts.append(
+                    sub.join(edges, "node").select(
+                        F.col("child").alias("node"),
+                        F.lit(child.pos).alias("pos"),
+                        # parent's path = the driver's `ancestors` tuple
+                        F.array_contains(F.col("path"), F.col("child")).alias(
+                            "revisit"
+                        ),
+                        F.concat(F.col("path"), F.array(F.col("child"))).alias(
+                            "next_path"
+                        ),
+                    )
+                )
+        if not parts:
+            return False  # only terminal positions left
+        nxt = parts[0]
+        for fr in parts[1:]:
+            nxt = nxt.unionByName(fr)
+        stats = nxt.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.max(F.col("revisit").cast("int")), F.lit(0)).alias("hit"),
+        ).collect()[0]
+        if stats.hit:
+            return True
+        if stats.n == 0:
+            return False
+        if stats.n > frontier_cap:
+            return True
+        frontier = nxt.select("node", "pos", F.col("next_path").alias("path"))
+
+
 def _expand_recursion(
     root: PullPos, pos: PullPos, depth: int, ident_attr: str
 ) -> PullPos:
