@@ -678,3 +678,90 @@ def test_zero_row_sentinel_inside_escaped_partition_dir(spark, tmp_path):
     assert read_pruned(spark, path, attrs=["ns:attr"]).count() == 1
     side = spark.read.parquet(os.path.join(path, "_skipindex"))
     assert side.filter(F.col("n_rows") == 0).count() >= 1
+
+
+def test_nonfile_scheme_dump_full_lifecycle(spark, tmp_path):
+    """Object-store fidelity, exercised on a REAL non-`file` Hadoop
+    scheme available in-sandbox: a `viewfs://` mount table (bundled in
+    hadoop-common) backed by the local FS. Unlike the file:// test,
+    every identity here carries a scheme AND an authority (the mount
+    table name — the bucket analog), and the encoding stack is the
+    object-store one: input_file_name() double-encodes an escaped
+    partition dir (`a=ns%253Aattr`) while the Hadoop listing decodes
+    once to the on-disk literal (`a=ns%3Aattr`) — so build, freshness,
+    refresh-after-append, zero-row sentinels, and pruned reads all pin
+    the single-unquote identity rule under authority-qualified URIs."""
+    from tripl_spark.sources.skipindex import (
+        _list_data_files,
+        _local_path,
+        _sidecar_exists,
+        refresh_skip_index,
+    )
+
+    hconf = spark._jsc.hadoopConfiguration()
+    key = "fs.viewfs.mounttable.sitest.link./data"
+    hconf.set(key, "file://" + str(tmp_path))
+    uri = "viewfs://sitest/data/facts"
+    try:
+        df = spark.createDataFrame(
+            [
+                ("e-1", "ns:attr", "str", "v1", None, None, 5),
+                ("e-2", "ns:attr", "str", "v2", None, None, 15),
+                ("e-3", "plain", "str", "v3", None, None, 25),
+            ],
+            "e string, a string, vtype string, v_str string, "
+            "v_num double, v_bool boolean, t long",
+        )
+        df.repartitionByRange(3, "t").write.partitionBy("a").parquet(uri)
+
+        # identity fidelity: the stats-row form (input_file_name, decoded
+        # once) and the listing form must agree byte-for-byte, scheme and
+        # authority included, on the escaped partition dir
+        listed = set(_list_data_files(spark, uri))
+        stats_ids = {
+            _local_path(r.f)
+            for r in spark.read.parquet(uri)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        }
+        assert stats_ids == listed
+        assert all(f.startswith("viewfs://sitest/") for f in listed)
+        assert any("a=ns%3Aattr/" in f for f in listed)  # literal, not %253A
+
+        assert not _sidecar_exists(spark, uri)
+        build_skip_index(spark, uri)
+        assert _sidecar_exists(spark, uri)
+        audit = verify_skip_index(spark, uri)
+        assert audit["files"] >= 2 and audit["rows"] == df.count()
+        assert refresh_skip_index(spark, uri) == {"added": 0, "total": audit["files"]}
+
+        # zero-row part inside the ESCAPED dir: the sentinel is written
+        # from the canonical listing path through _sidecar_form's remote
+        # branch (scheme + netloc preserved, path re-encoded once)
+        df.filter("a = 'ns:attr'").drop("a").limit(0).coalesce(1).write.mode(
+            "append"
+        ).parquet(uri + "/a=ns%3Aattr")
+        # plus a real append elsewhere
+        df.filter("a = 'plain'").withColumn("t", F.col("t") + 100).coalesce(
+            1
+        ).write.mode("append").partitionBy("a").parquet(uri)
+        r1 = refresh_skip_index(spark, uri)
+        assert r1["added"] >= 2
+        verify_skip_index(spark, uri)  # identity drift would raise here
+        assert refresh_skip_index(spark, uri)["added"] == 0  # idempotent
+
+        got = read_pruned(spark, uri, as_of_t=20, attrs=["ns:attr"]).select(
+            "e", "v_str", "t"
+        )
+        want = (
+            spark.read.parquet(uri)
+            .filter((F.col("t") <= 20) & (F.col("a") == "ns:attr"))
+            .select("e", "v_str", "t")
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+        files, report, _ = plan_files(spark, uri, as_of_t=20, attrs=["ns:attr"])
+        assert 0 < report["kept"] < report["total"]
+        assert all(f.startswith("viewfs://sitest/") for f in files)
+    finally:
+        hconf.unset(key)
