@@ -208,3 +208,76 @@ def test_streaming_ledger_agrees_with_batch_drop_ledger(spark, sf_small):
     for (src_, lang), row in _ledger_map(mon.drop_ledger()).items():
         n_docs, n_kept, *drops = row
         assert n_kept + sum(drops) == n_docs, (src_, lang, row)
+
+
+def test_quality_monitor_readstream_restart_mid_stream(spark, sf_small, tmp_path):
+    """Kill the DEPLOYED shape mid-stream and restart it: a real
+    readStream drains through foreachBatch until an injected crash at
+    the nastiest point — AFTER the monitor committed its batch_id
+    snapshot to the sink, BEFORE the streaming checkpoint committed
+    the batch — then a fresh monitor + query resume from the same
+    checkpoint. Spark re-delivers the crashed batch; the committed
+    sink is authoritative, so the recovered monitor must SKIP the
+    re-merge (the double-count hazard the snapshot-sink contract
+    exists for), the conservation invariant Σ n_drop = n_docs − n_pass
+    must hold at the recovery point, and the fully-drained scorecard
+    and ledger must equal the one-shot batch query."""
+    docs = _docs(spark, sf_small).select("doc_id", "text", "source", "lang")
+    src = str(tmp_path / "src")
+    for i in range(4):
+        docs.filter(F.pmod("doc_id", 4) == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    mon = StreamingQualityMonitor(spark, sink_path=sink)
+    done = {"n": 0}
+
+    def crash_after_commit(batch, batch_id):
+        mon.process(batch, batch_id)  # sink snapshot IS committed
+        done["n"] += 1
+        if done["n"] == 3:
+            raise RuntimeError("injected crash")  # checkpoint is NOT
+
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(crash_after_commit)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination()
+
+    # --- recovery point: a FRESH monitor (new driver) resumes from the
+    # sink; the orphaned batch (committed in sink, absent in ckpt) is
+    # visible and the counters are already conservation-consistent
+    from tripl_spark.streaming.sinks import committed_batches
+
+    assert set(committed_batches(sink)) == {0, 1, 2}
+    mon2 = StreamingQualityMonitor(spark, sink_path=sink)
+    mid = _ledger_map(mon2.drop_ledger())
+    assert mid  # some strata seen before the crash
+    for (src_, lang), row in mid.items():
+        n_docs, n_kept, *drops = row
+        assert n_kept + sum(drops) == n_docs, (src_, lang, row)
+
+    # --- restart the query on the SAME checkpoint: Spark re-delivers
+    # batch 2; mon2 must skip the re-merge and drain the rest
+    q2 = (
+        stream.writeStream.foreachBatch(mon2.process)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q2.awaitTermination()
+    want = _card_map(REGISTRY["curation_gopher_scorecard"].fn(spark, sf_small))
+    assert _card_map(mon2.scorecard()) == want
+    assert _ledger_map(mon2.drop_ledger()) == _batch_rule_ledger(
+        spark, _docs(spark, sf_small)
+    )
+    for (src_, lang), row in _ledger_map(mon2.drop_ledger()).items():
+        n_docs, n_kept, *drops = row
+        assert n_kept + sum(drops) == n_docs, (src_, lang, row)
