@@ -115,6 +115,10 @@ HEADLINE = [
     # bucket-probe joins (raw + whitened index recall vs exact ground
     # truth); the round's one new data path
     "sim_whitened_lsh_recall",
+    # round-12: the PII scrub data path (map-only regex redaction +
+    # per-class counting over the full corpus — the shape every
+    # pre-tokenization pipeline pays per document)
+    "text_pii_scrub",
 ]
 
 

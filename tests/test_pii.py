@@ -1,0 +1,101 @@
+"""PII scrubbing: known-example redaction, class precedence, scrub
+idempotence, and the residual-clean certificate (`operators/pii.py`).
+DuckDB parity for both registered queries rides the REGISTRY-wide
+sweep in tests/test_oracle_parity.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tripl_spark.operators.pii import PII_CLASSES, pii_counts, scrub_pii
+from tripl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+
+
+def _run(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, t string")
+    out = df.select(
+        "i", *pii_counts(F.col("t")), scrub_pii(F.col("t")).alias("scrubbed")
+    ).orderBy("i")
+    return out.collect()
+
+
+def test_known_examples_scrub_exactly(spark):
+    rows = _run(spark, [
+        "write to alice.smith+spam@mail.example.org for details",
+        "my number is +1 (555) 010-4242, call anytime",
+        "origin 192.168.0.1 forwarded for 10.0.255.3",
+        "ssn on file: 123-45-6789",
+        "no pii here at all",
+    ])
+    assert rows[0].scrubbed == "write to [EMAIL] for details"
+    assert rows[0].n_email == 1 and rows[0].n_phone == 0
+    assert rows[1].scrubbed == "my number is [PHONE], call anytime"
+    assert rows[1].n_phone == 1
+    assert rows[2].scrubbed == "origin [IP] forwarded for [IP]"
+    assert rows[2].n_ip == 2
+    assert rows[3].scrubbed == "ssn on file: [ID]"
+    assert rows[3].n_id == 1 and rows[3].n_phone == 0
+    assert rows[4].scrubbed == "no pii here at all"
+    assert rows[4].n_email == rows[4].n_id == rows[4].n_phone == rows[4].n_ip == 0
+
+
+def test_precedence_first_matching_class_wins(spark):
+    """An SSN-shaped id also matches the phone pattern; the counts
+    must attribute it to the EARLIER class only (the drop-ledger
+    discipline: one token, one fate)."""
+    (row,) = _run(spark, ["id 123-45-6789 then phone 555 010 4242 end"])
+    assert row.n_id == 1
+    assert row.n_phone == 1  # the real phone, not the id
+    assert row.scrubbed == "id [ID] then phone [PHONE] end"
+
+
+def test_email_digits_not_double_counted(spark):
+    (row,) = _run(spark, ["mail 123456789@numeric-domain.net now"])
+    assert row.n_email == 1 and row.n_phone == 0
+    assert row.scrubbed == "mail [EMAIL] now"
+
+
+def test_scrub_is_idempotent_and_clean_on_corpus(spark, sf_small):
+    """Over the registered query's planted corpus: every document ends
+    clean (no residual match of any class), and re-scrubbing the
+    scrubbed text changes nothing — the invariant a downstream
+    tokenizer relies on."""
+    out = REGISTRY["text_pii_scrub"].fn(spark, sf_small)
+    assert out.filter(~F.col("clean")).count() == 0
+    # conservation: n_pii == sum of the per-class counts
+    parts = sum(F.col(f"n_{n}") for n, _, _ in PII_CLASSES)
+    assert out.filter(F.col("n_pii") != parts).count() == 0
+    # planted classes actually fire somewhere (non-vacuous gate)
+    totals = out.agg(
+        *[F.sum(f"n_{n}").alias(n) for n, _, _ in PII_CLASSES]
+    ).collect()[0]
+    assert all(totals[n] > 0 for n, _, _ in PII_CLASSES), totals
+
+
+def test_double_scrub_fixpoint(spark):
+    texts = [
+        "a@b.co and 1.2.3.4 and +12 3456789 and 987-65-4321",
+        "[EMAIL] already scrubbed [IP]",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    once = df.select(scrub_pii(F.col("t")).alias("s"))
+    twice = once.select(scrub_pii(F.col("s")).alias("s2"), "s")
+    assert twice.filter(F.col("s") != F.col("s2")).count() == 0
+
+
+def test_prevalence_conserves_and_orders(spark, sf_small):
+    card = REGISTRY["text_pii_prevalence"].fn(spark, sf_small)
+    rows = card.collect()
+    assert rows == sorted(rows, key=lambda r: (r.source, r.lang))
+    for r in rows:
+        assert 0 <= r.docs_with_pii <= r.n_docs
+        assert r.pii_rate == pytest.approx(
+            round(r.docs_with_pii / r.n_docs, 4), abs=1e-9
+        )
+    n_docs_total = sum(r.n_docs for r in rows)
+    scrub = REGISTRY["text_pii_scrub"].fn(spark, sf_small)
+    assert n_docs_total == scrub.count()

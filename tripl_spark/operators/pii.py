@@ -1,0 +1,232 @@
+"""PII scrubbing — the redaction stage every production training-data
+pipeline runs before text reaches a model (emails, phone numbers,
+IP addresses, SSN-shaped ids; the C4/CCNet-style scrub).
+
+Beyond-reference extension surface (the reference,
+/root/reference/tripl/tripl.py, has no text processing at all); sits
+next to `curation.curation_redacted_texts` (number/url normalization
+for fingerprinting) but with per-class detection COUNTS and a
+first-matching-class precedence, mirroring the drop-ledger discipline:
+a token is counted for the FIRST class that claims it, so an
+SSN-shaped id is never double-counted as a phone number.
+
+Scale story (100 TB): detection and scrubbing are MAP-ONLY —
+`regexp_extract_all` / `regexp_replace` run JVM-side inside
+whole-stage codegen, no shuffle, no UDF; the plan is a single scan
+however many executors fan out. The prevalence rollup shuffles
+|sources|x|langs| counter rows (partial-aggregated map-side), the
+same counter-table shape as the streaming quality monitor.
+
+The regex constants are written once in Python and injected verbatim
+into BOTH the Spark expressions and the DuckDB oracle SQL — the
+pattern dialect is the Java-regex / RE2 intersection (character
+classes, bounded repetition, word boundaries; no backrefs or
+lookaround), so one string means the same thing in both engines and
+the driver hash gate pins the full scrub semantics end to end.
+
+The synthetic `documents` corpus is word-salad with no digits, so the
+registered queries PLANT deterministic PII derived from `doc_id` —
+identically on both sides — before scrubbing; the gates therefore
+verify detection, precedence, and replacement on known-positive text
+rather than vacuously passing on an all-zero corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tripl_spark.queries.registry import query
+from tripl_spark.session import load_table
+
+# Java-regex / RE2 intersection (see module docstring). Order IS the
+# counting precedence: email first (its local part contains digit runs
+# a later class could claim), then SSN-shaped ids (dash-joined digit
+# groups a phone pattern would swallow), then phones, then IPv4 (dots
+# keep it out of the phone class, but scrub order still matters for
+# the residual check).
+PII_CLASSES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("id", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[ID]"),
+    ("phone", r"\+?[0-9][0-9()\- ]{6,}[0-9]", "[PHONE]"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
+]
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact every PII class in precedence order; map-only."""
+    out = text
+    for _, pat, token in PII_CLASSES:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """One count column per class under first-matching-class
+    precedence: each class counts matches in the text AFTER all
+    earlier classes were scrubbed out."""
+    cols: list[Column] = []
+    stage = text
+    for name, pat, token in PII_CLASSES:
+        cols.append(
+            F.size(F.regexp_extract_all(stage, F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        stage = F.regexp_replace(stage, pat, token)
+    return cols
+
+# Deterministic PII planting from doc_id (see module docstring): the
+# Spark expression and the SQL fragment below are the SAME definition,
+# maintained together, so the gate compares scrubbers — not planters.
+def _enriched_text() -> Column:
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" reach user"), did.cast("string"),
+                     F.lit("@example.com today")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" call +1 (555) 010-"),
+                     F.lpad((did % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" id 123-45-"),
+                     F.lpad((did % 10000).cast("string"), 4, "0"),
+                     F.lit(" host 10."), (did % 256).cast("string"),
+                     F.lit(".0."), ((did * 7) % 256).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+
+
+_ENRICH_SQL = """text
+      || CASE WHEN doc_id % 3 = 0 THEN ' reach user' || CAST(doc_id AS VARCHAR)
+              || '@example.com today' ELSE '' END
+      || CASE WHEN doc_id % 5 = 0 THEN ' call +1 (555) 010-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+      || CASE WHEN doc_id % 7 = 0 THEN ' id 123-45-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END"""
+
+
+def _scrub_stages_sql() -> tuple[str, str, list[str]]:
+    """CTE chain applying the class precedence; returns (WITH-clause
+    body, final text column name, count column names). Built from
+    PII_CLASSES so the oracle can never drift from the Spark side."""
+    sql = f"s0 AS (SELECT doc_id, source, lang, {_ENRICH_SQL} AS t0 FROM documents)"
+    prev, tcol, counts = "s0", "t0", []
+    for i, (name, pat, token) in enumerate(PII_CLASSES):
+        nxt, ncol = f"s{i + 1}", f"n_{name}"
+        sql += f""",
+    {nxt} AS (
+      SELECT * EXCLUDE ({tcol}),
+             CAST(len(regexp_extract_all({tcol}, '{pat}')) AS BIGINT) AS {ncol},
+             regexp_replace({tcol}, '{pat}', '{token}', 'g') AS t{i + 1}
+      FROM {prev})"""
+        prev, tcol = nxt, f"t{i + 1}"
+        counts.append(ncol)
+    return sql, tcol, counts
+
+
+_STAGES_SQL, _FINAL_T, _COUNT_COLS = _scrub_stages_sql()
+_RESIDUAL_SQL = " AND ".join(
+    f"len(regexp_extract_all({_FINAL_T}, '{pat}')) = 0" for _, pat, _ in PII_CLASSES
+)
+_SUM_SQL = " + ".join(_COUNT_COLS)
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH {_STAGES_SQL}
+    SELECT doc_id, {", ".join(_COUNT_COLS)},
+           CAST({_SUM_SQL} AS BIGINT) AS n_pii,
+           md5({_FINAL_T}) AS scrub_fp,
+           ({_RESIDUAL_SQL}) AS clean
+    FROM {_FINAL_T.replace("t", "s")}
+    """,
+    doc="Per-document PII scrub over deterministically planted "
+    "emails/ids/phones/IPs: per-class counts under first-matching "
+    "precedence, md5 fingerprint of the redacted text, and a residual "
+    "clean flag — fully hash-gated (regexes shared verbatim between "
+    "engines)",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only scrub: one scan, JVM regex inside codegen, no shuffle.
+    Counts use first-matching-class precedence (an SSN-shaped id is an
+    id, not a phone number); `clean` certifies the redacted text has
+    no residual match of ANY class — the invariant a downstream
+    tokenizer relies on."""
+    docs = load_table(spark, sf_dir, "documents")
+    enriched = docs.select("doc_id", _enriched_text().alias("t"))
+    per_doc = enriched.select(
+        "doc_id", *pii_counts(F.col("t")), scrub_pii(F.col("t")).alias("__scrub")
+    )
+    residual = None
+    for _, pat, _ in PII_CLASSES:
+        m = F.size(F.regexp_extract_all(F.col("__scrub"), F.lit(pat), F.lit(0))) == 0
+        residual = m if residual is None else (residual & m)
+    total = None
+    for name, _, _ in PII_CLASSES:
+        c = F.col(f"n_{name}")
+        total = c if total is None else (total + c)
+    return per_doc.select(
+        "doc_id",
+        *[f"n_{name}" for name, _, _ in PII_CLASSES],
+        total.cast("long").alias("n_pii"),
+        F.md5(F.col("__scrub")).alias("scrub_fp"),
+        residual.alias("clean"),
+    )
+
+
+@query(
+    "text_pii_prevalence",
+    oracle=f"""
+    WITH {_STAGES_SQL}
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN {_SUM_SQL} > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_pii,
+           {", ".join(f"CAST(sum({c}) AS BIGINT) AS {c}" for c in _COUNT_COLS)},
+           round(sum(CASE WHEN {_SUM_SQL} > 0 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) + 0.0 AS pii_rate
+    FROM {_FINAL_T.replace("t", "s")}
+    GROUP BY source, lang
+    ORDER BY source, lang
+    """,
+    doc="PII prevalence scorecard per (source, lang): docs touched, "
+    "per-class totals, and the PII rate — the monitoring rollup over "
+    "the same scrub definition; fully hash-gated",
+)
+def text_pii_prevalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter-table rollup of the scrub signals: |sources|x|langs|
+    rows, partial-aggregated map-side — the same shape the streaming
+    quality monitor maintains, so a crawl source that starts leaking
+    PII pages on a per-batch counter, not a nightly scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    enriched = docs.select("source", "lang", _enriched_text().alias("t"))
+    per_doc = enriched.select("source", "lang", *pii_counts(F.col("t")))
+    total = None
+    for name, _, _ in PII_CLASSES:
+        c = F.col(f"n_{name}")
+        total = c if total is None else (total + c)
+    per_doc = per_doc.withColumn("__any", (total > 0).cast("long"))
+    return (
+        per_doc.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__any").cast("long").alias("docs_with_pii"),
+            *[
+                F.sum(f"n_{name}").cast("long").alias(f"n_{name}")
+                for name, _, _ in PII_CLASSES
+            ],
+            (F.round(F.sum("__any") * 1.0 / F.count(F.lit(1)), 4) + F.lit(0.0))
+            .alias("pii_rate"),
+        )
+        .orderBy("source", "lang")
+    )

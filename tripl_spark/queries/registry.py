@@ -82,6 +82,10 @@ _PRIORITY = [
     # r10x45, r11x50. Displaced names keep local DuckDB parity
     # coverage in tests/test_oracle_parity.py every suite run.
     #
+    # (a0) queries NEW in r12 (PII scrub family) — new queries lead
+    # the window, displacing the last two r7-cohort slots
+    "text_pii_scrub",
+    "text_pii_prevalence",
     # (a) changed-semantics re-drives (r12)
     "multimodal_audio_fingerprint",
     "multimodal_audio_neardup",
@@ -105,7 +109,8 @@ _PRIORITY = [
     "triple_datalog_join",
     "triple_reverse_fanin",
     "window_functions_showcase",
-    # (c) r7-vintage refresh cohort, alphabetical, first 29 of 50
+    # (c) r7-vintage refresh cohort, alphabetical, first 27 (two
+    # slots went to the new r12 PII queries at the window head)
     "classifier_calibration_bins",
     "corpus_datacard",
     "curation_dsir_weights",
@@ -133,8 +138,6 @@ _PRIORITY = [
     "mixing_token_budget",
     "multimodal_metadata",
     "pipeline_full_curation",
-    "pipeline_full_curation_bycutoff",
-    "pipeline_perplexity_buckets",
 ]
 # r13 rotation note: after the r12 window lands, the oldest remaining
 # vintages are the 21 r7-vintage names NOT in section (c) above
@@ -153,7 +156,7 @@ def _ensure_loaded() -> None:
         return
     from tripl_spark.queries import advanced, analytics, analytics2, tpch, tpch2, tpch3, tpch4  # noqa: F401
     from tripl_spark.queries import graph_queries, streaming_queries, triples  # noqa: F401
-    from tripl_spark.operators import classifier, clustering, curation, dedup, dedup_groups, dsir, graph_ann, mixing, multimodal, packing, pca, pipeline, rangejoin, repetition, search, similarity, sketches, skew, substring, text, tokenizer  # noqa: F401
+    from tripl_spark.operators import classifier, clustering, curation, dedup, dedup_groups, dsir, graph_ann, mixing, multimodal, packing, pca, pii, pipeline, rangejoin, repetition, search, similarity, sketches, skew, substring, text, tokenizer  # noqa: F401
 
     ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
     ordered.update({n: qd for n, qd in REGISTRY.items() if n not in ordered})
