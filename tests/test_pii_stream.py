@@ -1,0 +1,110 @@
+"""Streaming PII monitor ≡ the oracled batch prevalence rollup, for
+any micro-batch split, with the snapshot-sink restart contract
+(`streaming/pii_stream.py` over the generic `counter_monitor.py`)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tripl_spark.operators.pii import _enriched_text
+from tripl_spark.queries.registry import REGISTRY, _ensure_loaded
+from tripl_spark.session import load_table
+from tripl_spark.streaming.pii_stream import StreamingPIIMonitor
+
+_ensure_loaded()
+
+
+def _enriched_docs(spark, sf):
+    """The registered query's planted corpus, as a streamable frame."""
+    return load_table(spark, sf, "documents").select(
+        "doc_id", "source", "lang", _enriched_text().alias("text")
+    )
+
+
+def _card(df):
+    return {
+        (r.source, r.lang): tuple(r)[2:] for r in df.collect()
+    }
+
+
+@pytest.mark.parametrize("split", ["one", "mod3", "skew"])
+def test_pii_monitor_split_invariant_matches_batch(spark, sf_small, split):
+    """Fed the registered query's enriched corpus in any split, the
+    maintained rollup equals `text_pii_prevalence` exactly — integer
+    counters plus the batch query's read-time rounding."""
+    docs = _enriched_docs(spark, sf_small)
+    batches = {
+        "one": [docs],
+        "mod3": [docs.filter(F.pmod("doc_id", 3) == i) for i in range(3)],
+        "skew": [
+            docs.filter(F.pmod("doc_id", 10) != 0),
+            docs.filter(F.pmod("doc_id", 10) == 0),
+            docs.limit(0),
+        ],
+    }[split]
+    mon = StreamingPIIMonitor(spark)
+    for i, b in enumerate(batches):
+        mon.process(b.drop("doc_id"), batch_id=i)
+    want = _card(REGISTRY["text_pii_prevalence"].fn(spark, sf_small))
+    assert _card(mon.prevalence()) == want
+
+
+def test_pii_monitor_sink_mode_survives_driver_restart(spark, sf_small, tmp_path):
+    """Process half the stream, lose the driver, resume: the recovered
+    monitor skips the replayed committed batch, continues from the
+    snapshot, and the final rollup equals one-shot."""
+    docs = _enriched_docs(spark, sf_small)
+    sink = str(tmp_path / "piisink")
+    mon = StreamingPIIMonitor(spark, sink_path=sink)
+    mon.process(docs.filter(F.pmod("doc_id", 2) == 0).drop("doc_id"), batch_id=0)
+
+    mon2 = StreamingPIIMonitor(spark, sink_path=sink)  # restart
+    mon2.process(docs.filter(F.pmod("doc_id", 2) == 0).drop("doc_id"), batch_id=0)
+    mon2.process(docs.filter(F.pmod("doc_id", 2) == 1).drop("doc_id"), batch_id=1)
+    want = _card(REGISTRY["text_pii_prevalence"].fn(spark, sf_small))
+    assert _card(mon2.prevalence()) == want
+
+
+def test_pii_monitor_flags_a_leaking_source(spark):
+    """A source that flips to emitting raw contact dumps must page in
+    the maintained rollup while the clean source stays at zero."""
+    clean = spark.createDataFrame(
+        [("just words here no contacts", "web", "en")] * 10,
+        "text string, source string, lang string",
+    )
+    leaking = spark.createDataFrame(
+        [(f"user{i}@leak.example.org called from +1 (555) 010-{1000 + i}",
+          "feed", "en") for i in range(5)],
+        "text string, source string, lang string",
+    )
+    mon = StreamingPIIMonitor(spark)
+    mon.process(clean, batch_id=0)
+    mon.process(leaking, batch_id=1)
+    card = {r.source: r for r in mon.prevalence().collect()}
+    assert card["web"].pii_rate == 0.0 and card["web"].docs_with_pii == 0
+    assert card["feed"].pii_rate == 1.0
+    assert card["feed"].n_email == 5 and card["feed"].n_phone == 5
+
+
+def test_pii_monitor_readstream_end_to_end(spark, sf_small, tmp_path):
+    """The deployment shape: a real readStream drain through
+    foreachBatch equals the batch rollup."""
+    docs = _enriched_docs(spark, sf_small)
+    src = str(tmp_path / "src")
+    for i in range(3):
+        docs.filter(F.pmod("doc_id", 3) == i).drop("doc_id").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    mon = StreamingPIIMonitor(spark, sink_path=str(tmp_path / "sink"))
+    stream = spark.readStream.schema("source string, lang string, text string") \
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(mon.process)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    want = _card(REGISTRY["text_pii_prevalence"].fn(spark, sf_small))
+    assert _card(mon.prevalence()) == want

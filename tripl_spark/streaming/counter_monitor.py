@@ -1,0 +1,96 @@
+"""Generic restart-safe additive-counter monitor for ``foreachBatch``.
+
+The pattern every counter-table monitor in this package follows
+(`quality_stream.py` proved it; that module predates this class and
+keeps its own implementation, pinned by its own split-invariance and
+crash-restart tests): per micro-batch, compute a keyed frame of LONG
+counters from the batch, merge into the maintained state by summing
+per key, snapshot the POST-MERGE state to a ``batch_id=N`` sink
+partition, and on restart resume from the last committed snapshot —
+an already-committed batch never re-merges (the committed sink is
+authoritative, so a crash between the sink write and the streaming
+checkpoint commit cannot double-count the re-delivered batch).
+
+Integer addition is associative, so the maintained state after ANY
+micro-batch split equals the one-shot batch aggregation bit-for-bit;
+read-time views (rates, scorecards) derive from the counters with the
+batch query's exact rounding and therefore cannot drift either.
+
+Scale: state is |key-combinations| counter rows however long the
+stream history; each batch costs one scan of the batch plus a
+counter-table merge.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CounterMonitor:
+    """``foreachBatch(mon.process)`` target maintaining keyed long
+    counters with the snapshot-sink restart contract.
+
+    ``partials_fn(batch) -> DataFrame`` must emit ``key_cols`` plus
+    ``counter_cols`` (all long); ``state_schema`` is the DDL string
+    used to read back snapshots (new counters added later resume at 0
+    via ``na.fill`` rather than poisoning sums with NULL).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        partials_fn: Callable[[DataFrame], DataFrame],
+        key_cols: tuple[str, ...],
+        counter_cols: tuple[str, ...],
+        state_schema: str,
+        sink_path: str | None = None,
+    ) -> None:
+        from tripl_spark.streaming.sinks import committed_batches
+
+        self.spark = spark
+        self.partials_fn = partials_fn
+        self.key_cols = key_cols
+        self.counter_cols = counter_cols
+        self.state_schema = state_schema
+        self.sink_path = sink_path
+        self.state: DataFrame | None = None
+        self._seen: set[int] = set()
+        if sink_path:
+            committed = committed_batches(sink_path)
+            self._seen = set(committed)
+            if committed:
+                self.state = (
+                    self.spark.read.schema(state_schema)
+                    .parquet(f"{sink_path}/batch_id={max(committed)}")
+                    .na.fill(0)
+                    .localCheckpoint(eager=True)
+                )
+
+    def process(self, batch: DataFrame, batch_id: int) -> None:
+        if batch_id in self._seen:  # replay: idempotent skip
+            return
+        if self.sink_path is not None:
+            from tripl_spark.streaming.sinks import committed_batches
+
+            if batch_id in committed_batches(self.sink_path):
+                self._seen.add(batch_id)
+                return
+        delta = self.partials_fn(batch)
+        if self.state is None:
+            merged = delta
+        else:
+            merged = (
+                self.state.unionByName(delta)
+                .groupBy(*self.key_cols)
+                .agg(*[F.sum(c).cast("long").alias(c) for c in self.counter_cols])
+            )
+        new_state = merged.localCheckpoint(eager=True)
+        if self.sink_path is not None:
+            new_state.write.mode("overwrite").parquet(
+                f"{self.sink_path}/batch_id={batch_id}"
+            )
+        self.state = new_state
+        self._seen.add(batch_id)
