@@ -99,3 +99,24 @@ def test_prevalence_conserves_and_orders(spark, sf_small):
     n_docs_total = sum(r.n_docs for r in rows)
     scrub = REGISTRY["text_pii_scrub"].fn(spark, sf_small)
     assert n_docs_total == scrub.count()
+
+
+def test_phone_does_not_bridge_whitespace_into_neighbors(spark):
+    """REGRESSION (r12 review): an open separator class with a space
+    let one phone match greedily swallow the first octet of an
+    adjacent IP ('5551234567 10' -> '[PHONE].0.0.1', n_ip=0). The
+    grouped pattern caps what a match can span: the IP survives
+    intact and is counted."""
+    (row,) = _run(spark, ["call 5551234567 10.0.0.1 done"])
+    assert row.n_phone == 1 and row.n_ip == 1
+    assert row.scrubbed.endswith("[IP] done")
+    assert "10.0.0.1" not in row.scrubbed
+
+
+def test_dates_are_not_phones(spark):
+    """REGRESSION (r12 review): 2020-01-01 matched the old phone
+    class. The grouped pattern requires ddd[sep]dddd digit groups a
+    date never has."""
+    (row,) = _run(spark, ["meeting on 2020-01-01 and 1999-12-31"])
+    assert row.n_email == row.n_id == row.n_phone == row.n_ip == 0
+    assert row.scrubbed == "meeting on 2020-01-01 and 1999-12-31"

@@ -108,3 +108,32 @@ def test_pii_monitor_readstream_end_to_end(spark, sf_small, tmp_path):
     q.awaitTermination()
     want = _card(REGISTRY["text_pii_prevalence"].fn(spark, sf_small))
     assert _card(mon.prevalence()) == want
+
+
+def test_counter_monitor_adopts_foreign_commit(spark, tmp_path):
+    """REGRESSION (r12 review): two monitors sharing a sink. When A
+    sees a batch_id that ANOTHER writer committed, it must ADOPT the
+    sink's latest snapshot rather than skip-without-reloading —
+    otherwise A's in-memory state permanently undercounts that batch
+    and A's next snapshot overwrites the sink with the loss."""
+    docs = _enriched_docs(spark, "/root/testdata/sf0.001")
+    b0 = docs.filter(F.pmod("doc_id", 2) == 0).drop("doc_id")
+    b1 = docs.filter(F.pmod("doc_id", 2) == 1).drop("doc_id")
+    sink = str(tmp_path / "shared")
+    a = StreamingPIIMonitor(spark, sink_path=sink)
+    a.process(b0, batch_id=0)
+    b = StreamingPIIMonitor(spark, sink_path=sink)  # sees committed {0}
+    b.process(b1, batch_id=1)
+    # A replays batch 1 (committed by B): must adopt snapshot 1
+    a.process(b1, batch_id=1)
+    assert _card(a.prevalence()) == _card(b.prevalence())
+    # and A's NEXT merge builds on the adopted (complete) state
+    extra = spark.createDataFrame(
+        [("x@y.io leaked", "weird", "xx")], "text string, source string, lang string"
+    )
+    a.process(extra, batch_id=2)
+    got = {(r.source, r.lang): r.n_email for r in a.prevalence().collect()}
+    assert got[("weird", "xx")] == 1
+    full = _card(REGISTRY["text_pii_prevalence"].fn(spark, "/root/testdata/sf0.001"))
+    for key, vals in full.items():
+        assert _card(a.prevalence())[key] == vals

@@ -41,14 +41,23 @@ from tripl_spark.session import load_table
 
 # Java-regex / RE2 intersection (see module docstring). Order IS the
 # counting precedence: email first (its local part contains digit runs
-# a later class could claim), then SSN-shaped ids (dash-joined digit
-# groups a phone pattern would swallow), then phones, then IPv4 (dots
-# keep it out of the phone class, but scrub order still matters for
-# the residual check).
+# a later class could claim), then SSN-shaped ids, then phones, then
+# IPv4. The phone pattern is GROUPED (optional country code, optional
+# area group, then ddd + dddd with at most ONE bounded separator
+# between groups) rather than a separator character class: an open
+# class with space/dash bridges greedily across whitespace into
+# whatever number follows (swallowing the first octet of an adjacent
+# IP, pairing two years, matching 2020-01-01 as a phone) — the grouped
+# form caps the digits and separators a match can span, so adjacent
+# independent numbers survive scrubbing intact and dates never match.
+# Any 7+ consecutive digits still match (over-redaction on bare
+# numeric ids is the standard scrub bias).
 PII_CLASSES: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
     ("id", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[ID]"),
-    ("phone", r"\+?[0-9][0-9()\- ]{6,}[0-9]", "[PHONE]"),
+    ("phone",
+     r"(\+?[0-9]{1,2}[ .-]?)?(\(?[0-9]{3}\)?[ .-]?)?[0-9]{3}[ .-]?[0-9]{4}",
+     "[PHONE]"),
     ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
 ]
 
@@ -75,6 +84,32 @@ def pii_counts(text: Column) -> list[Column]:
         )
         stage = F.regexp_replace(stage, pat, token)
     return cols
+
+
+def pii_prevalence_partials(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(source, lang, n_docs, docs_with_pii, n_<class>...) long
+    counters for one slice of documents — the ONE rollup definition
+    shared by the registered batch query (`text_pii_prevalence`) and
+    the streaming monitor (`streaming/pii_stream.py`), so the two
+    surfaces cannot drift. Integer counters only; rates are read-time
+    views."""
+    per_doc = docs.select("source", "lang", *pii_counts(F.col(text_col)))
+    total = None
+    for name, _, _ in PII_CLASSES:
+        c = F.col(f"n_{name}")
+        total = c if total is None else (total + c)
+    return (
+        per_doc.withColumn("__any", (total > 0).cast("long"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__any").cast("long").alias("docs_with_pii"),
+            *[
+                F.sum(f"n_{name}").cast("long").alias(f"n_{name}")
+                for name, _, _ in PII_CLASSES
+            ],
+        )
+    )
 
 # Deterministic PII planting from doc_id (see module docstring): the
 # Spark expression and the SQL fragment below are the SAME definition,
@@ -209,24 +244,13 @@ def text_pii_prevalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality monitor maintains, so a crawl source that starts leaking
     PII pages on a per-batch counter, not a nightly scan."""
     docs = load_table(spark, sf_dir, "documents")
-    enriched = docs.select("source", "lang", _enriched_text().alias("t"))
-    per_doc = enriched.select("source", "lang", *pii_counts(F.col("t")))
-    total = None
-    for name, _, _ in PII_CLASSES:
-        c = F.col(f"n_{name}")
-        total = c if total is None else (total + c)
-    per_doc = per_doc.withColumn("__any", (total > 0).cast("long"))
+    enriched = docs.select("source", "lang", _enriched_text().alias("text"))
     return (
-        per_doc.groupBy("source", "lang")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("__any").cast("long").alias("docs_with_pii"),
-            *[
-                F.sum(f"n_{name}").cast("long").alias(f"n_{name}")
-                for name, _, _ in PII_CLASSES
-            ],
-            (F.round(F.sum("__any") * 1.0 / F.count(F.lit(1)), 4) + F.lit(0.0))
-            .alias("pii_rate"),
+        pii_prevalence_partials(enriched)
+        .withColumn(
+            "pii_rate",
+            F.round(F.col("docs_with_pii") * 1.0 / F.col("n_docs"), 4)
+            + F.lit(0.0),
         )
         .orderBy("source", "lang")
     )

@@ -132,6 +132,13 @@ def ancestor_revisit_exists(
         nxt = parts[0]
         for fr in parts[1:]:
             nxt = nxt.unionByName(fr)
+        # LIMIT cap+1 BEFORE materializing: it bounds the rows this
+        # level ever produces (a single join step can amplify a
+        # <=cap frontier by the store's max fan-out — the cap must
+        # bound the work, not just observe it after the fact), and
+        # localCheckpoint truncates lineage so level k's aggregate
+        # doesn't re-execute levels 1..k-1's joins.
+        nxt = nxt.limit(frontier_cap + 1).localCheckpoint(eager=True)
         stats = nxt.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.max(F.col("revisit").cast("int")), F.lit(0)).alias("hit"),
@@ -141,7 +148,7 @@ def ancestor_revisit_exists(
         if stats.n == 0:
             return False
         if stats.n > frontier_cap:
-            return True
+            return True  # limit truncated: conservatively a revisit
         frontier = nxt.select("node", "pos", F.col("next_path").alias("path"))
 
 

@@ -140,12 +140,13 @@ _PRIORITY = [
     "pipeline_full_curation",
 ]
 # r13 rotation note: after the r12 window lands, the oldest remaining
-# vintages are the 21 r7-vintage names NOT in section (c) above
-# (alphabetically from pipeline_perplexity_bycutoff onward), then the
-# 49 r8-vintage names (recompute from CORRECTNESS_r01..r12 the way
-# r9/r11/r12 did). The r13 window: (1) any queries new in r13,
-# (2) those 21, (3) r8-vintage slots to fill, (4) any query whose
-# oracle text changed semantically.
+# vintages are the 23 r7-vintage names NOT in section (c) above
+# (alphabetically from pipeline_full_curation_bycutoff onward — the
+# two names the r12 PII additions displaced from (c) are part of this
+# cohort), then the 49 r8-vintage names (recompute from
+# CORRECTNESS_r01..r12 the way r9/r11/r12 did). The r13 window:
+# (1) any queries new in r13, (2) those 23, (3) r8-vintage slots to
+# fill, (4) any query whose oracle text changed semantically.
 
 
 def _ensure_loaded() -> None:

@@ -75,8 +75,21 @@ class CounterMonitor:
         if self.sink_path is not None:
             from tripl_spark.streaming.sinks import committed_batches
 
-            if batch_id in committed_batches(self.sink_path):
-                self._seen.add(batch_id)
+            committed = committed_batches(self.sink_path)
+            if batch_id in committed:
+                # committed by ANOTHER writer (not in our _seen): the
+                # sink is authoritative, so ADOPT its latest snapshot —
+                # skipping without reloading would leave this monitor's
+                # in-memory state permanently missing that batch's
+                # counts, and its next snapshot would overwrite the
+                # sink with the undercounted state
+                self.state = (
+                    self.spark.read.schema(self.state_schema)
+                    .parquet(f"{self.sink_path}/batch_id={max(committed)}")
+                    .na.fill(0)
+                    .localCheckpoint(eager=True)
+                )
+                self._seen.update(committed)
                 return
         delta = self.partials_fn(batch)
         if self.state is None:

@@ -6,10 +6,11 @@ Why this shape at 100 TB/day: a source that starts leaking PII (a
 crawler picks up a forum dump, a partner feed flips to raw logs)
 should page within a micro-batch — redaction bugs discovered at the
 next nightly batch job have already leaked into tokenizer shards. The
-per-document class counts come from the SAME `pii_counts` expression
-chain the registered `text_pii_prevalence` rollup uses (one regex
-constant list, `operators/pii.py:PII_CLASSES`), so the two surfaces
-cannot drift; the maintained counters after ANY micro-batch split
+per-batch counters come from the LITERAL SAME rollup function the
+registered `text_pii_prevalence` query uses
+(`operators/pii.py:pii_prevalence_partials`, one regex constant
+list), so the two surfaces cannot drift by construction; the
+maintained counters after ANY micro-batch split
 equal the one-shot batch rollup exactly (integer addition — see
 `counter_monitor.py` for the restart contract).
 
@@ -25,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tripl_spark.operators.pii import PII_CLASSES, pii_counts
+from tripl_spark.operators.pii import PII_CLASSES, pii_prevalence_partials
 from tripl_spark.streaming.counter_monitor import CounterMonitor
 
 __all__ = ["StreamingPIIMonitor", "pii_partials"]
@@ -37,28 +38,8 @@ _STATE_SCHEMA = "source string, lang string, " + ", ".join(
     f"{c} long" for c in _COUNTERS
 )
 
-
-def pii_partials(batch: DataFrame) -> DataFrame:
-    """(source, lang, n_docs, docs_with_pii, n_<class>...) long
-    counters for one slice of documents, from the shared precedence
-    expression chain over the ``text`` column as given."""
-    per_doc = batch.select("source", "lang", *pii_counts(F.col("text")))
-    total = None
-    for name, _, _ in PII_CLASSES:
-        c = F.col(f"n_{name}")
-        total = c if total is None else (total + c)
-    return (
-        per_doc.withColumn("__any", (total > 0).cast("long"))
-        .groupBy("source", "lang")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("__any").cast("long").alias("docs_with_pii"),
-            *[
-                F.sum(f"n_{name}").cast("long").alias(f"n_{name}")
-                for name, _, _ in PII_CLASSES
-            ],
-        )
-    )
+# one rollup definition for both surfaces — see operators/pii.py
+pii_partials = pii_prevalence_partials
 
 
 class StreamingPIIMonitor(CounterMonitor):

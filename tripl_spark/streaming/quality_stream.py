@@ -46,6 +46,7 @@ from tripl_spark.operators.text import (
     first_failing_rule,
     gopher_flag_frame,
 )
+from tripl_spark.streaming.counter_monitor import CounterMonitor
 
 __all__ = ["StreamingQualityMonitor", "quality_partials"]
 
@@ -81,10 +82,13 @@ def quality_partials(batch: DataFrame) -> DataFrame:
     return flags.groupBy("source", "lang").agg(*aggs)
 
 
-class StreamingQualityMonitor:
+class StreamingQualityMonitor(CounterMonitor):
     """Maintains the quality counters across micro-batches (the
     ``foreachBatch(mon.process)`` target) and serves the scorecard
-    from them."""
+    from them. The restart-safe merge machinery lives in the generic
+    ``counter_monitor.CounterMonitor`` (extracted from this class in
+    r12); the quality-specific surface is the partials frame and the
+    two read-time views."""
 
     _STATE_SCHEMA = (
         "source string, lang string, n_docs long, n_pass long, "
@@ -101,50 +105,14 @@ class StreamingQualityMonitor:
     )
 
     def __init__(self, spark: SparkSession, sink_path: str | None = None) -> None:
-        from tripl_spark.streaming.sinks import committed_batches
-
-        self.spark = spark
-        self.sink_path = sink_path
-        self.state: DataFrame | None = None
-        self._seen: set[int] = set()
-        if sink_path:
-            committed = committed_batches(sink_path)
-            self._seen = set(committed)
-            if committed:
-                # na.fill(0): a snapshot written before a counter was
-                # added reads the new column as NULL — resume it at 0
-                # rather than poisoning every later sum
-                self.state = self.spark.read.schema(self._STATE_SCHEMA).parquet(
-                    f"{sink_path}/batch_id={max(committed)}"
-                ).na.fill(0).localCheckpoint(eager=True)
-
-    def process(self, batch: DataFrame, batch_id: int) -> None:
-        if batch_id in self._seen:  # replay: idempotent skip
-            return
-        if self.sink_path is not None:
-            # running-aggregate state: a COMMITTED batch must never
-            # re-merge (see module docstring)
-            from tripl_spark.streaming.sinks import committed_batches
-
-            if batch_id in committed_batches(self.sink_path):
-                self._seen.add(batch_id)
-                return
-        delta = quality_partials(batch)
-        if self.state is None:
-            merged = delta
-        else:
-            merged = (
-                self.state.unionByName(delta)
-                .groupBy("source", "lang")
-                .agg(*[F.sum(c).cast("long").alias(c) for c in self._COUNTERS])
-            )
-        new_state = merged.localCheckpoint(eager=True)
-        if self.sink_path is not None:
-            new_state.write.mode("overwrite").parquet(
-                f"{self.sink_path}/batch_id={batch_id}"
-            )
-        self.state = new_state
-        self._seen.add(batch_id)
+        super().__init__(
+            spark,
+            partials_fn=quality_partials,
+            key_cols=("source", "lang"),
+            counter_cols=self._COUNTERS,
+            state_schema=self._STATE_SCHEMA,
+            sink_path=sink_path,
+        )
 
     def drop_ledger(self) -> DataFrame | None:
         """The maintained streaming drop ledger: per (source, lang),
