@@ -49,14 +49,16 @@ from tripl_spark.session import load_table
 # whatever number follows (swallowing the first octet of an adjacent
 # IP, pairing two years, matching 2020-01-01 as a phone) — the grouped
 # form caps the digits and separators a match can span, so adjacent
-# independent numbers survive scrubbing intact and dates never match.
-# Any 7+ consecutive digits still match (over-redaction on bare
-# numeric ids is the standard scrub bias).
+# independent numbers survive scrubbing intact and dates never match;
+# the trailing \b makes leftmost-first consume a bare digit run to its
+# end instead of leaving a one-digit remnant. Any 7+ consecutive
+# digits still match (over-redaction on bare numeric ids is the
+# standard scrub bias).
 PII_CLASSES: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
     ("id", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[ID]"),
     ("phone",
-     r"(\+?[0-9]{1,2}[ .-]?)?(\(?[0-9]{3}\)?[ .-]?)?[0-9]{3}[ .-]?[0-9]{4}",
+     r"(\+?[0-9]{1,2}[ .-]?)?(\(?[0-9]{3}\)?[ .-]?)?[0-9]{3}[ .-]?[0-9]{4}\b",
      "[PHONE]"),
     ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
 ]
