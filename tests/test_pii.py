@@ -119,3 +119,51 @@ def test_dates_are_not_phones(spark):
     (row,) = _run(spark, ["meeting on 2020-01-01 and 1999-12-31"])
     assert row.n_email == row.n_id == row.n_phone == row.n_ip == 0
     assert row.scrubbed == "meeting on 2020-01-01 and 1999-12-31"
+
+
+# --------------------------------------------------------------------------
+# C4-style global line dedup (operators/dedup.py::dedup_lines_global)
+# --------------------------------------------------------------------------
+
+def test_lines_global_keeps_first_occurrence_only(spark):
+    import tripl_spark.operators.dedup as D
+    from tripl_spark.operators.dedup import LINE_TOKENS, dedup_lines_global
+
+    line_a = " ".join(f"w{i}" for i in range(LINE_TOKENS))
+    line_b = " ".join(f"x{i}" for i in range(LINE_TOKENS))
+    line_c = " ".join(f"y{i}" for i in range(LINE_TOKENS))
+    docs = spark.createDataFrame(
+        [
+            (0, f"{line_a} {line_b}"),          # first occurrences
+            (1, f"{line_c} {line_a}"),          # repeats line_a -> dropped
+            (2, f"{line_b} {line_b}"),          # within-doc repeat of a dup
+        ],
+        "doc_id long, text string",
+    )
+    orig = D.load_table  # patch the module's own binding (imported by name)
+    D.load_table = lambda sp, sf, name: docs
+    try:
+        rows = {r.doc_id: r for r in dedup_lines_global(spark, "ignored").collect()}
+    finally:
+        D.load_table = orig
+    assert (rows[0].n_lines, rows[0].n_kept, rows[0].n_dropped) == (2, 2, 0)
+    assert (rows[1].n_lines, rows[1].n_kept, rows[1].n_dropped) == (2, 1, 1)
+    # doc 2: BOTH copies lose to doc 0's first occurrence
+    assert (rows[2].n_lines, rows[2].n_kept, rows[2].n_dropped) == (2, 0, 2)
+    # reassembly: doc 1 keeps only line_c; doc 2 reassembles to ''
+    import hashlib
+    assert rows[1].dedup_fp == hashlib.md5(line_c.encode()).hexdigest()
+    assert rows[2].dedup_fp == hashlib.md5(b"").hexdigest()
+    # conservation everywhere
+    for r in rows.values():
+        assert r.n_kept + r.n_dropped == r.n_lines
+
+
+def test_lines_global_conserves_on_corpus(spark, sf_small):
+    out = REGISTRY["dedup_lines_global"].fn(spark, sf_small)
+    assert out.filter(F.col("n_kept") + F.col("n_dropped") != F.col("n_lines")).count() == 0
+    # the synthetic near-dups make the gate non-vacuous
+    assert out.agg(F.sum("n_dropped")).collect()[0][0] > 0
+    # docs partition: one row per document
+    from tripl_spark.session import load_table
+    assert out.count() == load_table(spark, sf_small, "documents").count()

@@ -1054,3 +1054,118 @@ def dedup_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style global line dedup with document reassembly
+# ---------------------------------------------------------------------------
+
+LINE_TOKENS = 16  # tokens per "line" (the synthetic corpus is
+# single-line word-salad, so lines are fixed token windows; on real
+# text the splitter would be newline/sentence-based with the same
+# downstream shape)
+
+
+@query(
+    "dedup_lines_global",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    lines AS (
+      SELECT doc_id,
+             unnest([struct_pack(pos := i,
+                                 line := array_to_string(t[i:i+{LINE_TOKENS - 1}], ' '))
+                     for i in range(1, len(t) + 1, {LINE_TOKENS})],
+                    recursive := true)
+      FROM toks
+    ),
+    keyed AS (
+      SELECT doc_id, pos, line, md5(line) AS h,
+             doc_id * 100000 + pos AS okey
+      FROM lines
+    ),
+    keepers AS (SELECT h, min(okey) AS keep_okey FROM keyed GROUP BY h)
+    SELECT k.doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN k.okey = kp.keep_okey THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN k.okey = kp.keep_okey THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_dropped,
+           md5(coalesce(string_agg(CASE WHEN k.okey = kp.keep_okey THEN k.line END,
+                                   ' ' ORDER BY k.pos), '')) AS dedup_fp
+    FROM keyed k JOIN keepers kp USING (h)
+    GROUP BY k.doc_id
+    """,
+    doc="C4-style global line dedup: every repeated line keeps exactly "
+    "its first occurrence corpus-wide (deterministic (doc_id, pos) "
+    "order), documents are reassembled from their surviving lines in "
+    "position order — per-doc line/kept/dropped counts plus the md5 of "
+    "the reassembled text, fully hash-gated",
+)
+def dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4/Dolma repeated-line removal step (beyond-reference
+    pipeline surface): split each document into fixed token windows
+    ("lines"), keep exactly the FIRST occurrence of every distinct
+    line corpus-wide (ordered by the encoded (doc_id, pos) key —
+    deterministic under retry/speculation, no rand()), and reassemble
+    each document from its surviving lines.
+
+    Scale shape (100 TB): the line table is linear in corpus tokens /
+    LINE_TOKENS; the keeper table is one map-side-combined groupBy on
+    the line hash (per-DISTINCT-line rows, so a boilerplate line in
+    half the corpus is ONE keeper row and the join back stays N:1 —
+    the reference-containment cost class, no pair stage, no cap
+    needed); reassembly is one groupBy(doc) over kept lines. Two
+    keyed shuffles total, both hash-balanced."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    starts = F.sequence(F.lit(1), F.size(toks), F.lit(LINE_TOKENS))
+    keyed = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.concat_ws(
+                            " ", F.slice(toks, i, F.lit(LINE_TOKENS))
+                        ).alias("line"),
+                    ),
+                )
+            ).alias("l"),
+        )
+        .select(
+            "doc_id",
+            F.col("l.pos").cast("long").alias("pos"),
+            F.col("l.line").alias("line"),
+        )
+        .withColumn("h", F.md5(F.col("line")))
+        .withColumn("okey", F.col("doc_id") * 100000 + F.col("pos"))
+    )
+    keepers = keyed.groupBy("h").agg(F.min("okey").alias("keep_okey"))
+    flagged = keyed.join(keepers, "h").withColumn(
+        "kept", F.col("okey") == F.col("keep_okey")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("kept").cast("int")).cast("long").alias("n_kept"),
+        F.sum((~F.col("kept")).cast("int")).cast("long").alias("n_dropped"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("kept"),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("line"),
+                ),
+            )
+        ).alias("dedup_fp"),
+    )

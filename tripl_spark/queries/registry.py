@@ -82,10 +82,11 @@ _PRIORITY = [
     # r10x45, r11x50. Displaced names keep local DuckDB parity
     # coverage in tests/test_oracle_parity.py every suite run.
     #
-    # (a0) queries NEW in r12 (PII scrub family) — new queries lead
-    # the window, displacing the last two r7-cohort slots
+    # (a0) queries NEW in r12 (PII scrub family + C4 line dedup) —
+    # new queries lead the window, displacing the last r7-cohort slots
     "text_pii_scrub",
     "text_pii_prevalence",
+    "dedup_lines_global",
     # (a) changed-semantics re-drives (r12)
     "multimodal_audio_fingerprint",
     "multimodal_audio_neardup",
@@ -109,8 +110,8 @@ _PRIORITY = [
     "triple_datalog_join",
     "triple_reverse_fanin",
     "window_functions_showcase",
-    # (c) r7-vintage refresh cohort, alphabetical, first 27 (two
-    # slots went to the new r12 PII queries at the window head)
+    # (c) r7-vintage refresh cohort, alphabetical, first 26 (three
+    # slots went to the new r12 queries at the window head)
     "classifier_calibration_bins",
     "corpus_datacard",
     "curation_dsir_weights",
@@ -137,15 +138,14 @@ _PRIORITY = [
     "mixing_temperature_sample",
     "mixing_token_budget",
     "multimodal_metadata",
-    "pipeline_full_curation",
 ]
 # r13 rotation note: after the r12 window lands, the oldest remaining
-# vintages are the 23 r7-vintage names NOT in section (c) above
-# (alphabetically from pipeline_full_curation_bycutoff onward — the
-# two names the r12 PII additions displaced from (c) are part of this
+# vintages are the 24 r7-vintage names NOT in section (c) above
+# (alphabetically from pipeline_full_curation onward — the three
+# names the r12 additions displaced from (c) are part of this
 # cohort), then the 49 r8-vintage names (recompute from
 # CORRECTNESS_r01..r12 the way r9/r11/r12 did). The r13 window:
-# (1) any queries new in r13, (2) those 23, (3) r8-vintage slots to
+# (1) any queries new in r13, (2) those 24, (3) r8-vintage slots to
 # fill, (4) any query whose oracle text changed semantically.
 
 
