@@ -117,8 +117,11 @@ HEADLINE = [
     "sim_whitened_lsh_recall",
     # round-12: the PII scrub data path (map-only regex redaction +
     # per-class counting over the full corpus — the shape every
-    # pre-tokenization pipeline pays per document)
+    # pre-tokenization pipeline pays per document) and the C4-style
+    # global line dedup (line explode → distinct-line keeper join →
+    # per-doc reassembly, the two-shuffle repeated-line removal)
     "text_pii_scrub",
+    "dedup_lines_global",
 ]
 
 

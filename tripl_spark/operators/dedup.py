@@ -1081,19 +1081,24 @@ LINE_TOKENS = 16  # tokens per "line" (the synthetic corpus is
       FROM toks
     ),
     keyed AS (
-      SELECT doc_id, pos, line, md5(line) AS h,
-             doc_id * 100000 + pos AS okey
-      FROM lines
+      SELECT doc_id, pos, line, md5(line) AS h FROM lines
     ),
-    keepers AS (SELECT h, min(okey) AS keep_okey FROM keyed GROUP BY h)
+    keepers AS (
+      -- lexicographic struct min: collision-free first-occurrence
+      -- order however long a document gets (an encoded doc_id*K+pos
+      -- key would alias across docs past K tokens)
+      SELECT h, min(struct_pack(d := doc_id, p := pos)) AS keep
+      FROM keyed GROUP BY h
+    )
     SELECT k.doc_id,
            CAST(count(*) AS BIGINT) AS n_lines,
-           CAST(sum(CASE WHEN k.okey = kp.keep_okey THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_kept,
-           CAST(sum(CASE WHEN k.okey = kp.keep_okey THEN 0 ELSE 1 END) AS BIGINT)
-             AS n_dropped,
-           md5(coalesce(string_agg(CASE WHEN k.okey = kp.keep_okey THEN k.line END,
-                                   ' ' ORDER BY k.pos), '')) AS dedup_fp
+           CAST(sum(CASE WHEN k.doc_id = kp.keep.d AND k.pos = kp.keep.p
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN k.doc_id = kp.keep.d AND k.pos = kp.keep.p
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+           md5(coalesce(string_agg(
+               CASE WHEN k.doc_id = kp.keep.d AND k.pos = kp.keep.p
+                    THEN k.line END, ' ' ORDER BY k.pos), '')) AS dedup_fp
     FROM keyed k JOIN keepers kp USING (h)
     GROUP BY k.doc_id
     """,
@@ -1107,7 +1112,7 @@ def dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The C4/Dolma repeated-line removal step (beyond-reference
     pipeline surface): split each document into fixed token windows
     ("lines"), keep exactly the FIRST occurrence of every distinct
-    line corpus-wide (ordered by the encoded (doc_id, pos) key —
+    line corpus-wide (lexicographic (doc_id, pos) struct min —
     deterministic under retry/speculation, no rand()), and reassemble
     each document from its surviving lines.
 
@@ -1142,11 +1147,17 @@ def dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l.line").alias("line"),
         )
         .withColumn("h", F.md5(F.col("line")))
-        .withColumn("okey", F.col("doc_id") * 100000 + F.col("pos"))
     )
-    keepers = keyed.groupBy("h").agg(F.min("okey").alias("keep_okey"))
+    # lexicographic struct min = collision-free first-occurrence order
+    # (an encoded doc_id*K+pos key would alias across docs past K
+    # tokens per document)
+    keepers = keyed.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("keep")
+    )
     flagged = keyed.join(keepers, "h").withColumn(
-        "kept", F.col("okey") == F.col("keep_okey")
+        "kept",
+        (F.col("doc_id") == F.col("keep.doc_id"))
+        & (F.col("pos") == F.col("keep.pos")),
     )
     return flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_lines"),
