@@ -745,6 +745,48 @@ def main() -> None:
             timed(lambda: REGISTRY["dedup_incremental_minhash"].fn(spark, d).count()),
         )
 
+        # ---- C4-style line dedup (r12): two keyed shuffles, keeper
+        # table per-DISTINCT-line. Work driver = exploded line rows
+        # (linear in corpus tokens / LINE_TOKENS). The hot variant
+        # prepends the SAME 16-token boilerplate line to half the
+        # docs — the claim under test is that a line in 50% of the
+        # corpus stays ONE keeper row and the join back is N:1 (the
+        # containment cost class), so the hot run sits on the uniform
+        # run's line, not a quadratic one.
+        import tripl_spark.operators.dedup as _D
+
+        line_work = int(
+            REGISTRY["dedup_lines_global"].fn(spark, d)
+            .agg(F.sum("n_lines")).first()[0]
+        )
+        record(
+            "dedup_lines_global (registered)", mult,
+            timed(lambda: REGISTRY["dedup_lines_global"].fn(spark, d).count(),
+                  work=line_work),
+        )
+        boiler = " ".join(f"boiler{j}" for j in range(16))
+        hot_docs = load_table(spark, d, "documents").withColumn(
+            "text",
+            F.when(F.pmod("doc_id", 2) == 0,
+                   F.concat(F.lit(boiler + " "), F.col("text")))
+            .otherwise(F.col("text")),
+        ).localCheckpoint(eager=True)
+        _orig_lt = _D.load_table
+        _D.load_table = lambda sp, sf, name: hot_docs
+        try:
+            hot_work = int(
+                _D.dedup_lines_global(spark, d)
+                .agg(F.sum("n_lines")).first()[0]
+            )
+            record(
+                "dedup_lines_global hot-line 50% (skew)", mult,
+                timed(lambda: _D.dedup_lines_global(spark, d).count(),
+                      work=hot_work),
+                "(one boilerplate line in half the docs: keeper stays 1 row, join N:1)",
+            )
+        finally:
+            _D.load_table = _orig_lt
+
     print("\nObserved scaling exponents (1=linear, 2=quadratic):")
     print(f"  {'operator':44s} {'alpha_time':>10s} {'alpha_work':>10s}  points")
 
