@@ -167,3 +167,54 @@ def test_lines_global_conserves_on_corpus(spark, sf_small):
     # docs partition: one row per document
     from tripl_spark.session import load_table
     assert out.count() == load_table(spark, sf_small, "documents").count()
+
+
+def test_cc_class_scrubs_and_luhn_distinguishes(spark):
+    """Credit-card shapes are scrubbed regardless of checksum
+    (over-redaction bias); the Luhn count fires only on valid
+    numbers — both separator styles and the contiguous form."""
+    from tripl_spark.operators.pii import luhn_valid_count
+
+    df = spark.createDataFrame(
+        [
+            (0, "pay 4111 1111 1111 1111 now"),          # valid, spaces
+            (1, "pay 4111 1111 1111 1112 now"),          # invalid checksum
+            (2, "pay 4012-8888-8888-1881 now"),          # valid, dashes
+            (3, "pay 4111111111111111 now"),             # valid, contiguous
+            (4, "order 1234 5678 from 2024",),           # not a card
+        ],
+        "i long, t string",
+    )
+    rows = (
+        df.select(
+            "i",
+            *pii_counts(F.col("t")),
+            luhn_valid_count(F.col("t")).alias("n_luhn"),
+            scrub_pii(F.col("t")).alias("scrubbed"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    for i in (0, 1, 2, 3):
+        assert rows[i].n_cc == 1 and rows[i].scrubbed == "pay [CC] now", rows[i]
+    assert [r.n_luhn for r in rows] == [1, 0, 1, 1, 0]
+    # 8 digits is no card (the phone class still claims the 4+4 pair —
+    # the acknowledged over-redaction bias)
+    assert rows[4].n_cc == 0 and "[CC]" not in rows[4].scrubbed
+
+
+def test_cc_precedes_phone_in_precedence(spark):
+    """A 16-digit card must be claimed whole by the cc class — the
+    phone pattern would otherwise shred it into ddd-dddd fragments."""
+    (row,) = _run(spark, ["card 4111 1111 1111 1111 phone 555 010 4242"])
+    assert row.n_cc == 1 and row.n_phone == 1
+    assert row.scrubbed == "card [CC] phone [PHONE]"
+
+
+def test_null_text_counts_zero_not_minus_one(spark):
+    """REGRESSION (r12 advice): sizeOfNull's legacy -1 must never leak
+    into counters — NULL text counts 0 for every class."""
+    df = spark.createDataFrame([(None,)], "t string")
+    (row,) = df.select(*pii_counts(F.col("t"))).collect()
+    for name, _, _ in PII_CLASSES:
+        assert row[f"n_{name}"] == 0, (name, row)

@@ -374,3 +374,17 @@ def test_video_groups_has_no_pair_clique_join(spark, sf_small):
     # group election window partitions by group — allowed; the plan
     # must still contain the CC membership join and no cartesian
     assert "Window" in plan, plan
+
+
+def test_hll_sketch_side_has_no_exact_predistinct_exchange(spark, sf_small):
+    # r12 verdict finding: the HLL register max is duplicate-idempotent,
+    # so the sketch side must NOT pre-.distinct() — that would be the
+    # exact-distinct full-key shuffle the sketch exists to avoid. The
+    # ONLY exchange keyed by user_id is the exact countDistinct's (kept
+    # deliberately for the error story); the sketch side's first
+    # shuffle keys on (event_type, register) after map-side partial max.
+    plan = _plan(spark, sf_small, "approx_distinct_users")
+    ex_lines = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    user_keyed = [l for l in ex_lines if "user_id" in l]
+    assert len(user_keyed) == 1, user_keyed
+    assert any("register" in l for l in ex_lines), ex_lines

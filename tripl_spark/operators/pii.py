@@ -1,6 +1,7 @@
 """PII scrubbing — the redaction stage every production training-data
-pipeline runs before text reaches a model (emails, phone numbers,
-IP addresses, SSN-shaped ids; the C4/CCNet-style scrub).
+pipeline runs before text reaches a model (emails, SSN-shaped ids,
+credit-card numbers, phone numbers, IP addresses; the C4/CCNet-style
+scrub, with a Luhn-checksum validity count for the card class).
 
 Beyond-reference extension surface (the reference,
 /root/reference/tripl/tripl.py, has no text processing at all); sits
@@ -47,9 +48,11 @@ from tripl_spark.session import load_table
 # between groups) rather than a separator character class: an open
 # class with space/dash bridges greedily across whitespace into
 # whatever number follows (swallowing the first octet of an adjacent
-# IP, pairing two years, matching 2020-01-01 as a phone) — the grouped
-# form caps the digits and separators a match can span, so adjacent
-# independent numbers survive scrubbing intact and dates never match;
+# IP, matching 2020-01-01 as a phone) — the grouped form caps the
+# digits and separators a match can span, so adjacent independent
+# numbers mostly survive scrubbing intact and ISO dates never match
+# (a bare 3+4-digit pair across ONE separator, e.g. '999 2000' inside
+# '1999 2000', still matches — the acknowledged over-redaction bias);
 # the trailing \b makes leftmost-first consume a bare digit run to its
 # end instead of leaving a one-digit remnant. Any 7+ consecutive
 # digits still match (over-redaction on bare numeric ids is the
@@ -57,11 +60,59 @@ from tripl_spark.session import load_table
 PII_CLASSES: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
     ("id", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[ID]"),
+    # credit-card-shaped: 16 digits in 4 groups (spaces/dashes/none).
+    # Scrubbing is shape-based (over-redaction bias: a non-Luhn 16-digit
+    # id is scrubbed too); the separate `n_cc_luhn` column in
+    # `text_pii_scrub` counts the Luhn-VALID subset — the detection
+    # signal a triage dashboard keys on. Must precede phone (the phone
+    # pattern would otherwise claim 3+4-digit fragments of a card).
+    ("cc", r"\b[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}\b", "[CC]"),
     ("phone",
      r"(\+?[0-9]{1,2}[ .-]?)?(\(?[0-9]{3}\)?[ .-]?)?[0-9]{3}[ .-]?[0-9]{4}\b",
      "[PHONE]"),
     ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
 ]
+
+
+_CC_PATTERN = next(p for n, p, _ in PII_CLASSES if n == "cc")
+
+
+def luhn_valid_count(text: Column) -> Column:
+    """Count credit-card-shaped candidates whose digits pass the Luhn
+    checksum — pure digit arithmetic over higher-order functions (JVM
+    codegen, no UDF). The same arithmetic is written in DuckDB SQL by
+    `_luhn_count_sql`, and the driver hash gate on `text_pii_scrub`
+    pins the two implementations to each other."""
+    cands = F.regexp_extract_all(
+        F.coalesce(text, F.lit("")), F.lit(_CC_PATTERN), F.lit(0)
+    )
+
+    def ok(c: Column) -> Column:
+        digits = F.reverse(F.regexp_replace(c, "[ -]", ""))
+
+        def term(i: Column) -> Column:
+            d = digits.substr(i, F.lit(1)).cast("int")
+            dbl = d * 2
+            return F.when(i % 2 == 1, d).otherwise(
+                F.when(dbl > 9, dbl - 9).otherwise(dbl)
+            )
+
+        vals = F.transform(F.sequence(F.lit(1), F.length(digits)), term)
+        return F.aggregate(vals, F.lit(0), lambda a, x: a + x) % 10 == 0
+
+    return F.size(F.filter(cands, ok)).cast("long")
+
+
+def _luhn_count_sql(tcol: str) -> str:
+    """DuckDB twin of `luhn_valid_count` over column ``tcol``."""
+    d = "CAST(reverse(regexp_replace(c, '[ -]', '', 'g'))[i] AS INT)"
+    return (
+        f"CAST(len(list_filter(regexp_extract_all({tcol}, '{_CC_PATTERN}'), "
+        f"c -> list_sum([CASE WHEN i % 2 = 1 THEN {d} "
+        f"ELSE CASE WHEN 2 * {d} > 9 THEN 2 * {d} - 9 ELSE 2 * {d} END END "
+        f"FOR i IN range(1, len(regexp_replace(c, '[ -]', '', 'g')) + 1)]) "
+        f"% 10 = 0)) AS BIGINT)"
+    )
 
 
 def scrub_pii(text: Column) -> Column:
@@ -75,9 +126,11 @@ def scrub_pii(text: Column) -> Column:
 def pii_counts(text: Column) -> list[Column]:
     """One count column per class under first-matching-class
     precedence: each class counts matches in the text AFTER all
-    earlier classes were scrubbed out."""
+    earlier classes were scrubbed out. NULL text coalesces to '' so a
+    dirty stream contributes 0 per class, never -1 (Spark's legacy
+    sizeOfNull would otherwise leak -1 into the prevalence counters)."""
     cols: list[Column] = []
-    stage = text
+    stage = F.coalesce(text, F.lit(""))
     for name, pat, token in PII_CLASSES:
         cols.append(
             F.size(F.regexp_extract_all(stage, F.lit(pat), F.lit(0)))
@@ -126,6 +179,13 @@ def _enriched_text() -> Column:
                      F.lit("@example.com today")),
         ).otherwise(F.lit("")),
         F.when(
+            did % 3 == 1,
+            # Luhn-valid exactly when the last digit is 1 (the classic
+            # 4111... test number) — both branches exercised corpus-wide
+            F.concat(F.lit(" card 4111 1111 1111 111"),
+                     (did % 10).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
             did % 5 == 0,
             F.concat(F.lit(" call +1 (555) 010-"),
                      F.lpad((did % 10000).cast("string"), 4, "0")),
@@ -143,6 +203,8 @@ def _enriched_text() -> Column:
 _ENRICH_SQL = """text
       || CASE WHEN doc_id % 3 = 0 THEN ' reach user' || CAST(doc_id AS VARCHAR)
               || '@example.com today' ELSE '' END
+      || CASE WHEN doc_id % 3 = 1 THEN ' card 4111 1111 1111 111'
+              || CAST(doc_id % 10 AS VARCHAR) ELSE '' END
       || CASE WHEN doc_id % 5 = 0 THEN ' call +1 (555) 010-'
               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
       || CASE WHEN doc_id % 7 = 0 THEN ' id 123-45-'
@@ -159,10 +221,17 @@ def _scrub_stages_sql() -> tuple[str, str, list[str]]:
     prev, tcol, counts = "s0", "t0", []
     for i, (name, pat, token) in enumerate(PII_CLASSES):
         nxt, ncol = f"s{i + 1}", f"n_{name}"
+        # the Luhn-valid count rides the cc stage (same staged text the
+        # cc class itself counts on — precedence-consistent)
+        extra = (
+            f"\n             {_luhn_count_sql(tcol)} AS n_cc_luhn,"
+            if name == "cc"
+            else ""
+        )
         sql += f""",
     {nxt} AS (
       SELECT * EXCLUDE ({tcol}),
-             CAST(len(regexp_extract_all({tcol}, '{pat}')) AS BIGINT) AS {ncol},
+             CAST(len(regexp_extract_all({tcol}, '{pat}')) AS BIGINT) AS {ncol},{extra}
              regexp_replace({tcol}, '{pat}', '{token}', 'g') AS t{i + 1}
       FROM {prev})"""
         prev, tcol = nxt, f"t{i + 1}"
@@ -181,17 +250,18 @@ _SUM_SQL = " + ".join(_COUNT_COLS)
     "text_pii_scrub",
     oracle=f"""
     WITH {_STAGES_SQL}
-    SELECT doc_id, {", ".join(_COUNT_COLS)},
+    SELECT doc_id, {", ".join(_COUNT_COLS)}, n_cc_luhn,
            CAST({_SUM_SQL} AS BIGINT) AS n_pii,
            md5({_FINAL_T}) AS scrub_fp,
            ({_RESIDUAL_SQL}) AS clean
     FROM {_FINAL_T.replace("t", "s")}
     """,
     doc="Per-document PII scrub over deterministically planted "
-    "emails/ids/phones/IPs: per-class counts under first-matching "
-    "precedence, md5 fingerprint of the redacted text, and a residual "
-    "clean flag — fully hash-gated (regexes shared verbatim between "
-    "engines)",
+    "emails/ids/credit-cards/phones/IPs: per-class counts under "
+    "first-matching precedence plus the Luhn-valid card count, md5 "
+    "fingerprint of the redacted text, and a residual clean flag — "
+    "fully hash-gated (regexes shared verbatim between engines; the "
+    "Luhn arithmetic written once per engine, pinned by the gate)",
 )
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-only scrub: one scan, JVM regex inside codegen, no shuffle.
@@ -201,8 +271,18 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer relies on."""
     docs = load_table(spark, sf_dir, "documents")
     enriched = docs.select("doc_id", _enriched_text().alias("t"))
+    # the Luhn count reads the SAME staged text the cc class counts on
+    # (everything before cc already scrubbed — precedence-consistent)
+    cc_stage: Column = F.col("t")
+    for name, pat, token in PII_CLASSES:
+        if name == "cc":
+            break
+        cc_stage = F.regexp_replace(cc_stage, pat, token)
     per_doc = enriched.select(
-        "doc_id", *pii_counts(F.col("t")), scrub_pii(F.col("t")).alias("__scrub")
+        "doc_id",
+        *pii_counts(F.col("t")),
+        luhn_valid_count(cc_stage).alias("n_cc_luhn"),
+        scrub_pii(F.col("t")).alias("__scrub"),
     )
     residual = None
     for _, pat, _ in PII_CLASSES:
@@ -215,6 +295,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.select(
         "doc_id",
         *[f"n_{name}" for name, _, _ in PII_CLASSES],
+        "n_cc_luhn",
         total.cast("long").alias("n_pii"),
         F.md5(F.col("__scrub")).alias("scrub_fp"),
         residual.alias("clean"),

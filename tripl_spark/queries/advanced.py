@@ -163,7 +163,11 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tripl_spark.operators.sketches import _hll_est_agg, hll_register_rho
 
     events = load_table(spark, sf_dir, "events")
-    tu = events.select("event_type", "user_id").distinct()
+    # NO pre-.distinct(): register max is duplicate-idempotent, so an
+    # exact-distinct shuffle before sketching would be exactly the
+    # full-key shuffle the sketch exists to avoid (r12 verdict finding;
+    # plan-gated in tests/test_plan_quality.py).
+    tu = events.select("event_type", "user_id")
     regs = (
         hll_register_rho(tu, F.col("user_id").cast("string"), ["event_type"])
         .groupBy("event_type", "register")

@@ -1,9 +1,9 @@
 """Generic restart-safe additive-counter monitor for ``foreachBatch``.
 
 The pattern every counter-table monitor in this package follows
-(`quality_stream.py` proved it; that module predates this class and
-keeps its own implementation, pinned by its own split-invariance and
-crash-restart tests): per micro-batch, compute a keyed frame of LONG
+(`quality_stream.py` proved it and now subclasses this base, its own
+split-invariance and crash-restart tests still pinning the contract):
+per micro-batch, compute a keyed frame of LONG
 counters from the batch, merge into the maintained state by summing
 per key, snapshot the POST-MERGE state to a ``batch_id=N`` sink
 partition, and on restart resume from the last committed snapshot —
