@@ -218,3 +218,51 @@ def test_null_text_counts_zero_not_minus_one(spark):
     (row,) = df.select(*pii_counts(F.col("t"))).collect()
     for name, _, _ in PII_CLASSES:
         assert row[f"n_{name}"] == 0, (name, row)
+
+
+def test_lines_newline_splits_and_dedups_real_lines(spark):
+    import hashlib
+
+    from tripl_spark.operators.dedup import line_keeper_dedup, split_lines_newline
+
+    boiler = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [
+            (0, f"alpha beta\n{boiler}\ngamma delta"),
+            (1, f"{boiler}\nunique content here"),    # boiler repeated -> dropped
+            (2, "  \nalpha beta\n"),                   # blank lines dropped, dup line
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in
+            line_keeper_dedup(split_lines_newline(docs), sep="\n").collect()}
+    assert (rows[0].n_lines, rows[0].n_kept, rows[0].n_dropped) == (3, 3, 0)
+    assert (rows[1].n_lines, rows[1].n_kept, rows[1].n_dropped) == (2, 1, 1)
+    # doc 2: both real lines lost (blank lines never counted)
+    assert (rows[2].n_lines, rows[2].n_kept, rows[2].n_dropped) == (1, 0, 1)
+    assert rows[1].dedup_fp == hashlib.md5(b"unique content here").hexdigest()
+    assert rows[2].dedup_fp == hashlib.md5(b"").hexdigest()
+
+
+def test_lines_newline_boilerplate_keeps_exactly_one_copy(spark, sf_small):
+    """On the registered planted corpus the header/footer boilerplate
+    lines appear in 1/6 and 1/4 of docs; exactly one copy of each
+    survives corpus-wide."""
+    from tripl_spark.operators.dedup import (
+        _NL_FOOTER,
+        _NL_HEADER,
+        _planted_multiline,
+        split_lines_newline,
+    )
+    from tripl_spark.session import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    multi = docs.select("doc_id", _planted_multiline().alias("text"))
+    keyed = split_lines_newline(multi)
+    for line in (_NL_HEADER, _NL_FOOTER):
+        occ = keyed.filter(F.col("line") == line).count()
+        assert occ > 1, line
+    out = REGISTRY["dedup_lines_newline"].fn(spark, sf_small)
+    total_header = keyed.filter(F.col("line").isin(_NL_HEADER, _NL_FOOTER)).count()
+    # drops >= every boilerplate copy past the two keepers
+    assert out.agg(F.sum("n_dropped")).collect()[0][0] >= total_header - 2

@@ -1148,9 +1148,22 @@ def dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("h", F.md5(F.col("line")))
     )
-    # lexicographic struct min = collision-free first-occurrence order
-    # (an encoded doc_id*K+pos key would alias across docs past K
-    # tokens per document)
+    return line_keeper_dedup(keyed, sep=" ")
+
+
+def line_keeper_dedup(keyed: DataFrame, sep: str) -> DataFrame:
+    """Global first-occurrence line dedup over a ``(doc_id, pos, line,
+    h)`` line table — the shared core of the fixed-window and newline
+    variants (and the streaming keeper table maintains the same ``h →
+    min struct`` state incrementally).
+
+    Lexicographic struct min = collision-free first-occurrence order
+    (an encoded doc_id*K+pos key would alias across docs past K tokens
+    per document) and deterministic under retry/speculation. Scale
+    shape: keeper table is per-DISTINCT-line (one map-side-combined
+    groupBy), join back is N:1, reassembly one groupBy(doc) — two
+    keyed shuffles, both hash-balanced (SCALE.md probes: α_work 1.00
+    uniform AND under a 50%-of-docs boilerplate line)."""
     keepers = keyed.groupBy("h").agg(
         F.min(F.struct("doc_id", "pos")).alias("keep")
     )
@@ -1165,7 +1178,7 @@ def dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((~F.col("kept")).cast("int")).cast("long").alias("n_dropped"),
         F.md5(
             F.concat_ws(
-                " ",
+                sep,
                 F.transform(
                     F.array_sort(
                         F.collect_list(
@@ -1180,3 +1193,108 @@ def dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("dedup_fp"),
     )
+
+
+def split_lines_newline(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, pos, line, h) via REAL newline splitting: the C4/Dolma
+    line unit. ``pos`` is the 1-based raw split index (stable whether
+    or not neighbors are blank); blank/whitespace-only lines are
+    dropped (they carry no content and would otherwise all collide on
+    one keeper). Map-only until the keeper shuffle."""
+    parts = F.split(F.col(text_col), "\n")
+    return (
+        docs.select("doc_id", F.posexplode(parts).alias("idx", "raw"))
+        .select(
+            "doc_id",
+            (F.col("idx") + 1).cast("long").alias("pos"),
+            F.trim(F.col("raw")).alias("line"),
+        )
+        .filter(F.col("line") != "")
+        .withColumn("h", F.md5(F.col("line")))
+    )
+
+
+# Deterministic multi-line planting for the newline variant: the
+# synthetic corpus is single-line word-salad, so the registered query
+# derives newlines from doc_id — per-doc window width k = 5 + doc_id%7
+# (so content lines rarely collide across docs), a shared boilerplate
+# header on doc_id%6==0 and footer on doc_id%4==0 (the cross-document
+# repeated lines a C4 scrub exists to drop). Spark expression and SQL
+# fragment are the same definition, maintained together.
+_NL_HEADER = "NAVIGATION HOME ABOUT CONTACT"
+_NL_FOOTER = "Subscribe to our newsletter today"
+
+
+def _planted_multiline() -> F.Column:
+    did = F.col("doc_id")
+    k = (F.lit(5) + (did % 7)).cast("int")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    body = F.transform(
+        F.sequence(F.lit(1), F.size(toks), k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    empty = F.expr("CAST(array() AS array<string>)")
+    header = F.when(did % 6 == 0, F.array(F.lit(_NL_HEADER))).otherwise(empty)
+    footer = F.when(did % 4 == 0, F.array(F.lit(_NL_FOOTER))).otherwise(empty)
+    return F.array_join(F.concat(header, body, footer), "\n")
+
+
+_NL_PLANT_SQL = rf"""array_to_string(
+        CASE WHEN doc_id % 6 = 0 THEN ['{_NL_HEADER}'] ELSE [] END
+        || [array_to_string(t[i:i + 4 + doc_id % 7], ' ')
+            for i in range(1, len(t) + 1, 5 + CAST(doc_id % 7 AS INT))]
+        || CASE WHEN doc_id % 4 = 0 THEN ['{_NL_FOOTER}'] ELSE [] END,
+        chr(10))"""
+
+
+@query(
+    "dedup_lines_newline",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    multi AS (
+      SELECT doc_id, {_NL_PLANT_SQL} AS mtext FROM toks
+    ),
+    raw AS (
+      SELECT doc_id,
+             unnest([struct_pack(pos := i, line := trim(parts[i]))
+                     for i in range(1, len(parts) + 1)],
+                    recursive := true)
+      FROM (SELECT doc_id, string_split(mtext, chr(10)) AS parts FROM multi)
+    ),
+    keyed AS (
+      SELECT doc_id, pos, line, md5(line) AS h FROM raw WHERE line <> ''
+    ),
+    keepers AS (
+      SELECT h, min(struct_pack(d := doc_id, p := pos)) AS keep
+      FROM keyed GROUP BY h
+    )
+    SELECT k.doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN k.doc_id = kp.keep.d AND k.pos = kp.keep.p
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN k.doc_id = kp.keep.d AND k.pos = kp.keep.p
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+           md5(coalesce(string_agg(
+               CASE WHEN k.doc_id = kp.keep.d AND k.pos = kp.keep.p
+                    THEN k.line END, chr(10) ORDER BY k.pos), '')) AS dedup_fp
+    FROM keyed k JOIN keepers kp USING (h)
+    GROUP BY k.doc_id
+    """,
+    doc="C4-style global line dedup on REAL newline-split lines over "
+    "deterministically planted multi-line documents (per-doc window "
+    "width + shared boilerplate header/footer lines): first occurrence "
+    "wins corpus-wide, documents reassembled newline-joined — fully "
+    "hash-gated",
+)
+def dedup_lines_newline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The newline-splitter twin of `dedup_lines_global` (r12 verdict
+    Missing #3): same keeper core (`line_keeper_dedup`), but the line
+    unit is what a user's C4/Dolma scrub actually splits on. The
+    planted boilerplate header/footer lines appear in 1/6 and 1/4 of
+    documents — exactly one keeper row each, every later copy dropped;
+    the skew probe in SCALE.md runs on this shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    multi = docs.select("doc_id", _planted_multiline().alias("text"))
+    return line_keeper_dedup(split_lines_newline(multi), sep="\n")
