@@ -122,6 +122,9 @@ HEADLINE = [
     # per-doc reassembly, the two-shuffle repeated-line removal)
     "text_pii_scrub",
     "dedup_lines_global",
+    # round-13: the newline-splitter line dedup (real C4 line unit over
+    # planted multi-line docs; same keeper core as the row above)
+    "dedup_lines_newline",
 ]
 
 

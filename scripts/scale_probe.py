@@ -678,9 +678,9 @@ def main() -> None:
         # (cluster assembly + one json.loads per doc), and the pure
         # cluster path pull_df().count() — what a parquet sink would
         # pay, no driver materialization at all. Work driver = root
-        # count. Includes the nested-expression safety check
-        # (ancestor_revisit_exists) in the distributed timing, since
-        # the auto path pays it.
+        # count. The nested expression routes through the path-keyed
+        # assembly (pull_json_paths_df) — r13 removed the separate
+        # safety BFS; the traversal IS the assembly now.
         from tripl_spark.core.store import TripleStore
 
         n_roots = 2_000 * mult
@@ -710,19 +710,88 @@ def main() -> None:
                   work=n_roots),
         )
         def _auto_pull() -> int:
-            # what the auto path pays: safety check, then cluster assembly
-            assert ts._distributed_safe(pull_expr, pull_roots, 20)
+            # what the auto path pays: static expr check, cluster assembly
+            assert ts._distributed_safe(pull_expr, 20)
             return len(ts.pull_many(pull_expr, pull_roots, distributed=True))
 
         record(
             "pull_many distributed assembly (auto path)", mult,
             timed(_auto_pull, work=n_roots),
-            "(includes ancestor_revisit_exists safety check)",
+            "(path-keyed assembly, r13: no separate safety BFS)",
         )
         record(
             "pull_df cluster-only (sink path, no collect)", mult,
             timed(lambda: ts.pull_df(pull_expr, pull_roots).count(),
                   work=n_roots),
+        )
+
+        # ---- r13: CYCLIC store through the same contract. Roots are
+        # ref-PAIRS (r-i <-> r-(i^1)), so every depth-2 path revisits
+        # its root — the exact shape r12 paid the detection BFS for
+        # and then ran the driver loop on anyway. The r13 path-keyed
+        # assembly emits the driver's ancestor stubs cluster-side.
+        cyc_schema = {"p:peer": {"db:valueType": "db.type:ref"}}
+        ts_c = TripleStore(schema=cyc_schema,
+                           default_cardinality="db.cardinality:one",
+                           spark=spark)
+        ts_c.assert_facts(
+            [
+                {
+                    "db:ident": f"r-{i}",
+                    "p:name": f"name-{i % 97}",
+                    "p:peer": f"r-{i ^ 1}",
+                }
+                for i in range(n_roots)
+            ]
+        )
+        ts_c.compact()
+        cyc_expr = ["p:name", {"p:peer": ["p:name", {"p:peer": ["p:name"]}]}]
+        record(
+            "pull_many CYCLIC pairs, driver loop", mult,
+            timed(lambda: len(ts_c.pull_many(cyc_expr, pull_roots,
+                                             distributed=False)),
+                  work=n_roots),
+        )
+        record(
+            "pull_many CYCLIC pairs, distributed path (r13)", mult,
+            timed(lambda: len(ts_c.pull_many(cyc_expr, pull_roots,
+                                             distributed=True)),
+                  work=n_roots),
+            "(every depth-2 path stubs; r12 fell back to the loop here)",
+        )
+
+        # ---- PII scrub (r13): map-only JVM regex scrub + per-class
+        # counts — no shuffle, so alpha_time must be ~1 past the job
+        # floor and alpha_work exactly 1 (one row per doc). Planted
+        # text mirrors the registered query's density.
+        from tripl_spark.operators.pii import pii_counts, scrub_pii
+
+        n_pii = 20_000 * mult
+        base_txt = " ".join(f"tok{j}" for j in range(60))
+        pii_docs = spark.range(n_pii).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit(base_txt),
+                F.when(F.pmod("id", 3) == 0,
+                       F.concat(F.lit(" mail u"), F.col("id").cast("string"),
+                                F.lit("@ex.org"))).otherwise(F.lit("")),
+                F.when(F.pmod("id", 3) == 1,
+                       F.concat(F.lit(" card 4111 1111 1111 111"),
+                                F.pmod("id", 10).cast("string"))
+                       ).otherwise(F.lit("")),
+                F.when(F.pmod("id", 5) == 0,
+                       F.lit(" call +1 (555) 010-1234")).otherwise(F.lit("")),
+            ).alias("text"),
+        ).localCheckpoint(eager=True)
+        record(
+            "pii scrub+counts map-only (r13)", mult,
+            timed(lambda: pii_docs.select(
+                "doc_id", *pii_counts(F.col("text")),
+                F.length(scrub_pii(F.col("text"))).alias("sl"),
+            ).agg(F.sum("n_email"), F.sum("n_cc"), F.sum("sl")).first()
+                and n_pii,
+                  work=n_pii),
+            "(single scan, codegen regex, zero Exchange)",
         )
 
         if mult not in (1, SCALE):

@@ -291,8 +291,9 @@ def test_pull_many_distributed_equals_driver_assembly(spark, g):
 
 # Hypothesis graphs that can be CYCLIC: parents may reference other
 # parents through a card-one ref. The auto-switch (threshold forced to
-# 1) must equal the driver loop on every such graph — acyclic ones take
-# the cluster path, cyclic ones are detected and fall back.
+# 1) must equal the driver loop on every such graph — since r13 BOTH
+# shapes take the cluster path (the path-keyed assembly emits the
+# driver loop's ancestor-revisit ident stubs itself; no fallback).
 _maybe_cyclic = st.fixed_dictionaries(
     {
         "parents": st.lists(
@@ -337,8 +338,9 @@ def _build_maybe_cyclic(spark, parents):
 def test_pull_many_auto_switch_safe_on_any_graph(spark, g):
     """The nested auto-switch property: with the threshold forced to 1,
     the default path must equal the driver loop on EVERY graph —
-    including self-loops and ref cycles, where _distributed_safe must
-    detect the revisit and fall back."""
+    including self-loops and ref cycles, which the path-keyed assembly
+    stubs exactly like the driver loop (no fallback since r13). The
+    forced distributed path is the same assembly and must agree too."""
     ts, roots = _build_maybe_cyclic(spark, g["parents"])
     ts.PULL_DISTRIBUTED_THRESHOLD = 1
     for expr in (
@@ -347,15 +349,16 @@ def test_pull_many_auto_switch_safe_on_any_graph(spark, g):
     ):
         drv = ts.pull_many(expr, roots, distributed=False)
         auto = ts.pull_many(expr, roots)
+        forced = ts.pull_many(expr, roots, distributed=True)
         assert auto == drv, (expr, auto, drv)
+        assert forced == drv, (expr, forced, drv)
 
 
-def test_auto_switch_falls_back_on_cycle(spark):
-    """Deterministic pin of the fallback: a 2-cycle a<->b. The driver
-    loop stubs the revisited ancestor; the auto path must return the
-    SAME stubbed document (i.e. it detected the cycle and used the
-    driver loop), while a forced distributed=True expands fully and
-    genuinely differs — the divergence the gate exists for."""
+def test_distributed_emits_driver_cycle_stubs(spark):
+    """Deterministic pin of the r13 revisit-complete assembly (the r12
+    gate's divergence is GONE): on a 2-cycle a<->b, auto and forced
+    distributed both return the driver loop's document, including the
+    ancestor ident stub — cluster-side, no fallback."""
     schema = {"t:next": {"db:valueType": "db.type:ref"}}
     ts = TripleStore(schema=schema, default_cardinality="db.cardinality:one",
                      spark=spark)
@@ -368,22 +371,18 @@ def test_auto_switch_falls_back_on_cycle(spark):
     ts.PULL_DISTRIBUTED_THRESHOLD = 1
     expr = ["t:name", {"t:next": ["t:name", {"t:next": ["t:name"]}]}]
     drv = ts.pull_many(expr, ["a"], distributed=False)
-    auto = ts.pull_many(expr, ["a"])
-    assert auto == drv
     # depth-2 child of the root 'a' is 'a' again -> ancestor stub
     assert drv[0]["t:next"]["t:next"] == {"db:ident": "a"}
-    forced = ts.pull_many(expr, ["a"], distributed=True)
-    assert forced != drv  # full bottom-up expansion, no path stubs
+    assert ts.pull_many(expr, ["a"]) == drv
+    assert ts.pull_many(expr, ["a"], distributed=True) == drv
 
 
-def test_ancestor_revisit_detector_exactness(spark):
-    """ancestor_revisit_exists fires exactly on the driver's stub
-    condition: reachable revisits within the expression depth — not on
-    chains, not on diamonds, not on cycles deeper than the expression
-    traverses."""
-    from tripl_spark.plans.pull import compile_expr
-    from tripl_spark.plans.pull_df import ancestor_revisit_exists
-
+def test_path_stub_semantics_exactness(spark):
+    """The path-keyed assembly stubs exactly on the driver's condition
+    (node in ITS OWN ancestor path): chains and diamonds expand fully,
+    self-loops stub at depth 1, a 2-cycle reachable at depth 3 stubs
+    only when the expression is deep enough to complete the revisit,
+    and reverse traversal back to the parent stubs too."""
     schema = {
         "t:next": {"db:valueType": "db.type:ref"},
         "t:kid": {"db:valueType": "db.type:ref",
@@ -403,39 +402,39 @@ def test_ancestor_revisit_detector_exactness(spark):
             {"db:ident": "d2", "t:next": "d3"},
             {"db:ident": "d3", "t:name": "sink"},
             # self-loop
-            {"db:ident": "s", "t:next": "s"},
+            {"db:ident": "s", "t:name": "loop", "t:next": "s"},
             # 2-cycle reachable only at depth 3+: r -> x -> y -> x
             {"db:ident": "r", "t:next": "x"},
             {"db:ident": "x", "t:next": "y"},
             {"db:ident": "y", "t:next": "x"},
         ]
     )
-    facts = ts.current_facts()
 
-    def check(expr, roots):
-        roots_df = spark.createDataFrame([(r,) for r in roots], "e string")
-        return ancestor_revisit_exists(facts, compile_expr(expr), roots_df)
+    def both(expr, roots):
+        drv = ts.pull_many(expr, roots, distributed=False)
+        dst = ts.pull_many(expr, roots, distributed=True)
+        assert dst == drv, (expr, roots, dst, drv)
+        return dst
 
     deep2 = ["t:name", {"t:next": ["t:name", {"t:next": ["t:name"]}]}]
-    assert not check(deep2, ["c1"])                       # chain
-    assert not check([{"t:kid": [{"t:next": ["t:name"]}]}], ["d0"])  # diamond
-    assert check(["t:name", {"t:next": ["t:name"]}], ["s"])  # self-loop
-    assert check(deep2, ["x"])                            # 2-cycle from inside
-    # the x<->y cycle is 3 hops from r; a depth-2 expression never
-    # completes the revisit -> distributed is safe from r
-    assert not check(deep2, ["r"])
+    (chain,) = both(deep2, ["c1"])              # chain: full expansion
+    assert chain["t:next"]["t:next"]["t:name"] == "end"
+    (dia,) = both([{"t:kid": [{"t:next": ["t:name"]}]}], ["d0"])
+    assert [k["t:next"]["t:name"] for k in dia["t:kid"]] == ["sink", "sink"]
+    (loop,) = both(["t:name", {"t:next": ["t:name"]}], ["s"])
+    assert loop["t:next"] == {"db:ident": "s"}  # self-loop stubs at once
+    # x -> y -> x: the depth-2 child of x is x again -> stub
+    (xdoc,) = both(deep2, ["x"])
+    assert xdoc["t:next"]["t:next"] == {"db:ident": "x"}
+    # from r the cycle needs depth 3; deep2 stops short -> no stub
+    (rdoc,) = both(deep2, ["r"])
+    assert rdoc["t:next"]["t:next"]["t:name"] is None  # y, expanded
     deep3 = ["t:name", {"t:next": deep2}]
-    assert check(deep3, ["r"])                            # now it reaches
-    # reverse traversal revisits too: follow t:next forward then back
-    rev = [{"t:next": [{"t:_next": ["t:name"]}]}]
-    assert check(rev, ["c1"])
-    # frontier cap: conservative True even on the plain chain
-    roots_df = spark.createDataFrame([("c1",)], "e string")
-    assert ancestor_revisit_exists(
-        facts, compile_expr(deep2), roots_df, frontier_cap=0
-    )
-    # '...' recursion: conservatively divergent
-    assert check(["t:name", {"t:next": "..."}], ["c1"])
+    (rdoc3,) = both(deep3, ["r"])
+    assert rdoc3["t:next"]["t:next"]["t:next"] == {"db:ident": "x"}
+    # reverse traversal revisits the parent -> stubs there too
+    (revd,) = both([{"t:next": [{"t:_next": ["t:name"]}]}], ["c1"])
+    assert revd["t:next"]["t:_next"] == [{"db:ident": "c1"}]
 
 
 def test_pull_many_threshold_auto_switch(spark):

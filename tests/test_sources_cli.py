@@ -540,3 +540,49 @@ def test_cli_maintain_end_to_end(tmp_path, spark, sf_small):
     r = run("--verify-index")
     assert r.returncode == 1
     assert "stale" in r.stderr
+
+
+def test_cli_pull_distributed_jsonl_sink(tmp_path):
+    """`tripl pull --distributed -o OUT`: documents assembled
+    cluster-side and written as a JSONL directory — the sink path for
+    result sets too large to re-nest on the driver. Content must equal
+    the driver-side pull (nested child included)."""
+    docs = [
+        {"x:id": "a", "x:name": "Alpha", "x:type": "x.type:thing",
+         "x:kid": {"x:id": "k1", "x:type": "x.type:kid"}},
+        {"x:id": "b", "x:name": "Beta", "x:type": "x.type:thing"},
+    ]
+    f1 = tmp_path / "in.json"
+    f1.write_text(json.dumps(docs))
+    merged = tmp_path / "merged.json"
+    r = subprocess.run(
+        [sys.executable, "-m", "tripl_spark.cli", "join", "-i", str(f1),
+         "-o", str(merged), "--id-attrs", "x:id"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    outdir = tmp_path / "out.jsonl"
+    plain = tmp_path / "plain.json"
+    expr = '["x:name", {"x:kid": ["x:id"]}]'
+    pattern = '{"x:type": "x.type:thing"}'
+    for extra, dest in ((["--distributed"], str(outdir)), ([], str(plain))):
+        r = subprocess.run(
+            [sys.executable, "-m", "tripl_spark.cli", "pull", "-i", str(merged),
+             "-o", dest, "-p", expr, "-e", pattern] + extra,
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+    lines = []
+    for part in sorted(outdir.glob("part-*")):
+        lines += [json.loads(l) for l in part.read_text().splitlines() if l]
+    key = lambda d: str(d.get("x:name"))
+    assert sorted(lines, key=key) == sorted(json.loads(plain.read_text()), key=key)
+    # --distributed and --drop-namespaces are mutually exclusive (loud)
+    r = subprocess.run(
+        [sys.executable, "-m", "tripl_spark.cli", "pull", "-i", str(merged),
+         "-o", str(tmp_path / "x"), "-p", expr, "-e", pattern,
+         "--distributed", "-N"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode != 0 and "drop-namespaces" in r.stderr

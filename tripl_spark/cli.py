@@ -50,6 +50,12 @@ def get_args(argv: list[str] | None = None) -> argparse.Namespace:
                              "pull expression and match pattern")
     p_pull.add_argument("-N", "--drop-namespaces", action="store_true",
                         help="strip namespaces from output document keys")
+    p_pull.add_argument("--distributed", action="store_true",
+                        help="assemble documents CLUSTER-SIDE and write "
+                             "OUT as a JSONL directory (one JSON doc per "
+                             "line, unordered part files) — the sink "
+                             "path for result sets too large to re-nest "
+                             "on the driver")
     group = p_pull.add_mutually_exclusive_group(required=True)
     group.add_argument("-e", "--entities-pattern",
                        help="JSON match pattern, e.g. '{\"x:type\": \"x.type:t\"}'")
@@ -303,11 +309,24 @@ def main(argv: list[str] | None = None) -> int:
             expr = _apply_ns(expr, args.default_namespace)
             if args.entities_pattern:
                 target = _apply_ns(target, args.default_namespace)
-        results = list(store.pull_many(expr, target))
-        if getattr(args, "drop_namespaces", False):
-            results = [_strip_ns(d) for d in results]
-        with open(args.output, "w") as fp:
-            json.dump(results, fp, default=list, indent=2)
+        if getattr(args, "distributed", False):
+            if getattr(args, "drop_namespaces", False):
+                raise SystemExit(
+                    "--distributed writes documents cluster-side; "
+                    "--drop-namespaces needs driver-side re-nesting — "
+                    "pick one"
+                )
+            # the library sink path (store.pull_df): documents never
+            # materialize on the driver; OUT is a JSONL directory
+            store.pull_df(expr, target).select("doc").write.mode(
+                "overwrite"
+            ).text(args.output)
+        else:
+            results = list(store.pull_many(expr, target))
+            if getattr(args, "drop_namespaces", False):
+                results = [_strip_ns(d) for d in results]
+            with open(args.output, "w") as fp:
+                json.dump(results, fp, default=list, indent=2)
     return 0
 
 

@@ -472,24 +472,25 @@ class TripleStore:
     # and re-nests row-by-row in Python — fine for a page of entities,
     # quadratic-feeling at a million roots. The distributed path is one
     # job + ONE collect of finished documents. The auto-switch applies
-    # to FLAT expressions unconditionally (the assemblies are
+    # to FLAT expressions unconditionally (the bottom-up assembly is
     # equivalent on every store) and to NESTED non-'...' expressions
-    # whenever no traversal path revisits an ancestor — the driver
-    # loop's cycle-stub condition, checked exactly by
-    # plans/pull_df.ancestor_revisit_exists — so the switch is
-    # invisible to callers (pinned by tests/test_pull_df.py's
-    # equivalence properties).
+    # within max_depth on ANY store — the path-keyed assembly
+    # (plans/pull_df.pull_json_paths_df) reproduces the driver loop's
+    # ancestor-revisit ident-stub rule, cyclic stores included — so
+    # the switch is invisible to callers (pinned by
+    # tests/test_pull_df.py's equivalence properties over arbitrary
+    # and cyclic Hypothesis graphs).
     #
-    # Threshold tuning (r12 probe, SCALE.md "pull_many assembly"
-    # rows): the driver loop costs ~0.1 ms/doc of Python re-nesting
-    # on 4-attr docs (alpha_time 0.45 across 30x), the distributed
-    # path ~2 s of fixed job overhead + the nested-expr safety check
-    # (alpha_time 0.11, flat) — locally the lines cross around ~20k
-    # roots; wider docs pull the crossover down, a real cluster's
-    # per-level collect round-trips pull it down further. 8192 sits
-    # under the measured crossover while keeping driver collects
-    # bounded at ~10^5 rows — the page-of-entities regime stays on
-    # the cheap loop, anything bulk goes cluster-side.
+    # Threshold tuning (r12 probe, re-measured r13 after the paths
+    # rewrite; SCALE.md "pull_many assembly" rows): the driver loop
+    # costs ~0.1 ms/doc of Python re-nesting on 4-attr docs
+    # (alpha_time 0.45 across 30x), the distributed path ~2 s of
+    # fixed job overhead (alpha_time near-flat) — locally the lines
+    # cross around ~20k roots; wider docs pull the crossover down, a
+    # real cluster's per-level collect round-trips pull it down
+    # further. 8192 sits under the measured crossover while keeping
+    # driver collects bounded at ~10^5 rows — the page-of-entities
+    # regime stays on the cheap loop, anything bulk goes cluster-side.
     PULL_DISTRIBUTED_THRESHOLD = 8192
 
     @staticmethod
@@ -527,37 +528,27 @@ class TripleStore:
                     d = max(d, child)
         return d
 
-    def _distributed_safe(
-        self, pull_expr: list[Any], eids: list[str], max_depth: int
-    ) -> bool:
-        """Is cluster-side assembly provably result-identical to the
-        driver loop for THIS expression on THIS store?
+    def _distributed_safe(self, pull_expr: list[Any], max_depth: int) -> bool:
+        """Is cluster-side assembly result-identical to the driver loop
+        for THIS expression (on EVERY store — no per-store check since
+        r13)?
 
-        * flat expressions: always (equivalent on every store);
+        * flat expressions: yes — the bottom-up ``pull_json_df``
+          assembly is equivalent on every store;
+        * other nested expressions within ``max_depth``: yes — the
+          path-keyed ``pull_json_paths_df`` assembly reproduces the
+          driver loop's ancestor-revisit ident-stub rule exactly,
+          cyclic stores included (r12's detection BFS + driver-loop
+          fallback is gone: the same traversal now IS the assembly);
         * '...' recursion: never auto (bounded-unroll vs max_depth/
           cycle-stub semantics diverge on cyclic data);
         * expressions nested deeper than ``max_depth``: never auto (the
-          driver loop truncates, the distributed path expands fully);
-        * other nested expressions: exactly when no traversal path
-          revisits an ancestor — the driver loop's cycle-stub
-          condition, decided by a bounded path-BFS
-          (plans/pull_df.ancestor_revisit_exists). Cyclic or
-          cap-exceeding stores fall back to the driver loop."""
+          driver loop truncates, the distributed paths expand fully)."""
         if self._expr_is_flat(pull_expr):
             return True
-        if self._expr_has_recur(pull_expr):
-            return False
-        if self._expr_depth(pull_expr) > max_depth:
-            return False
-        from tripl_spark.plans.pull_df import ancestor_revisit_exists
-
-        roots = self.spark.createDataFrame(
-            [(e,) for e in sorted(set(eids))], "e string"
-        )
-        return not ancestor_revisit_exists(
-            self.current_facts(),
-            pull_plan.compile_expr(pull_expr),
-            roots,
+        return (
+            not self._expr_has_recur(pull_expr)
+            and self._expr_depth(pull_expr) <= max_depth
         )
 
     def pull_many(
@@ -578,13 +569,16 @@ class TripleStore:
         ``distributed`` selects the assembly path: None (default)
         auto-switches to cluster-side JSON assembly
         (`plans/pull_df.py`) past ``PULL_DISTRIBUTED_THRESHOLD`` roots
-        whenever the two paths are provably result-identical — always
-        for FLAT expressions; for nested dict-children expressions
-        after an exact per-store check that no traversal path revisits
-        an ancestor (the driver loop's cycle-stub condition — see
-        ``_distributed_safe``). ``'...'`` recursion, expressions
-        nested past ``max_depth``, and cyclic stores stay on the
-        driver loop. True/False force a path."""
+        whenever the two paths are result-identical — FLAT expressions
+        take the bottom-up assembly (one render per node); nested
+        dict-children expressions within ``max_depth`` take the
+        path-keyed assembly, which reproduces the driver loop's
+        ancestor-revisit ident-stub rule on ANY store, cyclic
+        included. Only ``'...'`` recursion and expressions nested past
+        ``max_depth`` stay on the driver loop. True/False force
+        distributed/driver; a forced ``distributed=True`` uses the
+        same selection (recursion then falls back to the bounded
+        unroll, the one shape whose semantics differ)."""
         if isinstance(eids_or_pattern, dict):
             eids = sorted(self.match(eids_or_pattern))
         else:
@@ -595,21 +589,26 @@ class TripleStore:
             if distributed is not None
             else (
                 len(eids) >= self.PULL_DISTRIBUTED_THRESHOLD
-                and self._distributed_safe(pull_expr, eids, max_depth)
+                and self._distributed_safe(pull_expr, max_depth)
             )
         )
         if use_df:
             import json as _json
 
-            from tripl_spark.plans.pull_df import pull_json_df
+            from tripl_spark.plans.pull_df import pull_json_df, pull_json_paths_df
 
             roots = self.spark.createDataFrame(
                 [(e,) for e in sorted(set(eids))], "e string"
             )
-            rows = pull_json_df(
-                self.current_facts(), self.registry, pull_expr, roots,
-                recur_depth=max_depth,
-            ).collect()
+            if self._expr_is_flat(pull_expr) or self._expr_has_recur(pull_expr):
+                rows = pull_json_df(
+                    self.current_facts(), self.registry, pull_expr, roots,
+                    recur_depth=max_depth,
+                ).collect()
+            else:
+                rows = pull_json_paths_df(
+                    self.current_facts(), self.registry, pull_expr, roots
+                ).collect()
             raw_by_e = {r["e"]: r["doc"] for r in rows}
             # parse PER OCCURRENCE: duplicate eids must get independent
             # dicts (the driver path builds one per root — a caller
@@ -635,9 +634,12 @@ class TripleStore:
         """Distributed pull: (e, doc) DataFrame with JSON documents
         assembled on the cluster — for result sets too large to re-nest
         driver-side. Wildcards render every present attr (refs
-        unexpanded); ``'...'`` recursion is unrolled ``recur_depth``
-        levels (see plans/pull_df.py)."""
-        from tripl_spark.plans.pull_df import pull_json_df
+        unexpanded). Non-recursive expressions use the path-keyed
+        assembly (driver-loop-identical on any store, ancestor-revisit
+        stubs included — r13); ``'...'`` recursion is unrolled
+        ``recur_depth`` levels via the bottom-up assembly (see
+        plans/pull_df.py)."""
+        from tripl_spark.plans.pull_df import pull_json_df, pull_json_paths_df
 
         if isinstance(eids_or_pattern, dict):
             roots = self.match_df(eids_or_pattern)
@@ -645,8 +647,17 @@ class TripleStore:
             roots = self.spark.createDataFrame(
                 [(str(e),) for e in eids_or_pattern], "e string"
             )
-        return pull_json_df(
-            self.current_facts(), self.registry, pull_expr, roots, recur_depth
+        if self._expr_has_recur(pull_expr):
+            return pull_json_df(
+                self.current_facts(), self.registry, pull_expr, roots, recur_depth
+            )
+        if self._expr_is_flat(pull_expr):
+            # flat: one render per node, no path expansion needed
+            return pull_json_df(
+                self.current_facts(), self.registry, pull_expr, roots, recur_depth
+            )
+        return pull_json_paths_df(
+            self.current_facts(), self.registry, pull_expr, roots
         )
 
     def q(self, query: dict[str, Any],

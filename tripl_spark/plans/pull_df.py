@@ -53,59 +53,79 @@ def pull_json_df(
     )
 
 
-# Path-frontier size past which ancestor_revisit_exists stops proving
-# and conservatively reports a revisit (caller falls back to the driver
-# loop). The frontier counts PATHS, not nodes — dense diamond fan-out
-# can square it per level — so the cap bounds detection cost on
-# adversarial DAGs while staying far above any sane document graph.
-REVISIT_FRONTIER_CAP = 10_000_000
-
-
-def ancestor_revisit_exists(
+def pull_json_paths_df(
     facts: DataFrame,
-    tree: PullPos,
+    registry: SchemaRegistry,
+    expr: list[Any],
     roots: DataFrame,
-    frontier_cap: int = REVISIT_FRONTIER_CAP,
-) -> bool:
-    """Does any traversal path from a root revisit its own ancestor?
+) -> DataFrame:
+    """roots(e) → (e, doc): cluster-side assembly with the driver
+    loop's EXACT cycle-stub semantics — a child that appears in its own
+    ancestor path renders as ``{ident: eid}`` (reference cycle rule,
+    tripl.py:665-668, ported per SURVEY Q5/Q6) and is not expanded.
+    Valid for any non-``'...'`` expression on ANY store, cyclic or not,
+    so ``pull_many``'s auto-switch needs no per-store safety precheck
+    (r12 ran a detection BFS and then fell back to the driver loop on
+    cyclic stores — paying the traversal twice; this assembles on the
+    first and only pass).
 
-    This is EXACTLY the driver loop's cycle-stub condition
-    (``plans/pull.py`` ``PullRun.assemble``: ``node in ancestors``) —
-    when it never fires, the driver assembly is path-independent and
-    provably equal to this module's bottom-up assembly, so
-    ``pull_many`` may auto-switch nested expressions to the cluster
-    path. Checked by a level-wise path-BFS over the expression's dict
-    children (bare reverse lookups render ident stubs without
-    recursing, so they can't revisit): each frontier row carries its
-    ancestor path; one aggregate per expression level reports a hit.
-    Levels are bounded by the (finite) expression depth; ``'...'``
-    recursion returns True up front (its bounded-unroll semantics
-    diverge regardless). Returns True conservatively when the path
-    frontier exceeds ``frontier_cap``.
+    Two phases, both level-wise over the (finite) expression depth:
+
+    * **expand** — each path row ``(key, node, pos, path)`` joins the
+      facts frame per dict child; the child's ``revisit`` bit is
+      ``array_contains(path, child)`` (the driver's ``node in
+      ancestors``), and stubbed rows do not expand further. ``key`` is
+      the path identity (parent key ⊕ child slot ⊕ child node — unique
+      because facts have set semantics), so diamonds and repeated
+      subtrees stay distinct exactly as the driver loop walks them.
+      ``localCheckpoint`` per level truncates lineage.
+    * **assemble** — deepest level first: render each row's node-local
+      components (plain attrs / wildcard / bare reverse — all keyed by
+      node, path-independent), splice in child fragments grouped from
+      the level below by ``(parent key, slot)`` sorted by child eid,
+      and collapse per schema cardinality; revisit rows render the
+      ident stub instead.
+
+    Cost: the path-row count is the OUTPUT tree size — the same object
+    the driver loop materializes one Python dict at a time; here each
+    level is one join + one aggregation, distributed. A path's length
+    is bounded by expression depth, so no frontier cap is needed (and
+    truncation would be a wrong answer, not a safeguard).
     """
-    positions: dict[int, PullPos] = {}
+    tree = compile_expr(expr)
+    # each expression position lives at exactly ONE depth — expansion
+    # and assembly touch only that level's positions
+    by_depth: dict[int, list[PullPos]] = {}
 
-    def _walk(p: PullPos) -> bool:
-        positions[p.pos] = p
+    def _walk(p: PullPos, d: int) -> None:
+        by_depth.setdefault(d, []).append(p)
         for _, _, c in p.children:
-            if c == RECUR or not _walk(c):
-                return False
-        return True
+            if c == RECUR:
+                raise ValueError(
+                    "pull_json_paths_df does not take '...' recursion; "
+                    "use pull_json_df's bounded unroll"
+                )
+            _walk(c, d + 1)
 
-    if not _walk(tree):
-        return True
-    frontier = roots.select(
+    _walk(tree, 0)
+
+    lvl = roots.select(
+        F.col("e").alias("key"),
+        F.lit(None).cast("string").alias("parent_key"),
+        F.lit(-1).alias("slot"),
         F.col("e").alias("node"),
         F.lit(tree.pos).alias("pos"),
+        F.lit(False).alias("revisit"),
         F.array(F.col("e")).alias("path"),
-    )
-    while True:
+    ).dropDuplicates(["key"])
+    levels: list[DataFrame] = [lvl.localCheckpoint(eager=True)]
+    for depth in range(0, max(by_depth)) if len(by_depth) > 1 else []:
         parts: list[DataFrame] = []
-        for p in positions.values():
+        for p in by_depth[depth]:
             if not p.children:
                 continue
-            sub = frontier.filter(F.col("pos") == p.pos)
-            for attr, fwd, child in p.children:
+            sub = levels[-1].filter((F.col("pos") == p.pos) & ~F.col("revisit"))
+            for slot, (attr, fwd, child) in enumerate(p.children):
                 if fwd is None:
                     edges = facts.filter(
                         (F.col("a") == attr) & F.col("v_str").isNotNull()
@@ -116,40 +136,86 @@ def ancestor_revisit_exists(
                     ).select(F.col("v_str").alias("node"), F.col("e").alias("child"))
                 parts.append(
                     sub.join(edges, "node").select(
+                        F.concat_ws(
+                            "\x00", F.col("key"), F.lit(str(slot)), F.col("child")
+                        ).alias("key"),
+                        F.col("key").alias("parent_key"),
+                        F.lit(slot).alias("slot"),
                         F.col("child").alias("node"),
                         F.lit(child.pos).alias("pos"),
-                        # parent's path = the driver's `ancestors` tuple
+                        # the driver's `node in ancestors`
                         F.array_contains(F.col("path"), F.col("child")).alias(
                             "revisit"
                         ),
                         F.concat(F.col("path"), F.array(F.col("child"))).alias(
-                            "next_path"
+                            "path"
                         ),
                     )
                 )
         if not parts:
-            return False  # only terminal positions left
+            break
         nxt = parts[0]
         for fr in parts[1:]:
             nxt = nxt.unionByName(fr)
-        # LIMIT cap+1 BEFORE materializing: it bounds the rows this
-        # level ever produces (a single join step can amplify a
-        # <=cap frontier by the store's max fan-out — the cap must
-        # bound the work, not just observe it after the fact), and
-        # localCheckpoint truncates lineage so level k's aggregate
-        # doesn't re-execute levels 1..k-1's joins.
-        nxt = nxt.limit(frontier_cap + 1).localCheckpoint(eager=True)
-        stats = nxt.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.max(F.col("revisit").cast("int")), F.lit(0)).alias("hit"),
-        ).collect()[0]
-        if stats.hit:
-            return True
-        if stats.n == 0:
-            return False
-        if stats.n > frontier_cap:
-            return True  # limit truncated: conservatively a revisit
-        frontier = nxt.select("node", "pos", F.col("next_path").alias("path"))
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+
+    ident = registry.ident_attr
+    stub = F.concat(
+        F.lit(f'{{"{_esc(ident)}":'), _quoted(F.col("node")), F.lit("}")
+    )
+    # child fragments grouped from the level below: (parent_key, slot) →
+    # array of child JSON sorted by child eid (the driver's sorted(kids))
+    child_frags: DataFrame | None = None
+    for depth in range(len(levels) - 1, -1, -1):
+        lvl = levels[depth]
+        docs_parts: list[DataFrame] = []
+        for p in by_depth[depth]:
+            rows_p = lvl.filter(F.col("pos") == p.pos)
+            frame = rows_p.select("key", "parent_key", "slot", "node", "revisit")
+            child_cols: list[str] = []
+            for slot in range(len(p.children)):
+                col = f"__child{slot}"
+                if child_frags is not None:
+                    cf = child_frags.filter(F.col("__cslot") == slot).select(
+                        F.col("__ckey").alias("__ck"), F.col("__arr").alias(col)
+                    )
+                    frame = frame.join(
+                        cf, frame.key == F.col("__ck"), "left"
+                    ).drop("__ck")
+                else:
+                    frame = frame.withColumn(
+                        col, F.lit(None).cast("array<string>")
+                    )
+                child_cols.append(col)
+            frame = _attach_node_components(facts, registry, p, frame)
+            rendered = _render_doc(p, registry, child_cols)
+            docs_parts.append(
+                frame.select(
+                    "parent_key",
+                    "slot",
+                    "node",
+                    F.when(F.col("revisit"), stub).otherwise(rendered).alias(
+                        "json"
+                    ),
+                )
+            )
+        lvl_docs = docs_parts[0]
+        for fr in docs_parts[1:]:
+            lvl_docs = lvl_docs.unionByName(fr)
+        if depth == 0:
+            return lvl_docs.select(F.col("node").alias("e"), F.col("json").alias("doc"))
+        child_frags = lvl_docs.groupBy(
+            F.col("parent_key").alias("__ckey"), F.col("slot").alias("__cslot")
+        ).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("node"), F.col("json")))),
+                lambda s: s.getField("json"),
+            ).alias("__arr")
+        )
+    raise AssertionError("unreachable: levels[0] always returns")
 
 
 def _expand_recursion(
@@ -222,13 +288,14 @@ def _collect_children(frame: DataFrame, out_col: str) -> DataFrame:
     )
 
 
-def _position_docs(facts: DataFrame, registry: SchemaRegistry, pos: PullPos) -> DataFrame:
-    """(node, json) for every node with any facts at this position."""
-    # component frames: (frame keyed by node, fragment column name)
+def _node_component_frames(
+    facts: DataFrame, registry: SchemaRegistry, pos: PullPos
+) -> list[DataFrame]:
+    """This position's PATH-INDEPENDENT component frames, each keyed by
+    ``node``: the ``__plain`` rendered-value map (plain attrs and/or
+    wildcard) and one ``__rev{i}`` stub array per bare reverse lookup.
+    Shared by the bottom-up and the path-keyed assemblies."""
     frames: list[DataFrame] = []
-    # how to render each attr at final assembly: (attr, kind, colname, card_one)
-    render_plan: list[tuple[str, str, str | None]] = []
-
     if pos.plain or pos.wildcard:
         src = facts if pos.wildcard else facts.filter(F.col("a").isin(pos.plain))
         rows = src.select(
@@ -246,15 +313,11 @@ def _position_docs(facts: DataFrame, registry: SchemaRegistry, pos: PullPos) -> 
                 F.array_sort(F.collect_list("v")), lambda s: s.getField("frag")
             ).alias("frags")
         )
-        plain = per_attr.groupBy("node").agg(
-            F.map_from_entries(F.collect_list(F.struct("a", "frags"))).alias("__plain")
+        frames.append(
+            per_attr.groupBy("node").agg(
+                F.map_from_entries(F.collect_list(F.struct("a", "frags"))).alias("__plain")
+            )
         )
-        frames.append(plain)
-        for a in pos.plain:
-            render_plan.append((a, "plain", None))
-        if pos.wildcard:
-            render_plan.append(("*", "wild", None))
-
     for i, attr in enumerate(pos.bare_reverse):
         fwd = reverse_lookup(attr)
         ident = registry.ident_attr
@@ -268,10 +331,68 @@ def _position_docs(facts: DataFrame, registry: SchemaRegistry, pos: PullPos) -> 
             .select(F.col("v_str").alias("node"), F.col("e").alias("child"))
             .withColumn("cjson", stub)
         )
-        col = f"__rev{i}"
-        frames.append(_collect_children(kids, col))
-        render_plan.append((attr, "rev", col))
+        frames.append(_collect_children(kids, f"__rev{i}"))
+    return frames
 
+
+def _attach_node_components(
+    facts: DataFrame, registry: SchemaRegistry, pos: PullPos, frame: DataFrame
+) -> DataFrame:
+    """Left-join a ``node``-carrying frame with this position's
+    component frames (the path-keyed assembly's analog of the bottom-up
+    full-outer fold; missing components render as the husk)."""
+    for comp in _node_component_frames(facts, registry, pos):
+        comp = comp.withColumnRenamed("node", "__n2")
+        frame = frame.join(comp, frame["node"] == F.col("__n2"), "left").drop("__n2")
+    return frame
+
+
+def _render_doc(
+    pos: PullPos, registry: SchemaRegistry, child_cols: list[str]
+) -> F.Column:
+    """JSON document expression over a frame carrying this position's
+    component columns plus one (nullable) fragment-array column per
+    dict child. NULL components collapse to the husk rendering (plain →
+    null, reverse → [], children per cardinality)."""
+    parts: list[F.Column] = []
+    for attr in pos.plain:
+        vals = F.element_at(F.col("__plain"), attr)
+        if registry.card_one(attr):
+            rendered = F.coalesce(F.element_at(vals, 1), F.lit("null"))
+        else:
+            rendered = F.when(vals.isNull(), F.lit("null")).otherwise(
+                F.concat(F.lit("["), F.array_join(vals, ","), F.lit("]"))
+            )
+        parts.append(F.concat(F.lit(f'"{_esc(attr)}":'), rendered))
+    if pos.wildcard:
+        parts.append(_wildcard_segment(pos, registry))
+    for i, attr in enumerate(pos.bare_reverse):
+        rendered = F.concat(
+            F.lit("["),
+            F.array_join(F.coalesce(F.col(f"__rev{i}"), F.array()), ","),
+            F.lit("]"),
+        )
+        parts.append(F.concat(F.lit(f'"{_esc(attr)}":'), rendered))
+    for (attr, _, _), col in zip(pos.children, child_cols):
+        if registry.card_one(attr):
+            rendered = F.coalesce(F.element_at(F.col(col), 1), F.lit("null"))
+        else:
+            rendered = F.concat(
+                F.lit("["),
+                F.array_join(F.coalesce(F.col(col), F.array()), ","),
+                F.lit("]"),
+            )
+        parts.append(F.concat(F.lit(f'"{_esc(attr)}":'), rendered))
+    body = F.concat_ws(",", *parts)
+    return F.concat(F.lit("{"), body, F.lit("}"))
+
+
+def _position_docs(facts: DataFrame, registry: SchemaRegistry, pos: PullPos) -> DataFrame:
+    """(node, json) for every node with any facts at this position —
+    the bottom-up assembly: each position renders ONCE per node (shared
+    children collapse), recursion over the expression tree."""
+    frames = _node_component_frames(facts, registry, pos)
+    child_cols: list[str] = []
     for i, (attr, fwd, child) in enumerate(pos.children):
         child_docs = _position_docs(facts, registry, child).withColumnRenamed(
             "node", "__cn"
@@ -290,7 +411,7 @@ def _position_docs(facts: DataFrame, registry: SchemaRegistry, pos: PullPos) -> 
         )
         col = f"__child{i}"
         frames.append(_collect_children(joined, col))
-        render_plan.append((attr, "child", col))
+        child_cols.append(col)
 
     if not frames:
         raise ValueError("empty pull expression")
@@ -305,38 +426,8 @@ def _position_docs(facts: DataFrame, registry: SchemaRegistry, pos: PullPos) -> 
             *[c for c in fr.columns if c != "__n2"],
         )
 
-    parts: list[F.Column] = []
-    for attr, kind, col in render_plan:
-        key = F.lit(f'"{_esc(attr)}":')
-        if kind == "wild":
-            parts.append(_wildcard_segment(pos, registry))
-            continue
-        if kind == "plain":
-            vals = F.element_at(F.col("__plain"), attr)
-            if registry.card_one(attr):
-                rendered = F.coalesce(F.element_at(vals, 1), F.lit("null"))
-            else:
-                rendered = F.when(vals.isNull(), F.lit("null")).otherwise(
-                    F.concat(F.lit("["), F.array_join(vals, ","), F.lit("]"))
-                )
-        elif kind == "rev":
-            rendered = F.concat(
-                F.lit("["), F.array_join(F.coalesce(F.col(col), F.array()), ","), F.lit("]")
-            )
-        else:  # child
-            if registry.card_one(attr):
-                rendered = F.coalesce(F.element_at(F.col(col), 1), F.lit("null"))
-            else:
-                rendered = F.concat(
-                    F.lit("["),
-                    F.array_join(F.coalesce(F.col(col), F.array()), ","),
-                    F.lit("]"),
-                )
-        parts.append(F.concat(key, rendered))
-
-    body = F.concat_ws(",", *parts)
     return result.select(
-        "node", F.concat(F.lit("{"), body, F.lit("}")).alias("json")
+        "node", _render_doc(pos, registry, child_cols).alias("json")
     )
 
 

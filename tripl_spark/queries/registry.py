@@ -67,86 +67,84 @@ _LOADED = False
 # representative TPC-H/analytics rows. Names listed here come first, in
 # this order; everything else follows in registration order.
 _PRIORITY = [
-    # Round-12 rotation, per VERDICT r11 item 2 (the scripted recipe
-    # at the r11 rotation note, executed): (a) queries whose ORACLE
-    # or output semantics changed in r12 — the three audio queries
-    # (fingerprint widened to 64-bit / 4x16-bit bands, operator AND
-    # oracle), classifier_quality_train + approx_distinct_users
-    # (converted rows-only -> full hash gates), sim_pca_explained_
-    # variance (now emits the trace for both gated columns),
-    # graph_ppr_converged (oracle total_mass CAST AS DOUBLE) —
-    # then (b) the 14 r6-vintage names (the oldest driver evidence
-    # after r11), then (c) r7-vintage refresh slots, alphabetical
-    # first 29 of 50, filling the window at exactly 50. Latest-row
-    # histogram from CORRECTNESS_r01..r11: r6x14, r7x50, r8x49,
-    # r10x45, r11x50. Displaced names keep local DuckDB parity
-    # coverage in tests/test_oracle_parity.py every suite run.
+    # Round-13 rotation, per the scripted recipe in the r12 note below
+    # (executed): (1) the query NEW in r13 (newline-splitter global
+    # line dedup), (2) changed-oracle re-drives — the two PII queries
+    # (credit-card class added to PII_CLASSES, so the shared scrub CTE
+    # chain and the planted corpus changed in BOTH engines; the scrub
+    # query additionally gained the Luhn-valid count column), (3) the
+    # 24 r7-vintage names (the oldest driver evidence after r12,
+    # alphabetically from pipeline_full_curation onward), (4) the
+    # first 23 alphabetical ORACLED r8-vintage names (the window stays
+    # zero-rows-only; the 4 rows-only r8 names keep their suite-level
+    # evidence). Latest-row histogram from CORRECTNESS_r01..r12:
+    # r7x24, r8x48, r10x43, r11x46, r12x50. Displaced names keep local
+    # DuckDB parity coverage in tests/test_oracle_parity.py every
+    # suite run.
     #
-    # (a0) queries NEW in r12 (PII scrub family + C4 line dedup) —
-    # new queries lead the window, displacing the last r7-cohort slots
+    # (1) new in r13
+    "dedup_lines_newline",
+    # (2) changed-oracle re-drives (r13)
     "text_pii_scrub",
     "text_pii_prevalence",
-    "dedup_lines_global",
-    # (a) changed-semantics re-drives (r12)
-    "multimodal_audio_fingerprint",
-    "multimodal_audio_neardup",
-    "multimodal_audio_dedup_groups",
-    "classifier_quality_train",
-    "approx_distinct_users",
-    "sim_pca_explained_variance",
-    "graph_ppr_converged",
-    # (b) r6-vintage refresh cohort, alphabetical
-    "part_price_unpivot",
-    "q11_important_parts",
-    "q12_ship_priority",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_part_supplier_relationship",
-    "q4_order_priority",
-    "q8_market_share",
-    "repeat_buyers_intersect",
-    "scalar_functions_showcase",
-    "top5_parts_per_brand",
-    "triple_datalog_join",
-    "triple_reverse_fanin",
-    "window_functions_showcase",
-    # (c) r7-vintage refresh cohort, alphabetical, first 26 (three
-    # slots went to the new r12 queries at the window head)
-    "classifier_calibration_bins",
-    "corpus_datacard",
-    "curation_dsir_weights",
-    "curation_stratified_sample",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_incremental_minhash",
-    "dedup_incremental_semantic",
-    "dedup_method_agreement",
-    "dedup_minhash_oracled",
-    "dedup_ngram_jaccard",
-    "dedup_semantic_clusters",
-    "dedup_semantic_groups",
-    "dedup_simhash_oracled",
-    "dedup_substring_spans",
-    "events_ab_ztest",
-    "events_changepoint_cusum",
-    "events_gapfill_hourly",
-    "events_markov_transitions",
-    "graph_jaccard_links",
-    "graph_kcore_2peel",
-    "graph_lpa_2round",
-    "mixing_epoch_schedule",
-    "mixing_temperature_sample",
-    "mixing_token_budget",
-    "multimodal_metadata",
+    # (3) r7-vintage refresh cohort, alphabetical (all 24)
+    "pipeline_full_curation",
+    "pipeline_full_curation_bycutoff",
+    "pipeline_perplexity_buckets",
+    "pipeline_perplexity_bycutoff",
+    "pipeline_semantic_curation",
+    "pipeline_semantic_decontamination",
+    "sim_ann_hnsw",
+    "sim_ann_lsh",
+    "sim_ann_pq",
+    "sim_hybrid_rrf",
+    "sim_knn_filtered",
+    "sketch_hll_overlap",
+    "sketch_hll_sliding_7d",
+    "stats_corr_value_k",
+    "stats_value_by_type",
+    "text_bigram_logprob",
+    "text_lang_id",
+    "text_ngram_contamination",
+    "text_quality_score",
+    "text_token_entropy",
+    "text_token_stats",
+    "triple_datalog_aggregate",
+    "triple_datalog_disjunction",
+    "triple_datalog_negation",
+    # (4) r8-vintage refresh cohort, alphabetical oracled, first 23
+    "curation_quota_per_stratum",
+    "curation_redacted_texts",
+    "curation_top_quality_per_lang",
+    "events_autocorr_daily",
+    "events_seasonal_naive_mape",
+    "graph_components_purchasers",
+    "graph_copurchase_lift",
+    "graph_pagerank_purchasers",
+    "graph_triangle_count",
+    "hypertable_rollup_daily",
+    "mixing_split_assign",
+    "multimodal_audio_features",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_image_dhash",
+    "multimodal_video_frame_dhash",
+    "packing_bin_assign",
+    "pipeline_curation_end2end",
+    "q1_pricing_summary",
+    "range_join_error_followups",
+    "sim_ann_ivfpq",
+    "sim_ann_lsh_filtered",
+    "sim_ann_multiprobe",
 ]
-# r13 rotation note: after the r12 window lands, the oldest remaining
-# vintages are the 24 r7-vintage names NOT in section (c) above
-# (alphabetically from pipeline_full_curation onward — the three
-# names the r12 additions displaced from (c) are part of this
-# cohort), then the 49 r8-vintage names (recompute from
-# CORRECTNESS_r01..r12 the way r9/r11/r12 did). The r13 window:
-# (1) any queries new in r13, (2) those 24, (3) r8-vintage slots to
-# fill, (4) any query whose oracle text changed semantically.
+# r14 rotation note: after the r13 window lands, the oldest remaining
+# vintages are the 25 r8-vintage names NOT in section (4) above
+# (alphabetical from sim_ann_ivf_kmeans onward plus the 4 rows-only
+# r8 names) and then the r10 cohort (recompute from
+# CORRECTNESS_r01..r13 the way r9/r11/r12/r13 did). The r14 window:
+# (1) any queries new in r14, (2) any query whose oracle text changed
+# semantically, (3) those r8 names (oracled first), (4) r10-vintage
+# slots to fill 50.
 
 
 def _ensure_loaded() -> None:
