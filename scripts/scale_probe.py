@@ -856,6 +856,22 @@ def main() -> None:
         finally:
             _D.load_table = _orig_lt
 
+        # ---- newline-splitter twin (r13): same keeper core, real
+        # newline lines. The registered query ALREADY plants the skew
+        # (a shared header line in 1/6 of docs, footer in 1/4), so the
+        # registered run is the boilerplate case: each shared line is
+        # ONE keeper row, join back N:1.
+        nl_work = int(
+            REGISTRY["dedup_lines_newline"].fn(spark, d)
+            .agg(F.sum("n_lines")).first()[0]
+        )
+        record(
+            "dedup_lines_newline (registered; boilerplate 1/6+1/4)", mult,
+            timed(lambda: REGISTRY["dedup_lines_newline"].fn(spark, d).count(),
+                  work=nl_work),
+            "(shared header/footer lines stay one keeper row each)",
+        )
+
     print("\nObserved scaling exponents (1=linear, 2=quadratic):")
     print(f"  {'operator':44s} {'alpha_time':>10s} {'alpha_work':>10s}  points")
 

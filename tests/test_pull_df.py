@@ -346,6 +346,9 @@ def test_pull_many_auto_switch_safe_on_any_graph(spark, g):
     for expr in (
         ["t:name", {"t:next": ["t:name", {"t:kid": ["k:id"]}]}],
         ["t:name", {"t:next": ["t:name", {"t:next": ["t:name"]}]}],
+        # reverse traversal re-enters the parent — revisits through
+        # the reverse edge must stub identically
+        ["t:name", {"t:next": ["t:name", {"t:_next": ["t:name"]}]}],
     ):
         drv = ts.pull_many(expr, roots, distributed=False)
         auto = ts.pull_many(expr, roots)

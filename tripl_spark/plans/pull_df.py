@@ -1,26 +1,33 @@
 """Distributed pull: nested documents assembled ON THE CLUSTER as JSON,
 one row per root — the scale path next to ``plans/pull.py``'s
 driver-side assembly (whose output is a Python object and therefore
-driver-resident by contract).
+driver-resident by contract). Two assemblies share one render core:
 
-Bottom-up over the compiled expression tree: each position produces a
-frame ``(node, fragment)`` per expression component — plain attrs as a
-map of rendered value arrays, each child/reverse attr as a rendered
-JSON fragment with children sorted by eid (the driver path's ordering).
-A position's document is one full-outer-join fold of its component
-frames plus string splicing; total cost is one aggregation per
-component per level, keyed by node id, independent of result size.
-String escaping rides on ``to_json`` (never hand-escaped).
+* ``pull_json_df`` — BOTTOM-UP over the compiled expression tree: each
+  position produces a frame ``(node, fragment)`` per expression
+  component — plain attrs as a map of rendered value arrays, each
+  child/reverse attr as a rendered JSON fragment with children sorted
+  by eid (the driver path's ordering). A position's document is one
+  full-outer-join fold of its component frames plus string splicing;
+  total cost is one aggregation per component per level, keyed by node
+  id, independent of result size (shared children render ONCE).
+  Path-independent by construction, so it is the driver-equal choice
+  for FLAT expressions and the only distributed option for ``'...'``
+  recursion, which it BOUNDS: the root expression is unrolled
+  ``recur_depth`` times and deeper nodes render as ``{ident: eid}``
+  stubs — the distributed analog of the driver path's ``max_depth``
+  rule (cycles expand until depth runs out instead of stubbing at
+  first revisit).
+* ``pull_json_paths_df`` (r13) — PATH-KEYED: reproduces the driver
+  loop's ancestor-revisit cycle-stub rule exactly, making nested
+  expressions driver-identical on ANY store, cyclic included. See its
+  docstring.
 
-``'*'`` wildcards render every attr present on the node (refs
-unexpanded, per the driver path's Q10 semantics); extra keys are
-emitted in sorted-attr order (canonical — the driver path's dict order
-is collection-order). ``'...'`` recursion is BOUNDED here: the root
-expression is unrolled ``recur_depth`` times and deeper nodes render as
-``{ident: eid}`` stubs — the distributed analog of the driver path's
-``max_depth``/cycle-stub rule (cycles expand until depth runs out
-instead of stubbing at first revisit). Bare reverse lookups are
-supported.
+String escaping rides on ``to_json`` (never hand-escaped). ``'*'``
+wildcards render every attr present on the node (refs unexpanded, per
+the driver path's Q10 semantics); extra keys are emitted in
+sorted-attr order (canonical — the driver path's dict order is
+collection-order). Bare reverse lookups are supported.
 """
 
 from __future__ import annotations
