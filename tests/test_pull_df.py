@@ -457,3 +457,15 @@ def test_pull_many_threshold_auto_switch(spark):
     assert auto == drv
     assert ts._expr_has_recur([{"t:kid": "..."}])
     assert not ts._expr_has_recur(["t:name", {"t:kid": ["t:name"]}])
+
+
+def test_pull_df_preserves_duplicate_roots_any_shape(store):
+    """REGRESSION (r13 review): the row contract — one output row per
+    roots row, duplicates included — must not depend on which assembly
+    the expression shape selects (flat -> bottom-up, nested ->
+    path-keyed)."""
+    eid = sorted(store.match({"cft:type": "cft.type:seq"}))[0]
+    for expr in (["cft.seq:id"], EXPR):
+        rows = store.pull_df(expr, [eid, eid]).collect()
+        assert len(rows) == 2, expr
+        assert rows[0].doc == rows[1].doc

@@ -317,10 +317,15 @@ def main(argv: list[str] | None = None) -> int:
                     "pick one"
                 )
             # the library sink path (store.pull_df): documents never
-            # materialize on the driver; OUT is a JSONL directory
-            store.pull_df(expr, target).select("doc").write.mode(
-                "overwrite"
-            ).text(args.output)
+            # materialize on the driver; OUT is a JSONL directory.
+            # recur_depth matches the driver branch's max_depth default
+            # so the flag changes WHERE results land, never WHAT they
+            # are; default write mode (errorifexists) keeps the sink as
+            # loud on an existing path as open(dir, "w") is on the
+            # driver branch — never silently deletes.
+            store.pull_df(expr, target, recur_depth=20).select(
+                "doc"
+            ).write.text(args.output)
         else:
             results = list(store.pull_many(expr, target))
             if getattr(args, "drop_namespaces", False):

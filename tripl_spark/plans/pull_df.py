@@ -116,6 +116,9 @@ def pull_json_paths_df(
 
     _walk(tree, 0)
 
+    # one path tree per DISTINCT root; duplicates rejoin at the end so
+    # the row contract (one output row per roots row) matches
+    # pull_json_df whatever the expression shape
     lvl = roots.select(
         F.col("e").alias("key"),
         F.lit(None).cast("string").alias("parent_key"),
@@ -179,9 +182,25 @@ def pull_json_paths_df(
     for depth in range(len(levels) - 1, -1, -1):
         lvl = levels[depth]
         docs_parts: list[DataFrame] = []
+        # stub rows were never expanded, so they have no child
+        # fragments and their node components don't matter: render the
+        # (position-independent) ident stub in ONE frame per level,
+        # skipping every component/fragment join below. Depth 0 rows
+        # are roots (revisit is statically false) — no stub frame and
+        # no filter there at all.
+        if depth > 0:
+            docs_parts.append(
+                lvl.filter(F.col("revisit")).select(
+                    "parent_key", "slot", "node", stub.alias("json")
+                )
+            )
         for p in by_depth[depth]:
-            rows_p = lvl.filter(F.col("pos") == p.pos)
-            frame = rows_p.select("key", "parent_key", "slot", "node", "revisit")
+            live = F.col("pos") == p.pos
+            if depth > 0:
+                live = live & ~F.col("revisit")
+            frame = lvl.filter(live).select(
+                "key", "parent_key", "slot", "node"
+            )
             child_cols: list[str] = []
             for slot in range(len(p.children)):
                 col = f"__child{slot}"
@@ -200,20 +219,18 @@ def pull_json_paths_df(
             frame = _attach_node_components(facts, registry, p, frame)
             rendered = _render_doc(p, registry, child_cols)
             docs_parts.append(
-                frame.select(
-                    "parent_key",
-                    "slot",
-                    "node",
-                    F.when(F.col("revisit"), stub).otherwise(rendered).alias(
-                        "json"
-                    ),
-                )
+                frame.select("parent_key", "slot", "node", rendered.alias("json"))
             )
         lvl_docs = docs_parts[0]
         for fr in docs_parts[1:]:
             lvl_docs = lvl_docs.unionByName(fr)
         if depth == 0:
-            return lvl_docs.select(F.col("node").alias("e"), F.col("json").alias("doc"))
+            docs0 = lvl_docs.select(
+                F.col("node").alias("__root"), F.col("json").alias("doc")
+            )
+            return roots.join(
+                docs0, roots["e"] == F.col("__root"), "left"
+            ).select("e", "doc")
         child_frags = lvl_docs.groupBy(
             F.col("parent_key").alias("__ckey"), F.col("slot").alias("__cslot")
         ).agg(

@@ -16,6 +16,13 @@ micro-batch split equals the one-shot batch aggregation bit-for-bit;
 read-time views (rates, scorecards) derive from the counters with the
 batch query's exact rounding and therefore cannot drift either.
 
+The LIFECYCLE (replay skip, foreign-commit adoption, the
+snapshot-then-mark write order) is the subtle part and lives once,
+here; the MERGE is a subclass hook (`_merge`, default per-key long
+addition) so keyed-state monitors with a different associative fold —
+the line-dedup keeper table min-merges, for instance — ride the same
+protocol instead of re-implementing it.
+
 Scale: state is |key-combinations| counter rows however long the
 stream history; each batch costs one scan of the batch plus a
 counter-table merge.
@@ -44,8 +51,8 @@ class CounterMonitor:
         spark: SparkSession,
         partials_fn: Callable[[DataFrame], DataFrame],
         key_cols: tuple[str, ...],
-        counter_cols: tuple[str, ...],
-        state_schema: str,
+        counter_cols: tuple[str, ...] = (),
+        state_schema: str = "",
         sink_path: str | None = None,
     ) -> None:
         from tripl_spark.streaming.sinks import committed_batches
@@ -62,12 +69,34 @@ class CounterMonitor:
             committed = committed_batches(sink_path)
             self._seen = set(committed)
             if committed:
-                self.state = (
-                    self.spark.read.schema(state_schema)
-                    .parquet(f"{sink_path}/batch_id={max(committed)}")
-                    .na.fill(0)
-                    .localCheckpoint(eager=True)
-                )
+                self.state = self._load_snapshot(max(committed))
+
+    # -- subclass hooks: the lifecycle (replay skip, foreign-commit
+    # adoption, snapshot-sink write order) is THE protocol and lives
+    # once, here; monitors whose state merges by something other than
+    # per-key addition override only these two methods.
+
+    def _merge(self, state: DataFrame, delta: DataFrame) -> DataFrame:
+        """Fold a batch delta into the maintained state. Default:
+        per-key long-counter addition. Must be associative over any
+        micro-batch split."""
+        return (
+            state.unionByName(delta)
+            .groupBy(*self.key_cols)
+            .agg(*[F.sum(c).cast("long").alias(c) for c in self.counter_cols])
+        )
+
+    def _decode_state(self, df: DataFrame) -> DataFrame:
+        """Post-read repair of a snapshot. Default: counters added
+        after a snapshot was written resume at 0 via ``na.fill``
+        rather than poisoning sums with NULL."""
+        return df.na.fill(0)
+
+    def _load_snapshot(self, batch_id: int) -> DataFrame:
+        return self._decode_state(
+            self.spark.read.schema(self.state_schema)
+            .parquet(f"{self.sink_path}/batch_id={batch_id}")
+        ).localCheckpoint(eager=True)
 
     def process(self, batch: DataFrame, batch_id: int) -> None:
         if batch_id in self._seen:  # replay: idempotent skip
@@ -83,23 +112,14 @@ class CounterMonitor:
                 # in-memory state permanently missing that batch's
                 # counts, and its next snapshot would overwrite the
                 # sink with the undercounted state
-                self.state = (
-                    self.spark.read.schema(self.state_schema)
-                    .parquet(f"{self.sink_path}/batch_id={max(committed)}")
-                    .na.fill(0)
-                    .localCheckpoint(eager=True)
-                )
+                self.state = self._load_snapshot(max(committed))
                 self._seen.update(committed)
                 return
         delta = self.partials_fn(batch)
         if self.state is None:
             merged = delta
         else:
-            merged = (
-                self.state.unionByName(delta)
-                .groupBy(*self.key_cols)
-                .agg(*[F.sum(c).cast("long").alias(c) for c in self.counter_cols])
-            )
+            merged = self._merge(self.state, delta)
         new_state = merged.localCheckpoint(eager=True)
         if self.sink_path is not None:
             new_state.write.mode("overwrite").parquet(

@@ -4,15 +4,16 @@ micro-batch (``foreachBatch(mon.process)``).
 
 State is the ``h → keep`` table itself: per batch, split the incoming
 documents into newline lines, take the per-hash lexicographic
-``min(struct(doc_id, pos))``, and MIN-MERGE into the maintained table.
-Min is associative, commutative and IDEMPOTENT, so the maintained
-keeper table after any micro-batch split equals the one-shot batch
-computation over the union — and, stronger than the additive counter
-monitors, a re-delivered batch may be re-merged without corruption
-(min(x, x) = x). The snapshot-sink restart contract is therefore pure
-availability bookkeeping here, not a correctness requirement: resume
-from the last committed ``batch_id=N`` snapshot, adopt a foreign
-commit, re-merge anything uncertain.
+``min(struct(doc_id, pos))``, and MIN-MERGE into the maintained table
+(the ``CounterMonitor`` lifecycle with the merge hook overridden —
+replay skip, foreign-commit adoption, and the snapshot-sink restart
+order all live in the base). Min is associative, commutative and
+IDEMPOTENT, so the maintained keeper table after any micro-batch split
+equals the one-shot batch computation over the union — and, stronger
+than the additive counter monitors, a re-delivered batch may be
+re-merged without corruption (min(x, x) = x). The snapshot-sink
+restart contract is therefore pure availability bookkeeping here, not
+a correctness requirement.
 
 Scale: state is one row per DISTINCT line corpus-wide (the same
 keeper-table shape the batch operator shuffles); each batch costs a
@@ -30,13 +31,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tripl_spark.operators.dedup import split_lines_newline
+from tripl_spark.streaming.counter_monitor import CounterMonitor
 
 _STATE_SCHEMA = (
     "h string, keep struct<doc_id: bigint, pos: bigint>"
 )
 
 
-class StreamingLineDedup:
+def _batch_keepers(docs: DataFrame) -> DataFrame:
+    return (
+        split_lines_newline(docs)
+        .groupBy("h")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("keep"))
+    )
+
+
+class StreamingLineDedup(CounterMonitor):
     """Maintains the global first-occurrence line keeper table across
     micro-batches; ``foreachBatch(mon.process)`` target."""
 
@@ -45,65 +55,27 @@ class StreamingLineDedup:
         spark: SparkSession,
         sink_path: str | None = None,
     ) -> None:
-        from tripl_spark.streaming.sinks import committed_batches
-
-        self.spark = spark
-        self.sink_path = sink_path
-        self.state: DataFrame | None = None
-        self._seen: set[int] = set()
-        if sink_path:
-            committed = committed_batches(sink_path)
-            self._seen = set(committed)
-            if committed:
-                self.state = self._read_snapshot(max(committed))
-
-    def _read_snapshot(self, batch_id: int) -> DataFrame:
-        return (
-            self.spark.read.schema(_STATE_SCHEMA)
-            .parquet(f"{self.sink_path}/batch_id={batch_id}")
-            .localCheckpoint(eager=True)
+        super().__init__(
+            spark,
+            partials_fn=_batch_keepers,
+            key_cols=("h",),
+            state_schema=_STATE_SCHEMA,
+            sink_path=sink_path,
         )
 
-    @staticmethod
-    def _batch_keepers(docs: DataFrame) -> DataFrame:
+    def _merge(self, state: DataFrame, delta: DataFrame) -> DataFrame:
+        """Lexicographic struct min per line hash — associative AND
+        idempotent (first occurrence corpus-wide, batch-order-free)."""
         return (
-            split_lines_newline(docs)
+            state.unionByName(delta)
             .groupBy("h")
-            .agg(F.min(F.struct("doc_id", "pos")).alias("keep"))
+            .agg(F.min("keep").alias("keep"))
         )
 
-    def process(self, batch: DataFrame, batch_id: int) -> None:
-        """Min-merge the batch's keepers into the maintained table.
-        Replays are skipped for economy, but would be harmless: the
-        merge is idempotent."""
-        if batch_id in self._seen:
-            return
-        if self.sink_path is not None:
-            from tripl_spark.streaming.sinks import committed_batches
-
-            committed = committed_batches(self.sink_path)
-            if batch_id in committed:
-                # foreign commit: the sink is authoritative — adopt
-                # its latest snapshot (same rule as CounterMonitor)
-                self.state = self._read_snapshot(max(committed))
-                self._seen.update(committed)
-                return
-        delta = self._batch_keepers(batch)
-        if self.state is None:
-            merged = delta
-        else:
-            merged = (
-                self.state.unionByName(delta)
-                .groupBy("h")
-                .agg(F.min("keep").alias("keep"))
-            )
-        new_state = merged.localCheckpoint(eager=True)
-        if self.sink_path is not None:
-            new_state.write.mode("overwrite").parquet(
-                f"{self.sink_path}/batch_id={batch_id}"
-            )
-        self.state = new_state
-        self._seen.add(batch_id)
+    def _decode_state(self, df: DataFrame) -> DataFrame:
+        """Keeper structs need no post-read repair (no additive
+        counters to zero-fill)."""
+        return df
 
     def keepers(self) -> DataFrame:
         """The maintained ``(h, keep)`` table (empty frame before any
