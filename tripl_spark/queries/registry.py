@@ -75,7 +75,7 @@ _PRIORITY = [
     # query additionally gained the Luhn-valid count column), (3) the
     # 24 r7-vintage names (the oldest driver evidence after r12,
     # alphabetically from pipeline_full_curation onward), (4) the
-    # first 23 alphabetical ORACLED r8-vintage names (the window stays
+    # first 22 alphabetical ORACLED r8-vintage names (the window stays
     # zero-rows-only; the 4 rows-only r8 names keep their suite-level
     # evidence). Latest-row histogram from CORRECTNESS_r01..r12:
     # r7x24, r8x48, r10x43, r11x46, r12x50. Displaced names keep local
@@ -84,6 +84,7 @@ _PRIORITY = [
     #
     # (1) new in r13
     "dedup_lines_newline",
+    "triple_pull_paths_cyclic",
     # (2) changed-oracle re-drives (r13)
     "text_pii_scrub",
     "text_pii_prevalence",
@@ -112,7 +113,7 @@ _PRIORITY = [
     "triple_datalog_aggregate",
     "triple_datalog_disjunction",
     "triple_datalog_negation",
-    # (4) r8-vintage refresh cohort, alphabetical oracled, first 23
+    # (4) r8-vintage refresh cohort, alphabetical oracled, first 22
     "curation_quota_per_stratum",
     "curation_redacted_texts",
     "curation_top_quality_per_lang",
@@ -135,11 +136,10 @@ _PRIORITY = [
     "range_join_error_followups",
     "sim_ann_ivfpq",
     "sim_ann_lsh_filtered",
-    "sim_ann_multiprobe",
 ]
 # r14 rotation note: after the r13 window lands, the oldest remaining
-# vintages are the 25 r8-vintage names NOT in section (4) above
-# (alphabetical from sim_ann_ivf_kmeans onward plus the 4 rows-only
+# vintages are the 26 r8-vintage names NOT in section (4) above
+# (alphabetical from sim_ann_multiprobe onward plus the 4 rows-only
 # r8 names) and then the r10 cohort (recompute from
 # CORRECTNESS_r01..r13 the way r9/r11/r12/r13 did). The r14 window:
 # (1) any queries new in r14, (2) any query whose oracle text changed

@@ -746,3 +746,106 @@ def triple_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("long")
           .alias("n_overwrites"),
     )
+
+
+@query(
+    "triple_pull_paths_cyclic",
+    oracle="""
+    WITH firstn AS (
+      SELECT n_regionkey, min(n_nationkey) AS fk
+      FROM nation GROUP BY n_regionkey
+    )
+    SELECT 'nation-' || CAST(n.n_nationkey AS VARCHAR) AS e,
+           n.n_name,
+           r.r_name,
+           CASE WHEN n.n_nationkey = f.fk THEN NULL ELSE fn.n_name END
+             AS first_name,
+           CASE WHEN n.n_nationkey = f.fk
+                THEN 'nation-' || CAST(n.n_nationkey AS VARCHAR) END
+             AS stub_ident,
+           (n.n_nationkey = f.fk) AS stubbed
+    FROM nation n
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    JOIN firstn f ON n.n_regionkey = f.n_regionkey
+    JOIN nation fn ON fn.n_nationkey = f.fk
+    """,
+    doc="Path-keyed distributed pull over a CYCLIC graph "
+    "(nation -> region -> first-nation-of-region): the depth-2 child "
+    "equals the root exactly for each region's first nation, which "
+    "must render as the driver loop's {db:ident} ancestor stub while "
+    "every other path expands fully — the r13 revisit-complete "
+    "assembly hash-gated end-to-end through from_json",
+)
+def triple_pull_paths_cyclic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives `plans/pull_df.pull_json_paths_df` (the r13 path-keyed
+    assembly) on a deliberately cyclic store built from driver tables:
+    every nation points at its region, every region points back at its
+    lowest-key nation. For exactly that nation the traversal path
+    revisits its own root and the document must carry the reference
+    cycle rule's ident stub (tripl.py:665-668 per SURVEY Q5); for all
+    others the full nested document renders. Any stub mis-fire — too
+    eager (node-level instead of path-level cycle detection) or too
+    lazy (missing stub) — flips `stubbed`/`first_name` and the value
+    hash."""
+    from pyspark.sql import types as T
+
+    from tripl_spark.core.schema import CARD_ONE, REF_TYPE, SchemaRegistry
+    from tripl_spark.plans.pull_df import pull_json_paths_df
+
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nation_facts = melt_table(
+        nation, "nation", "n_nationkey",
+        ref_cols={"n_regionkey": ("region", "region")},
+    )
+    region_facts = melt_table(region, "region", "r_regionkey")
+    first_nation = nation.groupBy("n_regionkey").agg(
+        F.min("n_nationkey").alias("fk")
+    )
+    back_edges = first_nation.select(
+        F.concat(F.lit("region-"), F.col("n_regionkey").cast("string")).alias("e"),
+        F.lit("region:first_nation").alias("a"),
+        F.lit("ref").alias("vtype"),
+        F.concat(F.lit("nation-"), F.col("fk").cast("string")).alias("v_str"),
+        F.lit(None).cast("double").alias("v_num"),
+        F.lit(None).cast("boolean").alias("v_bool"),
+        F.lit(0).cast("long").alias("t"),
+    )
+    facts = nation_facts.unionByName(region_facts).unionByName(back_edges)
+
+    registry = SchemaRegistry(default_cardinality=CARD_ONE)
+    registry.declare("nation:region",
+                     {"db:valueType": REF_TYPE, "db:cardinality": CARD_ONE})
+    registry.declare("region:first_nation",
+                     {"db:valueType": REF_TYPE, "db:cardinality": CARD_ONE})
+
+    roots = nation.select(
+        F.concat(F.lit("nation-"), F.col("n_nationkey").cast("string")).alias("e")
+    )
+    expr = [
+        "nation:n_name",
+        {"nation:region": ["region:r_name",
+                           {"region:first_nation": ["nation:n_name"]}]},
+    ]
+    docs = pull_json_paths_df(facts, registry, expr, roots)
+
+    parsed = T.StructType([
+        T.StructField("nation:n_name", T.StringType()),
+        T.StructField("nation:region", T.StructType([
+            T.StructField("region:r_name", T.StringType()),
+            T.StructField("region:first_nation", T.StructType([
+                T.StructField("nation:n_name", T.StringType()),
+                T.StructField("db:ident", T.StringType()),
+            ])),
+        ])),
+    ])
+    d = F.from_json("doc", parsed)
+    fn_node = d.getField("nation:region").getField("region:first_nation")
+    return docs.select(
+        "e",
+        d.getField("nation:n_name").alias("n_name"),
+        d.getField("nation:region").getField("region:r_name").alias("r_name"),
+        fn_node.getField("nation:n_name").alias("first_name"),
+        fn_node.getField("db:ident").alias("stub_ident"),
+        fn_node.getField("db:ident").isNotNull().alias("stubbed"),
+    )
