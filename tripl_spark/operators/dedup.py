@@ -1172,6 +1172,14 @@ def line_keeper_dedup(keyed: DataFrame, sep: str) -> DataFrame:
         (F.col("doc_id") == F.col("keep.doc_id"))
         & (F.col("pos") == F.col("keep.pos")),
     )
+    return reassemble_kept_lines(flagged, sep)
+
+
+def reassemble_kept_lines(flagged: DataFrame, sep: str) -> DataFrame:
+    """Per-doc rollup of a kept-flagged line table: counts plus the md5
+    of the document reassembled from its surviving lines in position
+    order — shared by the batch keeper dedup and the streaming
+    monitor's ``dedup()`` view so the output contract cannot drift."""
     return flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_lines"),
         F.sum(F.col("kept").cast("int")).cast("long").alias("n_kept"),

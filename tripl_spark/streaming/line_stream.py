@@ -91,6 +91,8 @@ class StreamingLineDedup(CounterMonitor):
         from the table (never streamed) keeps its occurrence in
         ``docs`` — defensive, cannot happen when ``docs`` ⊆ streamed
         corpus."""
+        from tripl_spark.operators.dedup import reassemble_kept_lines
+
         keyed = split_lines_newline(docs)
         flagged = keyed.join(self.keepers(), "h", "left").withColumn(
             "kept",
@@ -100,24 +102,4 @@ class StreamingLineDedup(CounterMonitor):
                 & (F.col("pos") == F.col("keep.pos"))
             ),
         )
-        return flagged.groupBy("doc_id").agg(
-            F.count(F.lit(1)).cast("long").alias("n_lines"),
-            F.sum(F.col("kept").cast("int")).cast("long").alias("n_kept"),
-            F.sum((~F.col("kept")).cast("int")).cast("long").alias("n_dropped"),
-            F.md5(
-                F.concat_ws(
-                    "\n",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.when(
-                                    F.col("kept"),
-                                    F.struct(F.col("pos"), F.col("line")),
-                                )
-                            )
-                        ),
-                        lambda s: s.getField("line"),
-                    ),
-                )
-            ).alias("dedup_fp"),
-        )
+        return reassemble_kept_lines(flagged, sep="\n")
