@@ -349,6 +349,10 @@ def test_pull_many_auto_switch_safe_on_any_graph(spark, g):
         # reverse traversal re-enters the parent — revisits through
         # the reverse edge must stub identically
         ["t:name", {"t:next": ["t:name", {"t:_next": ["t:name"]}]}],
+        # wildcard + bare reverse at NESTED positions of a cyclic
+        # graph: node-local components render path-independently even
+        # when sibling paths stub
+        ["*", {"t:next": ["*", "t:_next", {"t:kid": ["*"]}]}],
     ):
         drv = ts.pull_many(expr, roots, distributed=False)
         auto = ts.pull_many(expr, roots)
