@@ -982,3 +982,94 @@ def curation_gopher_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             fail_rate("stop_ok").alias("fail_stop"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Encoding-damage (mojibake) scan — the CCNet-style garbage-page signal
+# ---------------------------------------------------------------------------
+
+# Shared verbatim between engines (module-docstring pattern dialect):
+# U+FFFD replacement chars (a decoder already gave up), C0 control
+# chars that survive no sane text pipeline (tab/newline/CR excluded),
+# and the classic UTF-8-decoded-as-Latin-1 double-encoding digraphs, as
+# a concrete alternation (no unicode ranges — zero dialect risk).
+MOJIBAKE_PATTERNS: list[tuple[str, str]] = [
+    ("replacement", "�"),
+    ("ctrl", r"[\x00-\x08\x0B\x0C\x0E-\x1F]"),
+    ("double_enc", "Ã©|Ã¨|Ã¼|Ã¶|â€™|â€œ|â€“"),
+]
+
+# Deterministic damage planting from doc_id (the corpus is clean ASCII
+# word-salad): printable digraphs ride shared Python constants embedded
+# in both engines; the unprintable classes pair python escapes with
+# chr() of the same codepoints in SQL.
+_MOJI_DOUBLE_SNIPPET = " cafÃ© â€œquoteâ€“"  # 3 double-enc hits
+
+
+def _mojibake_text() -> F.Column:
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(did % 4 == 1, F.lit(_MOJI_DOUBLE_SNIPPET)).otherwise(F.lit("")),
+        F.when(did % 5 == 2, F.lit(" bad�byte")).otherwise(F.lit("")),
+        F.when(did % 6 == 3, F.lit(" ding\x07dong")).otherwise(F.lit("")),
+    )
+
+
+_MOJI_ENRICH_SQL = f"""text
+      || CASE WHEN doc_id % 4 = 1 THEN '{_MOJI_DOUBLE_SNIPPET}' ELSE '' END
+      || CASE WHEN doc_id % 5 = 2 THEN ' bad' || chr(65533) || 'byte' ELSE '' END
+      || CASE WHEN doc_id % 6 = 3 THEN ' ding' || chr(7) || 'dong' ELSE '' END"""
+
+
+@query(
+    "text_mojibake_scan",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_MOJI_ENRICH_SQL} AS mt FROM documents)
+    SELECT doc_id,
+           {", ".join(
+               f"CAST(len(regexp_extract_all(mt, '{pat}')) AS BIGINT) AS n_{name}"
+               for name, pat in MOJIBAKE_PATTERNS)},
+           CAST({" + ".join(
+               f"len(regexp_extract_all(mt, '{pat}'))"
+               for _, pat in MOJIBAKE_PATTERNS)} AS BIGINT) AS n_mojibake,
+           ({" AND ".join(
+               f"len(regexp_extract_all(mt, '{pat}')) = 0"
+               for _, pat in MOJIBAKE_PATTERNS)}) AS clean
+    FROM t
+    """,
+    doc="Encoding-damage scan over deterministically planted mojibake: "
+    "per-class counts of U+FFFD replacement chars, stray C0 control "
+    "chars, and UTF-8-as-Latin-1 double-encoding digraphs, plus a "
+    "clean certificate — the CCNet-style garbage-page drop signal, "
+    "fully hash-gated (patterns shared verbatim between engines)",
+)
+def text_mojibake_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only, zero shuffle: one scan with JVM regex counts inside
+    codegen — the same cost class as the PII scrub. A page whose
+    decoder emitted U+FFFD, whose bytes carry raw control chars, or
+    whose text was UTF-8 decoded as Latin-1 ('cafÃ©') is encoding
+    garbage a quality classifier never reliably recovers; pipelines
+    drop or re-decode on these counts before any other filter runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    mt = _mojibake_text()
+    counts = [
+        F.size(F.regexp_extract_all(mt, F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, pat in MOJIBAKE_PATTERNS
+    ]
+    scanned = docs.select("doc_id", *counts)
+    total = None
+    clean = None
+    for name, _ in MOJIBAKE_PATTERNS:
+        c = F.col(f"n_{name}")
+        total = c if total is None else (total + c)
+        z = c == 0
+        clean = z if clean is None else (clean & z)
+    return scanned.select(
+        "doc_id",
+        *[f"n_{name}" for name, _ in MOJIBAKE_PATTERNS],
+        total.cast("long").alias("n_mojibake"),
+        clean.alias("clean"),
+    )
