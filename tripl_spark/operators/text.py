@@ -1073,3 +1073,86 @@ def text_mojibake_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         total.cast("long").alias("n_mojibake"),
         clean.alias("clean"),
     )
+
+
+def mojibake_prevalence_partials(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(source, lang, n_docs, docs_damaged, n_<class>...) long counters
+    for one slice of documents — the ONE rollup definition shared by
+    the registered batch query (`text_mojibake_prevalence`) and the
+    streaming monitor (`streaming/mojibake_stream.py`), so the two
+    surfaces cannot drift. NULL text coalesces to '' (0 per class)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    per_doc = docs.select(
+        "source",
+        "lang",
+        *[
+            F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}")
+            for name, pat in MOJIBAKE_PATTERNS
+        ],
+    )
+    total = None
+    for name, _ in MOJIBAKE_PATTERNS:
+        c = F.col(f"n_{name}")
+        total = c if total is None else (total + c)
+    return (
+        per_doc.withColumn("__any", (total > 0).cast("long"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__any").cast("long").alias("docs_damaged"),
+            *[
+                F.sum(f"n_{name}").cast("long").alias(f"n_{name}")
+                for name, _ in MOJIBAKE_PATTERNS
+            ],
+        )
+    )
+
+
+_MOJI_COUNT_COLS = [f"n_{name}" for name, _ in MOJIBAKE_PATTERNS]
+_MOJI_SUM_SQL = " + ".join(
+    f"len(regexp_extract_all(mt, '{pat}'))" for _, pat in MOJIBAKE_PATTERNS
+)
+
+
+@query(
+    "text_mojibake_prevalence",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, lang, {_MOJI_ENRICH_SQL} AS mt
+               FROM documents)
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN {_MOJI_SUM_SQL} > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_damaged,
+           {", ".join(
+               f"CAST(sum(len(regexp_extract_all(mt, '{pat}'))) AS BIGINT)"
+               f" AS n_{name}"
+               for name, pat in MOJIBAKE_PATTERNS)},
+           round(sum(CASE WHEN {_MOJI_SUM_SQL} > 0 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) + 0.0 AS damage_rate
+    FROM t
+    GROUP BY source, lang
+    ORDER BY source, lang
+    """,
+    doc="Encoding-damage prevalence scorecard per (source, lang): docs "
+    "touched, per-class totals, and the damage rate — the monitoring "
+    "rollup over the mojibake scan definition; fully hash-gated",
+)
+def text_mojibake_prevalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter-table rollup of the encoding-damage signals:
+    |sources|x|langs| rows, partial-aggregated map-side — the shape the
+    streaming monitor maintains, so a crawl source whose decoder starts
+    emitting garbage pages on a per-batch counter, not a nightly
+    scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    enriched = docs.select("source", "lang", _mojibake_text().alias("text"))
+    return (
+        mojibake_prevalence_partials(enriched)
+        .withColumn(
+            "damage_rate",
+            F.round(F.col("docs_damaged") * 1.0 / F.col("n_docs"), 4)
+            + F.lit(0.0),
+        )
+        .orderBy("source", "lang")
+    )

@@ -75,7 +75,7 @@ _PRIORITY = [
     # query additionally gained the Luhn-valid count column), (3) the
     # 24 r7-vintage names (the oldest driver evidence after r12,
     # alphabetically from pipeline_full_curation onward), (4) the
-    # first 21 alphabetical ORACLED r8-vintage names (the window stays
+    # first 20 alphabetical ORACLED r8-vintage names (the window stays
     # zero-rows-only; the 4 rows-only r8 names keep their suite-level
     # evidence). Latest-row histogram from CORRECTNESS_r01..r12:
     # r7x24, r8x48, r10x43, r11x46, r12x50. Displaced names keep local
@@ -86,6 +86,7 @@ _PRIORITY = [
     "dedup_lines_newline",
     "triple_pull_paths_cyclic",
     "text_mojibake_scan",
+    "text_mojibake_prevalence",
     # (2) changed-oracle re-drives (r13)
     "text_pii_scrub",
     "text_pii_prevalence",
@@ -135,11 +136,10 @@ _PRIORITY = [
     "pipeline_curation_end2end",
     "q1_pricing_summary",
     "range_join_error_followups",
-    "sim_ann_ivfpq",
 ]
 # r14 rotation note: after the r13 window lands, the oldest remaining
-# vintages are the 27 r8-vintage names NOT in section (4) above
-# (alphabetical from sim_ann_lsh_filtered onward plus the 4 rows-only
+# vintages are the 28 r8-vintage names NOT in section (4) above
+# (alphabetical from sim_ann_ivfpq onward plus the 4 rows-only
 # r8 names) and then the r10 cohort (recompute from
 # CORRECTNESS_r01..r13 the way r9/r11/r12/r13 did). The r14 window:
 # (1) any queries new in r14, (2) any query whose oracle text changed
