@@ -444,6 +444,46 @@ def test_path_stub_semantics_exactness(spark):
     assert revd["t:next"]["t:_next"] == [{"db:ident": "c1"}]
 
 
+def test_path_key_injective_for_nul_byte_eids(spark):
+    """ADVICE r13 regression: the paths assembly's identity is a
+    \\x00-delimited composite (parent key, slot, child). With RAW eid
+    components, eids containing the separator alias distinct paths —
+    here ``p → "0\\x00c"`` and ``"p\\x000" → "c"`` build the SAME
+    level-2 key, merging the two grandchildren's child-fragment groups
+    (each would receive BOTH leaves). base64-coded components keep the
+    key injective for any eid byte content; the distributed assembly
+    must match the driver loop exactly."""
+    schema = {"t:kid": {"db:valueType": "db.type:ref",
+                        "db:cardinality": "db.cardinality:many"}}
+    ts = TripleStore(schema=schema, default_cardinality="db.cardinality:one",
+                     spark=spark)
+    ga, gb = "0\x00c", "c"
+    ts.assert_facts(
+        [
+            {"db:ident": "r", "t:name": "root", "t:kid": {"p", "p\x000"}},
+            {"db:ident": "p", "t:name": "pa", "t:kid": {ga}},
+            {"db:ident": "p\x000", "t:name": "pb", "t:kid": {gb}},
+            {"db:ident": ga, "t:name": "ga", "t:kid": {"leaf-a"}},
+            {"db:ident": gb, "t:name": "gb", "t:kid": {"leaf-b"}},
+            {"db:ident": "leaf-a", "t:name": "la"},
+            {"db:ident": "leaf-b", "t:name": "lb"},
+        ]
+    )
+    expr = ["t:name", {"t:kid": ["t:name", {"t:kid": [
+        "t:name", {"t:kid": ["t:name"]}]}]}]
+    drv = ts.pull_many(expr, ["r"], distributed=False)
+    dst = ts.pull_many(expr, ["r"], distributed=True)
+    assert dst == drv
+    # each grandchild keeps exactly ITS leaf — a merged fragment group
+    # would hand both grandchildren both leaves
+    leaves = {
+        gk["t:name"]: [leaf["t:name"] for leaf in gk["t:kid"]]
+        for pk in drv[0]["t:kid"]
+        for gk in pk["t:kid"]
+    }
+    assert leaves == {"ga": ["la"], "gb": ["lb"]}
+
+
 def test_pull_many_threshold_auto_switch(spark):
     """At >= PULL_DISTRIBUTED_THRESHOLD roots the default path flips to
     cluster-side assembly and stays result-identical; a '...' recursion

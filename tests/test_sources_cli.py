@@ -586,3 +586,15 @@ def test_cli_pull_distributed_jsonl_sink(tmp_path):
         capture_output=True, text=True, cwd="/root/repo",
     )
     assert r.returncode != 0 and "drop-namespaces" in r.stderr
+    # a '...' recursive expression under --distributed runs as a
+    # bounded unroll whose cycle semantics differ from the driver
+    # loop's stub rule — the CLI must say so loudly (ADVICE r13), and
+    # a non-recursive run (above) must NOT have warned
+    r = subprocess.run(
+        [sys.executable, "-m", "tripl_spark.cli", "pull", "-i", str(merged),
+         "-o", str(tmp_path / "rec.jsonl"), "-p", '["x:name", {"x:kid": "..."}]',
+         "-e", pattern, "--distributed"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "bounded unroll" in r.stderr

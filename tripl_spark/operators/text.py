@@ -1007,16 +1007,20 @@ _MOJI_DOUBLE_SNIPPET = " cafÃ© â€œquoteâ€“"  # 3 double-enc hits
 
 
 def _mojibake_text() -> F.Column:
+    # coalesce BEFORE the concat: F.concat is NULL-propagating, so a
+    # NULL text row would otherwise turn every per-class count into
+    # size(NULL) = -1 and the clean bit into NULL (ADVICE r13) —
+    # unreachable on the planted corpus but a trap on raw documents
     did = F.col("doc_id")
     return F.concat(
-        F.col("text"),
+        F.coalesce(F.col("text"), F.lit("")),
         F.when(did % 4 == 1, F.lit(_MOJI_DOUBLE_SNIPPET)).otherwise(F.lit("")),
         F.when(did % 5 == 2, F.lit(" bad�byte")).otherwise(F.lit("")),
         F.when(did % 6 == 3, F.lit(" ding\x07dong")).otherwise(F.lit("")),
     )
 
 
-_MOJI_ENRICH_SQL = f"""text
+_MOJI_ENRICH_SQL = f"""COALESCE(text, '')
       || CASE WHEN doc_id % 4 = 1 THEN '{_MOJI_DOUBLE_SNIPPET}' ELSE '' END
       || CASE WHEN doc_id % 5 = 2 THEN ' bad' || chr(65533) || 'byte' ELSE '' END
       || CASE WHEN doc_id % 6 = 3 THEN ' ding' || chr(7) || 'dong' ELSE '' END"""

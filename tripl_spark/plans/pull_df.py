@@ -83,8 +83,11 @@ def pull_json_paths_df(
       ``array_contains(path, child)`` (the driver's ``node in
       ancestors``), and stubbed rows do not expand further. ``key`` is
       the path identity (parent key ⊕ child slot ⊕ child node — unique
-      because facts have set semantics), so diamonds and repeated
-      subtrees stay distinct exactly as the driver loop walks them.
+      because facts have set semantics; eid components are
+      base64-coded so the composite stays injective even for eids
+      containing the ``\\x00`` separator byte), so diamonds and
+      repeated subtrees stay distinct exactly as the driver loop walks
+      them.
       ``localCheckpoint`` per level truncates lineage.
     * **assemble** — deepest level first: render each row's node-local
       components (plain attrs / wildcard / bare reverse — all keyed by
@@ -120,7 +123,7 @@ def pull_json_paths_df(
     # the row contract (one output row per roots row) matches
     # pull_json_df whatever the expression shape
     lvl = roots.select(
-        F.col("e").alias("key"),
+        F.base64(F.encode(F.col("e"), "UTF-8")).alias("key"),
         F.lit(None).cast("string").alias("parent_key"),
         F.lit(-1).alias("slot"),
         F.col("e").alias("node"),
@@ -146,8 +149,18 @@ def pull_json_paths_df(
                     ).select(F.col("v_str").alias("node"), F.col("e").alias("child"))
                 parts.append(
                     sub.join(edges, "node").select(
+                        # eid components ride base64-coded so the
+                        # \x00-delimited composite is injective for ANY
+                        # eid byte content — a raw eid containing \x00
+                        # could alias two distinct (parent, slot, child)
+                        # paths and merge their child-fragment groups
+                        # (ADVICE r13); base64 alphabet never collides
+                        # with the separator and the digit slot
                         F.concat_ws(
-                            "\x00", F.col("key"), F.lit(str(slot)), F.col("child")
+                            "\x00",
+                            F.col("key"),
+                            F.lit(str(slot)),
+                            F.base64(F.encode(F.col("child"), "UTF-8")),
                         ).alias("key"),
                         F.col("key").alias("parent_key"),
                         F.lit(slot).alias("slot"),

@@ -115,7 +115,7 @@ _PRIORITY = [
     "triple_datalog_aggregate",
     "triple_datalog_disjunction",
     "triple_datalog_negation",
-    # (4) r8-vintage refresh cohort, alphabetical oracled, first 22
+    # (4) r8-vintage refresh cohort, alphabetical oracled, first 20
     "curation_quota_per_stratum",
     "curation_redacted_texts",
     "curation_top_quality_per_lang",
