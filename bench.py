@@ -125,6 +125,13 @@ HEADLINE = [
     # round-13: the newline-splitter line dedup (real C4 line unit over
     # planted multi-line docs; same keeper core as the row above)
     "dedup_lines_newline",
+    # round-14: the URL curation pair with real data-path cost — the
+    # domain-keyed quota window (one shuffle over the full corpus) and
+    # the Arrow-batched NFC normalization scan (the corpus-wide
+    # Python-stage cost every canonicalization pass pays; the host
+    # scan and blocklist joins are scan-shaped and covered above)
+    "url_domain_quota",
+    "text_normalize_scan",
 ]
 
 

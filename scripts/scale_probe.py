@@ -794,6 +794,67 @@ def main() -> None:
             "(single scan, codegen regex, zero Exchange)",
         )
 
+        # ---- URL curation (r14): the host scan is map-only (JVM
+        # parse_url in codegen — alpha_time ~1 past the job floor,
+        # alpha_work exactly 1), and the quota is ONE domain-keyed
+        # shuffle whose work is n rows however skewed the head
+        # domains are (the window emits rank metadata, never pairs).
+        # Planted mix mirrors the registered query: 3 head domains
+        # take ~60% of rows — the skew the quota exists to cap.
+        from pyspark.sql.window import Window as _W
+
+        from tripl_spark.operators.urls import _url_col, url_components
+
+        n_url = 20_000 * mult
+        url_docs = spark.range(n_url).select(
+            F.col("id").alias("doc_id"),
+            F.lit("s").alias("source"),
+            F.lit("en").alias("lang"),
+            F.pmod("id", 997).cast("int").alias("n_chars"),
+        ).localCheckpoint(eager=True)
+        parsed = url_components(url_docs, _url_col())
+        record(
+            "url host scan map-only (r14)", mult,
+            timed(lambda: parsed.count(), work=n_url),
+            "(single scan, parse_url codegen, zero Exchange)",
+        )
+        _wq = _W.partitionBy("reg_domain").orderBy(
+            F.col("n_chars").desc(), F.col("doc_id")
+        )
+        record(
+            "url domain quota window (r14)", mult,
+            timed(lambda: parsed.select(
+                "doc_id", "reg_domain",
+                F.row_number().over(_wq).alias("rk")).count(),
+                  work=n_url),
+            "(one domain-keyed exchange; 3 head domains ~60% of rows)",
+        )
+
+        # ---- unicode normalization (r14): the Arrow-batched NFC
+        # stage is the cost under test — map-only Python, so
+        # alpha_work is exactly 1 and alpha_time approaches 1 once
+        # the per-batch Arrow transfer amortizes the job floor.
+        from tripl_spark.operators.text import normalize_text
+
+        norm_docs = spark.range(n_url).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit(base_txt),
+                F.when(F.pmod("id", 4) == 1,
+                       F.lit(" cafe\u0301 blase\u0301")).otherwise(F.lit("")),
+                F.when(F.pmod("id", 5) == 2,
+                       F.lit(" l1\r\nl2")).otherwise(F.lit("")),
+            ).alias("text"),
+        ).localCheckpoint(eager=True)
+        record(
+            "nfc normalize arrow scan (r14)", mult,
+            timed(lambda: norm_docs.select(
+                F.length(normalize_text(F.col("text"))).alias("L"))
+                .agg(F.sum("L")).first() and n_url,
+                  work=n_url),
+            "(map-only; ArrowEvalPython is the only Python stage)",
+        )
+
         if mult not in (1, SCALE):
             continue  # docs-side + registered queries: 1x/10x only
         record(

@@ -191,6 +191,7 @@ def test_per_group_topk_has_partial_window_group_limit(spark, sf_small):
         "pipeline_curation_end2end",
         "pipeline_semantic_curation",
         "pipeline_decontaminated_corpus",
+        "url_domain_quota_kept",
     ):
         plan = _plan(spark, sf_small, name)
         assert partial_wgl.search(plan), (name, plan)
@@ -388,3 +389,36 @@ def test_hll_sketch_side_has_no_exact_predistinct_exchange(spark, sf_small):
     user_keyed = [l for l in ex_lines if "user_id" in l]
     assert len(user_keyed) == 1, user_keyed
     assert any("register" in l for l in ex_lines), ex_lines
+
+
+def test_url_host_scan_is_map_only(spark, sf_small):
+    # parse + registered-domain extraction must be a single pruned
+    # scan inside codegen: no Exchange, no Join, no Python
+    plan = _plan(spark, sf_small, "url_host_scan")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    # only the columns the scan needs (doc_id drives the planting;
+    # source/lang/n_chars ride url_components but prune out here)
+    assert "text" not in plan.split("ReadSchema")[1].splitlines()[0], plan
+
+
+def test_url_blocklist_joins_broadcast(spark, sf_small):
+    # two few-row rule tables: both joins MUST broadcast — a shuffled
+    # join here moves the corpus to meet 2 rows
+    import re
+
+    plan = _plan(spark, sf_small, "url_blocklist_drops")
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2, plan
+    assert not re.findall(r"\(\d+\) Exchange\b", plan), plan
+
+
+def test_url_domain_quota_single_domain_keyed_shuffle(spark, sf_small):
+    # the quota pays exactly ONE shuffle, keyed by reg_domain (the
+    # window partition); no second exchange, no join
+    import re
+
+    plan = _plan(spark, sf_small, "url_domain_quota")
+    ex = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(ex) == 1, plan
+    assert "reg_domain" in [l for l in plan.splitlines()
+                            if "hashpartitioning" in l][0], plan

@@ -1,0 +1,102 @@
+"""URL curation family (`operators/urls.py`): registered-domain
+extraction, domain quotas, blocklist ledger, prevalence — semantics
+pinned locally; the driver hash gates pin both engines to each other."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tripl_spark.operators.urls import (
+    DOMAIN_QUOTA_K,
+    registered_domain,
+    url_components,
+    _url_col,
+)
+from tripl_spark.queries.registry import REGISTRY, _ensure_loaded
+from tripl_spark.session import load_table
+
+_ensure_loaded()
+
+
+def test_registered_domain_public_suffix_rule(spark):
+    hosts = [
+        ("www.hub1.com", "hub1.com"),
+        ("blog.hub1.com", "hub1.com"),          # subdomains collapse
+        ("m.news3.co.uk", "news3.co.uk"),       # multi-label suffix: 3 labels
+        ("tracker.ads.badcorp.com", "badcorp.com"),  # deep subdomain chain
+        ("hub1.com", "hub1.com"),               # already registered
+        ("localhost", "localhost"),             # single label: unchanged
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in hosts], "host string")
+    got = [r.rd for r in
+           df.select(registered_domain(F.col("host")).alias("rd")).collect()]
+    assert got == [want for _, want in hosts]
+
+
+def test_url_components_round_trip(spark, sf_small):
+    u = url_components(load_table(spark, sf_small, "documents"), _url_col())
+    row = u.filter(F.col("doc_id") == 0).collect()[0]
+    # doc_id 0: %10=0 → www.hub0.com, %11≠5 → https, %6=0 → utm qstring
+    assert row.url == "https://www.hub0.com/p/0?utm_source=feed&id=0"
+    assert (row.scheme, row.host, row.reg_domain, row.tld) == (
+        "https", "www.hub0.com", "hub0.com", "com")
+    assert row.path == "/p/0" and row.qstring == "utm_source=feed&id=0"
+    # every row re-assembles: url == scheme://host + path [+ ?qstring]
+    bad = u.filter(
+        F.col("url")
+        != F.concat(
+            F.col("scheme"), F.lit("://"), F.col("host"), F.col("path"),
+            F.when(F.col("qstring") == "", F.lit("")).otherwise(
+                F.concat(F.lit("?"), F.col("qstring"))
+            ),
+        )
+    ).count()
+    assert bad == 0
+
+
+def test_domain_quota_caps_every_domain(spark, sf_small):
+    q = REGISTRY["url_domain_quota"].fn(spark, sf_small)
+    kept = q.filter("kept").groupBy("reg_domain").count().collect()
+    assert all(r["count"] <= DOMAIN_QUOTA_K for r in kept)
+    # head domains actually hit the cap (the quota bites)
+    by_dom = {r.reg_domain: r["count"] for r in kept}
+    assert by_dom["hub0.com"] == DOMAIN_QUOTA_K
+    # rank is dense from 1 within each domain, ordered longest-first
+    rows = sorted(
+        (r for r in q.collect() if r.reg_domain == "hub0.com"),
+        key=lambda r: r.rk,
+    )
+    assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+    assert all(r.kept == (r.rk <= DOMAIN_QUOTA_K) for r in rows)
+
+
+def test_blocklist_reasons_partition_the_planted_mix(spark, sf_small):
+    d = REGISTRY["url_blocklist_drops"].fn(spark, sf_small)
+    by_reason = {
+        r.drop_reason: r["count"]
+        for r in d.groupBy("drop_reason").count().collect()
+    }
+    docs = load_table(spark, sf_small, "documents")
+    n = docs.count()
+    n_xyz = docs.filter(F.col("doc_id") % 10 == 7).count()
+    n_bad = docs.filter(F.col("doc_id") % 10 == 9).count()
+    assert by_reason.get("blocked_tld", 0) == n_xyz
+    assert by_reason.get("blocked_domain", 0) == n_bad
+    assert by_reason.get(None, 0) == n - n_xyz - n_bad
+    # ledger discipline: kept == no reason, row count preserved
+    assert d.count() == n
+    assert d.filter("kept").count() == n - n_xyz - n_bad
+    assert d.filter("kept AND drop_reason IS NOT NULL").count() == 0
+
+
+def test_domain_prevalence_shares_sum_to_one(spark, sf_small):
+    p = REGISTRY["url_domain_prevalence"].fn(spark, sf_small)
+    rows = p.collect()
+    assert abs(sum(r.doc_share for r in rows) - 1.0) < 1e-3
+    total = sum(r.n_docs for r in rows)
+    assert total == load_table(spark, sf_small, "documents").count()
+    # the planted head (hub0-2.com, 6/10 of docs over 3 domains) is
+    # each ~20% of the corpus — the concentration the quota targets
+    by_dom = {r.reg_domain: r for r in rows}
+    for d in ("hub0.com", "hub1.com", "hub2.com"):
+        assert 0.15 < by_dom[d].doc_share < 0.25

@@ -15,6 +15,8 @@ linear-time character classes).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1159,4 +1161,110 @@ def text_mojibake_prevalence(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0),
         )
         .orderBy("source", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization scan (r14): the canonicalization pass that runs
+# BEFORE any dedup or fingerprint — two byte-different spellings of the
+# same text ('café' composed vs 'cafe' + combining acute, CRLF vs LF,
+# NBSP vs space) must not defeat exact-hash dedup or split n-gram
+# statistics. The line-ending and NBSP repairs are JVM regexp_replace
+# (codegen, map-only); NFC composition has no Spark built-in, so it is
+# the package's canonical example of the SANCTIONED Python escape
+# hatch: an Arrow-batched pandas UDF (ArrowEvalPython in the plan —
+# never row-at-a-time BatchEvalPython), oracled against DuckDB's
+# native nfc_normalize so the two NFC implementations pin each other.
+# The corpus is clean ASCII, so damage is PLANTED deterministically
+# from doc_id (the mojibake/PII pattern) — combining accents, CRLF,
+# NBSP — identically in both engines.
+
+_NORM_COMBINING = " cafe\u0301 blase\u0301"  # NFC composes to café blasé
+
+
+def _nonnfc_text() -> F.Column:
+    did = F.col("doc_id")
+    return F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(did % 4 == 1, F.lit(_NORM_COMBINING)).otherwise(F.lit("")),
+        F.when(did % 5 == 2, F.lit(" line1\r\nline2")).otherwise(F.lit("")),
+        F.when(did % 6 == 3, F.lit(" a\u00a0b")).otherwise(F.lit("")),
+    )
+
+
+_NORM_ENRICH_SQL = """COALESCE(text, '')
+      || CASE WHEN doc_id % 4 = 1
+              THEN ' cafe' || chr(769) || ' blase' || chr(769) ELSE '' END
+      || CASE WHEN doc_id % 5 = 2
+              THEN ' line1' || chr(13) || chr(10) || 'line2' ELSE '' END
+      || CASE WHEN doc_id % 6 = 3
+              THEN ' a' || chr(160) || 'b' ELSE '' END"""
+
+
+def normalize_text(text: F.Column) -> F.Column:
+    """CRLF→LF and NBSP→space JVM-side, then NFC composition via an
+    Arrow-batched pandas UDF (unicodedata.normalize — the reference
+    Python NFC, pinned to DuckDB's nfc_normalize by the driver hash
+    gate on `text_normalize_scan`)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    repaired = F.regexp_replace(
+        F.regexp_replace(text, "\r\n", "\n"), "\u00a0", " "
+    )
+
+    @pandas_udf(T.StringType())
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    return _nfc(repaired)
+
+
+@query(
+    "text_normalize_scan",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_NORM_ENRICH_SQL} AS mt FROM documents),
+    n AS (SELECT doc_id, mt,
+                 nfc_normalize(replace(replace(mt, chr(13) || chr(10),
+                     chr(10)), chr(160), ' ')) AS norm
+          FROM t)
+    SELECT doc_id,
+           CAST(len(mt) AS BIGINT) AS n_chars_raw,
+           CAST(len(norm) AS BIGINT) AS n_chars_norm,
+           CAST(len(regexp_extract_all(mt, chr(13) || chr(10))) AS BIGINT)
+             AS n_crlf,
+           CAST(len(regexp_extract_all(mt, chr(160))) AS BIGINT) AS n_nbsp,
+           (norm <> mt) AS changed,
+           md5(norm) AS norm_fp
+    FROM n
+    """,
+    doc="Unicode canonicalization scan over deterministically planted "
+    "damage (combining accents, CRLF, NBSP): NFC via Arrow-batched "
+    "pandas UDF pinned to DuckDB's native nfc_normalize, line-ending "
+    "and NBSP repair JVM-side, before/after lengths, changed flag, "
+    "and an md5 fingerprint of the normalized text — fully hash-gated",
+)
+def text_normalize_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only: one scan, zero shuffle; the ONLY Python in the plan is
+    the Arrow-batched NFC stage (plan-gated: ArrowEvalPython, never
+    BatchEvalPython)."""
+    docs = load_table(spark, sf_dir, "documents")
+    mt = _nonnfc_text()
+    norm = normalize_text(mt)
+    return docs.select(
+        "doc_id",
+        F.length(mt).cast("long").alias("n_chars_raw"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        F.size(F.regexp_extract_all(mt, F.lit("\r\n"), F.lit(0)))
+        .cast("long")
+        .alias("n_crlf"),
+        F.size(F.regexp_extract_all(mt, F.lit("\u00a0"), F.lit(0)))
+        .cast("long")
+        .alias("n_nbsp"),
+        (norm != mt).alias("changed"),
+        F.md5(norm).alias("norm_fp"),
     )

@@ -1,0 +1,377 @@
+"""URL curation — the provenance-keyed filter stage of a crawl-scale
+training-data pipeline: parse each document's source URL, extract the
+registered domain under a public-suffix rule, cap any one domain's
+share of the corpus (domain quotas), and drop blocklisted
+domains/TLDs with an explicit per-document reason ledger.
+
+Beyond-reference extension surface (the reference,
+/root/reference/tripl/tripl.py, has no URL handling at all); sits
+next to the PII scrub and mojibake scan as the third
+provenance-hygiene family: dedup asks "have we seen this text",
+these ask "should this SOURCE contribute at all, and how much".
+
+Scale story (100 TB): parsing and domain extraction are MAP-ONLY —
+`parse_url` / `split` / `slice` run JVM-side inside whole-stage
+codegen, no shuffle, no UDF; the plan is a single scan however many
+executors fan out. The blocklist is a FEW-ROW dimension joined with
+an explicit `broadcast()` (never a shuffle: at 100 TB a shuffled
+join against a 2-row table would move the whole corpus). The quota
+ranks within `reg_domain` — one shuffle keyed by domain; head
+domains are the skew risk at crawl scale, which is why the quota
+keeps rank metadata (a two-phase per-domain top-K — partial top-K
+per partition, then merge — drops in behind the same output contract
+when a single domain outgrows an executor). The prevalence rollup is
+|domains| counter rows, partial-aggregated map-side, and is the ONE
+rollup definition shared with the streaming domain monitor
+(`streaming/url_stream.py`).
+
+The synthetic `documents` corpus has no URL column, so the registered
+queries PLANT a deterministic URL derived from `doc_id` — identically
+in both engines (the Spark expression and the SQL fragment below are
+the same definition, maintained together), so the driver hash gates
+compare the parsers/filters, not the planters. The planted mix covers
+the shapes the rules must distinguish: head domains behind multiple
+subdomains (www./blog. share one registered domain), a multi-label
+public suffix (.co.uk), a long tail, a blocklisted TLD, a blocklisted
+exact domain, http-vs-https, and tracking query params.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tripl_spark.queries.registry import query
+from tripl_spark.session import load_table
+
+# public-suffix-lite: multi-label suffixes under which the registered
+# domain takes THREE labels instead of two. The real public-suffix
+# list is ~9k rows — at scale it rides the same broadcast the
+# blocklist does; the rule below is the list's lookup semantics over
+# the planted universe.
+MULTILABEL_SUFFIXES: tuple[str, ...] = ("co.uk",)
+
+BLOCKED_DOMAINS: list[tuple[str, str]] = [("badcorp.com", "blocked_domain")]
+BLOCKED_TLDS: list[tuple[str, str]] = [("xyz", "blocked_tld")]
+
+DOMAIN_QUOTA_K = 12  # max docs any one registered domain keeps
+
+
+# -- deterministic URL planting (see module docstring) ---------------
+
+def _url_col() -> Column:
+    did = F.col("doc_id")
+    host = (
+        F.when(did % 10 <= 3,
+               F.concat(F.lit("www.hub"), (did % 3).cast("string"),
+                        F.lit(".com")))
+        .when(did % 10 <= 5,
+              F.concat(F.lit("blog.hub"), (did % 3).cast("string"),
+                       F.lit(".com")))
+        .when(did % 10 == 6,
+              F.concat(F.lit("m.news"), (did % 5).cast("string"),
+                       F.lit(".co.uk")))
+        .when(did % 10 == 7,
+              F.concat(F.lit("cdn.spam"), (did % 4).cast("string"),
+                       F.lit(".xyz")))
+        .when(did % 10 == 8,
+              F.concat(F.lit("tail"), (did % 97).cast("string"),
+                       F.lit(".net")))
+        .otherwise(F.lit("tracker.ads.badcorp.com"))
+    )
+    scheme = F.when(did % 11 == 5, F.lit("http")).otherwise(F.lit("https"))
+    qs = (
+        F.when(did % 6 == 0,
+               F.concat(F.lit("?utm_source=feed&id="), did.cast("string")))
+        .when(did % 6 == 3, F.concat(F.lit("?id="), did.cast("string")))
+        .otherwise(F.lit(""))
+    )
+    return F.concat(scheme, F.lit("://"), host, F.lit("/p/"),
+                    did.cast("string"), qs)
+
+
+_URL_SQL = """CASE
+        WHEN doc_id % 10 <= 3 THEN 'www.hub' || CAST(doc_id % 3 AS VARCHAR) || '.com'
+        WHEN doc_id % 10 <= 5 THEN 'blog.hub' || CAST(doc_id % 3 AS VARCHAR) || '.com'
+        WHEN doc_id % 10 = 6 THEN 'm.news' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
+        WHEN doc_id % 10 = 7 THEN 'cdn.spam' || CAST(doc_id % 4 AS VARCHAR) || '.xyz'
+        WHEN doc_id % 10 = 8 THEN 'tail' || CAST(doc_id % 97 AS VARCHAR) || '.net'
+        ELSE 'tracker.ads.badcorp.com' END"""
+_SCHEME_SQL = "CASE WHEN doc_id % 11 = 5 THEN 'http' ELSE 'https' END"
+_QS_SQL = """CASE
+        WHEN doc_id % 6 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+        WHEN doc_id % 6 = 3 THEN '?id=' || CAST(doc_id AS VARCHAR)
+        ELSE '' END"""
+_FULL_URL_SQL = (
+    f"({_SCHEME_SQL}) || '://' || ({_URL_SQL}) || '/p/' "
+    f"|| CAST(doc_id AS VARCHAR) || ({_QS_SQL})"
+)
+
+
+# -- parsing (the operator under test) --------------------------------
+
+def registered_domain(host: Column) -> Column:
+    """Registered domain under the public-suffix-lite rule: the last
+    two host labels, or three when the last two form a multi-label
+    public suffix. JVM-side split/slice — no UDF."""
+    parts = F.split(host, r"\.")
+    # clamp the slice start to the array length: Spark's slice(x, -2, 2)
+    # on a 1-element array is EMPTY (start before the array), while the
+    # oracle's list[-2:] clamps — a single-label host must stay itself
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.slice(parts, F.greatest(F.lit(-2), -n), F.lit(2)))
+    out = F.concat_ws(".", F.slice(parts, F.greatest(F.lit(-3), -n), F.lit(3)))
+    cond = F.lit(False)
+    for suf in MULTILABEL_SUFFIXES:
+        cond = cond | (last2 == suf)
+    return F.when(cond, out).otherwise(last2)
+
+
+def _reg_domain_sql(host: str) -> str:
+    suf = ", ".join(f"'{s}'" for s in MULTILABEL_SUFFIXES)
+    return (
+        f"CASE WHEN array_to_string((string_split({host}, '.'))[-2:], '.') "
+        f"IN ({suf}) "
+        f"THEN array_to_string((string_split({host}, '.'))[-3:], '.') "
+        f"ELSE array_to_string((string_split({host}, '.'))[-2:], '.') END"
+    )
+
+
+def url_components(docs: DataFrame, url_col: Column) -> DataFrame:
+    """doc_id + parsed URL columns; map-only (parse_url is a JVM
+    built-in — the crawl-scale path never leaves codegen)."""
+    url = url_col
+    host = F.parse_url(url, F.lit("HOST"))
+    return docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        url.alias("url"),
+        F.parse_url(url, F.lit("PROTOCOL")).alias("scheme"),
+        host.alias("host"),
+        registered_domain(host).alias("reg_domain"),
+        F.element_at(F.split(host, r"\."), -1).alias("tld"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit("")).alias("qstring"),
+    )
+
+
+_HOST_SQL = f"regexp_extract({_FULL_URL_SQL}, '^([a-z]+)://([^/?#]+)([^?#]*)', 2)"
+_COMPONENTS_SQL = f"""
+    SELECT doc_id, source, lang, n_chars,
+           {_FULL_URL_SQL} AS url,
+           regexp_extract({_FULL_URL_SQL}, '^([a-z]+)://', 1) AS scheme,
+           {_HOST_SQL} AS host,
+           {_reg_domain_sql(_HOST_SQL)} AS reg_domain,
+           (string_split({_HOST_SQL}, '.'))[-1] AS tld,
+           regexp_extract({_FULL_URL_SQL}, '^([a-z]+)://([^/?#]+)([^?#]*)', 3) AS path,
+           regexp_extract({_FULL_URL_SQL}, '\\?(.*)$', 1) AS qstring
+    FROM documents"""
+
+
+@query(
+    "url_host_scan",
+    oracle=f"""
+    WITH u AS ({_COMPONENTS_SQL})
+    SELECT doc_id, url, scheme, host, reg_domain, tld, path, qstring,
+           (scheme = 'http') AS is_http,
+           (qstring LIKE '%utm_%') AS has_tracking
+    FROM u
+    """,
+    doc="URL parse + registered-domain extraction over deterministically "
+    "planted crawl URLs: scheme/host/path/query via JVM parse_url, "
+    "public-suffix-lite registered domain (co.uk takes 3 labels), "
+    "http and tracking-param flags — map-only, fully hash-gated",
+)
+def url_host_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only, zero shuffle: one scan, all parsing inside
+    whole-stage codegen (plan-gated in tests/test_plan_quality.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = url_components(docs, _url_col())
+    return u.select(
+        "doc_id", "url", "scheme", "host", "reg_domain", "tld", "path",
+        "qstring",
+        (F.col("scheme") == "http").alias("is_http"),
+        F.col("qstring").contains("utm_").alias("has_tracking"),
+    )
+
+
+@query(
+    "url_domain_quota",
+    oracle=f"""
+    WITH u AS ({_COMPONENTS_SQL})
+    SELECT doc_id, reg_domain,
+           CAST(row_number() OVER (PARTITION BY reg_domain
+                ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk,
+           (row_number() OVER (PARTITION BY reg_domain
+                ORDER BY n_chars DESC, doc_id) <= {DOMAIN_QUOTA_K}) AS kept
+    FROM u
+    """,
+    doc=f"Per-registered-domain quota: rank docs within each domain by "
+    f"length (quality proxy) and keep the top {DOMAIN_QUOTA_K} — the "
+    f"single-domain-flood guard (SEO farms, mirror sites) every "
+    f"crawl-scale corpus applies before mixing",
+)
+def url_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE shuffle, keyed by reg_domain (the window partition). Head
+    domains are the skew: the rank is emitted (not just the kept bit)
+    so a two-phase top-K — per-partition partial top-K, then merge —
+    can replace the window behind the same contract when one domain
+    outgrows an executor; AQE skew-split covers the middle ground."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = url_components(docs, _url_col())
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("reg_domain").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    rk = F.row_number().over(w).cast("long")
+    return u.select(
+        "doc_id",
+        "reg_domain",
+        rk.alias("rk"),
+        (rk <= DOMAIN_QUOTA_K).alias("kept"),
+    )
+
+
+@query(
+    "url_blocklist_drops",
+    oracle=f"""
+    WITH u AS ({_COMPONENTS_SQL})
+    SELECT u.doc_id, u.reg_domain,
+           COALESCE(bd.reason, bt.reason) AS drop_reason,
+           (bd.reason IS NULL AND bt.reason IS NULL) AS kept
+    FROM u
+    LEFT JOIN (VALUES {", ".join(f"('{d}', '{r}')" for d, r in BLOCKED_DOMAINS)})
+         AS bd(dom, reason) ON u.reg_domain = bd.dom
+    LEFT JOIN (VALUES {", ".join(f"('{t}', '{r}')" for t, r in BLOCKED_TLDS)})
+         AS bt(tld, reason) ON u.tld = bt.tld
+    """,
+    doc="Blocklist filter with per-document drop ledger: exact "
+    "registered-domain rules and TLD rules as broadcast dimension "
+    "joins (domain rule wins), kept flag for the survivors — the "
+    "provenance twin of pipeline_drop_ledger's content rules",
+)
+def url_blocklist_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two explicit `broadcast()` joins against few-row rule tables —
+    at 100 TB a shuffled join here would move the whole corpus to
+    meet 2 rows. Domain rule takes precedence via coalesce order."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = url_components(docs, _url_col())
+    bd = F.broadcast(
+        u.sparkSession.createDataFrame(BLOCKED_DOMAINS, "dom string, d_reason string")
+    )
+    bt = F.broadcast(
+        u.sparkSession.createDataFrame(BLOCKED_TLDS, "btld string, t_reason string")
+    )
+    return (
+        u.join(bd, u.reg_domain == bd.dom, "left")
+        .join(bt, u.tld == bt.btld, "left")
+        .select(
+            "doc_id",
+            "reg_domain",
+            F.coalesce("d_reason", "t_reason").alias("drop_reason"),
+            (F.col("d_reason").isNull() & F.col("t_reason").isNull()).alias(
+                "kept"
+            ),
+        )
+    )
+
+
+@query(
+    "url_domain_quota_kept",
+    oracle=f"""
+    WITH u AS ({_COMPONENTS_SQL}),
+    r AS (
+      SELECT doc_id, reg_domain,
+             CAST(row_number() OVER (PARTITION BY reg_domain
+                  ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+      FROM u)
+    SELECT doc_id, reg_domain, rk FROM r WHERE rk <= {DOMAIN_QUOTA_K}
+    """,
+    doc=f"The quota's production output shape: ONLY the kept top "
+    f"{DOMAIN_QUOTA_K} per registered domain — filtering on the rank "
+    f"lets Spark plan a PARTIAL WindowGroupLimit (each map task ships "
+    f"k rows per domain to the exchange, not the whole domain), the "
+    f"two-phase top-K the full-ledger variant documents",
+)
+def url_domain_quota_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivors only. The rank filter is what unlocks the partial
+    WindowGroupLimit (plan-gated): a head domain holding 20% of a
+    100 TB crawl contributes k rows per map task to the shuffle
+    instead of 20 TB through one task — this, not the window itself,
+    is the quota's scale story."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = url_components(docs, _url_col())
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("reg_domain").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        u.select(
+            "doc_id",
+            "reg_domain",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= DOMAIN_QUOTA_K)
+    )
+
+
+def domain_prevalence_partials(u: DataFrame) -> DataFrame:
+    """(reg_domain, n_docs, n_http, n_tracking) long counters for one
+    slice of parsed URLs — the ONE rollup definition shared by the
+    registered batch query (`url_domain_prevalence`) and the streaming
+    monitor (`streaming/url_stream.py`), so the two surfaces cannot
+    drift. Integer counters only; shares are read-time views."""
+    return u.groupBy("reg_domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("scheme") == "http").cast("long"))
+        .cast("long")
+        .alias("n_http"),
+        F.sum(F.col("qstring").contains("utm_").cast("long"))
+        .cast("long")
+        .alias("n_tracking"),
+    )
+
+
+@query(
+    "url_domain_prevalence",
+    oracle=f"""
+    WITH u AS ({_COMPONENTS_SQL}),
+    c AS (
+      SELECT reg_domain,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN scheme = 'http' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_http,
+             CAST(sum(CASE WHEN qstring LIKE '%utm_%' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_tracking
+      FROM u GROUP BY reg_domain)
+    SELECT reg_domain, n_docs, n_http, n_tracking,
+           round(n_docs * 1.0 / sum(n_docs) OVER (), 6) + 0.0 AS doc_share
+    FROM c
+    """,
+    doc="Per-registered-domain corpus scorecard: doc counts, http and "
+    "tracking-param counts, corpus share — the concentration signal "
+    "domain quotas are tuned against; counters shared verbatim with "
+    "the streaming domain monitor",
+)
+def url_domain_prevalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|domains| counter rows, partial-aggregated map-side; the share
+    view divides by a single broadcast total at read time."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = url_components(docs, _url_col())
+    c = domain_prevalence_partials(u)
+    total = c.agg(F.sum("n_docs").alias("__total"))
+    return (
+        c.crossJoin(F.broadcast(total))
+        .select(
+            "reg_domain",
+            "n_docs",
+            "n_http",
+            "n_tracking",
+            (F.round(F.col("n_docs") * 1.0 / F.col("__total"), 6) + F.lit(0.0))
+            .alias("doc_share"),
+        )
+    )

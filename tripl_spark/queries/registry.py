@@ -67,84 +67,84 @@ _LOADED = False
 # representative TPC-H/analytics rows. Names listed here come first, in
 # this order; everything else follows in registration order.
 _PRIORITY = [
-    # Round-13 rotation, per the scripted recipe in the r12 note below
-    # (executed): (1) the query NEW in r13 (newline-splitter global
-    # line dedup), (2) changed-oracle re-drives — the two PII queries
-    # (credit-card class added to PII_CLASSES, so the shared scrub CTE
-    # chain and the planted corpus changed in BOTH engines; the scrub
-    # query additionally gained the Luhn-valid count column), (3) the
-    # 24 r7-vintage names (the oldest driver evidence after r12,
-    # alphabetically from pipeline_full_curation onward), (4) the
-    # first 20 alphabetical ORACLED r8-vintage names (the window stays
-    # zero-rows-only; the 4 rows-only r8 names keep their suite-level
-    # evidence). Latest-row histogram from CORRECTNESS_r01..r12:
-    # r7x24, r8x48, r10x43, r11x46, r12x50. Displaced names keep local
-    # DuckDB parity coverage in tests/test_oracle_parity.py every
-    # suite run.
+    # Round-14 rotation, per the scripted recipe in the r13 note below
+    # (executed): (1) the queries NEW in r14 — the URL curation family
+    # (parse/registered-domain scan, per-domain quota, blocklist drop
+    # ledger, domain prevalence) and the unicode-normalization scan,
+    # (2) changed-oracle re-drives — the mojibake pair (NULL-safe
+    # COALESCE added to the shared planting fragment in both engines),
+    # (3) all 28 r8-vintage names (the oldest driver evidence after
+    # r13), oracled first — the 4 rows-only r8 names take the driver's
+    # weaker rows-only check, their strong evidence staying the
+    # suite-level recall/structure tests, (4) the first 15 alphabetical
+    # r10-vintage names to fill 50. Latest-row histogram recomputed
+    # from CORRECTNESS_r01..r13: r8x28, r10x43, r11x46, r12x48, r13x50.
+    # Displaced names keep local DuckDB parity coverage in
+    # tests/test_oracle_parity.py every suite run.
     #
-    # (1) new in r13
-    "dedup_lines_newline",
-    "triple_pull_paths_cyclic",
+    # (1) new in r14
+    "url_host_scan",
+    "url_domain_quota",
+    "url_domain_quota_kept",
+    "url_blocklist_drops",
+    "url_domain_prevalence",
+    "text_normalize_scan",
+    # (2) changed-oracle re-drives (r14)
     "text_mojibake_scan",
     "text_mojibake_prevalence",
-    # (2) changed-oracle re-drives (r13)
-    "text_pii_scrub",
-    "text_pii_prevalence",
-    # (3) r7-vintage refresh cohort, alphabetical (all 24)
-    "pipeline_full_curation",
-    "pipeline_full_curation_bycutoff",
-    "pipeline_perplexity_buckets",
-    "pipeline_perplexity_bycutoff",
-    "pipeline_semantic_curation",
-    "pipeline_semantic_decontamination",
-    "sim_ann_hnsw",
-    "sim_ann_lsh",
-    "sim_ann_pq",
-    "sim_hybrid_rrf",
-    "sim_knn_filtered",
-    "sketch_hll_overlap",
-    "sketch_hll_sliding_7d",
-    "stats_corr_value_k",
-    "stats_value_by_type",
-    "text_bigram_logprob",
-    "text_lang_id",
-    "text_ngram_contamination",
-    "text_quality_score",
-    "text_token_entropy",
-    "text_token_stats",
-    "triple_datalog_aggregate",
-    "triple_datalog_disjunction",
-    "triple_datalog_negation",
-    # (4) r8-vintage refresh cohort, alphabetical oracled, first 20
-    "curation_quota_per_stratum",
-    "curation_redacted_texts",
-    "curation_top_quality_per_lang",
-    "events_autocorr_daily",
-    "events_seasonal_naive_mape",
-    "graph_components_purchasers",
-    "graph_copurchase_lift",
-    "graph_pagerank_purchasers",
-    "graph_triangle_count",
-    "hypertable_rollup_daily",
-    "mixing_split_assign",
-    "multimodal_audio_features",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_image_dhash",
-    "multimodal_video_frame_dhash",
-    "packing_bin_assign",
-    "pipeline_curation_end2end",
-    "q1_pricing_summary",
-    "range_join_error_followups",
+    # (3) r8-vintage refresh cohort: all 24 oracled, alphabetical
+    "sim_ann_ivfpq",
+    "sim_ann_lsh_filtered",
+    "sim_ann_multiprobe",
+    "sim_embedding_stats",
+    "sim_knn_bruteforce",
+    "sketch_countmin_terms",
+    "skew_salted_agg_events",
+    "skew_salted_join_user_spend",
+    "stateful_sessions_stream",
+    "stream_join_error_followups",
+    "text_bpe_token_count",
+    "text_chunking",
+    "text_fingerprint",
+    "text_repetition_filters",
+    "text_tfidf_top_terms",
+    "text_unigram_logprob",
+    "text_zipf_fit",
+    "tokenizer_first_merge",
+    "triple_asof_snapshot",
+    "triple_datalog_ancestor",
+    "triple_datalog_rule_aggregate",
+    "triple_match_nested",
+    "triple_pull_projection",
+    "triple_pull_recursive",
+    # (3b) the 4 rows-only r8 names (driver rows-only check)
+    "cluster_kmeans_embeddings",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "tokenizer_bpe_merges",
+    # (4) r10-vintage refresh cohort, alphabetical, first 14
+    "classifier_auc_eval",
+    "classifier_linear_probe_2step",
+    "classifier_logreg_2step",
+    "cluster_kmeans_2iter",
+    "curation_gopher_scorecard",
+    "curation_weighted_sample",
+    "dedup_gram_novelty",
+    "dedup_groups_canonical",
+    "dedup_reference_containment",
+    "events_anomaly_mad",
+    "events_funnel_conversion",
+    "events_psi_drift",
+    "events_retention_cohorts",
+    "events_trend_ols",
 ]
-# r14 rotation note: after the r13 window lands, the oldest remaining
-# vintages are the 28 r8-vintage names NOT in section (4) above
-# (alphabetical from sim_ann_ivfpq onward plus the 4 rows-only
-# r8 names) and then the r10 cohort (recompute from
-# CORRECTNESS_r01..r13 the way r9/r11/r12/r13 did). The r14 window:
-# (1) any queries new in r14, (2) any query whose oracle text changed
-# semantically, (3) those r8 names (oracled first), (4) r10-vintage
-# slots to fill 50.
+# r15 rotation note: after the r14 window lands, the oldest remaining
+# vintages are the 29 r10-vintage names NOT in section (4) above
+# (alphabetical from events_weekday_profile onward) and then the r11
+# cohort (recompute from CORRECTNESS_r01..r14 the way r9 and every
+# round since did). The r15 window: (1) any queries new in r15,
+# (2) any query whose oracle text changed semantically, (3) those r10
+# names, (4) r11-vintage slots to fill 50.
 
 
 def _ensure_loaded() -> None:
@@ -155,7 +155,7 @@ def _ensure_loaded() -> None:
         return
     from tripl_spark.queries import advanced, analytics, analytics2, tpch, tpch2, tpch3, tpch4  # noqa: F401
     from tripl_spark.queries import graph_queries, streaming_queries, triples  # noqa: F401
-    from tripl_spark.operators import classifier, clustering, curation, dedup, dedup_groups, dsir, graph_ann, mixing, multimodal, packing, pca, pii, pipeline, rangejoin, repetition, search, similarity, sketches, skew, substring, text, tokenizer  # noqa: F401
+    from tripl_spark.operators import classifier, clustering, curation, dedup, dedup_groups, dsir, graph_ann, mixing, multimodal, packing, pca, pii, pipeline, rangejoin, repetition, search, similarity, sketches, skew, substring, text, tokenizer, urls  # noqa: F401
 
     ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
     ordered.update({n: qd for n, qd in REGISTRY.items() if n not in ordered})
