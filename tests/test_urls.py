@@ -100,3 +100,40 @@ def test_domain_prevalence_shares_sum_to_one(spark, sf_small):
     by_dom = {r.reg_domain: r for r in rows}
     for d in ("hub0.com", "hub1.com", "hub2.com"):
         assert 0.15 < by_dom[d].doc_share < 0.25
+
+
+def test_canonical_url_known_examples(spark):
+    from tripl_spark.operators.urls import canonical_url
+
+    cases = [
+        ("https://www.hub1.com/a/3", "www.hub1.com/a/3"),
+        ("http://www.hub1.com/a/3", "www.hub1.com/a/3"),     # scheme erased
+        ("https://www.hub1.com/a/3?utm_source=x&utm_medium=y",
+         "www.hub1.com/a/3"),                                 # tracking erased
+        ("https://www.hub1.com/a/3?id=7&utm_campaign=z",
+         "www.hub1.com/a/3?id=7"),                            # real param kept
+        ("https://www.hub1.com/a/3?utm_campaign=z&id=7",
+         "www.hub1.com/a/3?id=7"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r.c for r in
+           df.select(canonical_url(F.col("u")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_canonical_dedup_group_invariants(spark, sf_small):
+    d = REGISTRY["url_canonical_dedup"].fn(spark, sf_small)
+    rows = d.collect()
+    n = load_table(spark, sf_small, "documents").count()
+    assert len(rows) == n                      # ledger keeps every doc
+    by_canon = {}
+    for r in rows:
+        by_canon.setdefault(r.canonical_url, []).append(r)
+    # the planting makes real duplicate groups (scheme/tracking variance
+    # within a path block) — the dedup must actually bite
+    assert any(len(g) > 1 for g in by_canon.values())
+    for g in by_canon.values():
+        assert all(r.group_size == len(g) for r in g)
+        keepers = [r for r in g if r.keeper]
+        assert len(keepers) == 1               # exactly one survivor
+        assert keepers[0].doc_id == min(r.doc_id for r in g)

@@ -319,6 +319,111 @@ def url_domain_quota_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- canonical-URL dedup ----------------------------------------------
+# A crawl sees the same page under many spellings: http vs https,
+# tracking params, duplicate fetches. URL-level dedup canonicalizes
+# (scheme dropped, tracking query params stripped, host lowercased by
+# construction) and keeps ONE doc per canonical URL — it runs BEFORE
+# content dedup because it needs no text at all. The planting below is
+# SEPARATE from _url_col's: paths collide in blocks (doc_id // 9 with
+# the host cycling doc_id % 3) so ~3-way duplicate groups exist by
+# construction, while scheme (doc_id % 11) and tracking params
+# (doc_id % 6) vary WITHIN a group — exactly the variance
+# canonicalization must erase.
+
+def _dup_url_col() -> Column:
+    did = F.col("doc_id")
+    scheme = F.when(did % 11 == 5, F.lit("http")).otherwise(F.lit("https"))
+    qs = (
+        F.when(did % 6 == 0,
+               F.concat(F.lit("?utm_source=feed&utm_medium=rss")))
+        .when(did % 6 == 3, F.lit("?utm_campaign=x"))
+        .otherwise(F.lit(""))
+    )
+    return F.concat(
+        scheme, F.lit("://www.hub"), (did % 3).cast("string"),
+        F.lit(".com/a/"), F.floor(did / 9).cast("string"), qs,
+    )
+
+
+_DUP_URL_SQL = (
+    "(CASE WHEN doc_id % 11 = 5 THEN 'http' ELSE 'https' END)"
+    " || '://www.hub' || CAST(doc_id % 3 AS VARCHAR) || '.com/a/'"
+    " || CAST(CAST(floor(doc_id / 9) AS BIGINT) AS VARCHAR)"
+    " || (CASE WHEN doc_id % 6 = 0 THEN '?utm_source=feed&utm_medium=rss'"
+    "          WHEN doc_id % 6 = 3 THEN '?utm_campaign=x' ELSE '' END)"
+)
+
+
+def canonical_url(url: Column) -> Column:
+    """Scheme-insensitive, tracking-insensitive canonical form:
+    host + path, with any ``utm_*`` query params dropped and remaining
+    params kept (a real id param distinguishes pages; a campaign tag
+    does not). JVM-side regex only — map-only at any scale."""
+    hostpath = F.regexp_replace(url, r"^[a-z]+://", "")
+    base = F.regexp_extract(hostpath, r"^([^?#]*)", 1)
+    q = F.regexp_extract(hostpath, r"\?([^#]*)", 1)
+    kept = F.filter(
+        F.split(q, "&"),
+        lambda p: (p != "") & ~p.startswith("utm_"),
+    )
+    return F.when(F.size(kept) > 0,
+                  F.concat(base, F.lit("?"), F.array_join(kept, "&"))
+                  ).otherwise(base)
+
+
+_CANON_SQL = (
+    "CASE WHEN len(list_filter(string_split(regexp_extract("
+    "regexp_replace(u, '^[a-z]+://', ''), '\\?([^#]*)', 1), '&'), "
+    "p -> p <> '' AND NOT starts_with(p, 'utm_'))) > 0 "
+    "THEN regexp_extract(regexp_replace(u, '^[a-z]+://', ''), "
+    "'^([^?#]*)', 1) || '?' || array_to_string(list_filter("
+    "string_split(regexp_extract(regexp_replace(u, '^[a-z]+://', ''), "
+    "'\\?([^#]*)', 1), '&'), p -> p <> '' AND NOT starts_with(p, "
+    "'utm_')), '&') "
+    "ELSE regexp_extract(regexp_replace(u, '^[a-z]+://', ''), "
+    "'^([^?#]*)', 1) END"
+)
+
+
+@query(
+    "url_canonical_dedup",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, {_DUP_URL_SQL} AS u FROM documents),
+    c AS (SELECT doc_id, {_CANON_SQL} AS canonical_url FROM u)
+    SELECT doc_id, canonical_url,
+           (doc_id = min(doc_id) OVER (PARTITION BY canonical_url))
+             AS keeper,
+           CAST(count(*) OVER (PARTITION BY canonical_url) AS BIGINT)
+             AS group_size
+    FROM c
+    """,
+    doc="URL-level dedup over planted duplicate fetches: canonicalize "
+    "(scheme dropped, utm_* tracking params stripped, real params "
+    "kept), group by canonical form, keep the smallest doc_id — the "
+    "zero-text dedup pass every crawl runs before content dedup",
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization is map-only JVM regex; the dedup itself is ONE
+    canonical-URL-keyed shuffle (the window). At crawl scale the
+    canonical key is near-unique outside true duplicate groups, so
+    AQE-coalesced hash partitions stay balanced — no head-key skew by
+    construction (unlike domains, canonical URLs don't concentrate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    c = docs.select(
+        "doc_id", canonical_url(_dup_url_col()).alias("canonical_url")
+    )
+    w = Window.partitionBy("canonical_url")
+    return c.select(
+        "doc_id",
+        "canonical_url",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("keeper"),
+        F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
+    )
+
+
 def domain_prevalence_partials(u: DataFrame) -> DataFrame:
     """(reg_domain, n_docs, n_http, n_tracking) long counters for one
     slice of parsed URLs — the ONE rollup definition shared by the

@@ -87,6 +87,7 @@ _PRIORITY = [
     "url_domain_quota",
     "url_domain_quota_kept",
     "url_blocklist_drops",
+    "url_canonical_dedup",
     "url_domain_prevalence",
     "text_normalize_scan",
     # (2) changed-oracle re-drives (r14)
@@ -122,7 +123,7 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "tokenizer_bpe_merges",
-    # (4) r10-vintage refresh cohort, alphabetical, first 14
+    # (4) r10-vintage refresh cohort, alphabetical, first 13
     "classifier_auc_eval",
     "classifier_linear_probe_2step",
     "classifier_logreg_2step",
@@ -136,11 +137,10 @@ _PRIORITY = [
     "events_funnel_conversion",
     "events_psi_drift",
     "events_retention_cohorts",
-    "events_trend_ols",
 ]
 # r15 rotation note: after the r14 window lands, the oldest remaining
-# vintages are the 29 r10-vintage names NOT in section (4) above
-# (alphabetical from events_weekday_profile onward) and then the r11
+# vintages are the 30 r10-vintage names NOT in section (4) above
+# (alphabetical from events_trend_ols onward) and then the r11
 # cohort (recompute from CORRECTNESS_r01..r14 the way r9 and every
 # round since did). The r15 window: (1) any queries new in r15,
 # (2) any query whose oracle text changed semantically, (3) those r10
