@@ -422,3 +422,16 @@ def test_url_domain_quota_single_domain_keyed_shuffle(spark, sf_small):
     assert len(ex) == 1, plan
     assert "reg_domain" in [l for l in plan.splitlines()
                             if "hashpartitioning" in l][0], plan
+
+
+def test_provenance_pipeline_single_scan_single_shuffle(spark, sf_small):
+    # the composed provenance ledger must stay ONE corpus scan (every
+    # content signal is a projection on the URL-parse scan, never a
+    # doc_id join back), TWO broadcast rule joins, and ONE shuffle
+    # (the null-guarded quota window) — no union double-read
+    import re
+
+    plan = _plan(spark, sf_small, "pipeline_provenance_curation")
+    assert plan.count("documents.parquet") == 1, plan
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2, plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan

@@ -137,3 +137,37 @@ def test_canonical_dedup_group_invariants(spark, sf_small):
         keepers = [r for r in g if r.keeper]
         assert len(keepers) == 1               # exactly one survivor
         assert keepers[0].doc_id == min(r.doc_id for r in g)
+
+
+def test_provenance_pipeline_conservation_and_precedence(spark, sf_small):
+    led = REGISTRY["pipeline_provenance_curation"].fn(spark, sf_small)
+    rows = led.collect()
+    docs = load_table(spark, sf_small, "documents")
+    assert len(rows) == docs.count()            # every doc, exactly once
+    assert len({r.doc_id for r in rows}) == len(rows)
+    stages = {r.drop_stage for r in rows}
+    # every stage fires on the planted corpus, and some docs survive
+    assert {"blocked_domain", "blocked_tld", "domain_quota",
+            "mojibake", "pii", None} <= stages
+    # precedence: a blocked doc_id (%10 in {7,9}) never shows a
+    # later-stage reason
+    for r in rows:
+        if r.doc_id % 10 == 7:
+            assert r.drop_stage == "blocked_tld"
+        if r.doc_id % 10 == 9:
+            assert r.drop_stage == "blocked_domain"
+        assert r.kept == (r.drop_stage is None)
+    # quota consistency with the standalone query: among blocklist
+    # survivors, fate 'domain_quota' <=> standalone rank > K
+    quota = {r.doc_id: r.rk for r in
+             REGISTRY["url_domain_quota"].fn(spark, sf_small).collect()}
+    from tripl_spark.operators.urls import DOMAIN_QUOTA_K
+    for r in rows:
+        if r.doc_id % 10 in (7, 9):
+            continue
+        # note: standalone ranks over ALL docs, the pipeline over
+        # blocklist survivors — but blocked hosts are distinct domains
+        # (spam*.xyz, badcorp.com), so survivor ranks agree
+        assert (r.drop_stage == "domain_quota") == (
+            quota[r.doc_id] > DOMAIN_QUOTA_K
+        ), r

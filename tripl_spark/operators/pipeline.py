@@ -756,3 +756,144 @@ def pipeline_drop_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     return groups.join(flags, "doc_id").select(
         "doc_id", "group_id", fate.alias("fate")
     )
+
+
+def _provenance_oracle() -> str:
+    """Composed provenance-axis oracle: blocklist → domain quota →
+    mojibake → PII, one CASE fate per document. Every fragment is the
+    SAME constant the standalone queries inject (url planting +
+    components, mojibake planting + patterns, the PII scrub CTE
+    chain), so this oracle cannot drift from the per-stage gates."""
+    from tripl_spark.operators.pii import _STAGES_SQL, _SUM_SQL
+    from tripl_spark.operators.text import _MOJI_ENRICH_SQL, MOJIBAKE_PATTERNS
+    from tripl_spark.operators.urls import (
+        BLOCKED_DOMAINS,
+        BLOCKED_TLDS,
+        DOMAIN_QUOTA_K,
+        _COMPONENTS_SQL,
+    )
+
+    moji_sum = " + ".join(
+        f"len(regexp_extract_all(mt, '{pat}'))" for _, pat in MOJIBAKE_PATTERNS
+    )
+    bd = ", ".join(f"('{d}', '{r}')" for d, r in BLOCKED_DOMAINS)
+    bt = ", ".join(f"('{t}', '{r}')" for t, r in BLOCKED_TLDS)
+    return f"""
+    WITH u AS ({_COMPONENTS_SQL}),
+    b AS (
+      SELECT u.doc_id, u.reg_domain, u.n_chars,
+             COALESCE(bd.reason, bt.reason) AS block_reason
+      FROM u
+      LEFT JOIN (VALUES {bd}) AS bd(dom, reason) ON u.reg_domain = bd.dom
+      LEFT JOIN (VALUES {bt}) AS bt(tld2, reason) ON u.tld = bt.tld2),
+    q AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY reg_domain
+                 ORDER BY n_chars DESC, doc_id) AS rk
+      FROM b WHERE block_reason IS NULL),
+    m AS (
+      SELECT doc_id, {moji_sum} AS n_moji
+      FROM (SELECT doc_id, {_MOJI_ENRICH_SQL} AS mt FROM documents)),
+    {_STAGES_SQL},
+    p AS (SELECT doc_id, {_SUM_SQL} AS n_pii FROM s5),
+    fate AS (
+      SELECT b.doc_id,
+             CASE WHEN b.block_reason IS NOT NULL THEN b.block_reason
+                  WHEN q.rk > {DOMAIN_QUOTA_K} THEN 'domain_quota'
+                  WHEN m.n_moji > 0 THEN 'mojibake'
+                  WHEN p.n_pii >= 2 THEN 'pii'
+                  ELSE NULL END AS drop_stage
+      FROM b
+      LEFT JOIN q ON b.doc_id = q.doc_id
+      JOIN m ON b.doc_id = m.doc_id
+      JOIN p ON b.doc_id = p.doc_id)
+    SELECT doc_id, drop_stage, (drop_stage IS NULL) AS kept FROM fate
+    """
+
+
+@query(
+    "pipeline_provenance_curation",
+    oracle=_provenance_oracle(),
+    doc="per-document FATE through the provenance axis: blocklisted "
+    "domain/TLD first (a blocked source never consults content), then "
+    "the per-domain quota, then encoding damage, then PII density — "
+    "the composed drop ledger of the r12-r14 hygiene families "
+    "(conservation: every doc appears exactly once); fully hash-gated",
+)
+def pipeline_provenance_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The provenance twin of `pipeline_drop_ledger` (content axis):
+    WHERE a document came from decides first, WHAT it contains second.
+    Stage precedence mirrors execution order — blocklist (broadcast
+    rules), domain quota (rank among blocklist SURVIVORS — a blocked
+    doc must not consume quota), mojibake, PII density.
+
+    Scale shape: every content signal (mojibake counts, PII counts) is
+    a map-only projection computed ON THE SAME SCAN as the URL parse —
+    never a doc_id-keyed join back — so the plan is broadcasts + ONE
+    shuffle (the survivors' quota window) + a union with the blocked
+    branch. Plan-gated in tests/test_plan_quality.py."""
+    from tripl_spark.operators.pii import _enriched_text, pii_counts
+    from tripl_spark.operators.text import MOJIBAKE_PATTERNS, _mojibake_text
+    from tripl_spark.operators.urls import (
+        BLOCKED_DOMAINS,
+        BLOCKED_TLDS,
+        DOMAIN_QUOTA_K,
+        _url_col,
+        registered_domain,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    moji_total = None
+    mt = _mojibake_text()
+    for _, pat in MOJIBAKE_PATTERNS:
+        c = F.size(F.regexp_extract_all(mt, F.lit(pat), F.lit(0)))
+        moji_total = c if moji_total is None else (moji_total + c)
+    pii_cols = pii_counts(_enriched_text())
+    pii_total = None
+    for col in pii_cols:
+        # each entry is an aliased count column; strip to the expression
+        pii_total = col if pii_total is None else (pii_total + col)
+    # every signal is computed ON ONE SCAN — no doc_id-keyed join back
+    base = docs.select(
+        "doc_id",
+        F.col("n_chars"),
+        registered_domain(F.parse_url(_url_col(), F.lit("HOST"))).alias(
+            "reg_domain"
+        ),
+        F.element_at(
+            F.split(F.parse_url(_url_col(), F.lit("HOST")), r"\."), -1
+        ).alias("tld"),
+        moji_total.alias("n_moji"),
+        pii_total.alias("n_pii"),
+    )
+    bd = F.broadcast(
+        spark.createDataFrame(BLOCKED_DOMAINS, "dom string, d_reason string")
+    )
+    bt = F.broadcast(
+        spark.createDataFrame(BLOCKED_TLDS, "btld string, t_reason string")
+    )
+    flagged = (
+        base.join(bd, base.reg_domain == bd.dom, "left")
+        .join(bt, base.tld == bt.btld, "left")
+        .withColumn("block_reason", F.coalesce("d_reason", "t_reason"))
+    )
+    # ONE corpus scan, ONE shuffle: a filter-then-union would read the
+    # scan once per branch, so instead the quota window partitions by
+    # (block_reason IS NULL, reg_domain) — survivors of a domain rank
+    # exactly as they would after filtering (their partition holds
+    # precisely them), blocked rows rank among themselves and their
+    # rank is never consulted (the CASE claims them first)
+    w = Window.partitionBy(
+        F.col("block_reason").isNull(), F.col("reg_domain")
+    ).orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    fate = (
+        F.when(F.col("block_reason").isNotNull(), F.col("block_reason"))
+        .when(F.row_number().over(w) > DOMAIN_QUOTA_K, F.lit("domain_quota"))
+        .when(F.col("n_moji") > 0, F.lit("mojibake"))
+        .when(F.col("n_pii") >= 2, F.lit("pii"))
+    )
+    return flagged.select(
+        "doc_id",
+        fate.alias("drop_stage"),
+        fate.isNull().alias("kept"),
+    )

@@ -90,6 +90,7 @@ _PRIORITY = [
     "url_canonical_dedup",
     "url_domain_prevalence",
     "text_normalize_scan",
+    "pipeline_provenance_curation",
     # (2) changed-oracle re-drives (r14)
     "text_mojibake_scan",
     "text_mojibake_prevalence",
@@ -123,7 +124,7 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "tokenizer_bpe_merges",
-    # (4) r10-vintage refresh cohort, alphabetical, first 13
+    # (4) r10-vintage refresh cohort, alphabetical, first 12
     "classifier_auc_eval",
     "classifier_linear_probe_2step",
     "classifier_logreg_2step",
@@ -136,11 +137,10 @@ _PRIORITY = [
     "events_anomaly_mad",
     "events_funnel_conversion",
     "events_psi_drift",
-    "events_retention_cohorts",
 ]
 # r15 rotation note: after the r14 window lands, the oldest remaining
-# vintages are the 30 r10-vintage names NOT in section (4) above
-# (alphabetical from events_trend_ols onward) and then the r11
+# vintages are the 31 r10-vintage names NOT in section (4) above
+# (alphabetical from events_retention_cohorts onward) and then the r11
 # cohort (recompute from CORRECTNESS_r01..r14 the way r9 and every
 # round since did). The r15 window: (1) any queries new in r15,
 # (2) any query whose oracle text changed semantically, (3) those r10
