@@ -573,6 +573,10 @@ def test_cli_pull_distributed_jsonl_sink(tmp_path):
             capture_output=True, text=True, cwd="/root/repo",
         )
         assert r.returncode == 0, r.stderr[-2000:]
+        # the non-recursive expression must NOT trip the recursion
+        # warning on either branch (the recursive case below asserts
+        # the warning IS printed)
+        assert "bounded unroll" not in r.stderr
     lines = []
     for part in sorted(outdir.glob("part-*")):
         lines += [json.loads(l) for l in part.read_text().splitlines() if l]

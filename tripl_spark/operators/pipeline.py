@@ -764,7 +764,7 @@ def _provenance_oracle() -> str:
     SAME constant the standalone queries inject (url planting +
     components, mojibake planting + patterns, the PII scrub CTE
     chain), so this oracle cannot drift from the per-stage gates."""
-    from tripl_spark.operators.pii import _STAGES_SQL, _SUM_SQL
+    from tripl_spark.operators.pii import _FINAL_T, _STAGES_SQL, _SUM_SQL
     from tripl_spark.operators.text import _MOJI_ENRICH_SQL, MOJIBAKE_PATTERNS
     from tripl_spark.operators.urls import (
         BLOCKED_DOMAINS,
@@ -795,7 +795,8 @@ def _provenance_oracle() -> str:
       SELECT doc_id, {moji_sum} AS n_moji
       FROM (SELECT doc_id, {_MOJI_ENRICH_SQL} AS mt FROM documents)),
     {_STAGES_SQL},
-    p AS (SELECT doc_id, {_SUM_SQL} AS n_pii FROM s5),
+    p AS (SELECT doc_id, {_SUM_SQL} AS n_pii
+          FROM {_FINAL_T.replace('t', 's')}),
     fate AS (
       SELECT b.doc_id,
              CASE WHEN b.block_reason IS NOT NULL THEN b.block_reason

@@ -176,7 +176,7 @@ _COMPONENTS_SQL = f"""
     WITH u AS ({_COMPONENTS_SQL})
     SELECT doc_id, url, scheme, host, reg_domain, tld, path, qstring,
            (scheme = 'http') AS is_http,
-           (qstring LIKE '%utm_%') AS has_tracking
+           contains(qstring, 'utm_') AS has_tracking
     FROM u
     """,
     doc="URL parse + registered-domain extraction over deterministically "
@@ -450,7 +450,7 @@ def domain_prevalence_partials(u: DataFrame) -> DataFrame:
              CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(CASE WHEN scheme = 'http' THEN 1 ELSE 0 END) AS BIGINT)
                AS n_http,
-             CAST(sum(CASE WHEN qstring LIKE '%utm_%' THEN 1 ELSE 0 END)
+             CAST(sum(CASE WHEN contains(qstring, 'utm_') THEN 1 ELSE 0 END)
                AS BIGINT) AS n_tracking
       FROM u GROUP BY reg_domain)
     SELECT reg_domain, n_docs, n_http, n_tracking,

@@ -76,7 +76,7 @@ _PRIORITY = [
     # (3) all 28 r8-vintage names (the oldest driver evidence after
     # r13), oracled first — the 4 rows-only r8 names take the driver's
     # weaker rows-only check, their strong evidence staying the
-    # suite-level recall/structure tests, (4) the first 15 alphabetical
+    # suite-level recall/structure tests, (4) the first 12 alphabetical
     # r10-vintage names to fill 50. Latest-row histogram recomputed
     # from CORRECTNESS_r01..r13: r8x28, r10x43, r11x46, r12x48, r13x50.
     # Displaced names keep local DuckDB parity coverage in
