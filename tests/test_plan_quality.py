@@ -435,3 +435,12 @@ def test_provenance_pipeline_single_scan_single_shuffle(spark, sf_small):
     assert plan.count("documents.parquet") == 1, plan
     assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2, plan
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+
+
+def test_outlink_scan_is_map_only(spark, sf_small):
+    # link extraction + per-link domain mapping ride higher-order
+    # functions on one scan: no Exchange, no Join, no explode-regroup
+    plan = _plan(spark, sf_small, "text_outlink_scan")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode

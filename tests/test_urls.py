@@ -171,3 +171,17 @@ def test_provenance_pipeline_conservation_and_precedence(spark, sf_small):
         assert (r.drop_stage == "domain_quota") == (
             quota[r.doc_id] > DOMAIN_QUOTA_K
         ), r
+
+
+def test_outlink_scan_known_examples(spark, sf_small):
+    out = {r.doc_id: r for r in
+           REGISTRY["text_outlink_scan"].fn(spark, sf_small).collect()}
+    # doc 0: no planting branches fire (0%3=0, 0%4=0, 0%7=0)
+    assert out[0].n_links == 0 and out[0].domains == ""
+    # doc 4: %3=1 (hub link) and %7=4 (news link) fire
+    assert out[4].n_links == 2
+    assert out[4].domains == "hub1.com|news4.co.uk"
+    # doc 10: %3=1 and %4=2 fire -> hub + (spam + tail) = 3 links
+    assert out[10].n_links == 3
+    assert out[10].n_domains == 3
+    assert "spam2.xyz" in out[10].domains and "tail10.net" in out[10].domains

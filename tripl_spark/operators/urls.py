@@ -480,3 +480,95 @@ def url_domain_prevalence(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("doc_share"),
         )
     )
+
+
+# -- outlink extraction ------------------------------------------------
+# The text→URL bridge: pages REFERENCE urls, and link extraction is
+# where anchor/link-graph pipelines start. Planted outlinks (the
+# corpus text is URL-free word salad) are appended per doc_id in both
+# engines; extraction + per-link registered-domain mapping runs
+# entirely inside JVM higher-order functions — map-only.
+
+_LINK_PATTERN = r"https?://[^\s]+"
+
+
+def _outlinked_text() -> Column:
+    did = F.col("doc_id")
+    return F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(did % 3 == 1,
+               F.concat(F.lit(" see https://www.hub"),
+                        (did % 3).cast("string"),
+                        F.lit(".com/ref/"), did.cast("string"))
+               ).otherwise(F.lit("")),
+        F.when(did % 4 == 2,
+               F.concat(F.lit(" img http://cdn.spam"),
+                        (did % 4).cast("string"),
+                        F.lit(".xyz/i/"), did.cast("string"),
+                        F.lit(" plus https://tail"),
+                        (did % 97).cast("string"), F.lit(".net/x"))
+               ).otherwise(F.lit("")),
+        F.when(did % 7 == 4,
+               F.concat(F.lit(" ref https://m.news"),
+                        (did % 5).cast("string"), F.lit(".co.uk/a"))
+               ).otherwise(F.lit("")),
+    )
+
+
+_OUTLINK_SQL = """COALESCE(text, '')
+      || CASE WHEN doc_id % 3 = 1 THEN ' see https://www.hub'
+              || CAST(doc_id % 3 AS VARCHAR) || '.com/ref/'
+              || CAST(doc_id AS VARCHAR) ELSE '' END
+      || CASE WHEN doc_id % 4 = 2 THEN ' img http://cdn.spam'
+              || CAST(doc_id % 4 AS VARCHAR) || '.xyz/i/'
+              || CAST(doc_id AS VARCHAR) || ' plus https://tail'
+              || CAST(doc_id % 97 AS VARCHAR) || '.net/x' ELSE '' END
+      || CASE WHEN doc_id % 7 = 4 THEN ' ref https://m.news'
+              || CAST(doc_id % 5 AS VARCHAR) || '.co.uk/a' ELSE '' END"""
+
+_LINK_HOST = "regexp_extract(x, '^[a-z]+://([^/]+)', 1)"
+
+
+@query(
+    "text_outlink_scan",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_OUTLINK_SQL} AS mt FROM documents),
+    l AS (SELECT doc_id,
+                 regexp_extract_all(mt, 'https?://[^\s]+') AS links
+          FROM t)
+    SELECT doc_id,
+           CAST(len(links) AS BIGINT) AS n_links,
+           CAST(len(list_distinct(list_transform(links,
+                x -> {_reg_domain_sql(_LINK_HOST)}))) AS BIGINT)
+             AS n_domains,
+           COALESCE(array_to_string(list_sort(list_distinct(
+                list_transform(links,
+                x -> {_reg_domain_sql(_LINK_HOST)}))), '|'), '') AS domains
+    FROM l
+    """,
+    doc="Outlink extraction over deterministically planted in-text "
+    "links: per-document link count, distinct registered-domain "
+    "count, and the sorted domain list — where anchor/link-graph "
+    "pipelines start; JVM higher-order functions end to end, "
+    "map-only, fully hash-gated",
+)
+def text_outlink_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only, zero shuffle: regexp_extract_all → transform (per-link
+    host → registered domain) → array_distinct/sort — all inside
+    codegen'd higher-order functions; no explode, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    links = F.regexp_extract_all(_outlinked_text(), F.lit(_LINK_PATTERN), F.lit(0))
+    doms = F.array_distinct(
+        F.transform(
+            links,
+            lambda x: registered_domain(
+                F.regexp_extract(x, "^[a-z]+://([^/]+)", 1)
+            ),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.size(links).cast("long").alias("n_links"),
+        F.size(doms).cast("long").alias("n_domains"),
+        F.array_join(F.array_sort(doms), "|").alias("domains"),
+    )
