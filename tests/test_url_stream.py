@@ -68,3 +68,34 @@ def test_domain_monitor_flags_a_flooding_domain(spark):
     assert card["seofarm.biz"].n_http == 14
     assert card["seofarm.biz"].n_tracking == 14
     assert card["hub0.com"].n_http == 0 and card["hub0.com"].doc_share == 0.15
+
+
+def test_domain_monitor_readstream_end_to_end(spark, sf_small, tmp_path):
+    """The deployment shape: a real readStream drain through
+    foreachBatch equals the batch rollup (same contract as the PII,
+    quality, line, and mojibake monitors)."""
+    docs = _parsed_docs(spark, sf_small).select(
+        "doc_id", "scheme", "qstring", "reg_domain"
+    )
+    src = str(tmp_path / "src")
+    for i in range(3):
+        docs.filter(F.pmod("doc_id", 3) == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    mon = StreamingDomainMonitor(spark, sink_path=str(tmp_path / "sink"))
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, scheme string, qstring string, reg_domain string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(mon.process)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    want = _card(REGISTRY["url_domain_prevalence"].fn(spark, sf_small))
+    assert _card(mon.prevalence()) == want
