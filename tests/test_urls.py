@@ -185,3 +185,65 @@ def test_outlink_scan_known_examples(spark, sf_small):
     assert out[10].n_links == 3
     assert out[10].n_domains == 3
     assert "spam2.xyz" in out[10].domains and "tail10.net" in out[10].domains
+
+
+# -- properties ---------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_label = st.text("abz09", min_size=1, max_size=4)
+_param = st.one_of(
+    st.tuples(st.sampled_from(["utm_source", "utm_medium", "utm_campaign"]),
+              st.text("xy1", min_size=1, max_size=3)),
+    st.tuples(st.text("abq", min_size=1, max_size=4),
+              st.text("xy1", min_size=0, max_size=3)),
+)
+_url = st.builds(
+    lambda scheme, labels, path, params: (
+        scheme + "://" + ".".join(labels) + "/" + path
+        + ("?" + "&".join(f"{k}={v}" for k, v in params) if params else "")
+    ),
+    st.sampled_from(["http", "https"]),
+    st.lists(_label, min_size=1, max_size=4),
+    st.text("abz09/", max_size=8),
+    st.lists(_param, max_size=3),
+)
+
+
+@given(urls=st.lists(_url, min_size=1, max_size=8))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_canonical_url_idempotent_and_tracking_free(spark, urls):
+    """canonical(canonical(u)) == canonical(u) for arbitrary URLs, and
+    the canonical form never carries a utm_ param — the properties the
+    dedup's correctness (stable grouping key) rests on. Re-canonicalize
+    by prefixing a scheme (canonical forms are scheme-less)."""
+    from tripl_spark.operators.urls import canonical_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    rows = df.select(
+        canonical_url(F.col("u")).alias("c1"),
+        canonical_url(F.concat(F.lit("https://"),
+                               canonical_url(F.col("u")))).alias("c2"),
+    ).collect()
+    for r in rows:
+        assert r.c1 == r.c2, (r.c1, r.c2)
+        assert "utm_" not in (r.c1.split("?", 1) + [""])[1]
+
+
+@given(hosts=st.lists(st.lists(_label, min_size=1, max_size=5)
+                      .map(".".join), min_size=1, max_size=10))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_registered_domain_total_and_suffix(spark, hosts):
+    """registered_domain never NULLs/empties and always returns a
+    dot-suffix of the host with at most 3 labels, for any host shape
+    (single-label included)."""
+    from tripl_spark.operators.urls import registered_domain
+
+    df = spark.createDataFrame([(h,) for h in hosts], "h string")
+    for r in df.select("h", registered_domain(F.col("h")).alias("rd")).collect():
+        assert r.rd, r
+        assert ("." + r.h).endswith("." + r.rd), r
+        assert 1 <= len(r.rd.split(".")) <= 3, r
