@@ -266,3 +266,39 @@ def test_lines_newline_boilerplate_keeps_exactly_one_copy(spark, sf_small):
     total_header = keyed.filter(F.col("line").isin(_NL_HEADER, _NL_FOOTER)).count()
     # drops >= every boilerplate copy past the two keepers
     assert out.agg(F.sum("n_dropped")).collect()[0][0] >= total_header - 2
+
+
+def test_paragraphs_global_boilerplate_keeps_exactly_one_copy(spark, sf_small):
+    """Paragraph unit (blank-line split): the planted cookie-banner
+    (1/5 of docs) and license (1/3) paragraphs each survive as exactly
+    ONE keeper paragraph corpus-wide — dropped as whole blocks, the
+    reason CCNet dedups paragraphs rather than lines."""
+    import hashlib
+
+    from tripl_spark.operators.dedup import (
+        _PARA_BANNER,
+        _PARA_LICENSE,
+        _planted_multipara,
+        line_keeper_dedup,
+        split_paragraphs,
+    )
+    from tripl_spark.session import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    multi = docs.select("doc_id", _planted_multipara().alias("text"))
+    keyed = split_paragraphs(multi)
+    n_banner = keyed.filter(F.col("line") == _PARA_BANNER).count()
+    n_lic = keyed.filter(F.col("line") == _PARA_LICENSE).count()
+    assert n_banner > 1 and n_lic > 1
+    out = REGISTRY["dedup_paragraphs_global"].fn(spark, sf_small)
+    # each boilerplate paragraph keeps exactly one copy: corpus-wide
+    # drops >= all copies past the two keepers
+    assert out.agg(F.sum("n_dropped")).collect()[0][0] >= n_banner + n_lic - 2
+    # doc-level spot check: the paragraph split round-trips (a doc with
+    # no dropped paragraphs reassembles to its own planted text)
+    clean = out.filter("n_dropped = 0").join(multi, "doc_id").collect()
+    assert clean, "some docs should carry no duplicate paragraphs"
+    for r in clean[:5]:
+        paras = [p.strip() for p in r.text.split("\n\n") if p.strip()]
+        want = hashlib.md5("\n\n".join(paras).encode()).hexdigest()
+        assert r.dedup_fp == want

@@ -1306,3 +1306,111 @@ def dedup_lines_newline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     multi = docs.select("doc_id", _planted_multiline().alias("text"))
     return line_keeper_dedup(split_lines_newline(multi), sep="\n")
+
+
+def split_paragraphs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, pos, line, h) via blank-line splitting: the CCNet
+    paragraph unit (its dedup operates on paragraphs, not lines —
+    boilerplate cookie banners and license blocks repeat as whole
+    paragraphs). ``line`` holds the trimmed paragraph so the shared
+    keeper core (`line_keeper_dedup`) and the reassembly contract
+    apply unchanged; ``pos`` is the 1-based raw split index.
+    Map-only until the keeper shuffle."""
+    parts = F.split(F.col(text_col), "\n\n")
+    return (
+        docs.select("doc_id", F.posexplode(parts).alias("idx", "raw"))
+        .select(
+            "doc_id",
+            (F.col("idx") + 1).cast("long").alias("pos"),
+            F.trim(F.col("raw")).alias("line"),
+        )
+        .filter(F.col("line") != "")
+        .withColumn("h", F.md5(F.col("line")))
+    )
+
+
+# Deterministic multi-PARAGRAPH planting: per-doc paragraph width
+# k = 9 + doc_id%5 tokens (content paragraphs rarely collide across
+# docs), a shared cookie-banner paragraph on doc_id%5==0 and a shared
+# license paragraph on doc_id%3==0 — the cross-document repeated
+# paragraphs a CCNet scrub exists to drop. Spark expression and SQL
+# fragment are the same definition, maintained together.
+_PARA_BANNER = "This site uses cookies accept to continue"
+_PARA_LICENSE = "Content licensed under CC BY SA 4 0"
+
+
+def _planted_multipara() -> F.Column:
+    did = F.col("doc_id")
+    k = (F.lit(9) + (did % 5)).cast("int")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    body = F.transform(
+        F.sequence(F.lit(1), F.size(toks), k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    empty = F.expr("CAST(array() AS array<string>)")
+    banner = F.when(did % 5 == 0, F.array(F.lit(_PARA_BANNER))).otherwise(empty)
+    lic = F.when(did % 3 == 0, F.array(F.lit(_PARA_LICENSE))).otherwise(empty)
+    return F.array_join(F.concat(banner, body, lic), "\n\n")
+
+
+_PARA_PLANT_SQL = rf"""array_to_string(
+        CASE WHEN doc_id % 5 = 0 THEN ['{_PARA_BANNER}'] ELSE [] END
+        || [array_to_string(t[i:i + 8 + doc_id % 5], ' ')
+            for i in range(1, len(t) + 1, 9 + CAST(doc_id % 5 AS INT))]
+        || CASE WHEN doc_id % 3 = 0 THEN ['{_PARA_LICENSE}'] ELSE [] END,
+        chr(10) || chr(10))"""
+
+
+@query(
+    "dedup_paragraphs_global",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    multi AS (
+      SELECT doc_id, {_PARA_PLANT_SQL} AS mtext FROM toks
+    ),
+    raw AS (
+      SELECT doc_id,
+             unnest([struct_pack(pos := i, line := trim(parts[i]))
+                     for i in range(1, len(parts) + 1)],
+                    recursive := true)
+      FROM (SELECT doc_id, string_split(mtext, chr(10) || chr(10)) AS parts
+            FROM multi)
+    ),
+    keyed AS (
+      SELECT doc_id, pos, line, md5(line) AS h FROM raw WHERE line <> ''
+    ),
+    keepers AS (
+      SELECT h, min(struct_pack(d := doc_id, p := pos)) AS keep
+      FROM keyed GROUP BY h
+    )
+    SELECT k.doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN k.doc_id = kp.keep.d AND k.pos = kp.keep.p
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN k.doc_id = kp.keep.d AND k.pos = kp.keep.p
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+           md5(coalesce(string_agg(
+               CASE WHEN k.doc_id = kp.keep.d AND k.pos = kp.keep.p
+                    THEN k.line END, chr(10) || chr(10) ORDER BY k.pos), ''))
+             AS dedup_fp
+    FROM keyed k JOIN keepers kp USING (h)
+    GROUP BY k.doc_id
+    """,
+    doc="CCNet-style global PARAGRAPH dedup over deterministically "
+    "planted multi-paragraph documents (per-doc paragraph width + "
+    "shared cookie-banner/license paragraphs): first occurrence wins "
+    "corpus-wide, documents reassembled blank-line-joined — fully "
+    "hash-gated; shares the line-dedup keeper core",
+)
+def dedup_paragraphs_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The paragraph-unit sibling of `dedup_lines_newline`: CCNet
+    dedups paragraphs, not lines, so boilerplate is dropped as a BLOCK
+    (one keeper row per banner/license paragraph corpus-wide) while a
+    line-level scrub would have to match it line by line. Same keeper
+    core, same two hash-balanced shuffles (SCALE.md line-dedup rows
+    apply: work linear in split units)."""
+    docs = load_table(spark, sf_dir, "documents")
+    multi = docs.select("doc_id", _planted_multipara().alias("text"))
+    return line_keeper_dedup(split_paragraphs(multi), sep="\n\n")

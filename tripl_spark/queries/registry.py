@@ -76,7 +76,7 @@ _PRIORITY = [
     # (3) all 28 r8-vintage names (the oldest driver evidence after
     # r13), oracled first — the 4 rows-only r8 names take the driver's
     # weaker rows-only check, their strong evidence staying the
-    # suite-level recall/structure tests, (4) the first 11 alphabetical
+    # suite-level recall/structure tests, (4) the first 10 alphabetical
     # r10-vintage names to fill 50. Latest-row histogram recomputed
     # from CORRECTNESS_r01..r13: r8x28, r10x43, r11x46, r12x48, r13x50.
     # Displaced names keep local DuckDB parity coverage in
@@ -92,6 +92,7 @@ _PRIORITY = [
     "text_normalize_scan",
     "pipeline_provenance_curation",
     "text_outlink_scan",
+    "dedup_paragraphs_global",
     # (2) changed-oracle re-drives (r14)
     "text_mojibake_scan",
     "text_mojibake_prevalence",
@@ -125,7 +126,7 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "tokenizer_bpe_merges",
-    # (4) r10-vintage refresh cohort, alphabetical, first 11
+    # (4) r10-vintage refresh cohort, alphabetical, first 10
     "classifier_auc_eval",
     "classifier_linear_probe_2step",
     "classifier_logreg_2step",
@@ -136,11 +137,10 @@ _PRIORITY = [
     "dedup_groups_canonical",
     "dedup_reference_containment",
     "events_anomaly_mad",
-    "events_funnel_conversion",
 ]
 # r15 rotation note: after the r14 window lands, the oldest remaining
-# vintages are the 32 r10-vintage names NOT in section (4) above
-# (alphabetical from events_psi_drift onward) and then the r11
+# vintages are the 33 r10-vintage names NOT in section (4) above
+# (alphabetical from events_funnel_conversion onward) and then the r11
 # cohort (recompute from CORRECTNESS_r01..r14 the way r9 and every
 # round since did). The r15 window: (1) any queries new in r15,
 # (2) any query whose oracle text changed semantically, (3) those r10
