@@ -40,14 +40,11 @@ def test_url_dedup_split_invariant_matches_batch(spark, sf_small, split):
     for i, b in enumerate(batches):
         mon.process(b, batch_id=i)
     got = {r.cu: r.keep for r in mon.keepers().collect()}
-    assert got == _batch_keepers_want(spark, sf_small)
+    batch_rows = REGISTRY["url_canonical_dedup"].fn(spark, sf_small).collect()
+    assert got == {r.canonical_url: r.doc_id for r in batch_rows if r.keeper}
     # dedup() applies the table with the batch query's keeper rule
     labeled = {r.doc_id: r.kept for r in mon.dedup(docs).collect()}
-    want_kept = {
-        r.doc_id: r.keeper
-        for r in REGISTRY["url_canonical_dedup"].fn(spark, sf_small).collect()
-    }
-    assert labeled == want_kept
+    assert labeled == {r.doc_id: r.keeper for r in batch_rows}
 
 
 def test_url_dedup_replay_is_harmless_by_algebra(spark, sf_small):

@@ -1203,13 +1203,14 @@ def reassemble_kept_lines(flagged: DataFrame, sep: str) -> DataFrame:
     )
 
 
-def split_lines_newline(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, pos, line, h) via REAL newline splitting: the C4/Dolma
-    line unit. ``pos`` is the 1-based raw split index (stable whether
-    or not neighbors are blank); blank/whitespace-only lines are
-    dropped (they carry no content and would otherwise all collide on
-    one keeper). Map-only until the keeper shuffle."""
-    parts = F.split(F.col(text_col), "\n")
+def _split_units(docs: DataFrame, pattern: str, text_col: str) -> DataFrame:
+    """(doc_id, pos, line, h) via splitting on ``pattern`` — the ONE
+    splitter behind the newline (line) and blank-line (paragraph)
+    dedup units. ``pos`` is the 1-based raw split index (stable
+    whether or not neighbors are blank); blank/whitespace-only units
+    are dropped (they carry no content and would otherwise all collide
+    on one keeper). Map-only until the keeper shuffle."""
+    parts = F.split(F.col(text_col), pattern)
     return (
         docs.select("doc_id", F.posexplode(parts).alias("idx", "raw"))
         .select(
@@ -1220,6 +1221,12 @@ def split_lines_newline(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .filter(F.col("line") != "")
         .withColumn("h", F.md5(F.col("line")))
     )
+
+
+def split_lines_newline(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """REAL newline splitting: the C4/Dolma line unit (see
+    `_split_units` for the shared contract)."""
+    return _split_units(docs, "\n", text_col)
 
 
 # Deterministic multi-line planting for the newline variant: the
@@ -1309,24 +1316,13 @@ def dedup_lines_newline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def split_paragraphs(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, pos, line, h) via blank-line splitting: the CCNet
-    paragraph unit (its dedup operates on paragraphs, not lines —
-    boilerplate cookie banners and license blocks repeat as whole
-    paragraphs). ``line`` holds the trimmed paragraph so the shared
-    keeper core (`line_keeper_dedup`) and the reassembly contract
-    apply unchanged; ``pos`` is the 1-based raw split index.
-    Map-only until the keeper shuffle."""
-    parts = F.split(F.col(text_col), "\n\n")
-    return (
-        docs.select("doc_id", F.posexplode(parts).alias("idx", "raw"))
-        .select(
-            "doc_id",
-            (F.col("idx") + 1).cast("long").alias("pos"),
-            F.trim(F.col("raw")).alias("line"),
-        )
-        .filter(F.col("line") != "")
-        .withColumn("h", F.md5(F.col("line")))
-    )
+    """Blank-line splitting: the CCNet paragraph unit (its dedup
+    operates on paragraphs, not lines — boilerplate cookie banners and
+    license blocks repeat as whole paragraphs). ``line`` holds the
+    trimmed paragraph so the shared keeper core (`line_keeper_dedup`)
+    and the reassembly contract apply unchanged (see `_split_units`
+    for the shared splitter contract)."""
+    return _split_units(docs, "\n\n", text_col)
 
 
 # Deterministic multi-PARAGRAPH planting: per-doc paragraph width

@@ -531,7 +531,7 @@ _LINK_HOST = "regexp_extract(x, '^[a-z]+://([^/]+)', 1)"
 
 @query(
     "text_outlink_scan",
-    oracle=f"""
+    oracle=rf"""
     WITH t AS (SELECT doc_id, {_OUTLINK_SQL} AS mt FROM documents),
     l AS (SELECT doc_id,
                  regexp_extract_all(mt, 'https?://[^\s]+') AS links
