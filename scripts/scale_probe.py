@@ -710,8 +710,9 @@ def main() -> None:
                   work=n_roots),
         )
         def _auto_pull() -> int:
-            # what the auto path pays: static expr check, cluster assembly
-            assert ts._distributed_safe(pull_expr, 20)
+            # what the auto path pays: cluster assembly (r15: the
+            # auto-switch has no shape gate left — every expression
+            # takes a distributed assembly past the threshold)
             return len(ts.pull_many(pull_expr, pull_roots, distributed=True))
 
         record(

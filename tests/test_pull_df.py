@@ -109,7 +109,11 @@ def test_pull_df_recursion_matches_driver_on_chain(spark):
     assert dist["node:parent"]["node:parent"]["node:name"] == "root"
 
 
-def test_pull_df_recursion_cycle_bounded(spark):
+def test_pull_df_recursion_cycle_stubs_like_driver(spark):
+    """r15: '...' recursion on a cycle emits the DRIVER LOOP's
+    ancestor-revisit ident stub (reference cycle rule, tripl.py:665-668)
+    — not the r14 bounded unroll that kept looping to depth
+    exhaustion. a→b→a stubs at the revisit of a."""
     ts = TripleStore(
         schema={"node:next": {"db:valueType": "db.type:ref"}},
         default_cardinality="db.cardinality:one",
@@ -122,14 +126,121 @@ def test_pull_df_recursion_cycle_bounded(spark):
         ]
     )
     expr = ["node:name", {"node:next": "..."}]
-    doc = json.loads(ts.pull_df(expr, ["a"], recur_depth=3).collect()[0].doc)
-    # expands a→b→a→b, then the exhausted-depth node renders as an
-    # ident stub dict: bounded, valid JSON
-    d, depth = doc, 0
-    while isinstance(d.get("node:next"), dict):
-        d, depth = d["node:next"], depth + 1
-    assert depth == 4
-    assert d == {"db:ident": "a"}  # exhausted depth → ident stub
+    doc = json.loads(ts.pull_df(expr, ["a"]).collect()[0].doc)
+    assert doc == ts.pull(expr, "a")
+    assert doc["node:next"]["node:name"] == "b"
+    assert doc["node:next"]["node:next"] == {"db:ident": "a"}
+
+
+def test_pull_recursion_max_depth_fetch_truncation(spark):
+    """The driver loop's ``max_depth`` rule is a FETCH property: nodes
+    first reached past max_depth render as husks (requested attrs →
+    null), but a node fetched via a SHORTER route still renders fully
+    even when a longer path passes through it beyond max_depth. The
+    distributed path must reproduce both sides (a naive level cutoff
+    fails the second)."""
+    ts = TripleStore(
+        schema={"x:next": {"db:valueType": "db.type:ref",
+                           "db:cardinality": "db.cardinality:many"}},
+        default_cardinality="db.cardinality:one",
+        spark=spark,
+    )
+    ts.assert_facts(
+        [
+            # chain root -> a1 .. a6, PLUS a shortcut root -> a5: a5/a6
+            # are fetched at depth 1/2, so the long path renders fully
+            # through depth 6 > max_depth
+            {"db:ident": "root", "x:name": "root", "x:next": {"a1", "a5"}},
+            {"db:ident": "a1", "x:name": "a1", "x:next": {"a2"}},
+            {"db:ident": "a2", "x:name": "a2", "x:next": {"a3"}},
+            {"db:ident": "a3", "x:name": "a3", "x:next": {"a4"}},
+            {"db:ident": "a4", "x:name": "a4", "x:next": {"a5"}},
+            {"db:ident": "a5", "x:name": "a5", "x:next": {"a6"}},
+            {"db:ident": "a6", "x:name": "a6"},
+            # pure chain root2 -> b1 .. b6: b5 is first reached at depth
+            # 5 > max_depth -> unfetched -> husk, recursion stops there
+            {"db:ident": "root2", "x:name": "root2", "x:next": {"b1"}},
+            {"db:ident": "b1", "x:name": "b1", "x:next": {"b2"}},
+            {"db:ident": "b2", "x:name": "b2", "x:next": {"b3"}},
+            {"db:ident": "b3", "x:name": "b3", "x:next": {"b4"}},
+            {"db:ident": "b4", "x:name": "b4", "x:next": {"b5"}},
+            {"db:ident": "b5", "x:name": "b5", "x:next": {"b6"}},
+            {"db:ident": "b6", "x:name": "b6"},
+        ]
+    )
+    expr = ["x:name", {"x:next": "..."}]
+    drv = ts.pull_many(expr, ["root", "root2"], max_depth=4, distributed=False)
+    dst = ts.pull_many(expr, ["root", "root2"], max_depth=4, distributed=True)
+    assert dst == drv
+    # the shortcut keeps the deep chain alive: walking the LONG path
+    # root->a1->..->a5 (depth 5 > max_depth) still renders a5 and a6
+    # fully, because both were fetched at depth 1/2 via the shortcut
+    d = drv[0]
+    for _ in range(5):  # a1 a2 a3 a4 a5
+        kids = {k.get("x:name"): k for k in d["x:next"]}
+        d = kids[min(k for k in kids if k is not None)]
+    assert d["x:name"] == "a5"
+    assert d["x:next"][0]["x:name"] == "a6"
+    # the pure chain husks at b5 (first reached at depth 5 > 4)
+    d = drv[1]
+    for _ in range(4):  # b1 b2 b3 b4
+        d = d["x:next"][0]
+    assert d["x:name"] == "b4"
+    assert d["x:next"][0] == {"x:name": None, "x:next": []}  # husk
+
+
+def test_pull_paths_max_path_rows_guard(spark):
+    """The r15 size guard: a path expansion whose output tree exceeds
+    ``max_path_rows`` RAISES loudly (truncation would be a silently
+    wrong answer)."""
+    import pytest as _pytest
+
+    from tripl_spark.plans.pull_df import pull_json_paths_df
+
+    ts = TripleStore(
+        schema={"x:kid": {"db:valueType": "db.type:ref",
+                          "db:cardinality": "db.cardinality:many"}},
+        default_cardinality="db.cardinality:one",
+        spark=spark,
+    )
+    # binary-sharing DAG: every level doubles the PATH count while the
+    # node count stays 2/level — the exact shape the guard exists for
+    docs = [{"db:ident": "l0a", "x:kid": {"l1a", "l1b"}},
+            {"db:ident": "l0b", "x:kid": {"l1a", "l1b"}}]
+    for lvl in range(1, 6):
+        for tag in ("a", "b"):
+            d = {"db:ident": f"l{lvl}{tag}"}
+            if lvl < 5:
+                d["x:kid"] = {f"l{lvl + 1}a", f"l{lvl + 1}b"}
+            docs.append(d)
+    ts.assert_facts(docs)
+    roots = spark.createDataFrame([("l0a",)], "e string")
+    with _pytest.raises(RuntimeError, match="max_path_rows"):
+        pull_json_paths_df(
+            ts.current_facts(), ts.registry, ["db:ident", {"x:kid": "..."}],
+            roots, max_path_rows=10,
+        ).collect()
+    # and the same expansion under the default budget is simply correct
+    drv = ts.pull_many(["db:ident", {"x:kid": "..."}], ["l0a"],
+                       distributed=False)
+    dst = ts.pull_many(["db:ident", {"x:kid": "..."}], ["l0a"],
+                       distributed=True)
+    assert dst == drv
+
+
+def test_pull_json_df_rejects_recursion(spark):
+    """The bottom-up assembly no longer carries a divergent recursion
+    mode — '...' must be routed to the path-keyed assembly."""
+    import pytest as _pytest
+
+    from tripl_spark.plans.pull_df import pull_json_df
+
+    ts = TripleStore(spark=spark)
+    ts.assert_facts([{"db:ident": "e1", "x:v": 1}])
+    roots = spark.createDataFrame([("e1",)], "e string")
+    with _pytest.raises(ValueError, match="recursion"):
+        pull_json_df(ts.current_facts(), ts.registry,
+                     ["x:v", {"x:kid": "..."}], roots)
 
 
 def test_pull_df_string_escaping(spark):
@@ -339,8 +450,9 @@ def test_pull_many_auto_switch_safe_on_any_graph(spark, g):
     """The nested auto-switch property: with the threshold forced to 1,
     the default path must equal the driver loop on EVERY graph —
     including self-loops and ref cycles, which the path-keyed assembly
-    stubs exactly like the driver loop (no fallback since r13). The
-    forced distributed path is the same assembly and must agree too."""
+    stubs exactly like the driver loop (no fallback since r13; '...'
+    recursion included since r15). The forced distributed path is the
+    same assembly and must agree too."""
     ts, roots = _build_maybe_cyclic(spark, g["parents"])
     ts.PULL_DISTRIBUTED_THRESHOLD = 1
     for expr in (
@@ -353,6 +465,14 @@ def test_pull_many_auto_switch_safe_on_any_graph(spark, g):
         # graph: node-local components render path-independently even
         # when sibling paths stub
         ["*", {"t:next": ["*", "t:_next", {"t:kid": ["*"]}]}],
+        # '...' recursion (r15): re-enters the ROOT expression at every
+        # t:next hop; on cyclic graphs the ancestor-revisit stub rule
+        # must land on exactly the driver loop's nodes
+        ["t:name", {"t:next": "..."}],
+        ["t:name", {"t:kid": ["k:id"]}, {"t:next": "..."}],
+        # recursion one level down: the nested '...' still re-enters
+        # the ROOT (reference rule), not the inner sub-expression
+        ["t:name", {"t:next": ["t:name", {"t:next": "..."}]}],
     ):
         drv = ts.pull_many(expr, roots, distributed=False)
         auto = ts.pull_many(expr, roots)
@@ -486,8 +606,9 @@ def test_path_key_injective_for_nul_byte_eids(spark):
 
 def test_pull_many_threshold_auto_switch(spark):
     """At >= PULL_DISTRIBUTED_THRESHOLD roots the default path flips to
-    cluster-side assembly and stays result-identical; a '...' recursion
-    expression stays on the driver loop (divergent cycle semantics)."""
+    cluster-side assembly and stays result-identical — for EVERY
+    expression shape since r15 ('...' recursion included; no shape is
+    held back on the driver loop any more)."""
     schema = {"t:kid": {"db:valueType": "db.type:ref"}}
     ts = TripleStore(schema=schema, default_cardinality="db.cardinality:one",
                      spark=spark)

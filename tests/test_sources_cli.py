@@ -573,9 +573,8 @@ def test_cli_pull_distributed_jsonl_sink(tmp_path):
             capture_output=True, text=True, cwd="/root/repo",
         )
         assert r.returncode == 0, r.stderr[-2000:]
-        # the non-recursive expression must NOT trip the recursion
-        # warning on either branch (the recursive case below asserts
-        # the warning IS printed)
+        # r15: no recursion caveat exists any more — nothing warns on
+        # either branch for any expression shape
         assert "bounded unroll" not in r.stderr
     lines = []
     for part in sorted(outdir.glob("part-*")):
@@ -590,15 +589,25 @@ def test_cli_pull_distributed_jsonl_sink(tmp_path):
         capture_output=True, text=True, cwd="/root/repo",
     )
     assert r.returncode != 0 and "drop-namespaces" in r.stderr
-    # a '...' recursive expression under --distributed runs as a
-    # bounded unroll whose cycle semantics differ from the driver
-    # loop's stub rule — the CLI must say so loudly (ADVICE r13), and
-    # a non-recursive run (above) must NOT have warned
-    r = subprocess.run(
-        [sys.executable, "-m", "tripl_spark.cli", "pull", "-i", str(merged),
-         "-o", str(tmp_path / "rec.jsonl"), "-p", '["x:name", {"x:kid": "..."}]',
-         "-e", pattern, "--distributed"],
-        capture_output=True, text=True, cwd="/root/repo",
+    # a '...' recursive expression under --distributed now runs the
+    # driver-loop-exact path-keyed assembly (r15) — the r14 bounded
+    # unroll and its loud warning are GONE, and the documents must
+    # equal the driver branch's byte-for-byte semantics
+    rec_out = tmp_path / "rec.jsonl"
+    rec_plain = tmp_path / "rec_plain.json"
+    rec_expr = '["x:name", {"x:kid": "..."}]'
+    for extra, dest in ((["--distributed"], str(rec_out)), ([], str(rec_plain))):
+        r = subprocess.run(
+            [sys.executable, "-m", "tripl_spark.cli", "pull", "-i", str(merged),
+             "-o", dest, "-p", rec_expr, "-e", pattern] + extra,
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "bounded unroll" not in r.stderr
+        assert "tripl: warning" not in r.stderr
+    rec_lines = []
+    for part in sorted(rec_out.glob("part-*")):
+        rec_lines += [json.loads(l) for l in part.read_text().splitlines() if l]
+    assert sorted(rec_lines, key=key) == sorted(
+        json.loads(rec_plain.read_text()), key=key
     )
-    assert r.returncode == 0, r.stderr[-2000:]
-    assert "bounded unroll" in r.stderr

@@ -55,12 +55,10 @@ def get_args(argv: list[str] | None = None) -> argparse.Namespace:
                              "OUT as a JSONL directory (one JSON doc per "
                              "line, unordered part files) — the sink "
                              "path for result sets too large to re-nest "
-                             "on the driver. CAVEAT: a '...' recursive "
-                             "expression runs as a bounded unroll "
-                             "(depth 20) cluster-side, which on CYCLIC "
-                             "data unrolls loops instead of emitting "
-                             "the driver branch's cycle stubs — a "
-                             "warning is printed when this applies")
+                             "on the driver. Documents are identical to "
+                             "the driver branch for every expression "
+                             "shape, '...' recursion and cycles "
+                             "included (r15)")
     group = p_pull.add_mutually_exclusive_group(required=True)
     group.add_argument("-e", "--entities-pattern",
                        help="JSON match pattern, e.g. '{\"x:type\": \"x.type:t\"}'")
@@ -323,26 +321,15 @@ def main(argv: list[str] | None = None) -> int:
                 )
             # the library sink path (store.pull_df): documents never
             # materialize on the driver; OUT is a JSONL directory.
-            # For non-recursive expressions the flag changes WHERE
-            # results land, never WHAT they are (the paths assembly is
-            # revisit-complete). A '...' expression is the exception:
-            # it runs as pull_json_df's bounded unroll (recur_depth=20,
-            # matching the driver branch's max_depth default), which on
-            # CYCLIC data unrolls loops instead of emitting the driver
-            # loop's {ident: eid} cycle stubs — warn loudly instead of
-            # silently changing the documents (ADVICE r13). Default
-            # write mode (errorifexists) keeps the sink as loud on an
+            # The flag changes WHERE results land, never WHAT they are
+            # — since r15 the paths assembly is driver-identical for
+            # EVERY expression shape, '...' recursion and cycles
+            # included (the r14 bounded-unroll warning is gone because
+            # the divergence it warned about is gone). Default write
+            # mode (errorifexists) keeps the sink as loud on an
             # existing path as open(dir, "w") is on the driver branch —
             # never silently deletes.
-            if store._expr_has_recur(expr):
-                print(
-                    "tripl: warning: --distributed runs '...' recursion "
-                    "as a bounded unroll (depth 20); on cyclic data this "
-                    "unrolls loops instead of emitting cycle stubs — "
-                    "drop --distributed for driver-loop semantics",
-                    file=sys.stderr,
-                )
-            store.pull_df(expr, target, recur_depth=20).select(
+            store.pull_df(expr, target, max_depth=20).select(
                 "doc"
             ).write.text(args.output)
         else:

@@ -472,14 +472,16 @@ class TripleStore:
     # and re-nests row-by-row in Python — fine for a page of entities,
     # quadratic-feeling at a million roots. The distributed path is one
     # job + ONE collect of finished documents. The auto-switch applies
-    # to FLAT expressions unconditionally (the bottom-up assembly is
-    # equivalent on every store) and to NESTED non-'...' expressions
-    # within max_depth on ANY store — the path-keyed assembly
-    # (plans/pull_df.pull_json_paths_df) reproduces the driver loop's
-    # ancestor-revisit ident-stub rule, cyclic stores included — so
-    # the switch is invisible to callers (pinned by
-    # tests/test_pull_df.py's equivalence properties over arbitrary
-    # and cyclic Hypothesis graphs).
+    # to EVERY expression shape (r15): FLAT expressions take the
+    # bottom-up assembly (equivalent on every store); everything else,
+    # '...' recursion included, takes the path-keyed assembly
+    # (plans/pull_df.pull_json_paths_df), which reproduces the driver
+    # loop's ancestor-revisit ident-stub rule, the reference's
+    # recursion-re-enters-root rule, AND the max_depth fetch
+    # truncation, cyclic stores included — so the switch is invisible
+    # to callers (pinned by tests/test_pull_df.py's equivalence
+    # properties over arbitrary and cyclic Hypothesis graphs,
+    # recursive expressions included).
     #
     # Threshold tuning (r12 probe, re-measured r13 after the paths
     # rewrite; SCALE.md "pull_many assembly" rows): the driver loop
@@ -512,45 +514,6 @@ class TripleStore:
         check needed."""
         return not any(isinstance(item, dict) for item in expr)
 
-    @staticmethod
-    def _expr_depth(expr: list[Any]) -> int:
-        """Nesting depth of dict children (flat = 0). '...' counts as
-        one level here; callers gate recursion separately."""
-        d = 0
-        for item in expr:
-            if isinstance(item, dict):
-                for sub in item.values():
-                    child = (
-                        1 + TripleStore._expr_depth(sub)
-                        if isinstance(sub, list)
-                        else 1
-                    )
-                    d = max(d, child)
-        return d
-
-    def _distributed_safe(self, pull_expr: list[Any], max_depth: int) -> bool:
-        """Is cluster-side assembly result-identical to the driver loop
-        for THIS expression (on EVERY store — no per-store check since
-        r13)?
-
-        * flat expressions: yes — the bottom-up ``pull_json_df``
-          assembly is equivalent on every store;
-        * other nested expressions within ``max_depth``: yes — the
-          path-keyed ``pull_json_paths_df`` assembly reproduces the
-          driver loop's ancestor-revisit ident-stub rule exactly,
-          cyclic stores included (r12's detection BFS + driver-loop
-          fallback is gone: the same traversal now IS the assembly);
-        * '...' recursion: never auto (bounded-unroll vs max_depth/
-          cycle-stub semantics diverge on cyclic data);
-        * expressions nested deeper than ``max_depth``: never auto (the
-          driver loop truncates, the distributed paths expand fully)."""
-        if self._expr_is_flat(pull_expr):
-            return True
-        return (
-            not self._expr_has_recur(pull_expr)
-            and self._expr_depth(pull_expr) <= max_depth
-        )
-
     def pull_many(
         self,
         pull_expr: list[Any],
@@ -569,16 +532,14 @@ class TripleStore:
         ``distributed`` selects the assembly path: None (default)
         auto-switches to cluster-side JSON assembly
         (`plans/pull_df.py`) past ``PULL_DISTRIBUTED_THRESHOLD`` roots
-        whenever the two paths are result-identical — FLAT expressions
-        take the bottom-up assembly (one render per node); nested
-        dict-children expressions within ``max_depth`` take the
-        path-keyed assembly, which reproduces the driver loop's
-        ancestor-revisit ident-stub rule on ANY store, cyclic
-        included. Only ``'...'`` recursion and expressions nested past
-        ``max_depth`` stay on the driver loop. True/False force
-        distributed/driver; a forced ``distributed=True`` uses the
-        same selection (recursion then falls back to the bounded
-        unroll, the one shape whose semantics differ)."""
+        for EVERY expression shape — FLAT expressions take the
+        bottom-up assembly (one render per node); everything else,
+        ``'...'`` recursion included, takes the path-keyed assembly,
+        which reproduces the driver loop's semantics exactly on ANY
+        store (ancestor-revisit ident stubs, the reference's
+        recursion-re-enters-root rule, and the ``max_depth`` fetch
+        truncation — r15; no shape falls back to the driver loop any
+        more). True/False force distributed/driver."""
         if isinstance(eids_or_pattern, dict):
             eids = sorted(self.match(eids_or_pattern))
         else:
@@ -587,10 +548,7 @@ class TripleStore:
         use_df = (
             distributed
             if distributed is not None
-            else (
-                len(eids) >= self.PULL_DISTRIBUTED_THRESHOLD
-                and self._distributed_safe(pull_expr, max_depth)
-            )
+            else len(eids) >= self.PULL_DISTRIBUTED_THRESHOLD
         )
         if use_df:
             import json as _json
@@ -600,14 +558,14 @@ class TripleStore:
             roots = self.spark.createDataFrame(
                 [(e,) for e in sorted(set(eids))], "e string"
             )
-            if self._expr_is_flat(pull_expr) or self._expr_has_recur(pull_expr):
+            if self._expr_is_flat(pull_expr):
                 rows = pull_json_df(
-                    self.current_facts(), self.registry, pull_expr, roots,
-                    recur_depth=max_depth,
+                    self.current_facts(), self.registry, pull_expr, roots
                 ).collect()
             else:
                 rows = pull_json_paths_df(
-                    self.current_facts(), self.registry, pull_expr, roots
+                    self.current_facts(), self.registry, pull_expr, roots,
+                    max_depth=max_depth,
                 ).collect()
             raw_by_e = {r["e"]: r["doc"] for r in rows}
             # parse PER OCCURRENCE: duplicate eids must get independent
@@ -629,15 +587,19 @@ class TripleStore:
         return results
 
     def pull_df(
-        self, pull_expr: list[Any], eids_or_pattern: Any, recur_depth: int = 4
+        self, pull_expr: list[Any], eids_or_pattern: Any, max_depth: int = 20
     ) -> DataFrame:
         """Distributed pull: (e, doc) DataFrame with JSON documents
         assembled on the cluster — for result sets too large to re-nest
         driver-side. Wildcards render every present attr (refs
-        unexpanded). Non-recursive expressions use the path-keyed
-        assembly (driver-loop-identical on any store, ancestor-revisit
-        stubs included — r13); ``'...'`` recursion is unrolled
-        ``recur_depth`` levels via the bottom-up assembly (see
+        unexpanded). Driver-loop-identical on any store for ANY
+        expression shape: flat expressions take the bottom-up assembly
+        (one render per node); nested and ``'...'`` recursive
+        expressions take the path-keyed assembly, which carries the
+        ancestor-revisit ident stubs, the reference's
+        recursion-re-enters-root rule, and the same ``max_depth``
+        fetch-truncation husks as the driver loop (r15 — the bounded
+        unroll and its cycle-semantics caveat are gone; see
         plans/pull_df.py)."""
         from tripl_spark.plans.pull_df import pull_json_df, pull_json_paths_df
 
@@ -647,17 +609,14 @@ class TripleStore:
             roots = self.spark.createDataFrame(
                 [(str(e),) for e in eids_or_pattern], "e string"
             )
-        if self._expr_has_recur(pull_expr):
-            return pull_json_df(
-                self.current_facts(), self.registry, pull_expr, roots, recur_depth
-            )
         if self._expr_is_flat(pull_expr):
             # flat: one render per node, no path expansion needed
             return pull_json_df(
-                self.current_facts(), self.registry, pull_expr, roots, recur_depth
+                self.current_facts(), self.registry, pull_expr, roots
             )
         return pull_json_paths_df(
-            self.current_facts(), self.registry, pull_expr, roots
+            self.current_facts(), self.registry, pull_expr, roots,
+            max_depth=max_depth,
         )
 
     def q(self, query: dict[str, Any],

@@ -373,15 +373,18 @@ def triple_pull_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference tripl.py:708-710) exercised END-TO-END on the facts
     encoding itself: events users melt to a ``user:parent`` ref forest
     (u → u//2, edge kept only when the parent is itself a user), then
-    ``pull_json_df`` unrolls ``["db:ident", {"user:parent": "..."}]``
-    three levels on the cluster and the ancestor chain is parsed back
-    out relationally as (e, depth, ancestor) rows. The oracle is the
-    same bounded recursion as a WITH RECURSIVE — a planner mis-join or
-    a wrong recursion-exhaustion rule flips rows."""
+    the path-keyed assembly (`pull_json_paths_df`, driver-loop-exact
+    since r15 — this forest is acyclic so no stub fires and
+    ``max_depth=3`` reproduces the driver's three fetched parent hops)
+    expands ``["db:ident", {"user:parent": "..."}]`` on the cluster and
+    the ancestor chain is parsed back out relationally as (e, depth,
+    ancestor) rows. The oracle is the same bounded recursion as a WITH
+    RECURSIVE — a planner mis-join or a wrong recursion-exhaustion rule
+    flips rows."""
     from pyspark.sql import types as T
 
     from tripl_spark.core.schema import CARD_ONE, REF_TYPE, SchemaRegistry
-    from tripl_spark.plans.pull_df import pull_json_df
+    from tripl_spark.plans.pull_df import pull_json_paths_df
 
     users = (
         load_table(spark, sf_dir, "events")
@@ -420,8 +423,8 @@ def triple_pull_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry.declare("user:parent", {"db:valueType": REF_TYPE, "db:cardinality": CARD_ONE})
 
     roots = users.select(eid.alias("e"))
-    docs = pull_json_df(
-        facts, registry, ["db:ident", {"user:parent": "..."}], roots, recur_depth=2
+    docs = pull_json_paths_df(
+        facts, registry, ["db:ident", {"user:parent": "..."}], roots, max_depth=3
     )
 
     lvl = lambda inner: T.StructType(  # noqa: E731
