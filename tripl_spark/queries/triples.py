@@ -852,3 +852,139 @@ def triple_pull_paths_cyclic(spark: SparkSession, sf_dir: str) -> DataFrame:
         fn_node.getField("db:ident").alias("stub_ident"),
         fn_node.getField("db:ident").isNotNull().alias("stubbed"),
     )
+
+@query(
+    "triple_pull_recursive_cyclic",
+    oracle="""
+    WITH RECURSIVE ring AS (
+      SELECT n_nationkey AS k, n_name, n_regionkey AS rg,
+             row_number() OVER (PARTITION BY n_regionkey
+                                ORDER BY n_nationkey) AS rn,
+             count(*) OVER (PARTITION BY n_regionkey) AS cnt
+      FROM nation
+    ),
+    succ AS (
+      SELECT a.k AS k, b.k AS nxt
+      FROM ring a JOIN ring b ON a.rg = b.rg AND b.rn = a.rn % a.cnt + 1
+    ),
+    walk(root, node, depth) AS (
+      SELECT k, k, 0 FROM ring
+      UNION ALL
+      SELECT w.root, s.nxt, w.depth + 1
+      FROM walk w JOIN succ s ON s.k = w.node
+      WHERE w.depth = 0 OR w.node <> w.root
+    )
+    SELECT 'nation-' || CAST(w.root AS VARCHAR) AS e,
+           CAST(w.depth AS INT) AS depth,
+           'nation-' || CAST(w.node AS VARCHAR) AS ancestor,
+           CASE WHEN w.node = w.root THEN NULL ELSE r.n_name END AS anc_name,
+           (w.node = w.root) AS stubbed
+    FROM walk w JOIN ring r ON r.k = w.node
+    WHERE w.depth > 0
+    """,
+    doc="'...' recursion on a CYCLIC graph through the r15 dynamic-"
+    "frontier path-keyed assembly: nations form a successor RING within "
+    "each region, the recursive pull walks each ring until the path "
+    "revisits its own root and emits the driver loop's {db:ident} cycle "
+    "stub — ring length is a DATA property (5 here), not an expression "
+    "property, so the static-depth walk this replaced could not run it; "
+    "hash-gated against a WITH RECURSIVE ring walk",
+)
+def triple_pull_recursive_cyclic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r15 headline path end-to-end: ``["db:ident", "nation:n_name",
+    {"nation:ring_next": "..."}]`` over a deliberately cyclic store —
+    every nation points at the NEXT nation of its region (ordered by
+    key, wrapping to the first), so every pull path is a simple cycle
+    back to its root. The reference's recursion rule re-enters the whole
+    base expression per hop (tripl.py:708-710) and the first ancestor
+    revisit renders the ident stub (tripl.py:665-668): each document is
+    a chain of ring-size hops whose last node is ``{"db:ident": root}``.
+    The chain is parsed back relationally as (e, depth, ancestor,
+    anc_name, stubbed) rows — a stub that fires early (node-level cycle
+    detection), late (missed revisit), or not at all (bounded unroll)
+    flips rows and the value hash.
+
+    Scale shape: expansion is one join per ring hop over a frontier
+    that never exceeds |nation| path rows (simple cycles — no sharing
+    blowup), assembly one aggregation per hop; the ring-size probe is a
+    bounded dimension-metadata collect (nation is a fixed 25-row dim).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    from tripl_spark.core.schema import CARD_ONE, REF_TYPE, SchemaRegistry
+    from tripl_spark.plans.pull_df import pull_json_paths_df
+
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    ring = nation.select(
+        "n_nationkey",
+        "n_regionkey",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("n_regionkey")).alias("cnt"),
+    )
+    succ = (
+        ring.alias("a")
+        .join(
+            ring.alias("b"),
+            (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+            & (F.col("b.rn") == F.col("a.rn") % F.col("a.cnt") + 1),
+        )
+        .select(
+            F.col("a.n_nationkey").alias("k"), F.col("b.n_nationkey").alias("nxt")
+        )
+    )
+    edges = succ.select(
+        F.concat(F.lit("nation-"), F.col("k").cast("string")).alias("e"),
+        F.lit("nation:ring_next").alias("a"),
+        F.lit("ref").alias("vtype"),
+        F.concat(F.lit("nation-"), F.col("nxt").cast("string")).alias("v_str"),
+        F.lit(None).cast("double").alias("v_num"),
+        F.lit(None).cast("boolean").alias("v_bool"),
+        F.lit(0).cast("long").alias("t"),
+    )
+    facts = melt_table(nation, "nation", "n_nationkey").unionByName(edges)
+
+    registry = SchemaRegistry(default_cardinality=CARD_ONE)
+    registry.declare(
+        "nation:ring_next",
+        {"db:valueType": REF_TYPE, "db:cardinality": CARD_ONE},
+    )
+    roots = nation.select(
+        F.concat(F.lit("nation-"), F.col("n_nationkey").cast("string")).alias("e")
+    )
+    expr = ["db:ident", "nation:n_name", {"nation:ring_next": "..."}]
+    docs = pull_json_paths_df(facts, registry, expr, roots)
+
+    # parse depth = the longest ring (a bounded dim-metadata lookup;
+    # every chain ends at exactly its ring's size with the root stub)
+    max_ring = (
+        nation.groupBy("n_regionkey").count().agg(F.max("count")).collect()[0][0]
+    )
+    schema: T.StructType | None = None
+    for _ in range(max_ring + 1):
+        fields = [
+            T.StructField("db:ident", T.StringType()),
+            T.StructField("nation:n_name", T.StringType()),
+        ]
+        if schema is not None:
+            fields.append(T.StructField("nation:ring_next", schema))
+        schema = T.StructType(fields)
+    d = F.from_json("doc", schema)
+    node, elems = d, []
+    for _ in range(max_ring):
+        node = node.getField("nation:ring_next")
+        elems.append(
+            F.struct(
+                node.getField("db:ident").alias("ident"),
+                node.getField("nation:n_name").alias("name"),
+            )
+        )
+    out = docs.select("e", F.posexplode(F.array(*elems)).alias("pos", "anc"))
+    return out.filter(F.col("anc.ident").isNotNull()).select(
+        "e",
+        (F.col("pos") + 1).cast("int").alias("depth"),
+        F.col("anc.ident").alias("ancestor"),
+        F.col("anc.name").alias("anc_name"),
+        (F.col("anc.ident") == F.col("e")).alias("stubbed"),
+    )
