@@ -101,6 +101,37 @@ def test_prevalence_conserves_and_orders(spark, sf_small):
     assert n_docs_total == scrub.count()
 
 
+def test_secret_credentials_scrub_and_precedence(spark):
+    """r15 6th class: prefixed API keys, 32+ hex digests, and 40+
+    base64-ish runs redact as [SECRET]; precedence (after email,
+    before the digit classes) keeps a hex digest with an all-digit
+    tail from leaking a bogus [PHONE] match, and a key pasted inside
+    an email address stays part of the address."""
+    rows = _run(spark, [
+        "key sk-abcdefghij0123456789ABCD deployed",
+        "digest d41d8cd98f00b204e9800998ecf8427e stored",
+        # hex whose 7+ digit tail would match the phone class if
+        # secret didn't claim the whole token first
+        "hash aabbccddeeff001122334455661234567 end",
+        # non-hex letters force the base64 branch (48 chars + padding)
+        "blob " + "Zz9" * 16 + "== done",
+        "mail sk-abcdefghij0123456789ABCD@example.com now",
+        "short a1b2c3 and sk-tooshort stay",
+    ])
+    assert rows[0].n_secret == 1
+    assert rows[0].scrubbed == "key [SECRET] deployed"
+    assert rows[1].n_secret == 1
+    assert rows[1].scrubbed == "digest [SECRET] stored"
+    assert rows[2].n_secret == 1 and rows[2].n_phone == 0
+    assert rows[2].scrubbed == "hash [SECRET] end"
+    assert rows[3].n_secret == 1
+    assert rows[3].scrubbed == "blob [SECRET] done"  # padding consumed
+    assert rows[4].n_email == 1 and rows[4].n_secret == 0
+    assert rows[4].scrubbed == "mail [EMAIL] now"
+    assert rows[5].n_secret == 0
+    assert rows[5].scrubbed == "short a1b2c3 and sk-tooshort stay"
+
+
 def test_phone_does_not_bridge_whitespace_into_neighbors(spark):
     """REGRESSION (r12 review): an open separator class with a space
     let one phone match greedily swallow the first octet of an

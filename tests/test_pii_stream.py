@@ -139,18 +139,24 @@ def test_counter_monitor_adopts_foreign_commit(spark, tmp_path):
         assert _card(a.prevalence())[key] == vals
 
 
-def test_monitor_tracks_all_five_classes(spark):
+def test_monitor_tracks_all_six_classes(spark):
     """The monitor's counter schema is PII_CLASSES-driven: adding a
-    class (cc in r13) must flow into the streaming rollup with no
-    monitor change — pin the class set so a drop is loud."""
+    class (cc in r13, secret in r15) must flow into the streaming
+    rollup with no monitor change — pin the class set so a drop is
+    loud."""
     from tripl_spark.operators.pii import PII_CLASSES
 
-    assert [n for n, _, _ in PII_CLASSES] == ["email", "id", "cc", "phone", "ip"]
+    assert [n for n, _, _ in PII_CLASSES] == [
+        "email", "secret", "id", "cc", "phone", "ip"
+    ]
     mon = StreamingPIIMonitor(spark)
     b = spark.createDataFrame(
-        [("s", "en", "card 4111 1111 1111 1111 mail a@b.co")],
+        [("s", "en",
+          "card 4111 1111 1111 1111 mail a@b.co "
+          "key sk-abcdefghij0123456789ABCD")],
         "source string, lang string, text string",
     )
     mon.process(b, batch_id=0)
     (row,) = mon.prevalence().collect()
-    assert row.n_cc == 1 and row.n_email == 1 and row.docs_with_pii == 1
+    assert row.n_cc == 1 and row.n_email == 1 and row.n_secret == 1
+    assert row.docs_with_pii == 1

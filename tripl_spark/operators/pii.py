@@ -1,7 +1,8 @@
 """PII scrubbing — the redaction stage every production training-data
-pipeline runs before text reaches a model (emails, SSN-shaped ids,
-credit-card numbers, phone numbers, IP addresses; the C4/CCNet-style
-scrub, with a Luhn-checksum validity count for the card class).
+pipeline runs before text reaches a model (emails, secret credentials,
+SSN-shaped ids, credit-card numbers, phone numbers, IP addresses; the
+C4/CCNet-style scrub, with a Luhn-checksum validity count for the card
+class and a length+alphabet high-entropy proxy for the secret class).
 
 Beyond-reference extension surface (the reference,
 /root/reference/tripl/tripl.py, has no text processing at all); sits
@@ -59,6 +60,23 @@ from tripl_spark.session import load_table
 # standard scrub bias).
 PII_CLASSES: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    # secret credentials (r15, 6th class): high-entropy token runs —
+    # prefixed API keys (sk-/pk-/key-/tok-/ghp-), 32+ hex digests, and
+    # 40+ base64-ish runs with optional padding. Regexes can't measure
+    # entropy, so LENGTH+alphabet is the standard production proxy
+    # (over-redaction bias on very long plain tokens, same as bare
+    # digit runs under phone). Must run AFTER email (a key pasted into
+    # a mail address belongs to the address) and BEFORE the digit
+    # classes: a hex digest whose tail happens to be 7+ decimal digits
+    # would otherwise leak a bogus [PHONE] match — precedence, not the
+    # pattern, is what prevents the double claim. \b guards hold on
+    # both ends for the prefixed/hex branches (word-char edges); the
+    # base64 branch's trailing '=' padding is self-delimiting.
+    ("secret",
+     r"\b(sk|pk|key|tok|ghp)-[A-Za-z0-9]{20,}\b"
+     r"|\b[0-9a-fA-F]{32,}\b"
+     r"|\b[A-Za-z0-9+/]{40,}={0,2}",
+     "[SECRET]"),
     ("id", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[ID]"),
     # credit-card-shaped: 16 digits in 4 groups (spaces/dashes/none).
     # Scrubbing is shape-based (over-redaction bias: a non-Luhn 16-digit
@@ -197,6 +215,17 @@ def _enriched_text() -> Column:
                      F.lit(" host 10."), (did % 256).cast("string"),
                      F.lit(".0."), ((did * 7) % 256).cast("string")),
         ).otherwise(F.lit("")),
+        # r15 secret class: a prefixed API key and a bare hex digest —
+        # md5 is the cross-engine deterministic "high-entropy" source
+        # (identical text in Spark and DuckDB for the same doc_id)
+        F.when(
+            did % 11 == 0,
+            F.concat(F.lit(" token sk-"), F.md5(did.cast("string"))),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 0,
+            F.concat(F.lit(" digest "), F.md5((did * 3 + 1).cast("string"))),
+        ).otherwise(F.lit("")),
     )
 
 
@@ -210,7 +239,11 @@ _ENRICH_SQL = """text
       || CASE WHEN doc_id % 7 = 0 THEN ' id 123-45-'
               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
               || ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
-              || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END"""
+              || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
+      || CASE WHEN doc_id % 11 = 0 THEN ' token sk-'
+              || md5(CAST(doc_id AS VARCHAR)) ELSE '' END
+      || CASE WHEN doc_id % 13 = 0 THEN ' digest '
+              || md5(CAST(doc_id * 3 + 1 AS VARCHAR)) ELSE '' END"""
 
 
 def _scrub_stages_sql() -> tuple[str, str, list[str]]:
