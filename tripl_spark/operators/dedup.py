@@ -324,13 +324,34 @@ def minhash_dedup(
         sets.unpersist()
 
 
-def _minhash_ctes() -> str:
+def _minhash_ctes(cap: int | None = None) -> str:
     """The md5-MinHash pipeline as a reusable CTE body ending in
     ``mh`` = (id_a, id_b, jaccard ≥ 0.6) — consumed by the
     dedup_minhash_oracled oracle and composed (no CTE-name overlap
-    with the k-means chain) by the method-agreement oracle."""
+    with the k-means chain) by the method-agreement oracle. With
+    ``cap`` set, buckets holding more than ``cap`` documents emit NO
+    pairs — the SQL twin of ``_pairs_from_buckets``'s ``max_bucket``
+    drop (r15: the capped banding shape is hash-gated by
+    dedup_minhash_lsh, not just the uncapped arithmetic)."""
     perm_rows = ",\n      ".join(
         f"({i}, {a}, {b})" for i, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
+    )
+    cap_cte = (
+        ""
+        if cap is None
+        else f"""
+    big AS (
+      SELECT band_id, band_key FROM bands
+      GROUP BY band_id, band_key HAVING count(*) > {cap}
+    ),"""
+    )
+    cap_pred = (
+        ""
+        if cap is None
+        else """
+       AND NOT EXISTS (SELECT 1 FROM big b
+                       WHERE b.band_id = l.band_id
+                         AND b.band_key = l.band_key)"""
     )
     return f"""
     toks AS (
@@ -362,12 +383,12 @@ def _minhash_ctes() -> str:
       SELECT doc_id, b AS band_id,
              array_to_string(sig[b*4+1:b*4+4], ',') AS band_key
       FROM sigv CROSS JOIN (SELECT unnest(range(8)) AS b)
-    ),
+    ),{cap_cte}
     pairs AS (
       SELECT l.doc_id AS id_a, r.doc_id AS id_b
       FROM bands l JOIN bands r
         ON l.band_id = r.band_id AND l.band_key = r.band_key
-       AND l.doc_id < r.doc_id
+       AND l.doc_id < r.doc_id{cap_pred}
       GROUP BY ALL
     ),
     mh AS (
@@ -382,11 +403,12 @@ def _minhash_ctes() -> str:
     )"""
 
 
-def _minhash_oracle_sql() -> str:
+def _minhash_oracle_sql(cap: int | None = None) -> str:
     """DuckDB SQL replicating the md5-hashed MinHash pipeline
-    hash-for-hash (shared hash: first 15 hex chars of md5 → bigint)."""
+    hash-for-hash (shared hash: first 15 hex chars of md5 → bigint),
+    optionally with the bucket-size cap applied."""
     return f"""
-    WITH {_minhash_ctes()}
+    WITH {_minhash_ctes(cap)}
     SELECT id_a, id_b, jaccard FROM mh
     """
 
@@ -403,13 +425,39 @@ def dedup_minhash_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup(docs, threshold=0.6, hash_mode="md5", max_bucket=None)
 
 
-@query("dedup_minhash_lsh", doc="MinHash+LSH near-dup pairs (rows-only check; "
-                               "recall proven on planted dups in tests/test_dedup.py)")
+LSH_GATE_CAP = 2
+"""Bucket cap used by the REGISTERED `dedup_minhash_lsh` gate — tuned
+so the drop actually fires on the planted corpus (its bucket sizes are
+2–4 at the driver SFs; the production default is DEFAULT_MAX_BUCKET).
+A cap that never fires would gate nothing beyond the uncapped twin."""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_minhash_oracle_sql(cap=LSH_GATE_CAP),
+    doc="MinHash+LSH near-dup pairs through the CAPPED banding path — "
+    "the full production pipeline shape (shingle → 32 permutations → "
+    "band → bucket-size cap → pair expansion → exact-Jaccard verify) "
+    "hash-gated end to end; the cap's bucket drops are replicated in "
+    "the oracle (oracled since r15; was rows-only)",
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs with LSH candidate pruning + exact Jaccard ≥ 0.6
-    verification — the scalable fuzzy-dedup pipeline."""
+    """Near-dup pairs with LSH candidate pruning, degenerate-bucket
+    capping, and exact Jaccard ≥ 0.6 verification — the scalable
+    fuzzy-dedup pipeline, including the piece the uncapped oracled twin
+    can't pin: buckets past ``max_bucket`` contribute NO pairs.
+
+    Runs in the DuckDB-reproducible ``md5`` hash mode so every stage is
+    oracle-exact (DuckDB has no xxhash64); the library default
+    (``minhash_dedup(hash_mode="xxhash64")``) differs ONLY in the
+    shingle/band hash function — its arithmetic is pinned by this gate
+    and its recall by tests/test_dedup_recall.py's planted near-dups.
+    ``LSH_GATE_CAP`` is gate-scaled (the planted corpus has no
+    1000-member buckets to drop); production keeps DEFAULT_MAX_BUCKET."""
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_dedup(docs, threshold=0.6)
+    return minhash_dedup(
+        docs, threshold=0.6, hash_mode="md5", max_bucket=LSH_GATE_CAP
+    )
 
 
 @query(
