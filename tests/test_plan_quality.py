@@ -391,24 +391,29 @@ def test_hll_sketch_side_has_no_exact_predistinct_exchange(spark, sf_small):
     assert any("register" in l for l in ex_lines), ex_lines
 
 
-def test_url_host_scan_is_map_only(spark, sf_small):
-    # parse + registered-domain extraction must be a single pruned
-    # scan inside codegen: no Exchange, no Join, no Python
+def test_url_host_scan_zero_shuffle_broadcast_psl(spark, sf_small):
+    # parse + registered-domain extraction: a single pruned scan with
+    # the public-suffix rule TABLE arriving via exactly two broadcast
+    # joins (exact rows, wildcard rows — r15) and ZERO shuffle; no
+    # Python anywhere
+    import re
+
     plan = _plan(spark, sf_small, "url_host_scan")
-    assert "Exchange" not in plan, plan
-    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2, plan
+    assert not re.findall(r"\(\d+\) Exchange\b", plan), plan  # no shuffle
     # only the columns the scan needs (doc_id drives the planting;
     # source/lang/n_chars ride url_components but prune out here)
     assert "text" not in plan.split("ReadSchema")[1].splitlines()[0], plan
 
 
 def test_url_blocklist_joins_broadcast(spark, sf_small):
-    # two few-row rule tables: both joins MUST broadcast — a shuffled
-    # join here moves the corpus to meet 2 rows
+    # four few-row dimensions (2 PSL rule joins + 2 blocklist rule
+    # joins): ALL must broadcast — a shuffled join here moves the
+    # corpus to meet a handful of rows
     import re
 
     plan = _plan(spark, sf_small, "url_blocklist_drops")
-    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2, plan
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 4, plan
     assert not re.findall(r"\(\d+\) Exchange\b", plan), plan
 
 

@@ -18,19 +18,47 @@ from tripl_spark.session import load_table
 _ensure_loaded()
 
 
+_PSL_CASES = [
+    ("www.hub1.com", "hub1.com"),
+    ("blog.hub1.com", "hub1.com"),          # subdomains collapse
+    ("m.news3.co.uk", "news3.co.uk"),       # multi-label suffix: 3 labels
+    ("www.shop1.com.au", "shop1.com.au"),   # r15 table row: com.au
+    ("usr4.github.io", "usr4.github.io"),   # r15 table row: github.io
+    ("img.portal.gov0.ck", "portal.gov0.ck"),  # r15 wildcard rule *.ck
+    ("gov0.ck", "gov0.ck"),                 # wildcard: already a reg domain
+    ("tracker.ads.badcorp.com", "badcorp.com"),  # deep subdomain chain
+    ("hub1.com", "hub1.com"),               # already registered
+    ("localhost", "localhost"),             # single label: unchanged
+]
+
+
 def test_registered_domain_public_suffix_rule(spark):
-    hosts = [
-        ("www.hub1.com", "hub1.com"),
-        ("blog.hub1.com", "hub1.com"),          # subdomains collapse
-        ("m.news3.co.uk", "news3.co.uk"),       # multi-label suffix: 3 labels
-        ("tracker.ads.badcorp.com", "badcorp.com"),  # deep subdomain chain
-        ("hub1.com", "hub1.com"),               # already registered
-        ("localhost", "localhost"),             # single label: unchanged
-    ]
-    df = spark.createDataFrame([(h,) for h, _ in hosts], "host string")
+    df = spark.createDataFrame([(h,) for h, _ in _PSL_CASES], "host string")
     got = [r.rd for r in
            df.select(registered_domain(F.col("host")).alias("rd")).collect()]
-    assert got == [want for _, want in hosts]
+    assert got == [want for _, want in _PSL_CASES]
+
+
+def test_registered_domain_join_form_agrees_with_expression(spark):
+    """The scan path's broadcast-join form (`attach_registered_domain`,
+    the rule TABLE) and the lambda-path expression form must agree on
+    every shape — one rule set, two physical forms (r15)."""
+    from tripl_spark.operators.urls import attach_registered_domain
+
+    df = spark.createDataFrame([(h,) for h, _ in _PSL_CASES], "host string")
+    joined = {r.host: r.reg_domain
+              for r in attach_registered_domain(df).collect()}
+    assert joined == dict(_PSL_CASES)
+
+
+def test_registered_domain_accepts_custom_rule_set(spark):
+    """ADVICE r14: the suffix set is a parameter — callers outside the
+    planted universe bring their own rules."""
+    df = spark.createDataFrame([("a.b.custom",), ("x.y.zz",)], "host string")
+    got = [r.rd for r in df.select(registered_domain(
+        F.col("host"), exact=("b.custom",), wildcards=("zz",)).alias("rd")
+    ).collect()]
+    assert got == ["a.b.custom", "x.y.zz"]
 
 
 def test_url_components_round_trip(spark, sf_small):
@@ -176,15 +204,17 @@ def test_provenance_pipeline_conservation_and_precedence(spark, sf_small):
 def test_outlink_scan_known_examples(spark, sf_small):
     out = {r.doc_id: r for r in
            REGISTRY["text_outlink_scan"].fn(spark, sf_small).collect()}
-    # doc 0: no planting branches fire (0%3=0, 0%4=0, 0%7=0)
-    assert out[0].n_links == 0 and out[0].domains == ""
+    # doc 0: only the r15 github branch fires (0%3=0, 0%4=0, 0%7=0,
+    # 0%5=0) — and the 3-label registered domain rides the table rule
+    assert out[0].n_links == 1 and out[0].domains == "usr0.github.io"
     # doc 4: %3=1 (hub link) and %7=4 (news link) fire
     assert out[4].n_links == 2
     assert out[4].domains == "hub1.com|news4.co.uk"
-    # doc 10: %3=1 and %4=2 fire -> hub + (spam + tail) = 3 links
-    assert out[10].n_links == 3
-    assert out[10].n_domains == 3
+    # doc 10: %3=1, %4=2 and %5=0 fire -> hub + (spam + tail) + github
+    assert out[10].n_links == 4
+    assert out[10].n_domains == 4
     assert "spam2.xyz" in out[10].domains and "tail10.net" in out[10].domains
+    assert "usr3.github.io" in out[10].domains
 
 
 # -- properties ---------------------------------------------------------

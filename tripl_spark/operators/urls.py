@@ -31,9 +31,10 @@ in both engines (the Spark expression and the SQL fragment below are
 the same definition, maintained together), so the driver hash gates
 compare the parsers/filters, not the planters. The planted mix covers
 the shapes the rules must distinguish: head domains behind multiple
-subdomains (www./blog. share one registered domain), a multi-label
-public suffix (.co.uk), a long tail, a blocklisted TLD, a blocklisted
-exact domain, http-vs-https, and tracking query params.
+subdomains (www./blog. share one registered domain), multi-label
+public suffixes (.co.uk, .com.au), a wildcard-rule TLD (*.ck), a long
+tail, a blocklisted TLD, a blocklisted exact domain, http-vs-https,
+and tracking query params.
 """
 
 from __future__ import annotations
@@ -44,12 +45,28 @@ from pyspark.sql import functions as F
 from tripl_spark.queries.registry import query
 from tripl_spark.session import load_table
 
-# public-suffix-lite: multi-label suffixes under which the registered
-# domain takes THREE labels instead of two. The real public-suffix
-# list is ~9k rows — at scale it rides the same broadcast the
-# blocklist does; the rule below is the list's lookup semantics over
-# the planted universe.
-MULTILABEL_SUFFIXES: tuple[str, ...] = ("co.uk",)
+# public-suffix-lite RULE TABLE (r15 — replaces the r14 1-tuple): each
+# row is (suffix, wildcard). A non-wildcard row names a 2-label public
+# suffix exactly (co.uk, com.au, ...): hosts under it keep THREE
+# labels. A wildcard row names a TLD whose every child label is itself
+# a public suffix (the PSL's `*.ck` rule): any host `x.y.ck` has
+# public suffix `y.ck`, so the registered domain again keeps three
+# labels. The real public-suffix list is ~9k such rows (plus `!`
+# exception rules, out of scope here) and rides a broadcast exactly
+# like this table does in `attach_registered_domain` — the scan path
+# consumes the TABLE, not a hardcoded expression, so swapping in the
+# full PSL is a data change, not a code change.
+PUBLIC_SUFFIX_RULES: list[tuple[str, bool]] = [
+    ("co.uk", False),
+    ("com.au", False),
+    ("co.jp", False),
+    ("github.io", False),
+    ("ck", True),  # the PSL wildcard shape: *.ck
+]
+EXACT_SUFFIXES: tuple[str, ...] = tuple(
+    s for s, w in PUBLIC_SUFFIX_RULES if not w
+)
+WILDCARD_TLDS: tuple[str, ...] = tuple(s for s, w in PUBLIC_SUFFIX_RULES if w)
 
 BLOCKED_DOMAINS: list[tuple[str, str]] = [("badcorp.com", "blocked_domain")]
 BLOCKED_TLDS: list[tuple[str, str]] = [("xyz", "blocked_tld")]
@@ -68,12 +85,18 @@ def _url_col() -> Column:
         .when(did % 10 <= 5,
               F.concat(F.lit("blog.hub"), (did % 3).cast("string"),
                        F.lit(".com")))
+        .when(did % 20 == 16,
+              F.concat(F.lit("img.portal.gov"), (did % 2).cast("string"),
+                       F.lit(".ck")))
         .when(did % 10 == 6,
               F.concat(F.lit("m.news"), (did % 5).cast("string"),
                        F.lit(".co.uk")))
         .when(did % 10 == 7,
               F.concat(F.lit("cdn.spam"), (did % 4).cast("string"),
                        F.lit(".xyz")))
+        .when(did % 20 == 18,
+              F.concat(F.lit("www.shop"), (did % 2).cast("string"),
+                       F.lit(".com.au")))
         .when(did % 10 == 8,
               F.concat(F.lit("tail"), (did % 97).cast("string"),
                        F.lit(".net")))
@@ -93,8 +116,10 @@ def _url_col() -> Column:
 _URL_SQL = """CASE
         WHEN doc_id % 10 <= 3 THEN 'www.hub' || CAST(doc_id % 3 AS VARCHAR) || '.com'
         WHEN doc_id % 10 <= 5 THEN 'blog.hub' || CAST(doc_id % 3 AS VARCHAR) || '.com'
+        WHEN doc_id % 20 = 16 THEN 'img.portal.gov' || CAST(doc_id % 2 AS VARCHAR) || '.ck'
         WHEN doc_id % 10 = 6 THEN 'm.news' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
         WHEN doc_id % 10 = 7 THEN 'cdn.spam' || CAST(doc_id % 4 AS VARCHAR) || '.xyz'
+        WHEN doc_id % 20 = 18 THEN 'www.shop' || CAST(doc_id % 2 AS VARCHAR) || '.com.au'
         WHEN doc_id % 10 = 8 THEN 'tail' || CAST(doc_id % 97 AS VARCHAR) || '.net'
         ELSE 'tracker.ads.badcorp.com' END"""
 _SCHEME_SQL = "CASE WHEN doc_id % 11 = 5 THEN 'http' ELSE 'https' END"
@@ -110,39 +135,110 @@ _FULL_URL_SQL = (
 
 # -- parsing (the operator under test) --------------------------------
 
-def registered_domain(host: Column) -> Column:
-    """Registered domain under the public-suffix-lite rule: the last
-    two host labels, or three when the last two form a multi-label
-    public suffix. JVM-side split/slice — no UDF."""
+def _host_labels(host: Column) -> tuple[Column, Column, Column]:
+    """(last1, last2, last3) label suffixes of a host, slice-clamped.
+    Spark's slice(x, -2, 2) on a 1-element array is EMPTY (start before
+    the array), while the oracle's list[-2:] clamps — a single-label
+    host must stay itself."""
     parts = F.split(host, r"\.")
-    # clamp the slice start to the array length: Spark's slice(x, -2, 2)
-    # on a 1-element array is EMPTY (start before the array), while the
-    # oracle's list[-2:] clamps — a single-label host must stay itself
     n = F.size(parts)
+    last1 = F.element_at(parts, -1)
     last2 = F.concat_ws(".", F.slice(parts, F.greatest(F.lit(-2), -n), F.lit(2)))
-    out = F.concat_ws(".", F.slice(parts, F.greatest(F.lit(-3), -n), F.lit(3)))
+    last3 = F.concat_ws(".", F.slice(parts, F.greatest(F.lit(-3), -n), F.lit(3)))
+    return last1, last2, last3
+
+
+def registered_domain(
+    host: Column,
+    exact: tuple[str, ...] = EXACT_SUFFIXES,
+    wildcards: tuple[str, ...] = WILDCARD_TLDS,
+) -> Column:
+    """Registered domain under the public-suffix rule table as a pure
+    EXPRESSION: the last two host labels, or three when the last two
+    form an exact multi-label public suffix or the TLD carries a
+    wildcard rule. JVM-side split/slice — no UDF.
+
+    The rule set is compiled into the plan as literals, which is the
+    right shape ONLY where a join cannot reach — inside higher-order
+    lambdas (`text_outlink_scan` maps each extracted link in a
+    `transform`) and single-scan fused pipelines; with the full ~9k-row
+    PSL those paths explode links first and join like everything else.
+    The scan path (`url_components`) consumes the rule TABLE through
+    `attach_registered_domain`'s broadcast joins instead — same rows,
+    same answer (pinned by tests/test_urls.py). Callers outside the
+    planted universe can pass their own ``exact``/``wildcards``."""
+    last1, last2, last3 = _host_labels(host)
     cond = F.lit(False)
-    for suf in MULTILABEL_SUFFIXES:
+    for suf in exact:
         cond = cond | (last2 == suf)
-    return F.when(cond, out).otherwise(last2)
+    for tld in wildcards:
+        cond = cond | (last1 == tld)
+    return F.when(cond, last3).otherwise(last2)
+
+
+def suffix_rules_df(spark: SparkSession) -> DataFrame:
+    """The public-suffix rule table as a broadcastable dimension —
+    (suffix, wildcard) rows; the full PSL swaps in as data."""
+    return spark.createDataFrame(
+        PUBLIC_SUFFIX_RULES, "suffix string, wildcard boolean"
+    )
+
+
+def attach_registered_domain(df: DataFrame, host_col: str = "host") -> DataFrame:
+    """Add ``reg_domain`` via TWO broadcast joins against the suffix
+    rule table (exact rows keyed by the host's last two labels,
+    wildcard rows by its TLD) — the scan path's scale shape: a ~9k-row
+    PSL is a dimension, and a dimension rides a broadcast, never a
+    literal baked into the plan. Zero shuffle: BroadcastHashJoin only
+    (plan-gated in tests/test_plan_quality.py)."""
+    last1, last2, last3 = _host_labels(F.col(host_col))
+    dim = suffix_rules_df(df.sparkSession)
+    ex = F.broadcast(
+        dim.filter(~F.col("wildcard")).select(F.col("suffix").alias("__ps_exact"))
+    )
+    wc = F.broadcast(
+        dim.filter(F.col("wildcard")).select(F.col("suffix").alias("__ps_wild"))
+    )
+    return (
+        df.withColumn("__l1", last1)
+        .withColumn("__l2", last2)
+        .withColumn("__l3", last3)
+        .join(ex, F.col("__l2") == F.col("__ps_exact"), "left")
+        .join(wc, F.col("__l1") == F.col("__ps_wild"), "left")
+        .withColumn(
+            "reg_domain",
+            F.when(
+                F.col("__ps_exact").isNotNull() | F.col("__ps_wild").isNotNull(),
+                F.col("__l3"),
+            ).otherwise(F.col("__l2")),
+        )
+        .drop("__l1", "__l2", "__l3", "__ps_exact", "__ps_wild")
+    )
 
 
 def _reg_domain_sql(host: str) -> str:
-    suf = ", ".join(f"'{s}'" for s in MULTILABEL_SUFFIXES)
+    """The rule table's lookup semantics as a DuckDB expression —
+    generated from PUBLIC_SUFFIX_RULES so the oracle can never drift
+    from either Spark form (the IN lists are the same rows the
+    broadcast dimension carries)."""
+    ex = ", ".join(f"'{s}'" for s in EXACT_SUFFIXES)
+    wc = ", ".join(f"'{s}'" for s in WILDCARD_TLDS)
     return (
         f"CASE WHEN array_to_string((string_split({host}, '.'))[-2:], '.') "
-        f"IN ({suf}) "
+        f"IN ({ex}) "
+        f"OR (string_split({host}, '.'))[-1] IN ({wc}) "
         f"THEN array_to_string((string_split({host}, '.'))[-3:], '.') "
         f"ELSE array_to_string((string_split({host}, '.'))[-2:], '.') END"
     )
 
 
 def url_components(docs: DataFrame, url_col: Column) -> DataFrame:
-    """doc_id + parsed URL columns; map-only (parse_url is a JVM
-    built-in — the crawl-scale path never leaves codegen)."""
+    """doc_id + parsed URL columns; parse_url is a JVM built-in and the
+    registered domain arrives via the broadcast suffix-table joins —
+    the crawl-scale path never leaves codegen and never shuffles."""
     url = url_col
     host = F.parse_url(url, F.lit("HOST"))
-    return docs.select(
+    base = docs.select(
         "doc_id",
         "source",
         "lang",
@@ -150,10 +246,13 @@ def url_components(docs: DataFrame, url_col: Column) -> DataFrame:
         url.alias("url"),
         F.parse_url(url, F.lit("PROTOCOL")).alias("scheme"),
         host.alias("host"),
-        registered_domain(host).alias("reg_domain"),
         F.element_at(F.split(host, r"\."), -1).alias("tld"),
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit("")).alias("qstring"),
+    )
+    return attach_registered_domain(base).select(
+        "doc_id", "source", "lang", "n_chars", "url", "scheme", "host",
+        "reg_domain", "tld", "path", "qstring",
     )
 
 
@@ -512,6 +611,11 @@ def _outlinked_text() -> Column:
                F.concat(F.lit(" ref https://m.news"),
                         (did % 5).cast("string"), F.lit(".co.uk/a"))
                ).otherwise(F.lit("")),
+        F.when(did % 5 == 0,
+               F.concat(F.lit(" code https://usr"),
+                        (did % 7).cast("string"),
+                        F.lit(".github.io/proj"))
+               ).otherwise(F.lit("")),
     )
 
 
@@ -524,7 +628,9 @@ _OUTLINK_SQL = """COALESCE(text, '')
               || CAST(doc_id AS VARCHAR) || ' plus https://tail'
               || CAST(doc_id % 97 AS VARCHAR) || '.net/x' ELSE '' END
       || CASE WHEN doc_id % 7 = 4 THEN ' ref https://m.news'
-              || CAST(doc_id % 5 AS VARCHAR) || '.co.uk/a' ELSE '' END"""
+              || CAST(doc_id % 5 AS VARCHAR) || '.co.uk/a' ELSE '' END
+      || CASE WHEN doc_id % 5 = 0 THEN ' code https://usr'
+              || CAST(doc_id % 7 AS VARCHAR) || '.github.io/proj' ELSE '' END"""
 
 _LINK_HOST = "regexp_extract(x, '^[a-z]+://([^/]+)', 1)"
 
