@@ -1386,7 +1386,10 @@ _PARA_LICENSE = "Content licensed under CC BY SA 4 0"
 def _planted_multipara() -> F.Column:
     did = F.col("doc_id")
     k = (F.lit(9) + (did % 5)).cast("int")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    # NULL-coalesced like the mojibake/NFC/outlink plantings (ADVICE
+    # r14): a NULL text row must plant its boilerplate paragraphs, not
+    # vanish from the per-doc conservation contract
+    toks = F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
     body = F.transform(
         F.sequence(F.lit(1), F.size(toks), k),
         lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
@@ -1409,7 +1412,8 @@ _PARA_PLANT_SQL = rf"""array_to_string(
     "dedup_paragraphs_global",
     oracle=rf"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+      SELECT doc_id, string_split_regex(trim(COALESCE(text, '')), '\s+') AS t
+      FROM documents
     ),
     multi AS (
       SELECT doc_id, {_PARA_PLANT_SQL} AS mtext FROM toks

@@ -15,8 +15,6 @@ linear-time character classes).
 
 from __future__ import annotations
 
-import pandas as pd
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1206,6 +1204,15 @@ def normalize_text(text: F.Column) -> F.Column:
     Arrow-batched pandas UDF (unicodedata.normalize — the reference
     Python NFC, pinned to DuckDB's nfc_normalize by the driver hash
     gate on `text_normalize_scan`)."""
+    # pandas is needed only when the UDF is actually built \u2014 importing
+    # it here (next to the lazy pandas_udf import) keeps operators.text,
+    # and therefore the whole query registry and CLI, importable
+    # without pandas (ADVICE r14). pandas_udf resolves type hints at
+    # definition time against the function's MODULE globals, where a
+    # locally-imported pd doesn't exist (and `from __future__ import
+    # annotations` stringifies inline hints anyway) \u2014 so the hints are
+    # attached as real class objects instead of annotations syntax.
+    import pandas as pd
     from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf
 
@@ -1213,14 +1220,15 @@ def normalize_text(text: F.Column) -> F.Column:
         F.regexp_replace(text, "\r\n", "\n"), "\u00a0", " "
     )
 
-    @pandas_udf(T.StringType())
-    def _nfc(s: pd.Series) -> pd.Series:
+    def _nfc_fn(s):
         import unicodedata
 
         return s.map(
             lambda x: unicodedata.normalize("NFC", x) if x is not None else None
         )
 
+    _nfc_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _nfc = pandas_udf(_nfc_fn, T.StringType())
     return _nfc(repaired)
 
 
