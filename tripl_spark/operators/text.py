@@ -991,12 +991,29 @@ def curation_gopher_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared verbatim between engines (module-docstring pattern dialect):
 # U+FFFD replacement chars (a decoder already gave up), C0 control
 # chars that survive no sane text pipeline (tab/newline/CR excluded),
-# and the classic UTF-8-decoded-as-Latin-1 double-encoding digraphs, as
-# a concrete alternation (no unicode ranges — zero dialect risk).
+# and the UTF-8-decoded-as-cp1252 double-encoding digraphs, as a
+# concrete alternation (no unicode ranges — zero dialect risk).
+#
+# The digraph table (widened r15 from 7 to the fuller Latin-1 +
+# Windows-1252-punctuation set) is DERIVED from the clean target
+# characters: each mojibake form is exactly
+# target.encode('utf-8').decode('cp1252') — generating instead of
+# hand-typing removes transcription risk on lookalike bytes. Targets
+# whose mojibake would contain an INVISIBLE second byte are excluded
+# on purpose: à→'Ã'+NBSP and í→'Ã'+SOFT HYPHEN can't ride a literal
+# alternation embedded in SQL safely, and Á/” hit cp1252-undefined
+# bytes (so real decoders never produce those digraphs at all). No
+# alternative is a prefix of another (Ã-/Â-family length 2 with
+# distinct second chars, â€-family length 3 with distinct third), so
+# leftmost-first vs leftmost-longest engines agree.
+_DOUBLE_ENC_TARGETS = "éèêëáâäãîïóôõöúûüçñßÉÈÊÀÄÖÜÇ’‘“–—…«»°"
+_DOUBLE_ENC_DIGRAPHS: tuple[str, ...] = tuple(
+    ch.encode("utf-8").decode("cp1252") for ch in _DOUBLE_ENC_TARGETS
+)
 MOJIBAKE_PATTERNS: list[tuple[str, str]] = [
     ("replacement", "�"),
     ("ctrl", r"[\x00-\x08\x0B\x0C\x0E-\x1F]"),
-    ("double_enc", "Ã©|Ã¨|Ã¼|Ã¶|â€™|â€œ|â€“"),
+    ("double_enc", "|".join(_DOUBLE_ENC_DIGRAPHS)),
 ]
 
 # Deterministic damage planting from doc_id (the corpus is clean ASCII
@@ -1010,20 +1027,37 @@ def _mojibake_text() -> F.Column:
     # coalesce BEFORE the concat: F.concat is NULL-propagating, so a
     # NULL text row would otherwise turn every per-class count into
     # size(NULL) = -1 and the clean bit into NULL (ADVICE r13) —
-    # unreachable on the planted corpus but a trap on raw documents
+    # unreachable on the planted corpus but a trap on raw documents.
+    # The rotating branch (doc_id % 3 == 0) plants exactly ONE digraph
+    # chosen round-robin from the full table, so EVERY alternation
+    # member fires somewhere in the corpus (coverage pinned in
+    # tests/test_mojibake.py) — a digraph the pattern missed would
+    # flip that doc's counts and the hash.
     did = F.col("doc_id")
+    rot = F.element_at(
+        F.array(*[F.lit(d) for d in _DOUBLE_ENC_DIGRAPHS]),
+        (F.expr("doc_id div 3") % len(_DOUBLE_ENC_DIGRAPHS) + 1).cast("int"),
+    )
     return F.concat(
         F.coalesce(F.col("text"), F.lit("")),
         F.when(did % 4 == 1, F.lit(_MOJI_DOUBLE_SNIPPET)).otherwise(F.lit("")),
         F.when(did % 5 == 2, F.lit(" bad�byte")).otherwise(F.lit("")),
         F.when(did % 6 == 3, F.lit(" ding\x07dong")).otherwise(F.lit("")),
+        F.when(did % 3 == 0, F.concat(F.lit(" mix "), rot)).otherwise(F.lit("")),
     )
 
+
+_MOJI_ROT_SQL = (
+    "(["
+    + ", ".join(f"'{d}'" for d in _DOUBLE_ENC_DIGRAPHS)
+    + f"])[(doc_id // 3) % {len(_DOUBLE_ENC_DIGRAPHS)} + 1]"
+)
 
 _MOJI_ENRICH_SQL = f"""COALESCE(text, '')
       || CASE WHEN doc_id % 4 = 1 THEN '{_MOJI_DOUBLE_SNIPPET}' ELSE '' END
       || CASE WHEN doc_id % 5 = 2 THEN ' bad' || chr(65533) || 'byte' ELSE '' END
-      || CASE WHEN doc_id % 6 = 3 THEN ' ding' || chr(7) || 'dong' ELSE '' END"""
+      || CASE WHEN doc_id % 6 = 3 THEN ' ding' || chr(7) || 'dong' ELSE '' END
+      || CASE WHEN doc_id % 3 = 0 THEN ' mix ' || {_MOJI_ROT_SQL} ELSE '' END"""
 
 
 @query(
