@@ -26,14 +26,38 @@ protocol instead of re-implementing it.
 Scale: state is |key-combinations| counter rows however long the
 stream history; each batch costs one scan of the batch plus a
 counter-table merge.
+
+**Snapshot-vs-changelog sink (r15).** Writing the FULL post-merge
+state per batch is right for counter tables (state = |keys|, small
+and bounded), but KEEPER tables (line dedup, canonical-URL dedup)
+hold one row per distinct unit corpus-wide — crawl-frontier
+cardinality — so the per-batch snapshot rewrite is O(|state|) and
+comes to dominate every batch (measured in SCALE.md "keeper sink"
+rows: snapshot write cost grows linearly with state while the merge
+itself stays near-flat). ``compact_every=N`` switches the sink to
+MERGE-ON-READ: each batch writes only its DELTA (the batch's keeper
+claims, O(|batch|)), every Nth batch writes a full snapshot
+(``_FULL``-marked), and restart folds the latest full snapshot with
+the deltas after it — amortized write cost |state|/N + |batch| per
+batch. The mode REQUIRES an idempotent merge (min-merge keepers
+qualify; additive counters do NOT and never need it): idempotence
+makes the one crash window harmless — a snapshot whose parquet
+committed but whose ``_FULL`` marker didn't gets re-folded as a
+delta, and ``merge(state, state ∪ …) = state`` absorbs it. The local
+``_FULL`` marker file is the test stand-in for a catalog/table-format
+compaction bit, exactly like the ``_SUCCESS`` convention in
+`sinks.py`.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_FULL_MARKER = "_FULL"
 
 
 class CounterMonitor:
@@ -44,7 +68,17 @@ class CounterMonitor:
     ``counter_cols`` (all long); ``state_schema`` is the DDL string
     used to read back snapshots (new counters added later resume at 0
     via ``na.fill`` rather than poisoning sums with NULL).
+
+    ``compact_every=N`` opts the sink into the merge-on-read changelog
+    (delta per batch, full snapshot every Nth batch — see module
+    docstring); only subclasses declaring ``_IDEMPOTENT_MERGE`` may
+    use it.
     """
+
+    # A merge M is idempotent when M(s, d) = M(s, d ∪ d') for any
+    # d' ⊆ s ∪ d — min/max keeper folds qualify; per-key ADDITION does
+    # not. Gate for the changelog sink's crash-window absorption.
+    _IDEMPOTENT_MERGE = False
 
     def __init__(
         self,
@@ -54,22 +88,37 @@ class CounterMonitor:
         counter_cols: tuple[str, ...] = (),
         state_schema: str = "",
         sink_path: str | None = None,
+        compact_every: int | None = None,
     ) -> None:
         from tripl_spark.streaming.sinks import committed_batches
 
+        if compact_every is not None:
+            if compact_every < 1:
+                raise ValueError("compact_every must be >= 1")
+            if not self._IDEMPOTENT_MERGE:
+                raise ValueError(
+                    "compact_every (merge-on-read changelog) requires an "
+                    "idempotent merge; additive counter monitors keep the "
+                    "full-snapshot sink (their state is |keys| rows — "
+                    "snapshots are already cheap)"
+                )
         self.spark = spark
         self.partials_fn = partials_fn
         self.key_cols = key_cols
         self.counter_cols = counter_cols
         self.state_schema = state_schema
         self.sink_path = sink_path
+        self.compact_every = compact_every
         self.state: DataFrame | None = None
         self._seen: set[int] = set()
+        # deltas written since the last _FULL-marked snapshot
+        # (changelog sink only; drives the every-Nth compaction)
+        self._since_full = 0
         if sink_path:
             committed = committed_batches(sink_path)
             self._seen = set(committed)
             if committed:
-                self.state = self._load_snapshot(max(committed))
+                self.state = self._load_state(committed)
 
     # -- subclass hooks: the lifecycle (replay skip, foreign-commit
     # adoption, snapshot-sink write order) is THE protocol and lives
@@ -92,11 +141,44 @@ class CounterMonitor:
         rather than poisoning sums with NULL."""
         return df.na.fill(0)
 
-    def _load_snapshot(self, batch_id: int) -> DataFrame:
+    def _read_partition(self, batch_id: int) -> DataFrame:
         return self._decode_state(
             self.spark.read.schema(self.state_schema)
             .parquet(f"{self.sink_path}/batch_id={batch_id}")
-        ).localCheckpoint(eager=True)
+        )
+
+    def _load_snapshot(self, batch_id: int) -> DataFrame:
+        return self._read_partition(batch_id).localCheckpoint(eager=True)
+
+    def _full_marker_path(self, batch_id: int) -> str:
+        return os.path.join(
+            self.sink_path, f"batch_id={batch_id}", _FULL_MARKER
+        )
+
+    def _load_state(self, committed: set[int]) -> DataFrame:
+        """Reconstruct the maintained state from the committed sink.
+
+        Full-snapshot sink: the latest partition IS the state.
+        Changelog sink (``compact_every``): fold the newest
+        ``_FULL``-marked snapshot with every partition committed after
+        it, in batch order. A full snapshot that lost its marker in
+        the crash window is simply folded as one more delta — the
+        idempotent merge this mode requires absorbs it exactly
+        (``merge(prefix, full) = full`` when ``full ⊇ prefix``)."""
+        if self.compact_every is None:
+            return self._load_snapshot(max(committed))
+        fulls = [
+            b for b in committed
+            if os.path.exists(self._full_marker_path(b))
+        ]
+        base = max(fulls) if fulls else None
+        state = self._read_partition(base) if base is not None else None
+        pending = sorted(b for b in committed if base is None or b > base)
+        for b in pending:
+            delta = self._read_partition(b)
+            state = delta if state is None else self._merge(state, delta)
+        self._since_full = len(pending)
+        return state.localCheckpoint(eager=True)
 
     def process(self, batch: DataFrame, batch_id: int) -> None:
         if batch_id in self._seen:  # replay: idempotent skip
@@ -107,23 +189,42 @@ class CounterMonitor:
             committed = committed_batches(self.sink_path)
             if batch_id in committed:
                 # committed by ANOTHER writer (not in our _seen): the
-                # sink is authoritative, so ADOPT its latest snapshot —
-                # skipping without reloading would leave this monitor's
+                # sink is authoritative, so ADOPT its state — skipping
+                # without reloading would leave this monitor's
                 # in-memory state permanently missing that batch's
                 # counts, and its next snapshot would overwrite the
                 # sink with the undercounted state
-                self.state = self._load_snapshot(max(committed))
+                self.state = self._load_state(committed)
                 self._seen.update(committed)
                 return
         delta = self.partials_fn(batch)
+        if self.compact_every is not None and self.sink_path is not None:
+            # changelog sink: the delta is both the sink record and a
+            # merge input — materialize once, reuse for both
+            delta = delta.localCheckpoint(eager=True)
         if self.state is None:
             merged = delta
         else:
             merged = self._merge(self.state, delta)
         new_state = merged.localCheckpoint(eager=True)
         if self.sink_path is not None:
-            new_state.write.mode("overwrite").parquet(
-                f"{self.sink_path}/batch_id={batch_id}"
+            part = f"{self.sink_path}/batch_id={batch_id}"
+            write_full = (
+                self.compact_every is None
+                or self._since_full + 1 >= self.compact_every
             )
+            if write_full:
+                # parquet FIRST, _FULL marker second: a crash in
+                # between leaves a committed partition that restart
+                # folds as a delta holding the whole state — absorbed
+                # exactly by the idempotent merge this mode requires
+                new_state.write.mode("overwrite").parquet(part)
+                if self.compact_every is not None:
+                    with open(self._full_marker_path(batch_id), "w"):
+                        pass
+                    self._since_full = 0
+            else:
+                delta.write.mode("overwrite").parquet(part)
+                self._since_full += 1
         self.state = new_state
         self._seen.add(batch_id)

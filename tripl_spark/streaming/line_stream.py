@@ -48,12 +48,22 @@ def _batch_keepers(docs: DataFrame) -> DataFrame:
 
 class StreamingLineDedup(CounterMonitor):
     """Maintains the global first-occurrence line keeper table across
-    micro-batches; ``foreachBatch(mon.process)`` target."""
+    micro-batches; ``foreachBatch(mon.process)`` target.
+
+    ``compact_every=N`` switches the sink to the merge-on-read
+    changelog (delta per batch, full snapshot every Nth) — the keeper
+    table is one row per distinct line corpus-wide, so the default
+    per-batch full-snapshot rewrite is O(|state|) and this monitor is
+    exactly the shape the mode exists for. Min-merge is idempotent,
+    which the mode requires."""
+
+    _IDEMPOTENT_MERGE = True
 
     def __init__(
         self,
         spark: SparkSession,
         sink_path: str | None = None,
+        compact_every: int | None = None,
     ) -> None:
         super().__init__(
             spark,
@@ -61,6 +71,7 @@ class StreamingLineDedup(CounterMonitor):
             key_cols=("h",),
             state_schema=_STATE_SCHEMA,
             sink_path=sink_path,
+            compact_every=compact_every,
         )
 
     def _merge(self, state: DataFrame, delta: DataFrame) -> DataFrame:

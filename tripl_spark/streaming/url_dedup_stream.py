@@ -47,15 +47,30 @@ def _batch_keepers(batch: DataFrame) -> DataFrame:
 
 class StreamingUrlDedup(CounterMonitor):
     """Maintains the global canonical-URL keeper table across
-    micro-batches; ``foreachBatch(mon.process)`` target."""
+    micro-batches; ``foreachBatch(mon.process)`` target.
 
-    def __init__(self, spark: SparkSession, sink_path: str | None = None) -> None:
+    ``compact_every=N`` switches the sink to the merge-on-read
+    changelog (delta per batch, full snapshot every Nth) — frontier
+    state is one row per unique page, so the default per-batch
+    full-snapshot rewrite is O(|frontier|) and this monitor is the
+    canonical case for the mode. Min-merge is idempotent, which the
+    mode requires."""
+
+    _IDEMPOTENT_MERGE = True
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        sink_path: str | None = None,
+        compact_every: int | None = None,
+    ) -> None:
         super().__init__(
             spark,
             partials_fn=_batch_keepers,
             key_cols=("cu",),
             state_schema=_STATE_SCHEMA,
             sink_path=sink_path,
+            compact_every=compact_every,
         )
 
     def _merge(self, state: DataFrame, delta: DataFrame) -> DataFrame:
