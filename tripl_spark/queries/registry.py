@@ -67,84 +67,86 @@ _LOADED = False
 # representative TPC-H/analytics rows. Names listed here come first, in
 # this order; everything else follows in registration order.
 _PRIORITY = [
-    # Round-14 rotation, per the scripted recipe in the r13 note below
-    # (executed): (1) the queries NEW in r14 — the URL curation family
-    # (parse/registered-domain scan, per-domain quota, blocklist drop
-    # ledger, domain prevalence) and the unicode-normalization scan,
-    # (2) changed-oracle re-drives — the mojibake pair (NULL-safe
-    # COALESCE added to the shared planting fragment in both engines),
-    # (3) all 28 r8-vintage names (the oldest driver evidence after
-    # r13), oracled first — the 4 rows-only r8 names take the driver's
-    # weaker rows-only check, their strong evidence staying the
-    # suite-level recall/structure tests, (4) the first 10 alphabetical
-    # r10-vintage names to fill 50. Latest-row histogram recomputed
-    # from CORRECTNESS_r01..r13: r8x28, r10x43, r11x46, r12x48, r13x50.
+    # Round-15 rotation, per the scripted recipe in the r14 note below
+    # (executed): (1) the query NEW in r15 (cyclic '...' recursion over
+    # a planted ref ring — the distributed-recursion rewrite's hash
+    # gate), (2) changed-oracle re-drives — the URL family + provenance
+    # ledger (public-suffix handling upgraded to a broadcast PSL-lite
+    # rule table), the mojibake pair (double-encoding table widened
+    # 7 -> 37 digraphs), dedup_paragraphs_global (NULL-coalesced
+    # planting), dedup_minhash_lsh (NEWLY ORACLED: hash-gated capped
+    # banding path, rows-only count 6 -> 5), and the PII pair (6th
+    # secret-credential class) — plus triple_pull_recursive, whose
+    # ORACLE text is unchanged but whose implementation moved to the
+    # dynamic-frontier distributed assembly this round, (3) all 33
+    # r10-vintage names (the oldest driver evidence after r14),
+    # alphabetical, (4) the first 2 alphabetical r11-vintage names to
+    # fill 50. Latest-row histogram recomputed from
+    # CORRECTNESS_r01..r14: r10x33, r11x46, r12x48, r13x48, r14x50.
     # Displaced names keep local DuckDB parity coverage in
     # tests/test_oracle_parity.py every suite run.
     #
-    # (1) new in r14
+    # (1) new in r15
+    "triple_pull_recursive_cyclic",
+    # (2) changed-oracle / changed-implementation re-drives (r15)
     "url_host_scan",
     "url_domain_quota",
     "url_domain_quota_kept",
     "url_blocklist_drops",
-    "url_canonical_dedup",
     "url_domain_prevalence",
-    "text_normalize_scan",
     "pipeline_provenance_curation",
     "text_outlink_scan",
     "dedup_paragraphs_global",
-    # (2) changed-oracle re-drives (r14)
     "text_mojibake_scan",
     "text_mojibake_prevalence",
-    # (3) r8-vintage refresh cohort: all 24 oracled, alphabetical
-    "sim_ann_ivfpq",
-    "sim_ann_lsh_filtered",
-    "sim_ann_multiprobe",
-    "sim_embedding_stats",
-    "sim_knn_bruteforce",
-    "sketch_countmin_terms",
-    "skew_salted_agg_events",
-    "skew_salted_join_user_spend",
-    "stateful_sessions_stream",
-    "stream_join_error_followups",
-    "text_bpe_token_count",
-    "text_chunking",
-    "text_fingerprint",
-    "text_repetition_filters",
-    "text_tfidf_top_terms",
-    "text_unigram_logprob",
-    "text_zipf_fit",
-    "tokenizer_first_merge",
-    "triple_asof_snapshot",
-    "triple_datalog_ancestor",
-    "triple_datalog_rule_aggregate",
-    "triple_match_nested",
-    "triple_pull_projection",
-    "triple_pull_recursive",
-    # (3b) the 4 rows-only r8 names (driver rows-only check)
-    "cluster_kmeans_embeddings",
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "tokenizer_bpe_merges",
-    # (4) r10-vintage refresh cohort, alphabetical, first 10
-    "classifier_auc_eval",
-    "classifier_linear_probe_2step",
-    "classifier_logreg_2step",
-    "cluster_kmeans_2iter",
-    "curation_gopher_scorecard",
-    "curation_weighted_sample",
-    "dedup_gram_novelty",
-    "dedup_groups_canonical",
-    "dedup_reference_containment",
-    "events_anomaly_mad",
+    "text_pii_scrub",
+    "text_pii_prevalence",
+    "triple_pull_recursive",
+    # (3) r10-vintage refresh cohort: all 33, alphabetical
+    "events_funnel_conversion",
+    "events_psi_drift",
+    "events_retention_cohorts",
+    "events_trend_ols",
+    "events_weekday_profile",
+    "graph_ppr_related_parts",
+    "graph_user_ancestry",
+    "mixing_leakage_safe_split",
+    "multimodal_video_dedup_groups",
+    "multimodal_video_neardup",
+    "multimodal_video_scene_cuts",
+    "packing_greedy",
+    "pipeline_classifier_curation",
+    "pipeline_decontaminated_corpus",
+    "pipeline_drop_ledger",
+    "pipeline_leakage_safe_corpus",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "sim_bitext_margin_pairs",
+    "sim_int8_quant_recall",
+    "sim_kcenter_diverse",
+    "sim_label_separation",
+    "sim_mmr_rerank",
+    "sim_recall_at_k_eval",
+    "text_gopher_rules",
+    "text_ttr_by_source",
+    "tokenizer_fertility_by_lang",
+    "tokenizer_trained_fertility_by_lang",
+    "triple_attr_stats",
+    "triple_history_audit",
+    "triple_skipindex_asof",
+    # (4) r11-vintage fill, alphabetical, first 2
+    "approx_quantiles_value",
+    "asof_last_purchase",
 ]
-# r15 rotation note: after the r14 window lands, the oldest remaining
-# vintages are the 33 r10-vintage names NOT in section (4) above
-# (alphabetical from events_funnel_conversion onward) and then the r11
-# cohort (recompute from CORRECTNESS_r01..r14 the way r9 and every
-# round since did). The r15 window: (1) any queries new in r15,
-# (2) any query whose oracle text changed semantically, (3) those r10
-# names, (4) r11-vintage slots to fill 50.
+# r16 rotation note: after the r15 window lands, the oldest remaining
+# vintage is r11 (44 names left after the 2 filled above — recompute
+# from CORRECTNESS_r01..r15 the way every round since r9 did). The r16
+# window: (1) any queries new in r16, (2) any query whose oracle text
+# (or implementation, materially) changed, (3) r11-vintage names
+# alphabetical from churned_buyers_1995_vs_2001 onward to fill 50.
 
 
 def _ensure_loaded() -> None:
