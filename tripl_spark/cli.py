@@ -115,6 +115,43 @@ def get_args(argv: list[str] | None = None) -> argparse.Namespace:
     p_maint.add_argument("--schema", default=None,
                          help="JSON {attr: {\"db:cardinality\": ...}} "
                          "declarations applied before compaction")
+
+    p_mon = sub.add_parser(
+        "monitor",
+        help="drain a parquet file stream through one of the "
+        "restart-safe streaming monitors (trigger availableNow: "
+        "process whatever arrived, snapshot state, exit — the cron "
+        "shape; re-running resumes from the sink and checkpoint, "
+        "already-committed batches are never re-counted)",
+    )
+    p_mon.add_argument(
+        "--family", required=True,
+        choices=["quality", "pii", "mojibake", "domain",
+                 "line-dedup", "url-dedup"],
+        help="quality/pii/mojibake expect document rows "
+        "(text, lang, source); line-dedup expects (doc_id, text); "
+        "domain and url-dedup expect raw (doc_id, url)",
+    )
+    p_mon.add_argument("--source", required=True,
+                       help="parquet directory watched as a file stream")
+    p_mon.add_argument("--sink", required=True,
+                       help="restart-safe state sink (batch_id=N "
+                       "parquet partitions)")
+    p_mon.add_argument("--checkpoint", required=True,
+                       help="streaming checkpoint location")
+    p_mon.add_argument("--compact-every", type=int, default=None,
+                       help="keeper families (line-dedup, url-dedup) "
+                       "only: merge-on-read changelog sink — delta per "
+                       "batch, full snapshot every Nth (their state is "
+                       "corpus-sized; counter families keep the cheap "
+                       "full snapshot and refuse this flag)")
+    p_mon.add_argument("--max-files-per-trigger", type=int, default=None,
+                       help="micro-batch size knob for the drain")
+    p_mon.add_argument("--report", default=None,
+                       help="write the read-time view as JSON after the "
+                       "drain (counter families: the full scorecard — "
+                       "state is |keys| rows; keeper families: summary "
+                       "counts only — state is corpus-sized)")
     return parser.parse_args(argv)
 
 
@@ -239,8 +276,103 @@ def ingest(args: argparse.Namespace) -> TripleStore:
     return TripleStore.loads(args.inputs, id_attrs=args.id_attrs)
 
 
+def run_monitor(args: argparse.Namespace) -> int:
+    """``tripl monitor``: one availableNow drain of a parquet file
+    stream through a monitor family, state snapshotted to the sink.
+    The schema is probed from the existing source files with a batch
+    read (streaming file sources require an explicit schema; probing
+    keeps the CLI honest about whatever vintage the parquet is)."""
+    from tripl_spark.session import get_spark
+
+    keeper_families = {"line-dedup", "url-dedup"}
+    if args.compact_every is not None and args.family not in keeper_families:
+        print(
+            f"tripl monitor: --compact-every is for the keeper families "
+            f"({', '.join(sorted(keeper_families))}); the {args.family} "
+            "monitor's state is one row per key combination — full "
+            "snapshots are already cheap, and its additive merge is not "
+            "idempotent, which the changelog sink requires",
+            file=sys.stderr,
+        )
+        return 2
+    spark = get_spark("tripl_monitor")
+    if args.family == "quality":
+        from tripl_spark.streaming.quality_stream import StreamingQualityMonitor
+
+        mon = StreamingQualityMonitor(spark, sink_path=args.sink)
+        view = mon.scorecard
+    elif args.family == "pii":
+        from tripl_spark.streaming.pii_stream import StreamingPIIMonitor
+
+        mon = StreamingPIIMonitor(spark, sink_path=args.sink)
+        view = mon.prevalence
+    elif args.family == "mojibake":
+        from tripl_spark.streaming.mojibake_stream import StreamingMojibakeMonitor
+
+        mon = StreamingMojibakeMonitor(spark, sink_path=args.sink)
+        view = mon.prevalence
+    elif args.family == "domain":
+        from tripl_spark.streaming.url_stream import StreamingDomainMonitor
+
+        mon = StreamingDomainMonitor(spark, sink_path=args.sink, raw_urls=True)
+        view = mon.prevalence
+    elif args.family == "line-dedup":
+        from tripl_spark.streaming.line_stream import StreamingLineDedup
+
+        mon = StreamingLineDedup(
+            spark, sink_path=args.sink, compact_every=args.compact_every
+        )
+        view = None
+    else:  # url-dedup
+        from tripl_spark.streaming.url_dedup_stream import StreamingUrlDedup
+
+        mon = StreamingUrlDedup(
+            spark, sink_path=args.sink, compact_every=args.compact_every
+        )
+        view = None
+    try:
+        schema = spark.read.parquet(args.source).schema
+    except Exception as exc:
+        print(f"tripl monitor: cannot probe source schema: {exc}",
+              file=sys.stderr)
+        return 1
+    reader = spark.readStream.schema(schema)
+    if args.max_files_per_trigger:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(args.max_files_per_trigger)
+        )
+    q = (
+        reader.parquet(args.source)
+        .writeStream.foreachBatch(mon.process)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", args.checkpoint)
+        .start()
+    )
+    q.awaitTermination()
+    summary: dict[str, Any] = {
+        "family": args.family,
+        "batches_committed": sorted(mon._seen),
+        "state_rows": mon.state.count() if mon.state is not None else 0,
+    }
+    if args.report:
+        if view is not None:
+            v = view()
+            summary["view"] = (
+                [r.asDict(recursive=True) for r in v.orderBy(*v.columns).collect()]
+                if v is not None
+                else []
+            )
+        with open(args.report, "w") as fp:
+            json.dump(summary, fp, indent=2, default=str)
+    print(json.dumps({k: summary[k] for k in
+                      ("family", "batches_committed", "state_rows")}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = get_args(argv)
+    if args.command == "monitor":
+        return run_monitor(args)
     if args.command == "maintain":
         from tripl_spark.session import get_spark
         from tripl_spark.sources.skipindex import (

@@ -43,10 +43,33 @@ class StreamingDomainMonitor(CounterMonitor):
     ``foreachBatch(mon.process)`` target) and serves the prevalence
     scorecard from them."""
 
-    def __init__(self, spark: SparkSession, sink_path: str | None = None) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        sink_path: str | None = None,
+        raw_urls: bool = False,
+    ) -> None:
+        """``raw_urls=True`` accepts an unparsed ``(doc_id, url)``
+        stream and runs `url_components` inside the batch (the CLI
+        deployment shape); default expects the pre-parsed frame the
+        registered batch query gates."""
+        if raw_urls:
+            from tripl_spark.operators.urls import attach_registered_domain
+
+            def partials(batch: DataFrame) -> DataFrame:
+                url = F.col("url")
+                base = batch.select(
+                    F.parse_url(url, F.lit("PROTOCOL")).alias("scheme"),
+                    F.parse_url(url, F.lit("HOST")).alias("host"),
+                    F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit(""))
+                    .alias("qstring"),
+                )
+                return domain_partials(attach_registered_domain(base))
+        else:
+            partials = domain_partials
         super().__init__(
             spark,
-            partials_fn=domain_partials,
+            partials_fn=partials,
             key_cols=("reg_domain",),
             counter_cols=_COUNTERS,
             state_schema=_STATE_SCHEMA,
