@@ -192,6 +192,7 @@ def test_per_group_topk_has_partial_window_group_limit(spark, sf_small):
         "pipeline_semantic_curation",
         "pipeline_decontaminated_corpus",
         "url_domain_quota_kept",
+        "url_domain_quota_quality",
     ):
         plan = _plan(spark, sf_small, name)
         assert partial_wgl.search(plan), (name, plan)
@@ -363,6 +364,19 @@ def test_gopher_rules_is_scan_shaped(spark, sf_small):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_pii_spans_is_scan_shaped(spark, sf_small):
+    # span ledger = one corpus pass: the 6 class branches ride ONE
+    # inline() Generate over a struct array — no shuffle, no join, no
+    # window, and no per-class re-scan of documents
+    import re
+
+    plan = _plan(spark, sf_small, "text_pii_spans")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
 
 
 def test_video_groups_has_no_pair_clique_join(spark, sf_small):

@@ -277,3 +277,31 @@ def test_registered_domain_total_and_suffix(spark, hosts):
         assert r.rd, r
         assert ("." + r.h).endswith("." + r.rd), r
         assert 1 <= len(r.rd.split(".")) <= 3, r
+
+
+def test_quality_quota_prefers_passing_docs(spark, sf_small):
+    """`url_domain_quota_quality`'s ranking contract: within a
+    domain, NO failing document may hold a rank above a passing one
+    (the quota fills with the battery's survivors first), and every
+    domain caps at DOMAIN_QUOTA_K."""
+    from tripl_spark.operators.urls import DOMAIN_QUOTA_K
+    from tripl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    rows = REGISTRY["url_domain_quota_quality"].fn(spark, sf_small).collect()
+    by_dom: dict = {}
+    for r in rows:
+        by_dom.setdefault(r.reg_domain, []).append(r)
+    for dom, rs in by_dom.items():
+        assert len(rs) <= DOMAIN_QUOTA_K, dom
+        rs = sorted(rs, key=lambda r: r.rk)
+        seen_fail = False
+        for r in rs:
+            if not r.passes:
+                seen_fail = True
+            else:
+                assert not seen_fail, (dom, [x.rk for x in rs])
+    # the planted corpus has both fates inside at least one hot domain
+    assert any(
+        len({r.passes for r in rs}) == 2 for rs in by_dom.values()
+    ), "planting no longer exercises the pass-first ordering"

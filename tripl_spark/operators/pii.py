@@ -370,3 +370,74 @@ def text_pii_prevalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+def _spans_oracle() -> str:
+    """Per-class span branches from the SAME staged CTE chain the
+    scrub oracle uses — class i reads t{i} in s{i}, precedence
+    baked into the stage, never re-derived."""
+    branches = []
+    for i, (name, pat, _) in enumerate(PII_CLASSES):
+        t = f"t{i}"
+        branches.append(f"""
+      SELECT doc_id, '{name}' AS pii_class,
+             CAST(len(regexp_extract_all({t}, '{pat}')) AS BIGINT) AS n,
+             CAST(length(regexp_replace({t}, '(?s)(?:{pat}).*$', ''))
+                  AS BIGINT) AS first_off,
+             array_to_string(regexp_extract_all({t}, '{pat}'), '|') AS spans
+      FROM s{i}""")
+    return f"""
+    WITH {_STAGES_SQL},
+    allspans AS ({" UNION ALL ".join(branches)})
+    SELECT doc_id, pii_class, n, first_off, spans
+    FROM allspans WHERE n > 0
+    """
+
+
+@query(
+    "text_pii_spans",
+    oracle=_spans_oracle(),
+    doc="Per-document per-class PII span ledger: match count, byte "
+    "offset of the first match, and the matched substrings themselves "
+    "('|'-joined) — the audit artifact a redaction review reads "
+    "(WHAT was scrubbed and WHERE, not just how many). One row per "
+    "(doc, class) with at least one match; offsets and spans are "
+    "into the precedence-staged text. Fully hash-gated",
+)
+def text_pii_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span extraction stays map-only: counts and spans ride
+    `regexp_extract_all`, and the first-match offset is the length of
+    the text with `(?s)(?:class).*$` stripped — the prefix BEFORE the
+    leftmost match, an exact-arithmetic construction both regex
+    dialects agree on (no regexp_instr needed, which DuckDB lacks).
+    The 6 class branches are one `inline()` over a struct array, so
+    the corpus is scanned ONCE, not once per class; output is tall
+    (doc_id, pii_class, n, first_off, spans), filtered to classes
+    that matched — at 100 TB the ledger is |matches|-sized, not
+    |docs × classes|-sized. Plan-gated shuffle-free.
+
+    Offsets are 0-based into the STAGE-i text (earlier classes
+    already replaced by their tokens) — the same precedence the count
+    columns use; a span never double-claims text an earlier class
+    consumed."""
+    docs = load_table(spark, sf_dir, "documents")
+    enriched = docs.select("doc_id", _enriched_text().alias("t"))
+    stage: Column = F.coalesce(F.col("t"), F.lit(""))
+    structs = []
+    for name, pat, token in PII_CLASSES:
+        matches = F.regexp_extract_all(stage, F.lit(pat), F.lit(0))
+        first_off = F.length(
+            F.regexp_replace(stage, f"(?s)(?:{pat}).*$", "")
+        ).cast("long")
+        structs.append(
+            F.struct(
+                F.lit(name).alias("pii_class"),
+                F.size(matches).cast("long").alias("n"),
+                first_off.alias("first_off"),
+                F.array_join(matches, "|").alias("spans"),
+            )
+        )
+        stage = F.regexp_replace(stage, pat, token)
+    return enriched.select("doc_id", F.inline(F.array(*structs))).filter(
+        F.col("n") > 0
+    )

@@ -418,6 +418,69 @@ def url_domain_quota_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gopher_quality_oracle() -> str:
+    from tripl_spark.operators.text import _GOPHER_ORACLE
+
+    return f"""
+    WITH g AS ({_GOPHER_ORACLE}),
+    u AS (SELECT doc_id, {_reg_domain_sql(_HOST_SQL)} AS reg_domain
+          FROM documents),
+    j AS (SELECT u.doc_id, u.reg_domain, g.passes, g.n_words
+          FROM u JOIN g USING (doc_id)),
+    r AS (SELECT doc_id, reg_domain, passes, n_words,
+                 CAST(row_number() OVER (PARTITION BY reg_domain
+                      ORDER BY passes DESC, n_words DESC, doc_id) AS BIGINT)
+                   AS rk
+          FROM j)
+    SELECT doc_id, reg_domain, passes, n_words, rk
+    FROM r WHERE rk <= {DOMAIN_QUOTA_K}
+    """
+
+
+@query(
+    "url_domain_quota_quality",
+    oracle=_gopher_quality_oracle(),
+    doc=f"Quality-ordered domain quota: the top {DOMAIN_QUOTA_K} docs "
+    "per registered domain ranked by the Gopher battery verdict first "
+    "(passing docs beat failing ones), then word count — so a head "
+    "domain's quota fills with its BEST documents, not its longest. "
+    "Composes the URL axis with the quality battery in one scan + one "
+    "domain-keyed shuffle; kept-only output planning the partial "
+    "WindowGroupLimit",
+)
+def url_domain_quota_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`url_domain_quota_kept` ranked by curation quality instead of
+    the n_chars proxy: order = (gopher passes DESC, n_words DESC,
+    doc_id). The quality flags ride the SAME corpus scan that parses
+    the URL (`gopher_flag_frame` is pure codegen expressions, the
+    registered-domain lookup two broadcast joins), so quality-aware
+    quota costs exactly what the length-proxy quota costs — ONE
+    domain-keyed shuffle, and the rank filter keeps the partial
+    WindowGroupLimit (each map task ships k rows per domain however
+    hot the head domains run)."""
+    from pyspark.sql.window import Window
+
+    from tripl_spark.operators.text import gopher_flag_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    host = F.parse_url(_url_col(), F.lit("HOST"))
+    flags = gopher_flag_frame(docs, keep=(host.alias("host"),))
+    u = attach_registered_domain(flags)
+    w = Window.partitionBy("reg_domain").orderBy(
+        F.col("passes").desc(), F.col("n_words").desc(), F.col("doc_id")
+    )
+    return (
+        u.select(
+            "doc_id",
+            "reg_domain",
+            "passes",
+            "n_words",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= DOMAIN_QUOTA_K)
+    )
+
+
 # -- canonical-URL dedup ----------------------------------------------
 # A crawl sees the same page under many spellings: http vs https,
 # tracking params, duplicate fetches. URL-level dedup canonicalizes
