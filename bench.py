@@ -132,6 +132,14 @@ HEADLINE = [
     # scan and blocklist joins are scan-shaped and covered above)
     "url_domain_quota",
     "text_normalize_scan",
+    # round-15: the quality-ordered quota (same one-shuffle window as
+    # url_domain_quota but with the Gopher flags riding the scan — the
+    # recorded delta IS the battery's cost), the PII span ledger (the
+    # audit scan's 6-class inline over one corpus pass), and the
+    # events-log politeness rollup (two keyed partial-agged shuffles)
+    "url_domain_quota_quality",
+    "text_pii_spans",
+    "url_crawl_politeness",
 ]
 
 

@@ -366,6 +366,33 @@ def test_gopher_rules_is_scan_shaped(spark, sf_small):
     assert "Window" not in plan, plan
 
 
+def test_robots_filter_never_shuffles_the_corpus(spark, sf_small):
+    # longest-prefix election runs inside codegen over each doc's
+    # matched-rule array: one corpus scan, one broadcast join against
+    # the per-host rule dim, NO shuffle exchange, no window, no agg
+    import re
+
+    plan = _plan(spark, sf_small, "url_robots_filter")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert not re.findall(r"\(\d+\) Exchange\b", plan), plan
+    assert "Window" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+
+
+def test_crawl_politeness_two_keyed_shuffles(spark, sf_small):
+    # fetch log scanned ONCE; two keyed aggregations ((host,hour) then
+    # host), each with a map-side partial; the PSL lookup broadcasts
+    # against |hosts| rows AFTER the second agg, never per fetch
+    import re
+
+    plan = _plan(spark, sf_small, "url_crawl_politeness")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, plan
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 4, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_pii_spans_is_scan_shaped(spark, sf_small):
     # span ledger = one corpus pass: the 6 class branches ride ONE
     # inline() Generate over a struct array — no shuffle, no join, no

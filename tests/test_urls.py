@@ -305,3 +305,25 @@ def test_quality_quota_prefers_passing_docs(spark, sf_small):
     assert any(
         len({r.passes for r in rs}) == 2 for rs in by_dom.values()
     ), "planting no longer exercises the pass-first ordering"
+
+
+def test_robots_longest_prefix_override(spark, sf_small):
+    """The REP election rules on planted docs: /p/12* re-ALLOWED under
+    the /p/1* deny (longest prefix wins, the naive first-match
+    killer), /p/10* stays denied, hosts with no rules default-allow
+    with a NULL rule id, and the blanket '/' deny catches the tracker
+    host."""
+    from tripl_spark.queries.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    rows = {r.doc_id: r for r in
+            REGISTRY["url_robots_filter"].fn(spark, sf_small).collect()}
+    assert rows[12].host == "www.hub0.com"
+    assert rows[12].allowed and rows[12].rule_id == 3   # /p/12 allow wins
+    assert rows[102].host == "www.hub0.com"
+    assert not rows[102].allowed and rows[102].rule_id == 2  # /p/1 deny
+    assert rows[120].allowed and rows[120].rule_id == 3  # /p/120 under /p/12
+    assert rows[19].host == "tracker.ads.badcorp.com"
+    assert not rows[19].allowed and rows[19].rule_id == 1  # blanket '/'
+    assert rows[10].host == "www.hub1.com"
+    assert rows[10].allowed and rows[10].rule_id is None  # no rules: default

@@ -406,10 +406,12 @@ def _spans_oracle() -> str:
 )
 def text_pii_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span extraction stays map-only: counts and spans ride
-    `regexp_extract_all`, and the first-match offset is the length of
-    the text with `(?s)(?:class).*$` stripped — the prefix BEFORE the
-    leftmost match, an exact-arithmetic construction both regex
-    dialects agree on (no regexp_instr needed, which DuckDB lacks).
+    `regexp_extract_all`; the first-match offset is `regexp_instr - 1`
+    on the Spark side (finds the first match and stops) and, in the
+    oracle, the length of the text with `(?s)(?:class).*$` stripped —
+    the prefix BEFORE the leftmost match, an exact-arithmetic
+    equivalent in DuckDB, which lacks regexp_instr (the two
+    constructions agreeing IS part of what the hash gate checks).
     The 6 class branches are one `inline()` over a struct array, so
     the corpus is scanned ONCE, not once per class; output is tall
     (doc_id, pii_class, n, first_off, spans), filtered to classes
@@ -426,9 +428,7 @@ def text_pii_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     structs = []
     for name, pat, token in PII_CLASSES:
         matches = F.regexp_extract_all(stage, F.lit(pat), F.lit(0))
-        first_off = F.length(
-            F.regexp_replace(stage, f"(?s)(?:{pat}).*$", "")
-        ).cast("long")
+        first_off = (F.regexp_instr(stage, F.lit(pat)) - 1).cast("long")
         structs.append(
             F.struct(
                 F.lit(name).alias("pii_class"),

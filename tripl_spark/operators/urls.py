@@ -741,3 +741,181 @@ def text_outlink_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(doms).cast("long").alias("n_domains"),
         F.array_join(F.array_sort(doms), "|").alias("domains"),
     )
+
+
+# -- crawl politeness -------------------------------------------------
+# Fetch-RATE monitoring, the operational twin of the domain quota's
+# volume cap: a crawler that hammers one host gets blocked (or worse,
+# poisons the corpus with rate-limit error pages). The fetch log is
+# the `events` table with the module's URL planting keyed by event_id
+# — the same host universe as the document-side queries, so the two
+# axes (what we keep vs how we fetched it) reconcile per host.
+
+POLITENESS_MAX_HOURLY = 1  # planted-universe cap: hubs trip it, tails don't
+
+
+@query(
+    "url_crawl_politeness",
+    oracle=f"""
+    WITH e AS (SELECT event_id AS doc_id, ts FROM events),
+    f AS (SELECT {_HOST_SQL} AS host, date_trunc('hour', ts) AS h FROM e),
+    hh AS (SELECT host, h, CAST(count(*) AS BIGINT) AS c
+           FROM f GROUP BY host, h),
+    d AS (SELECT host,
+                 CAST(sum(c) AS BIGINT) AS n_fetches,
+                 CAST(count(*) AS BIGINT) AS n_hours,
+                 CAST(max(c) AS BIGINT) AS max_hourly
+          FROM hh GROUP BY host)
+    SELECT host, {_reg_domain_sql("host")} AS reg_domain,
+           n_fetches, n_hours, max_hourly,
+           round(n_fetches * 1.0 / n_hours, 4) + 0.0 AS avg_hourly,
+           (max_hourly > {POLITENESS_MAX_HOURLY}) AS over_limit
+    FROM d
+    """,
+    doc="Host-level crawl politeness from the events fetch log: "
+    "fetches, active hours, peak and mean hourly rate per host, and "
+    "the over-limit flag — plus the registered domain so host-level "
+    "hot spots roll up to the quota's key. Fully hash-gated",
+)
+def url_crawl_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two keyed aggregations — (host, hour) then host — both
+    partial-aggregated map-side; the hour bucket bounds the first
+    shuffle's keys at |hosts| x |hours| however large the log. The
+    registered-domain broadcast joins attach AFTER the second
+    aggregation, on |hosts| rows, not per fetch — at 100 TB of fetch
+    log the PSL lookup costs |hosts|, the log is scanned exactly once,
+    and nothing Python touches the plan."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("doc_id"), "ts"
+    )
+    host = F.parse_url(_url_col(), F.lit("HOST"))
+    f = ev.select(
+        host.alias("host"), F.date_trunc("hour", F.col("ts")).alias("h")
+    )
+    hh = f.groupBy("host", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    d = hh.groupBy("host").agg(
+        F.sum("c").cast("long").alias("n_fetches"),
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.max("c").cast("long").alias("max_hourly"),
+    )
+    return attach_registered_domain(d).select(
+        "host",
+        "reg_domain",
+        "n_fetches",
+        "n_hours",
+        "max_hourly",
+        (
+            F.round(F.col("n_fetches") * 1.0 / F.col("n_hours"), 4)
+            + F.lit(0.0)
+        ).alias("avg_hourly"),
+        (F.col("max_hourly") > POLITENESS_MAX_HOURLY).alias("over_limit"),
+    )
+
+
+# -- robots-rule filtering --------------------------------------------
+# The crawl-side ANSWER to politeness monitoring: which fetched pages
+# were we even allowed to keep? Robots semantics per the de-facto REP
+# standard: per host, the matching rule with the LONGEST path prefix
+# wins; on a length tie the ALLOW rule wins; no matching rule means
+# allowed. The rule set is a dimension (a real crawler materializes
+# ~one row per robots.txt directive), so it broadcasts — and the
+# winner election runs INSIDE codegen over each doc's matched-rule
+# array, so the corpus never shuffles for the verdict.
+
+ROBOTS_RULES: list[tuple[str, str, bool, int]] = [
+    ("tracker.ads.badcorp.com", "/", False, 1),
+    ("www.hub0.com", "/p/1", False, 2),
+    ("www.hub0.com", "/p/12", True, 3),  # longer prefix re-allows
+    ("m.news0.co.uk", "/p/", False, 4),
+    ("cdn.spam0.xyz", "/", False, 5),
+    ("www.shop0.com.au", "/p/3", False, 6),
+]
+
+_ROBOTS_VALUES_SQL = ", ".join(
+    f"('{h}', '{p}', {str(a).upper()}, {i})" for h, p, a, i in ROBOTS_RULES
+)
+
+
+@query(
+    "url_robots_filter",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_HOST_SQL} AS host,
+                      regexp_extract({_FULL_URL_SQL},
+                          '^([a-z]+)://([^/?#]+)([^?#]*)', 3) AS path
+               FROM documents),
+    rules(rhost, prefix, allow, rule_id) AS (VALUES {_ROBOTS_VALUES_SQL}),
+    m AS (SELECT d.doc_id, r.allow, r.rule_id,
+                 row_number() OVER (PARTITION BY d.doc_id
+                     ORDER BY length(r.prefix) DESC, r.allow DESC,
+                              r.rule_id) AS rn
+          FROM d JOIN rules r
+            ON d.host = r.rhost AND starts_with(d.path, r.prefix)),
+    w AS (SELECT doc_id, rule_id, allow FROM m WHERE rn = 1)
+    SELECT d.doc_id, d.host, d.path,
+           CAST(w.rule_id AS BIGINT) AS rule_id,
+           COALESCE(w.allow, TRUE) AS allowed
+    FROM d LEFT JOIN w USING (doc_id)
+    """,
+    doc="Robots-rule filter with longest-prefix-match semantics "
+    "(longest path prefix wins per host, allow wins length ties, "
+    "no rule means allowed) over planted per-host directives — "
+    "including a longer allow prefix nested under a deny, the shape "
+    "that breaks naive first-match implementations. Emits the "
+    "winning rule id per document for the audit trail. Fully "
+    "hash-gated",
+)
+def url_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero corpus shuffle: the rule set aggregates to one array of
+    (prefix, allow, rule_id) structs per host (a few rows), broadcasts,
+    and each document's winner is elected INSIDE whole-stage codegen —
+    `filter()` keeps the rules whose prefix matches the doc's path,
+    `array_sort()` with a comparator orders them longest-prefix-first
+    (allow breaking ties), `get(..., 0)` takes the winner or NULL.
+    At 100 TB the corpus is scanned once and joined to a
+    |hosts-with-rules|-row broadcast; no window, no aggregation, no
+    per-rule corpus pass however many directives the rule set grows
+    (per-doc work is |host's rules|, evaluated vectorized)."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = _url_col()
+    d = docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+    )
+    # the per-host rule arrays are grouped DRIVER-side (the rule set
+    # is a Python constant here; a real robots table would pay one
+    # dim-sized groupBy before the broadcast — never corpus-sized)
+    by_host: dict[str, list] = {}
+    for h, p, a, i in ROBOTS_RULES:
+        by_host.setdefault(h, []).append((p, a, i))
+    per_host = F.broadcast(
+        spark.createDataFrame(
+            list(by_host.items()),
+            "rhost string, rules array<struct<"
+            "prefix:string,allow:boolean,rule_id:bigint>>",
+        )
+    )
+    j = d.join(per_host, d.host == per_host.rhost, "left")
+    matches = F.filter(
+        F.col("rules"), lambda r: F.col("path").startswith(r["prefix"])
+    )
+
+    def cmp(a: Column, b: Column) -> Column:
+        return (
+            F.when(F.length(a["prefix"]) > F.length(b["prefix"]), F.lit(-1))
+            .when(F.length(a["prefix"]) < F.length(b["prefix"]), F.lit(1))
+            .when(a["allow"] & ~b["allow"], F.lit(-1))
+            .when(~a["allow"] & b["allow"], F.lit(1))
+            .otherwise((a["rule_id"] - b["rule_id"]).cast("int"))
+        )
+
+    best = F.get(F.array_sort(matches, cmp), 0)
+    return j.select(
+        "doc_id",
+        "host",
+        "path",
+        best["rule_id"].alias("rule_id"),
+        F.coalesce(best["allow"], F.lit(True)).alias("allowed"),
+    )
