@@ -144,3 +144,24 @@ def test_monitor_missing_source_is_loud(spark, tmp_path, capsys):
     ])
     assert rc == 1
     assert "cannot probe source schema" in capsys.readouterr().err
+
+
+def test_monitor_refuses_checkpoint_sink_mismatch(spark, sf_small, tmp_path, capsys):
+    """The review-found drop mode: re-running against the same sink
+    with a DIFFERENT checkpoint restarts batch ids at 0, which the
+    sink's replay skip would silently swallow — the recorded
+    checkpoint identity in the sink must refuse the run."""
+    docs = load_table(spark, sf_small, "documents")
+    src = str(tmp_path / "src")
+    _write_source(docs, src, n_files=2)
+    base = [
+        "monitor", "--family", "quality", "--source", src,
+        "--sink", str(tmp_path / "sink"),
+    ]
+    assert main(base + ["--checkpoint", str(tmp_path / "ckpt1")]) == 0
+    rc = main(base + ["--checkpoint", str(tmp_path / "ckpt2")])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "checkpoint" in err and "fresh sink" in err
+    # same checkpoint still resumes fine
+    assert main(base + ["--checkpoint", str(tmp_path / "ckpt1")]) == 0

@@ -169,3 +169,31 @@ def test_url_dedup_changelog_readstream_end_to_end(spark, sf_small, tmp_path):
     got = {r.cu: r.keep for r in mon.keepers().collect()}
     assert got == {r.cu: r.keep for r in want.keepers().collect()}
     assert len(_fulls(sink)) >= 1 and len(_fulls(sink)) < 4
+
+
+def test_changelog_sink_refuses_snapshot_mode_resume(spark, sf_small, tmp_path):
+    """The review-found silent-loss mode switch: a sink written in
+    changelog mode resumed WITHOUT compact_every would read the last
+    DELTA as the whole state and persist the loss on its next write.
+    The _CHANGELOG root marker makes that restart raise instead; the
+    reverse switch (snapshot sink resumed WITH compact_every) stays
+    legal — marker-less partitions fold as deltas, which the
+    idempotent merge absorbs exactly."""
+    docs = _multi_docs(spark, sf_small)
+    sink = str(tmp_path / "clog")
+    mon = StreamingLineDedup(spark, sink_path=sink, compact_every=3)
+    for i, b in enumerate(_batches(docs)):
+        mon.process(b, batch_id=i)
+    with pytest.raises(ValueError, match="changelog"):
+        StreamingLineDedup(spark, sink_path=sink)  # no compact_every
+
+    # reverse direction: snapshot-mode sink adopted by a changelog
+    # monitor reconstructs the exact state (fold of full snapshots)
+    snap_sink = str(tmp_path / "snap")
+    m1 = StreamingLineDedup(spark, sink_path=snap_sink)
+    for i, b in enumerate(_batches(docs)):
+        m1.process(b, batch_id=i)
+    m2 = StreamingLineDedup(spark, sink_path=snap_sink, compact_every=3)
+    want = {r.h: (r.keep.doc_id, r.keep.pos) for r in m1.keepers().collect()}
+    got = {r.h: (r.keep.doc_id, r.keep.pos) for r in m2.keepers().collect()}
+    assert got == want

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import subprocess
 import sys
 from typing import Any
@@ -330,6 +331,30 @@ def run_monitor(args: argparse.Namespace) -> int:
             spark, sink_path=args.sink, compact_every=args.compact_every
         )
         view = None
+    # sink and checkpoint must stay in LOCKSTEP: the sink's replay
+    # skip trusts batch ids, and a fresh/changed checkpoint restarts
+    # them at 0 — the drain would then treat the new files' batches as
+    # already committed and silently drop their rows. Record the
+    # checkpoint identity in the sink and refuse a mismatch.
+    ckpt_id = os.path.abspath(args.checkpoint)
+    os.makedirs(args.sink, exist_ok=True)
+    ckpt_marker = os.path.join(args.sink, "_CHECKPOINT")
+    if os.path.exists(ckpt_marker):
+        prior = open(ckpt_marker).read().strip()
+        if prior != ckpt_id:
+            print(
+                f"tripl monitor: sink {args.sink} was written under "
+                f"checkpoint {prior}; this run's checkpoint "
+                f"({ckpt_id}) would restart stream batch ids at 0 and "
+                "the sink's replay skip would silently drop the new "
+                "batches. Reuse the original checkpoint, or start a "
+                "fresh sink.",
+                file=sys.stderr,
+            )
+            return 2
+    else:
+        with open(ckpt_marker, "w") as fp:
+            fp.write(ckpt_id)
     try:
         schema = spark.read.parquet(args.source).schema
     except Exception as exc:

@@ -360,8 +360,8 @@ def triple_skipindex_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT a.u, p.u AS node, a.depth + 1
       FROM anc a
-      JOIN users p ON p.u = CAST(floor(a.node / 2) AS BIGINT)
-      WHERE a.node > 0 AND a.depth < 3
+      JOIN users p ON p.u = CAST(floor(a.node / 16) AS BIGINT)
+      WHERE a.node > 0
     )
     SELECT 'user-' || CAST(u AS VARCHAR) AS e, depth,
            'user-' || CAST(node AS VARCHAR) AS ancestor
@@ -372,17 +372,23 @@ def triple_pull_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive pull (``'...'`` re-enters the root expression —
     reference tripl.py:708-710) exercised END-TO-END on the facts
     encoding itself: events users melt to a ``user:parent`` ref forest
-    (u → u//2, edge kept only when the parent is itself a user), then
+    (u → u//16, edge kept only when the parent is itself a user — a
+    16-ary forest, so chains run ~log16(max id) deep and every level
+    is a real dynamic-frontier round, not job-floor padding), then
     the path-keyed assembly (`pull_json_paths_df`, driver-loop-exact
-    since r15 — this forest is acyclic so no stub fires and
-    ``max_depth=3`` reproduces the driver's three fetched parent hops)
-    expands ``["db:ident", {"user:parent": "..."}]`` on the cluster and
-    the ancestor chain is parsed back out relationally as (e, depth,
-    ancestor) rows. The oracle is the same bounded recursion as a WITH
-    RECURSIVE — a planner mis-join or a wrong recursion-exhaustion rule
-    flips rows."""
-    from pyspark.sql import types as T
-
+    since r15) expands ``["db:ident", {"user:parent": "..."}]`` on the
+    cluster TO EXHAUSTION — the '...' rule's own termination (a chain
+    ends at user-0 or at a gap in the user ids), ~log16(max user id)
+    dynamic-frontier levels, no truncation anywhere: ``max_depth`` is
+    set far above any chain so the fetch-truncation machinery (and its
+    fetched-set BFS) never engages, and the oracle's WITH RECURSIVE
+    runs to the same fixpoint. The full chain is parsed back
+    relationally from the nested JSON by ident extraction in nesting
+    order (the doc nests ancestors depth-first, so textual match order
+    IS depth order) — a wrong recursion-exhaustion rule, a dropped
+    level, or a mis-join flips rows. Ancestor-revisit stub coverage
+    lives in `triple_pull_recursive_cyclic`; this query pins the
+    acyclic exhaustion path."""
     from tripl_spark.core.schema import CARD_ONE, REF_TYPE, SchemaRegistry
     from tripl_spark.plans.pull_df import pull_json_paths_df
 
@@ -403,7 +409,7 @@ def triple_pull_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parents = users.alias("c").filter(F.col("u") > 0).join(
         users.alias("p"),
-        F.col("p.u") == F.floor(F.col("c.u") / 2).cast("long"),
+        F.col("p.u") == F.floor(F.col("c.u") / 16).cast("long"),
         "left_semi",
     )
     edges = parents.select(
@@ -411,7 +417,7 @@ def triple_pull_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("user:parent").alias("a"),
         F.lit("ref").alias("vtype"),
         F.concat(
-            F.lit("user-"), F.floor(F.col("u") / 2).cast("long").cast("string")
+            F.lit("user-"), F.floor(F.col("u") / 16).cast("long").cast("string")
         ).alias("v_str"),
         F.lit(None).cast("double").alias("v_num"),
         F.lit(None).cast("boolean").alias("v_bool"),
@@ -423,24 +429,26 @@ def triple_pull_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry.declare("user:parent", {"db:valueType": REF_TYPE, "db:cardinality": CARD_ONE})
 
     roots = users.select(eid.alias("e"))
+    # max_depth far above any chain (log2 of the max user id): the
+    # expansion's own termination rule ends every chain, so the
+    # fetch-truncation path (and its fetched-set BFS) never engages
     docs = pull_json_paths_df(
-        facts, registry, ["db:ident", {"user:parent": "..."}], roots, max_depth=3
+        facts, registry, ["db:ident", {"user:parent": "..."}], roots,
+        max_depth=64,
     )
 
-    lvl = lambda inner: T.StructType(  # noqa: E731
-        [T.StructField("db:ident", T.StringType())]
-        + ([T.StructField("user:parent", inner)] if inner is not None else [])
+    # unbounded-depth parse-back: idents appear in the nested JSON in
+    # depth order (each level nests under "user:parent"), so ordered
+    # regex extraction recovers the whole chain; element 1 is the root
+    # itself, the rest are the ancestors
+    idents_in_doc = F.regexp_extract_all(
+        F.col("doc"), F.lit('"db:ident":"(user-[0-9]+)"'), F.lit(1)
     )
-    schema = lvl(lvl(lvl(lvl(None))))
-    d = F.from_json("doc", schema)
-    chain = F.array(
-        d["user:parent"]["db:ident"],
-        d["user:parent"]["user:parent"]["db:ident"],
-        d["user:parent"]["user:parent"]["user:parent"]["db:ident"],
+    chain = F.slice(
+        idents_in_doc, 2, F.greatest(F.size(idents_in_doc) - 1, F.lit(0))
     )
     return (
         docs.select("e", F.posexplode(chain).alias("pos", "ancestor"))
-        .filter(F.col("ancestor").isNotNull())
         .select("e", (F.col("pos") + 1).cast("int").alias("depth"), "ancestor")
     )
 

@@ -43,10 +43,17 @@ batch. The mode REQUIRES an idempotent merge (min-merge keepers
 qualify; additive counters do NOT and never need it): idempotence
 makes the one crash window harmless — a snapshot whose parquet
 committed but whose ``_FULL`` marker didn't gets re-folded as a
-delta, and ``merge(state, state ∪ …) = state`` absorbs it. The local
-``_FULL`` marker file is the test stand-in for a catalog/table-format
-compaction bit, exactly like the ``_SUCCESS`` convention in
-`sinks.py`.
+delta, and ``merge(state, state ∪ …) = state`` absorbs it. A
+``_CHANGELOG`` marker at the sink root records the MODE so a resume
+without ``compact_every`` fails loudly instead of reading the last
+delta as the whole state.
+
+Marker scope: ``_FULL`` / ``_CHANGELOG`` use local-filesystem I/O by
+the SAME convention as `sinks.committed_batches`'s local-path listing
+(documented there): the test stand-in for a catalog/table-format
+commit bit. A non-local sink (s3a/hdfs) needs a transactional table
+format for the whole sink family, markers included — not just this
+mode.
 """
 
 from __future__ import annotations
@@ -58,6 +65,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _FULL_MARKER = "_FULL"
+_CHANGELOG_MARKER = "_CHANGELOG"
 
 
 class CounterMonitor:
@@ -155,6 +163,9 @@ class CounterMonitor:
             self.sink_path, f"batch_id={batch_id}", _FULL_MARKER
         )
 
+    def _changelog_marker_path(self) -> str:
+        return os.path.join(self.sink_path, _CHANGELOG_MARKER)
+
     def _load_state(self, committed: set[int]) -> DataFrame:
         """Reconstruct the maintained state from the committed sink.
 
@@ -164,8 +175,25 @@ class CounterMonitor:
         it, in batch order. A full snapshot that lost its marker in
         the crash window is simply folded as one more delta — the
         idempotent merge this mode requires absorbs it exactly
-        (``merge(prefix, full) = full`` when ``full ⊇ prefix``)."""
+        (``merge(prefix, full) = full`` when ``full ⊇ prefix``).
+
+        MODE GUARD: a sink carrying the ``_CHANGELOG`` root marker
+        holds deltas, and reading its latest partition as if it were a
+        full snapshot would silently FORGET every keeper claim outside
+        the last batch (and then persist the loss on the next write) —
+        so resuming it without ``compact_every`` raises instead. The
+        reverse switch (snapshot sink resumed WITH ``compact_every``)
+        is safe and needs no guard: marker-less partitions all fold as
+        deltas, and folding full snapshots as deltas is exactly the
+        crash-window absorption the idempotent merge provides."""
         if self.compact_every is None:
+            if os.path.exists(self._changelog_marker_path()):
+                raise ValueError(
+                    f"sink {self.sink_path} was written in changelog "
+                    "mode (compact_every): its latest partition is a "
+                    "DELTA, not the state. Resume with compact_every "
+                    "set, or compact the sink first."
+                )
             return self._load_snapshot(max(committed))
         fulls = [
             b for b in committed
@@ -209,6 +237,13 @@ class CounterMonitor:
         new_state = merged.localCheckpoint(eager=True)
         if self.sink_path is not None:
             part = f"{self.sink_path}/batch_id={batch_id}"
+            if self.compact_every is not None:
+                # sink-level mode marker, BEFORE the first partition
+                # commit: a later resume without compact_every must be
+                # able to tell this sink holds deltas (see _load_state)
+                os.makedirs(self.sink_path, exist_ok=True)
+                with open(self._changelog_marker_path(), "w"):
+                    pass
             write_full = (
                 self.compact_every is None
                 or self._since_full + 1 >= self.compact_every
