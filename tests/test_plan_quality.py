@@ -483,6 +483,20 @@ def test_provenance_pipeline_single_scan_single_shuffle(spark, sf_small):
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
 
 
+def test_admission_pipeline_single_scan_single_shuffle(spark, sf_small):
+    # robots → blocklist → quota composed: ONE corpus scan, FIVE
+    # broadcast joins (per-host robots arrays, 2 PSL suffix rules,
+    # 2 blocklist rules), and exactly ONE shuffle (the null-guarded
+    # quota window) — the provenance ledger's shape with the robots
+    # election riding codegen
+    import re
+
+    plan = _plan(spark, sf_small, "pipeline_crawl_admission")
+    assert plan.count("documents.parquet") == 1, plan
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 5, plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+
+
 def test_outlink_scan_is_map_only(spark, sf_small):
     # link extraction + per-link domain mapping ride higher-order
     # functions on one scan: no Exchange, no Join, no explode-regroup

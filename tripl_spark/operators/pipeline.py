@@ -898,3 +898,125 @@ def pipeline_provenance_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         fate.alias("drop_stage"),
         fate.isNull().alias("kept"),
     )
+
+
+def _admission_oracle() -> str:
+    """Composed crawl-admission oracle: robots → blocklist → domain
+    quota, one CASE fate per document. Every fragment is the SAME
+    constant the standalone queries inject (URL planting + components,
+    robots VALUES, blocklist VALUES), so this oracle cannot drift from
+    the per-stage gates."""
+    from tripl_spark.operators.urls import (
+        BLOCKED_DOMAINS,
+        BLOCKED_TLDS,
+        DOMAIN_QUOTA_K,
+        _COMPONENTS_SQL,
+        _ROBOTS_VALUES_SQL,
+    )
+
+    bd = ", ".join(f"('{d}', '{r}')" for d, r in BLOCKED_DOMAINS)
+    bt = ", ".join(f"('{t}', '{r}')" for t, r in BLOCKED_TLDS)
+    return f"""
+    WITH d AS ({_COMPONENTS_SQL}),
+    m AS (SELECT d.doc_id, r.allow, r.rule_id,
+                 row_number() OVER (PARTITION BY d.doc_id
+                     ORDER BY length(r.prefix) DESC, r.allow DESC,
+                              r.rule_id) AS rn
+          FROM d JOIN (VALUES {_ROBOTS_VALUES_SQL})
+                   AS r(rhost, prefix, allow, rule_id)
+            ON d.host = r.rhost AND starts_with(d.path, r.prefix)),
+    w AS (SELECT doc_id, allow FROM m WHERE rn = 1),
+    pre AS (
+      SELECT d.doc_id, d.reg_domain, d.n_chars,
+             CASE WHEN NOT COALESCE(w.allow, TRUE) THEN 'robots'
+                  ELSE COALESCE(bd.reason, bt.reason) END AS pre_drop
+      FROM d
+      LEFT JOIN w ON d.doc_id = w.doc_id
+      LEFT JOIN (VALUES {bd}) AS bd(dom, reason) ON d.reg_domain = bd.dom
+      LEFT JOIN (VALUES {bt}) AS bt(tld2, reason) ON d.tld = bt.tld2),
+    q AS (SELECT doc_id,
+                 row_number() OVER (PARTITION BY reg_domain
+                     ORDER BY n_chars DESC, doc_id) AS rk
+          FROM pre WHERE pre_drop IS NULL),
+    fate AS (
+      SELECT pre.doc_id,
+             CASE WHEN pre.pre_drop IS NOT NULL THEN pre.pre_drop
+                  WHEN q.rk > {DOMAIN_QUOTA_K} THEN 'domain_quota'
+                  ELSE NULL END AS drop_stage
+      FROM pre LEFT JOIN q ON pre.doc_id = q.doc_id)
+    SELECT doc_id, drop_stage, (drop_stage IS NULL) AS admitted FROM fate
+    """
+
+
+@query(
+    "pipeline_crawl_admission",
+    oracle=_admission_oracle(),
+    doc="per-document FATE through crawl admission: robots deny first "
+    "(a disallowed path is never fetched, so it never consults the "
+    "blocklist), then blocklisted domain/TLD, then the per-domain "
+    "quota among admission survivors — the crawl-side front door of "
+    "the provenance ledger (conservation: every doc appears exactly "
+    "once); fully hash-gated",
+)
+def pipeline_crawl_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ADMISSION half of provenance curation: what a crawler
+    decides BEFORE and AT fetch time (robots verdict, blocklist,
+    per-domain volume cap), composed in execution order. The planted
+    universe makes the precedence observable — the tracker host is
+    both robots-denied and blocklist-listed and must read 'robots';
+    spam hosts split between the two stages by path.
+
+    Scale shape: ONE corpus scan; robots election and the registered
+    domain both ride broadcasts (per-host rule arrays + the PSL
+    table) with the winner elected inside codegen
+    (`urls.robots_winner` — shared with the standalone filter, so the
+    two surfaces cannot drift); blocklist is two more broadcast rule
+    joins; the ONE shuffle is the null-guarded quota window (blocked
+    and denied rows rank among themselves, their rank never
+    consulted — the provenance ledger's partition trick, no union
+    double-read). Plan-gated: 1 scan, 5 BroadcastHashJoins, exactly
+    1 Exchange."""
+    from tripl_spark.operators.urls import (
+        BLOCKED_DOMAINS,
+        BLOCKED_TLDS,
+        DOMAIN_QUOTA_K,
+        _url_col,
+        robots_rules_df,
+        robots_winner,
+        url_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = url_components(docs, _url_col())
+    per_host = robots_rules_df(spark)
+    j = u.join(per_host, u.host == per_host.rhost, "left")
+    best = robots_winner(F.col("path"), F.col("rules"))
+    robots_deny = ~F.coalesce(best["allow"], F.lit(True))
+    bd = F.broadcast(
+        spark.createDataFrame(BLOCKED_DOMAINS, "dom string, d_reason string")
+    )
+    bt = F.broadcast(
+        spark.createDataFrame(BLOCKED_TLDS, "btld string, t_reason string")
+    )
+    flagged = (
+        j.join(bd, j.reg_domain == bd.dom, "left")
+        .join(bt, j.tld == bt.btld, "left")
+        .withColumn(
+            "pre_drop",
+            F.when(robots_deny, F.lit("robots")).otherwise(
+                F.coalesce("d_reason", "t_reason")
+            ),
+        )
+    )
+    w = Window.partitionBy(
+        F.col("pre_drop").isNull(), F.col("reg_domain")
+    ).orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    fate = (
+        F.when(F.col("pre_drop").isNotNull(), F.col("pre_drop"))
+        .when(F.row_number().over(w) > DOMAIN_QUOTA_K, F.lit("domain_quota"))
+    )
+    return flagged.select(
+        "doc_id",
+        fate.alias("drop_stage"),
+        fate.isNull().alias("admitted"),
+    )

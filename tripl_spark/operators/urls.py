@@ -838,6 +838,58 @@ _ROBOTS_VALUES_SQL = ", ".join(
 )
 
 
+def robots_rules_df(spark: SparkSession) -> DataFrame:
+    """The robots dimension as per-host rule ARRAYS, broadcast-ready.
+    Grouped driver-side (the rule set is a Python constant here; a
+    real robots table would pay one dim-sized groupBy before the
+    broadcast — never corpus-sized)."""
+    by_host: dict[str, list] = {}
+    for h, p, a, i in ROBOTS_RULES:
+        by_host.setdefault(h, []).append((p, a, i))
+    return F.broadcast(
+        spark.createDataFrame(
+            list(by_host.items()),
+            "rhost string, rules array<struct<"
+            "prefix:string,allow:boolean,rule_id:bigint>>",
+        )
+    )
+
+
+def robots_winner(path: Column, rules: Column) -> Column:
+    """The REP election as a pure expression over a doc's matched-rule
+    array: `filter()` keeps rules whose prefix matches the path,
+    `array_sort()` with a comparator orders longest-prefix-first
+    (allow breaking length ties, rule_id breaking the rest),
+    `get(..., 0)` takes the winner struct or NULL — all inside
+    whole-stage codegen, shared by the standalone filter and the
+    admission pipeline so the two surfaces cannot drift."""
+    matches = F.filter(rules, lambda r: path.startswith(r["prefix"]))
+
+    def cmp(a: Column, b: Column) -> Column:
+        return (
+            F.when(F.length(a["prefix"]) > F.length(b["prefix"]), F.lit(-1))
+            .when(F.length(a["prefix"]) < F.length(b["prefix"]), F.lit(1))
+            .when(a["allow"] & ~b["allow"], F.lit(-1))
+            .when(~a["allow"] & b["allow"], F.lit(1))
+            .otherwise((a["rule_id"] - b["rule_id"]).cast("int"))
+        )
+
+    return F.get(F.array_sort(matches, cmp), 0)
+
+
+# the same election in DuckDB, parameterized on the doc CTE name —
+# shared by the standalone oracle and the admission pipeline's
+_ROBOTS_WINNER_SQL = f"""
+    m AS (SELECT d.doc_id, r.allow, r.rule_id,
+                 row_number() OVER (PARTITION BY d.doc_id
+                     ORDER BY length(r.prefix) DESC, r.allow DESC,
+                              r.rule_id) AS rn
+          FROM d JOIN (VALUES {_ROBOTS_VALUES_SQL})
+                   AS r(rhost, prefix, allow, rule_id)
+            ON d.host = r.rhost AND starts_with(d.path, r.prefix)),
+    w AS (SELECT doc_id, rule_id, allow FROM m WHERE rn = 1)"""
+
+
 @query(
     "url_robots_filter",
     oracle=f"""
@@ -867,16 +919,12 @@ _ROBOTS_VALUES_SQL = ", ".join(
     "hash-gated",
 )
 def url_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Zero corpus shuffle: the rule set aggregates to one array of
-    (prefix, allow, rule_id) structs per host (a few rows), broadcasts,
-    and each document's winner is elected INSIDE whole-stage codegen —
-    `filter()` keeps the rules whose prefix matches the doc's path,
-    `array_sort()` with a comparator orders them longest-prefix-first
-    (allow breaking ties), `get(..., 0)` takes the winner or NULL.
-    At 100 TB the corpus is scanned once and joined to a
-    |hosts-with-rules|-row broadcast; no window, no aggregation, no
-    per-rule corpus pass however many directives the rule set grows
-    (per-doc work is |host's rules|, evaluated vectorized)."""
+    """Zero corpus shuffle: the corpus is scanned once and joined to
+    the |hosts-with-rules|-row broadcast (`robots_rules_df`); the
+    winner is elected inside codegen (`robots_winner`) — no window,
+    no aggregation, no per-rule corpus pass however many directives
+    the rule set grows (per-doc work is |host's rules|, evaluated
+    vectorized)."""
     docs = load_table(spark, sf_dir, "documents")
     url = _url_col()
     d = docs.select(
@@ -884,34 +932,9 @@ def url_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("HOST")).alias("host"),
         F.parse_url(url, F.lit("PATH")).alias("path"),
     )
-    # the per-host rule arrays are grouped DRIVER-side (the rule set
-    # is a Python constant here; a real robots table would pay one
-    # dim-sized groupBy before the broadcast — never corpus-sized)
-    by_host: dict[str, list] = {}
-    for h, p, a, i in ROBOTS_RULES:
-        by_host.setdefault(h, []).append((p, a, i))
-    per_host = F.broadcast(
-        spark.createDataFrame(
-            list(by_host.items()),
-            "rhost string, rules array<struct<"
-            "prefix:string,allow:boolean,rule_id:bigint>>",
-        )
-    )
+    per_host = robots_rules_df(spark)
     j = d.join(per_host, d.host == per_host.rhost, "left")
-    matches = F.filter(
-        F.col("rules"), lambda r: F.col("path").startswith(r["prefix"])
-    )
-
-    def cmp(a: Column, b: Column) -> Column:
-        return (
-            F.when(F.length(a["prefix"]) > F.length(b["prefix"]), F.lit(-1))
-            .when(F.length(a["prefix"]) < F.length(b["prefix"]), F.lit(1))
-            .when(a["allow"] & ~b["allow"], F.lit(-1))
-            .when(~a["allow"] & b["allow"], F.lit(1))
-            .otherwise((a["rule_id"] - b["rule_id"]).cast("int"))
-        )
-
-    best = F.get(F.array_sort(matches, cmp), 0)
+    best = robots_winner(F.col("path"), F.col("rules"))
     return j.select(
         "doc_id",
         "host",

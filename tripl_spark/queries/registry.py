@@ -92,6 +92,7 @@ _PRIORITY = [
     "text_pii_spans",
     "url_crawl_politeness",
     "url_robots_filter",
+    "pipeline_crawl_admission",
     # (2) changed-oracle / changed-implementation re-drives (r15)
     "url_host_scan",
     "url_domain_quota",
@@ -107,10 +108,11 @@ _PRIORITY = [
     "text_pii_scrub",
     "text_pii_prevalence",
     "triple_pull_recursive",
-    # (3) r10-vintage refresh cohort: first 31 of 33 alphabetical —
-    # the last two (triple_history_audit, triple_skipindex_asof) defer
-    # to r16 with the r11 cohort; sections (1)+(2) grew to 19 and the
-    # mandatory re-drives outrank vintage refresh
+    # (3) r10-vintage refresh cohort: first 30 of 33 alphabetical —
+    # the last three (triple_attr_stats, triple_history_audit,
+    # triple_skipindex_asof) defer to r16 with the r11 cohort;
+    # sections (1)+(2) grew to 20 and the mandatory re-drives outrank
+    # vintage refresh
     "events_funnel_conversion",
     "events_psi_drift",
     "events_retention_cohorts",
@@ -141,15 +143,15 @@ _PRIORITY = [
     "text_ttr_by_source",
     "tokenizer_fertility_by_lang",
     "tokenizer_trained_fertility_by_lang",
-    "triple_attr_stats",
 ]
 # r16 rotation note: after the r15 window lands, the oldest remaining
-# evidence is triple_history_audit + triple_skipindex_asof (r10,
-# deferred above) and then the full r11 cohort of 46 (recompute from
-# CORRECTNESS_r01..r15 the way every round since r9 did). The r16
-# window: (1) any queries new in r16, (2) any query whose oracle text
-# (or implementation, materially) changed, (3) the two deferred r10
-# names, (4) r11-vintage names alphabetical to fill 50.
+# evidence is the three deferred r10 names (triple_attr_stats,
+# triple_history_audit, triple_skipindex_asof) and then the full r11
+# cohort of 46 (recompute from CORRECTNESS_r01..r15 the way every
+# round since r9 did). The r16 window: (1) any queries new in r16,
+# (2) any query whose oracle text (or implementation, materially)
+# changed, (3) the three deferred r10 names, (4) r11-vintage names
+# alphabetical to fill 50.
 
 
 def _ensure_loaded() -> None:
