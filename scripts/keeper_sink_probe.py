@@ -10,12 +10,13 @@ URL stream at growing stream lengths and fits the exponent of total
 sink rows written (the exact work driver — counted from the sink
 partitions themselves, noise-free) and wall time vs B.
 
-Expected: snapshot sink alpha(rows) → 2.0; changelog
-(compact_every=4) alpha(rows) → ~1.x (Σ|delta| linear + B/4 fulls of
-growing state: still super-linear but with a 1/N constant; at fixed
-compaction PERIOD the asymptote stays 2 — the honest statement is the
-amortized per-batch write |state|/N + |batch|, an N× cut of the
-dominant term; a size-triggered policy would be the next rung).
+Expected: snapshot sink alpha(rows) → 2.0; fixed-period changelog
+(compact_every=4) alpha(rows) → ~1.5 (Σ|delta| linear + B/4 fulls of
+growing state: still super-linear, a 1/N cut of the quadratic term);
+SIZE-TRIGGERED changelog (compact_ratio=1.0) alpha(rows) → ~1.0 —
+fulls fire at doubling points, so total full cost telescopes to
+O(final state) and the sink work is LINEAR in stream length (the
+classic amortized-doubling argument, measured here).
 
 Run: python scripts/keeper_sink_probe.py  (local, ~1 min)
 """
@@ -60,12 +61,13 @@ def main() -> None:
         )
         return fresh.unionByName(revisit)
 
-    def run(n_batches: int, compact_every: int | None) -> tuple[float, int]:
-        tag = f"b{n_batches}_" + ("clog" if compact_every else "snap")
-        sink = os.path.join(PROBE_DIR, tag)
+    def run(n_batches: int, mode: str) -> tuple[float, int]:
+        sink = os.path.join(PROBE_DIR, f"b{n_batches}_{mode}")
         if os.path.isdir(sink):
             shutil.rmtree(sink)
-        mon = StreamingUrlDedup(spark, sink_path=sink, compact_every=compact_every)
+        opts = {"snap": {}, "clog": {"compact_every": COMPACT_N},
+                "auto": {"compact_ratio": 1.0}}[mode]
+        mon = StreamingUrlDedup(spark, sink_path=sink, **opts)
         t0 = time.perf_counter()
         for b in range(n_batches):
             mon.process(batch_df(b), batch_id=b)
@@ -74,10 +76,12 @@ def main() -> None:
         return secs, rows_written
 
     points = (4, 12, 36)
-    results: dict[str, dict[int, tuple[float, int]]] = {"snap": {}, "clog": {}}
+    results: dict[str, dict[int, tuple[float, int]]] = {
+        "snap": {}, "clog": {}, "auto": {}
+    }
     for n in points:
-        for mode, ce in (("snap", None), ("clog", COMPACT_N)):
-            secs, rows = run(n, ce)
+        for mode in ("snap", "clog", "auto"):
+            secs, rows = run(n, mode)
             results[mode][n] = (secs, rows)
             print(
                 f"  {mode}  B={n:<3d} {secs:7.2f}s  {rows:>9d} sink rows",
@@ -98,12 +102,13 @@ def main() -> None:
 
         return fit(ts), fit(ws)
 
-    for mode in ("snap", "clog"):
+    for mode in ("snap", "clog", "auto"):
         at, aw = slope(mode)
         print(f"{mode}: alpha_time={at:.2f} alpha_sink_rows={aw:.2f}")
     b_max = points[-1]
-    ratio = results["snap"][b_max][1] / results["clog"][b_max][1]
-    print(f"sink-rows ratio snap/clog at B={b_max}: {ratio:.1f}x")
+    for mode in ("clog", "auto"):
+        ratio = results["snap"][b_max][1] / results[mode][b_max][1]
+        print(f"sink-rows ratio snap/{mode} at B={b_max}: {ratio:.1f}x")
 
 
 if __name__ == "__main__":

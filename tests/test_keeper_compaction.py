@@ -197,3 +197,35 @@ def test_changelog_sink_refuses_snapshot_mode_resume(spark, sf_small, tmp_path):
     want = {r.h: (r.keep.doc_id, r.keep.pos) for r in m1.keepers().collect()}
     got = {r.h: (r.keep.doc_id, r.keep.pos) for r in m2.keepers().collect()}
     assert got == want
+
+
+def test_compact_ratio_mutually_exclusive_and_validated(spark):
+    with pytest.raises(ValueError, match="not both"):
+        StreamingLineDedup(spark, compact_every=3, compact_ratio=1.0)
+    with pytest.raises(ValueError, match="> 0"):
+        StreamingLineDedup(spark, compact_ratio=0.0)
+
+
+def test_compact_ratio_size_triggered_state_and_restart(spark, sf_small, tmp_path):
+    """The size trigger (full when un-folded delta rows reach ratio ×
+    last full): state stays exact through the drain AND through a
+    restart, the sink holds BOTH fulls and deltas, and a snapshot-mode
+    resume is refused exactly like the fixed-period mode."""
+    docs = _multi_docs(spark, sf_small)
+    sink = str(tmp_path / "auto")
+    mon = StreamingLineDedup(spark, sink_path=sink, compact_ratio=1.0)
+    for i, b in enumerate(_batches(docs)):
+        mon.process(b, batch_id=i)
+    want = _by_doc(REGISTRY["dedup_lines_newline"].fn(spark, sf_small))
+    assert _by_doc(mon.dedup(docs)) == want
+    fulls = _fulls(sink)
+    assert 0 in fulls  # first batch is always a full
+    assert 0 < len(fulls) < 5  # trigger fired, but not every batch
+
+    mon2 = StreamingLineDedup(spark, sink_path=sink, compact_ratio=1.0)
+    assert _by_doc(mon2.dedup(docs)) == want
+    # restart restores the trigger bookkeeping: last-full rows > 0
+    assert mon2._last_full_rows > 0
+
+    with pytest.raises(ValueError, match="changelog"):
+        StreamingLineDedup(spark, sink_path=sink)

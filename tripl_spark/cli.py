@@ -146,6 +146,12 @@ def get_args(argv: list[str] | None = None) -> argparse.Namespace:
                        "batch, full snapshot every Nth (their state is "
                        "corpus-sized; counter families keep the cheap "
                        "full snapshot and refuse this flag)")
+    p_mon.add_argument("--compact-ratio", type=float, default=None,
+                       help="keeper families only: SIZE-triggered "
+                       "changelog — full snapshot when accumulated "
+                       "delta rows reach RATIO x the last full "
+                       "(amortized-linear total sink work; mutually "
+                       "exclusive with --compact-every)")
     p_mon.add_argument("--max-files-per-trigger", type=int, default=None,
                        help="micro-batch size knob for the drain")
     p_mon.add_argument("--report", default=None,
@@ -286,9 +292,11 @@ def run_monitor(args: argparse.Namespace) -> int:
     from tripl_spark.session import get_spark
 
     keeper_families = {"line-dedup", "url-dedup"}
-    if args.compact_every is not None and args.family not in keeper_families:
+    if (
+        args.compact_every is not None or args.compact_ratio is not None
+    ) and args.family not in keeper_families:
         print(
-            f"tripl monitor: --compact-every is for the keeper families "
+            f"tripl monitor: --compact-every/--compact-ratio are for the keeper families "
             f"({', '.join(sorted(keeper_families))}); the {args.family} "
             "monitor's state is one row per key combination — full "
             "snapshots are already cheap, and its additive merge is not "
@@ -321,14 +329,16 @@ def run_monitor(args: argparse.Namespace) -> int:
         from tripl_spark.streaming.line_stream import StreamingLineDedup
 
         mon = StreamingLineDedup(
-            spark, sink_path=args.sink, compact_every=args.compact_every
+            spark, sink_path=args.sink, compact_every=args.compact_every,
+            compact_ratio=args.compact_ratio,
         )
         view = None
     else:  # url-dedup
         from tripl_spark.streaming.url_dedup_stream import StreamingUrlDedup
 
         mon = StreamingUrlDedup(
-            spark, sink_path=args.sink, compact_every=args.compact_every
+            spark, sink_path=args.sink, compact_every=args.compact_every,
+            compact_ratio=args.compact_ratio,
         )
         view = None
     # sink and checkpoint must stay in LOCKSTEP: the sink's replay

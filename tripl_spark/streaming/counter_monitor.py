@@ -39,7 +39,10 @@ MERGE-ON-READ: each batch writes only its DELTA (the batch's keeper
 claims, O(|batch|)), every Nth batch writes a full snapshot
 (``_FULL``-marked), and restart folds the latest full snapshot with
 the deltas after it — amortized write cost |state|/N + |batch| per
-batch. The mode REQUIRES an idempotent merge (min-merge keepers
+batch — and ``compact_ratio=r`` replaces the fixed period with a SIZE
+trigger (full when un-folded delta rows reach r × the last full
+snapshot): the doubling argument makes total sink work LINEAR in
+stream length, the true asymptote for a state that keeps growing. The mode REQUIRES an idempotent merge (min-merge keepers
 qualify; additive counters do NOT and never need it): idempotence
 makes the one crash window harmless — a snapshot whose parquet
 committed but whose ``_FULL`` marker didn't gets re-folded as a
@@ -97,19 +100,28 @@ class CounterMonitor:
         state_schema: str = "",
         sink_path: str | None = None,
         compact_every: int | None = None,
+        compact_ratio: float | None = None,
     ) -> None:
         from tripl_spark.streaming.sinks import committed_batches
 
-        if compact_every is not None:
-            if compact_every < 1:
-                raise ValueError("compact_every must be >= 1")
-            if not self._IDEMPOTENT_MERGE:
-                raise ValueError(
-                    "compact_every (merge-on-read changelog) requires an "
-                    "idempotent merge; additive counter monitors keep the "
-                    "full-snapshot sink (their state is |keys| rows — "
-                    "snapshots are already cheap)"
-                )
+        if compact_every is not None and compact_ratio is not None:
+            raise ValueError(
+                "pass compact_every (fixed period) OR compact_ratio "
+                "(size-triggered), not both"
+            )
+        if compact_ratio is not None and compact_ratio <= 0:
+            raise ValueError("compact_ratio must be > 0")
+        if compact_every is not None and compact_every < 1:
+            raise ValueError("compact_every must be >= 1")
+        if (
+            compact_every is not None or compact_ratio is not None
+        ) and not self._IDEMPOTENT_MERGE:
+            raise ValueError(
+                "the merge-on-read changelog sink (compact_every / "
+                "compact_ratio) requires an idempotent merge; additive "
+                "counter monitors keep the full-snapshot sink (their "
+                "state is |keys| rows — snapshots are already cheap)"
+            )
         self.spark = spark
         self.partials_fn = partials_fn
         self.key_cols = key_cols
@@ -117,16 +129,24 @@ class CounterMonitor:
         self.state_schema = state_schema
         self.sink_path = sink_path
         self.compact_every = compact_every
+        self.compact_ratio = compact_ratio
         self.state: DataFrame | None = None
         self._seen: set[int] = set()
         # deltas written since the last _FULL-marked snapshot
-        # (changelog sink only; drives the every-Nth compaction)
+        # (changelog sink only): count for the fixed period, ROWS for
+        # the size trigger; plus the last full snapshot's row count
         self._since_full = 0
+        self._delta_rows_since_full = 0
+        self._last_full_rows = 0
         if sink_path:
             committed = committed_batches(sink_path)
             self._seen = set(committed)
             if committed:
                 self.state = self._load_state(committed)
+
+    @property
+    def _changelog(self) -> bool:
+        return self.compact_every is not None or self.compact_ratio is not None
 
     # -- subclass hooks: the lifecycle (replay skip, foreign-commit
     # adoption, snapshot-sink write order) is THE protocol and lives
@@ -181,18 +201,18 @@ class CounterMonitor:
         holds deltas, and reading its latest partition as if it were a
         full snapshot would silently FORGET every keeper claim outside
         the last batch (and then persist the loss on the next write) —
-        so resuming it without ``compact_every`` raises instead. The
-        reverse switch (snapshot sink resumed WITH ``compact_every``)
+        so resuming it without a changelog option raises instead. The
+        reverse switch (snapshot sink resumed WITH a changelog option)
         is safe and needs no guard: marker-less partitions all fold as
         deltas, and folding full snapshots as deltas is exactly the
         crash-window absorption the idempotent merge provides."""
-        if self.compact_every is None:
+        if not self._changelog:
             if os.path.exists(self._changelog_marker_path()):
                 raise ValueError(
                     f"sink {self.sink_path} was written in changelog "
-                    "mode (compact_every): its latest partition is a "
-                    "DELTA, not the state. Resume with compact_every "
-                    "set, or compact the sink first."
+                    "mode (compact_every/compact_ratio): its latest "
+                    "partition is a DELTA, not the state. Resume with "
+                    "a changelog option, or compact the sink first."
                 )
             return self._load_snapshot(max(committed))
         fulls = [
@@ -201,11 +221,17 @@ class CounterMonitor:
         ]
         base = max(fulls) if fulls else None
         state = self._read_partition(base) if base is not None else None
+        if self.compact_ratio is not None:
+            self._last_full_rows = state.count() if state is not None else 0
         pending = sorted(b for b in committed if base is None or b > base)
+        rows = 0
         for b in pending:
             delta = self._read_partition(b)
+            if self.compact_ratio is not None:
+                rows += delta.count()
             state = delta if state is None else self._merge(state, delta)
         self._since_full = len(pending)
+        self._delta_rows_since_full = rows
         return state.localCheckpoint(eager=True)
 
     def process(self, batch: DataFrame, batch_id: int) -> None:
@@ -226,7 +252,7 @@ class CounterMonitor:
                 self._seen.update(committed)
                 return
         delta = self.partials_fn(batch)
-        if self.compact_every is not None and self.sink_path is not None:
+        if self._changelog and self.sink_path is not None:
             # changelog sink: the delta is both the sink record and a
             # merge input — materialize once, reuse for both
             delta = delta.localCheckpoint(eager=True)
@@ -237,29 +263,49 @@ class CounterMonitor:
         new_state = merged.localCheckpoint(eager=True)
         if self.sink_path is not None:
             part = f"{self.sink_path}/batch_id={batch_id}"
-            if self.compact_every is not None:
+            if self._changelog:
                 # sink-level mode marker, BEFORE the first partition
-                # commit: a later resume without compact_every must be
-                # able to tell this sink holds deltas (see _load_state)
+                # commit: a later resume without a changelog option
+                # must be able to tell this sink holds deltas (see
+                # _load_state)
                 os.makedirs(self.sink_path, exist_ok=True)
                 with open(self._changelog_marker_path(), "w"):
                     pass
-            write_full = (
-                self.compact_every is None
-                or self._since_full + 1 >= self.compact_every
-            )
+            if not self._changelog:
+                write_full = True
+                d_rows = 0
+            elif self.compact_every is not None:
+                write_full = self._since_full + 1 >= self.compact_every
+                d_rows = 0
+            else:
+                # size trigger: compact when the un-folded delta rows
+                # reach compact_ratio × the last full snapshot — the
+                # doubling argument makes TOTAL sink work linear in
+                # stream length (each state-sized run of deltas buys
+                # one state-sized full), vs the fixed period's
+                # |state|/N-per-batch quadratic term
+                d_rows = delta.count()  # checkpointed: a cheap count
+                write_full = (
+                    self._last_full_rows == 0
+                    or self._delta_rows_since_full + d_rows
+                    >= self.compact_ratio * self._last_full_rows
+                )
             if write_full:
                 # parquet FIRST, _FULL marker second: a crash in
                 # between leaves a committed partition that restart
                 # folds as a delta holding the whole state — absorbed
                 # exactly by the idempotent merge this mode requires
                 new_state.write.mode("overwrite").parquet(part)
-                if self.compact_every is not None:
+                if self._changelog:
                     with open(self._full_marker_path(batch_id), "w"):
                         pass
                     self._since_full = 0
+                    self._delta_rows_since_full = 0
+                    if self.compact_ratio is not None:
+                        self._last_full_rows = new_state.count()
             else:
                 delta.write.mode("overwrite").parquet(part)
                 self._since_full += 1
+                self._delta_rows_since_full += d_rows
         self.state = new_state
         self._seen.add(batch_id)

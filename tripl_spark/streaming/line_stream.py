@@ -64,6 +64,7 @@ class StreamingLineDedup(CounterMonitor):
         spark: SparkSession,
         sink_path: str | None = None,
         compact_every: int | None = None,
+        compact_ratio: float | None = None,
     ) -> None:
         super().__init__(
             spark,
@@ -72,6 +73,7 @@ class StreamingLineDedup(CounterMonitor):
             state_schema=_STATE_SCHEMA,
             sink_path=sink_path,
             compact_every=compact_every,
+            compact_ratio=compact_ratio,
         )
 
     def _merge(self, state: DataFrame, delta: DataFrame) -> DataFrame:

@@ -63,6 +63,7 @@ class StreamingUrlDedup(CounterMonitor):
         spark: SparkSession,
         sink_path: str | None = None,
         compact_every: int | None = None,
+        compact_ratio: float | None = None,
     ) -> None:
         super().__init__(
             spark,
@@ -71,6 +72,7 @@ class StreamingUrlDedup(CounterMonitor):
             state_schema=_STATE_SCHEMA,
             sink_path=sink_path,
             compact_every=compact_every,
+            compact_ratio=compact_ratio,
         )
 
     def _merge(self, state: DataFrame, delta: DataFrame) -> DataFrame:
