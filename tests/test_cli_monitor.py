@@ -147,21 +147,85 @@ def test_monitor_missing_source_is_loud(spark, tmp_path, capsys):
 
 
 def test_monitor_refuses_checkpoint_sink_mismatch(spark, sf_small, tmp_path, capsys):
-    """The review-found drop mode: re-running against the same sink
-    with a DIFFERENT checkpoint restarts batch ids at 0, which the
-    sink's replay skip would silently swallow — the recorded
-    checkpoint identity in the sink must refuse the run."""
+    """The review-found drop modes, all three directions of the
+    lockstep pairing: (a) same sink + different checkpoint, (b) same
+    sink + same checkpoint PATH but deleted-and-recreated checkpoint
+    (batch ids restart at 0 — the path-identity bypass), (c) fresh
+    sink + old checkpoint (drains nothing, sink stays empty). Only
+    the original intact pair may resume."""
+    import shutil
+
     docs = load_table(spark, sf_small, "documents")
     src = str(tmp_path / "src")
     _write_source(docs, src, n_files=2)
-    base = [
-        "monitor", "--family", "quality", "--source", src,
-        "--sink", str(tmp_path / "sink"),
-    ]
-    assert main(base + ["--checkpoint", str(tmp_path / "ckpt1")]) == 0
+    sink = str(tmp_path / "sink")
+    ckpt1 = str(tmp_path / "ckpt1")
+    base = ["monitor", "--family", "quality", "--source", src, "--sink", sink]
+    assert main(base + ["--checkpoint", ckpt1]) == 0
+    # (a) different checkpoint path
     rc = main(base + ["--checkpoint", str(tmp_path / "ckpt2")])
     assert rc == 2
     err = capsys.readouterr().err
     assert "checkpoint" in err and "fresh sink" in err
-    # same checkpoint still resumes fine
-    assert main(base + ["--checkpoint", str(tmp_path / "ckpt1")]) == 0
+    # same intact pair still resumes fine
+    assert main(base + ["--checkpoint", ckpt1]) == 0
+    # (c) old checkpoint against a FRESH sink: would drain nothing
+    rc = main([
+        "monitor", "--family", "quality", "--source", src,
+        "--sink", str(tmp_path / "sink_b"), "--checkpoint", ckpt1,
+    ])
+    assert rc == 2
+    assert "different sink" in capsys.readouterr().err
+    # (b) delete + recreate the checkpoint AT THE SAME PATH
+    shutil.rmtree(ckpt1)
+    rc = main(base + ["--checkpoint", ckpt1])
+    assert rc == 2
+    assert "deleted or recreated" in capsys.readouterr().err
+
+
+def test_monitor_rejects_both_compaction_flags(spark, tmp_path, capsys):
+    rc = main([
+        "monitor", "--family", "line-dedup", "--source", str(tmp_path / "s"),
+        "--sink", str(tmp_path / "k"), "--checkpoint", str(tmp_path / "c"),
+        "--compact-every", "3", "--compact-ratio", "1.0",
+    ])
+    assert rc == 2
+    assert "not both" in capsys.readouterr().err
+
+
+def test_monitor_changelog_resume_without_flag_is_clean_rc2(
+    spark, sf_small, tmp_path, capsys
+):
+    """Resuming a changelog sink without a changelog flag hits the
+    library mode guard — the CLI must surface it as stderr + rc 2,
+    not a ValueError traceback."""
+    docs = load_table(spark, sf_small, "documents").select(
+        "doc_id", _dup_url_col().alias("url")
+    )
+    src = str(tmp_path / "src")
+    _write_source(docs, src, n_files=2)
+    base = [
+        "monitor", "--family", "url-dedup", "--source", src,
+        "--sink", str(tmp_path / "sink"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+    ]
+    assert main(base + ["--compact-every", "2"]) == 0
+    rc = main(base)  # no changelog flag: the sink holds deltas
+    assert rc == 2
+    assert "changelog" in capsys.readouterr().err
+
+
+def test_monitor_failed_probe_does_not_pin_sink(spark, tmp_path, capsys):
+    """A run that dies at the source probe must NOT write pairing
+    markers — otherwise a retry with a corrected source and a fresh
+    checkpoint would be falsely refused on an empty sink."""
+    sink = str(tmp_path / "sink")
+    rc = main([
+        "monitor", "--family", "pii", "--source", str(tmp_path / "absent"),
+        "--sink", sink, "--checkpoint", str(tmp_path / "c1"),
+    ])
+    assert rc == 1
+    capsys.readouterr()
+    import os as _os
+
+    assert not _os.path.exists(_os.path.join(sink, "_CHECKPOINT"))

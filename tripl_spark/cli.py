@@ -283,6 +283,77 @@ def ingest(args: argparse.Namespace) -> TripleStore:
     return TripleStore.loads(args.inputs, id_attrs=args.id_attrs)
 
 
+def _lockstep_ids(sink: str, checkpoint: str) -> tuple[str, str, str | None, str | None]:
+    """Paths and current contents of the sink/checkpoint pairing
+    markers (None where absent)."""
+    sm = os.path.join(sink, "_CHECKPOINT")
+    cm = os.path.join(checkpoint, "_TRIPL_SINK_PAIR")
+    s_id = open(sm).read().strip() if os.path.exists(sm) else None
+    c_id = open(cm).read().strip() if os.path.exists(cm) else None
+    return sm, cm, s_id, c_id
+
+
+def _lockstep_error(sink: str, checkpoint: str) -> str | None:
+    """Sink and checkpoint must stay in LOCKSTEP: the sink's replay
+    skip trusts stream batch ids, and batch ids are the checkpoint's.
+    A shared pairing id lives in BOTH directories, so every way the
+    pair can fall apart is caught — not just a changed --checkpoint
+    path: deleting and recreating the checkpoint AT THE SAME PATH
+    (the common stale-checkpoint cleanup) restarts batch ids at 0,
+    which the sink would silently swallow; reusing an old checkpoint
+    with a FRESH sink drains nothing and leaves it empty. Pure
+    os.path checks — runs before any Spark work."""
+    sm, cm, s_id, c_id = _lockstep_ids(sink, checkpoint)
+    if s_id is None and c_id is None:
+        return None  # fresh pair — markers written after the probe
+    # legacy pair (pre-pairing-id marker recorded the checkpoint
+    # abspath): same checkpoint path → accept, upgraded at pair time
+    if s_id == os.path.abspath(checkpoint) and c_id is None:
+        return None
+    if s_id == c_id:
+        return None
+    if s_id is not None and c_id is None:
+        return (
+            f"tripl monitor: sink {sink} is paired with a checkpoint "
+            "that no longer carries its pairing marker — the "
+            "checkpoint was deleted or recreated, so stream batch ids "
+            "would restart at 0 and the sink's replay skip would "
+            "silently drop the new batches. Restore the original "
+            "checkpoint, or start a fresh sink."
+        )
+    if c_id is not None and s_id is None:
+        return (
+            f"tripl monitor: checkpoint {checkpoint} already drained "
+            "into a different sink — against this fresh sink it would "
+            "skip every already-processed source file and leave the "
+            "sink empty. Use a fresh checkpoint with a fresh sink."
+        )
+    return (
+        f"tripl monitor: sink {sink} and checkpoint {checkpoint} "
+        "belong to different runs (pairing ids differ). Reuse the "
+        "original pair, or start both fresh."
+    )
+
+
+def _lockstep_pair(sink: str, checkpoint: str) -> None:
+    """Write (or upgrade) the shared pairing id in both directories.
+    Called only after validation passed and the source probe
+    succeeded — a run that fails before draining must not pin an
+    empty sink to a checkpoint."""
+    import uuid
+
+    sm, cm, s_id, c_id = _lockstep_ids(sink, checkpoint)
+    if s_id is not None and s_id == c_id:
+        return
+    pair = uuid.uuid4().hex
+    os.makedirs(sink, exist_ok=True)
+    os.makedirs(checkpoint, exist_ok=True)
+    with open(sm, "w") as fp:
+        fp.write(pair)
+    with open(cm, "w") as fp:
+        fp.write(pair)
+
+
 def run_monitor(args: argparse.Namespace) -> int:
     """``tripl monitor``: one availableNow drain of a parquet file
     stream through a monitor family, state snapshotted to the sink.
@@ -304,73 +375,78 @@ def run_monitor(args: argparse.Namespace) -> int:
             file=sys.stderr,
         )
         return 2
+    if args.compact_every is not None and args.compact_ratio is not None:
+        print(
+            "tripl monitor: pass --compact-every (fixed period) OR "
+            "--compact-ratio (size-triggered), not both",
+            file=sys.stderr,
+        )
+        return 2
+    # lockstep validation FIRST: pure path checks, before the Spark
+    # session spins up or the monitor folds any sink state
+    err = _lockstep_error(args.sink, args.checkpoint)
+    if err is not None:
+        print(err, file=sys.stderr)
+        return 2
     spark = get_spark("tripl_monitor")
-    if args.family == "quality":
-        from tripl_spark.streaming.quality_stream import StreamingQualityMonitor
-
-        mon = StreamingQualityMonitor(spark, sink_path=args.sink)
-        view = mon.scorecard
-    elif args.family == "pii":
-        from tripl_spark.streaming.pii_stream import StreamingPIIMonitor
-
-        mon = StreamingPIIMonitor(spark, sink_path=args.sink)
-        view = mon.prevalence
-    elif args.family == "mojibake":
-        from tripl_spark.streaming.mojibake_stream import StreamingMojibakeMonitor
-
-        mon = StreamingMojibakeMonitor(spark, sink_path=args.sink)
-        view = mon.prevalence
-    elif args.family == "domain":
-        from tripl_spark.streaming.url_stream import StreamingDomainMonitor
-
-        mon = StreamingDomainMonitor(spark, sink_path=args.sink, raw_urls=True)
-        view = mon.prevalence
-    elif args.family == "line-dedup":
-        from tripl_spark.streaming.line_stream import StreamingLineDedup
-
-        mon = StreamingLineDedup(
-            spark, sink_path=args.sink, compact_every=args.compact_every,
-            compact_ratio=args.compact_ratio,
-        )
-        view = None
-    else:  # url-dedup
-        from tripl_spark.streaming.url_dedup_stream import StreamingUrlDedup
-
-        mon = StreamingUrlDedup(
-            spark, sink_path=args.sink, compact_every=args.compact_every,
-            compact_ratio=args.compact_ratio,
-        )
-        view = None
-    # sink and checkpoint must stay in LOCKSTEP: the sink's replay
-    # skip trusts batch ids, and a fresh/changed checkpoint restarts
-    # them at 0 — the drain would then treat the new files' batches as
-    # already committed and silently drop their rows. Record the
-    # checkpoint identity in the sink and refuse a mismatch.
-    ckpt_id = os.path.abspath(args.checkpoint)
-    os.makedirs(args.sink, exist_ok=True)
-    ckpt_marker = os.path.join(args.sink, "_CHECKPOINT")
-    if os.path.exists(ckpt_marker):
-        prior = open(ckpt_marker).read().strip()
-        if prior != ckpt_id:
-            print(
-                f"tripl monitor: sink {args.sink} was written under "
-                f"checkpoint {prior}; this run's checkpoint "
-                f"({ckpt_id}) would restart stream batch ids at 0 and "
-                "the sink's replay skip would silently drop the new "
-                "batches. Reuse the original checkpoint, or start a "
-                "fresh sink.",
-                file=sys.stderr,
-            )
-            return 2
-    else:
-        with open(ckpt_marker, "w") as fp:
-            fp.write(ckpt_id)
+    # probe BEFORE pairing: a run that dies here must not pin an
+    # empty sink to this checkpoint
     try:
         schema = spark.read.parquet(args.source).schema
     except Exception as exc:
         print(f"tripl monitor: cannot probe source schema: {exc}",
               file=sys.stderr)
         return 1
+    try:
+        if args.family == "quality":
+            from tripl_spark.streaming.quality_stream import (
+                StreamingQualityMonitor,
+            )
+
+            mon = StreamingQualityMonitor(spark, sink_path=args.sink)
+            view = mon.scorecard
+        elif args.family == "pii":
+            from tripl_spark.streaming.pii_stream import StreamingPIIMonitor
+
+            mon = StreamingPIIMonitor(spark, sink_path=args.sink)
+            view = mon.prevalence
+        elif args.family == "mojibake":
+            from tripl_spark.streaming.mojibake_stream import (
+                StreamingMojibakeMonitor,
+            )
+
+            mon = StreamingMojibakeMonitor(spark, sink_path=args.sink)
+            view = mon.prevalence
+        elif args.family == "domain":
+            from tripl_spark.streaming.url_stream import StreamingDomainMonitor
+
+            mon = StreamingDomainMonitor(
+                spark, sink_path=args.sink, raw_urls=True
+            )
+            view = mon.prevalence
+        elif args.family == "line-dedup":
+            from tripl_spark.streaming.line_stream import StreamingLineDedup
+
+            mon = StreamingLineDedup(
+                spark, sink_path=args.sink, compact_every=args.compact_every,
+                compact_ratio=args.compact_ratio,
+            )
+            view = None
+        else:  # url-dedup
+            from tripl_spark.streaming.url_dedup_stream import StreamingUrlDedup
+
+            mon = StreamingUrlDedup(
+                spark, sink_path=args.sink, compact_every=args.compact_every,
+                compact_ratio=args.compact_ratio,
+            )
+            view = None
+    except ValueError as exc:
+        # library-level mode guards (changelog sink resumed without a
+        # changelog option, bad ratio, ...) — the CLI's clean contract
+        # is stderr + rc 2, never a traceback
+        print(f"tripl monitor: {exc}", file=sys.stderr)
+        return 2
+    _lockstep_pair(args.sink, args.checkpoint)
     reader = spark.readStream.schema(schema)
     if args.max_files_per_trigger:
         reader = reader.option(

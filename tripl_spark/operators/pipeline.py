@@ -911,21 +911,13 @@ def _admission_oracle() -> str:
         BLOCKED_TLDS,
         DOMAIN_QUOTA_K,
         _COMPONENTS_SQL,
-        _ROBOTS_VALUES_SQL,
+        _ROBOTS_WINNER_SQL,
     )
 
     bd = ", ".join(f"('{d}', '{r}')" for d, r in BLOCKED_DOMAINS)
     bt = ", ".join(f"('{t}', '{r}')" for t, r in BLOCKED_TLDS)
     return f"""
-    WITH d AS ({_COMPONENTS_SQL}),
-    m AS (SELECT d.doc_id, r.allow, r.rule_id,
-                 row_number() OVER (PARTITION BY d.doc_id
-                     ORDER BY length(r.prefix) DESC, r.allow DESC,
-                              r.rule_id) AS rn
-          FROM d JOIN (VALUES {_ROBOTS_VALUES_SQL})
-                   AS r(rhost, prefix, allow, rule_id)
-            ON d.host = r.rhost AND starts_with(d.path, r.prefix)),
-    w AS (SELECT doc_id, allow FROM m WHERE rn = 1),
+    WITH d AS ({_COMPONENTS_SQL}),{_ROBOTS_WINNER_SQL},
     pre AS (
       SELECT d.doc_id, d.reg_domain, d.n_chars,
              CASE WHEN NOT COALESCE(w.allow, TRUE) THEN 'robots'

@@ -896,15 +896,7 @@ _ROBOTS_WINNER_SQL = f"""
     WITH d AS (SELECT doc_id, {_HOST_SQL} AS host,
                       regexp_extract({_FULL_URL_SQL},
                           '^([a-z]+)://([^/?#]+)([^?#]*)', 3) AS path
-               FROM documents),
-    rules(rhost, prefix, allow, rule_id) AS (VALUES {_ROBOTS_VALUES_SQL}),
-    m AS (SELECT d.doc_id, r.allow, r.rule_id,
-                 row_number() OVER (PARTITION BY d.doc_id
-                     ORDER BY length(r.prefix) DESC, r.allow DESC,
-                              r.rule_id) AS rn
-          FROM d JOIN rules r
-            ON d.host = r.rhost AND starts_with(d.path, r.prefix)),
-    w AS (SELECT doc_id, rule_id, allow FROM m WHERE rn = 1)
+               FROM documents),{_ROBOTS_WINNER_SQL}
     SELECT d.doc_id, d.host, d.path,
            CAST(w.rule_id AS BIGINT) AS rule_id,
            COALESCE(w.allow, TRUE) AS allowed
