@@ -1,0 +1,145 @@
+"""Round-15 optimization equivalence gates.
+
+Each test pins an optimization that changed an operator's INTERNALS
+(never its output): the JVM-literal local frames, the vectorized
+media hashing, and the restructured PII span scan. Output equality is
+asserted against the pre-optimization reference computed in-test;
+end-to-end value parity stays with the DuckDB gates in
+test_oracle_parity.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from tripl_spark.operators import media_codecs as mc
+from tripl_spark.session import local_df
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# -- local_df ≡ createDataFrame ------------------------------------------------
+
+
+def _assert_frames_equal(a, b):
+    assert [f.name for f in a.schema.fields] == [f.name for f in b.schema.fields]
+    assert [f.dataType for f in a.schema.fields] == [f.dataType for f in b.schema.fields]
+    ra = sorted(map(str, a.collect()))
+    rb = sorted(map(str, b.collect()))
+    assert ra == rb
+
+
+def test_local_df_simple(spark):
+    rows = [("a.com", "blocked:ads"), ("b.com", None), (None, "x")]
+    schema = "dom string, reason string"
+    _assert_frames_equal(
+        spark.createDataFrame(rows, schema), local_df(spark, rows, schema)
+    )
+
+
+def test_local_df_array_and_numeric(spark):
+    rows = [(0, [1.0, 2.5]), (1, [3.0, -4.0])]
+    schema = "cid int, cv array<double>"
+    _assert_frames_equal(
+        spark.createDataFrame(rows, schema), local_df(spark, rows, schema)
+    )
+
+
+def test_local_df_struct_array(spark):
+    rows = [("h1", [("/p", True, 1), ("/q", False, 2)]), ("h2", [])]
+    schema = "rhost string, rules array<struct<prefix:string,allow:boolean,rule_id:bigint>>"
+    _assert_frames_equal(
+        spark.createDataFrame(rows, schema), local_df(spark, rows, schema)
+    )
+
+
+def test_local_df_empty(spark):
+    out = local_df(spark, [], "e string, v string")
+    assert out.count() == 0
+    assert out.schema == spark.createDataFrame([], "e string, v string").schema
+
+
+def test_local_df_large_falls_back(spark):
+    rows = [(i, f"s{i}") for i in range(300)]
+    schema = "i bigint, s string"
+    out = local_df(spark, rows, schema, max_local=256)
+    _assert_frames_equal(spark.createDataFrame(rows, schema), out)
+
+
+def test_local_df_plan_has_no_python_rdd(spark):
+    """The point of local_df: no pickled-Python RDD scan in the plan."""
+    plan = local_df(
+        spark, [("x", "y")], "a string, b string"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan
+
+
+# -- vectorized media hashing ≡ per-frame reference loop ----------------------
+
+
+def _reference_dhash(w: int, h: int, px: bytes, dw: int = 9, dh: int = 8) -> str:
+    small = mc.resize_nearest(w, h, px, dw, dh)
+    arr = np.frombuffer(small, dtype=np.uint8).reshape(dh, dw, 3)
+    gray = arr.astype(np.int64).sum(axis=2) // 3
+    bits = (gray[:, 1:] > gray[:, :-1]).astype(np.uint8)
+    return "".join("1" if b else "0" for b in bits.ravel())
+
+
+def test_video_frame_dhashes_match_reference(spark):
+    from tripl_spark.operators.multimodal import video_frame_dhashes, video_table
+
+    videos = video_table(spark, SF_DIR)
+    got = {
+        (r["doc_id"], r["frame_idx"]): r["dhash"]
+        for r in video_frame_dhashes(videos).collect()
+    }
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in videos.collect()}
+    assert payloads, "empty fixture"
+    for doc_id, payload in payloads.items():
+        frames = mc.decode_frames(payload)
+        assert len(frames) == 1 + doc_id % 8
+        for i, (w, h, px) in enumerate(frames):
+            assert got[(doc_id, i)] == _reference_dhash(w, h, px)
+
+
+def test_image_dhash_matches_reference(spark):
+    from tripl_spark.operators.multimodal import image_dhash, image_table
+
+    images = image_table(spark, SF_DIR)
+    got = {r["doc_id"]: r["dhash"] for r in image_dhash(images).collect()}
+    for r in images.collect():
+        w, h, px = mc.decode_image(bytes(r["payload"]))
+        assert got[r["doc_id"]] == _reference_dhash(w, h, px)
+
+
+def test_video_table_payloads_are_real_ppm_streams(spark):
+    """The vectorized synthesis must emit byte-identical containers to
+    the per-frame encode_ppm loop."""
+    from tripl_spark.operators.multimodal import (
+        FRAME_H,
+        FRAME_W,
+        _frame_pixels,
+        video_table,
+    )
+
+    for r in video_table(spark, SF_DIR).collect():
+        n = 1 + r["doc_id"] % 8
+        expect = b"".join(
+            mc.encode_ppm(FRAME_W, FRAME_H, _frame_pixels(r["doc_id"], f))
+            for f in range(n)
+        )
+        assert bytes(r["payload"]) == expect
+        assert r["n_frames"] == n
+
+
+# -- restructured PII span scan stays map-only --------------------------------
+
+
+def test_pii_spans_plan_stays_shuffle_free(spark):
+    from tripl_spark.queries.registry import all_queries
+
+    df = all_queries()["text_pii_spans"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan

@@ -48,6 +48,7 @@ from tripl_spark.core.schema import CARD_MANY, CARD_ONE, SchemaRegistry, base_sc
 from tripl_spark.functions.namespaces import some
 from tripl_spark.plans import match as match_plan
 from tripl_spark.plans import pull as pull_plan
+from tripl_spark.session import local_df
 
 FACTS_SCHEMA = T.StructType(
     [
@@ -280,8 +281,8 @@ class TripleStore:
             vtype, v_str, v_num, v_bool = typed_value(v, is_ref=False)
             keys.append((str(e), a, _vkey_py(vtype, v_str, v_num, v_bool)))
         df = self.facts_df()
-        tomb = self.spark.createDataFrame(
-            keys, T.StructType([
+        tomb = local_df(
+            self.spark, keys, T.StructType([
                 T.StructField("te", T.StringType()),
                 T.StructField("ta", T.StringType()),
                 T.StructField("tv", T.StringType()),
@@ -350,7 +351,7 @@ class TripleStore:
     def facts_df(self) -> DataFrame:
         """All appended triples (bag, pre-compaction)."""
         if self._pending:
-            new = self.spark.createDataFrame(self._pending, FACTS_SCHEMA)
+            new = local_df(self.spark, self._pending, FACTS_SCHEMA)
             self._df = new if self._df is None else self._df.unionByName(new)
             self._pending = []
         assert self._df is not None
@@ -555,8 +556,8 @@ class TripleStore:
 
             from tripl_spark.plans.pull_df import pull_json_df, pull_json_paths_df
 
-            roots = self.spark.createDataFrame(
-                [(e,) for e in sorted(set(eids))], "e string"
+            roots = local_df(
+                self.spark, [(e,) for e in sorted(set(eids))], "e string"
             )
             if self._expr_is_flat(pull_expr):
                 rows = pull_json_df(
@@ -606,8 +607,8 @@ class TripleStore:
         if isinstance(eids_or_pattern, dict):
             roots = self.match_df(eids_or_pattern)
         else:
-            roots = self.spark.createDataFrame(
-                [(str(e),) for e in eids_or_pattern], "e string"
+            roots = local_df(
+                self.spark, [(str(e),) for e in eids_or_pattern], "e string"
             )
         if self._expr_is_flat(pull_expr):
             # flat: one render per node, no path expansion needed

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
 from tripl_spark.queries.registry import query
-from tripl_spark.session import load_table
+from tripl_spark.session import load_table, local_df
 
 LR = 1.0  # learning rate (features are bounded, so 1.0 is stable)
 N_FEATURES = 4  # bias, stopword_ratio, punct_ratio, saturated length
@@ -165,7 +165,10 @@ def classifier_logreg_2step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly two gradient steps of the is-English classifier from
     w = 0: per-step weight vector and pre-update mean log-loss."""
     feats = doc_features(load_table(spark, sf_dir, "documents"))
-    return spark.createDataFrame(logreg_fit(feats, n_steps=2))
+    return local_df(
+        spark, logreg_fit(feats, n_steps=2),
+        "step bigint, " + ", ".join(f"w{i} double" for i in range(N_FEATURES)) + ", loss double",
+    )
 
 
 QUALITY_TRAIN_STEPS = 20
@@ -228,7 +231,10 @@ def classifier_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """20 gradient steps; emits the per-step loss curve, which must be
     non-increasing (asserted in tests)."""
     feats = doc_features(load_table(spark, sf_dir, "documents"))
-    return spark.createDataFrame(logreg_fit(feats, n_steps=QUALITY_TRAIN_STEPS))
+    return local_df(
+        spark, logreg_fit(feats, n_steps=QUALITY_TRAIN_STEPS),
+        "step bigint, " + ", ".join(f"w{i} double" for i in range(N_FEATURES)) + ", loss double",
+    )
 
 
 def score_docs(docs: DataFrame, w: list[float]) -> DataFrame:
@@ -341,7 +347,7 @@ def classifier_linear_probe_2step(spark: SparkSession, sf_dir: str) -> DataFrame
             Row(step=step, dim=i + 1, w=nw[i], loss=loss) for i in range(PROBE_DIM)
         )
         w0, w = nw0, nw
-    return spark.createDataFrame(out)
+    return local_df(spark, out, "step bigint, dim bigint, w double, loss double")
 
 
 @query(

@@ -29,7 +29,10 @@ from tripl_spark.session import load_table
 
 
 def _centroid_frame(spark: SparkSession, centroids: list[list[float]]) -> DataFrame:
-    return spark.createDataFrame(
+    from tripl_spark.session import local_df
+
+    return local_df(
+        spark,
         [(i, list(map(float, c))) for i, c in enumerate(centroids)],
         "cid int, cv array<double>",
     )

@@ -119,21 +119,34 @@ def video_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     container stand-in), 1 + doc_id % 8 frames each."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
+    # one numpy broadcast computes every frame of every doc in the
+    # batch (guide §4.2: hand whole batches to vectorized native code;
+    # the per-frame Python loop was ~1.5 ms/frame of pure interpreter
+    # overhead). The emitted bytes are identical to the per-frame
+    # encode_ppm loop: header + 48 RGB bytes per frame, concatenated.
+    header = np.frombuffer(b"P6 %d %d 255\n" % (FRAME_W, FRAME_H), dtype=np.uint8)
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids = pdf["doc_id"].tolist()
-            payloads, counts = [], []
-            for doc_id in ids:
-                n = 1 + doc_id % 8
-                payloads.append(
-                    b"".join(
-                        mc.encode_ppm(FRAME_W, FRAME_H, _frame_pixels(doc_id, f))
-                        for f in range(n)
-                    )
-                )
-                counts.append(n)
+            ids = pdf["doc_id"].to_numpy()
+            if len(ids) == 0:
+                yield pd.DataFrame({"doc_id": [], "n_frames": [], "payload": []})
+                continue
+            counts = 1 + ids % 8
+            doc_rep = np.repeat(ids, counts)
+            f_rep = np.concatenate([np.arange(n) for n in counts])
+            j = np.arange(FRAME_W * FRAME_H * 3, dtype=np.int64)
+            px = (
+                (doc_rep[:, None] * 31 + f_rep[:, None] * 13 + j[None, :] * 7) % 256
+            ).astype(np.uint8)
+            frames = np.hstack([np.tile(header, (len(doc_rep), 1)), px])
+            flat = frames.tobytes()
+            fsz = frames.shape[1]
+            ends = np.cumsum(counts) * fsz
+            starts = ends - counts * fsz
+            payloads = [flat[s:e] for s, e in zip(starts, ends)]
             yield pd.DataFrame(
-                {"doc_id": ids, "n_frames": counts, "payload": payloads}
+                {"doc_id": ids, "n_frames": counts.astype("int32"), "payload": payloads}
             )
 
     return docs.repartition(docs.sparkSession.sparkContext.defaultParallelism).mapInPandas(
@@ -388,16 +401,33 @@ def image_dhash(images: DataFrame) -> DataFrame:
     as a 64-char '0'/'1' string (production would pack to int64; the
     string keeps the SQL oracle and banding trivially exact)."""
 
+    # decode (format dispatch + header parse) stays row-wise — the
+    # honest parse — but resize/grayscale/gradient run one numpy pass
+    # per (w, h) group of the batch and the bit string is built by
+    # byte arithmetic, same vectorization as video_frame_dhashes
+    # (guide §4.2: batch the raster math, don't loop rows in Python).
+    n_bits = DHASH_H * (DHASH_W - 1)
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            hashes = []
-            for payload in pdf["payload"]:
-                w, h, px = mc.decode_image(bytes(payload))
-                small = mc.resize_nearest(w, h, px, DHASH_W, DHASH_H)
-                arr = np.frombuffer(small, dtype=np.uint8).reshape(DHASH_H, DHASH_W, 3)
-                gray = arr.astype(np.int64).sum(axis=2) // 3
-                bits = (gray[:, 1:] > gray[:, :-1]).astype(np.uint8)  # 8x8
-                hashes.append("".join("1" if b else "0" for b in bits.ravel()))
+            decoded = [mc.decode_image(bytes(p)) for p in pdf["payload"]]
+            by_dims: dict[tuple[int, int], list[int]] = {}
+            for k, (w, h, _) in enumerate(decoded):
+                by_dims.setdefault((w, h), []).append(k)
+            hashes: list[str | None] = [None] * len(decoded)
+            for (w, h), ks in by_dims.items():
+                arr = np.frombuffer(
+                    b"".join(decoded[k][2] for k in ks), dtype=np.uint8
+                ).reshape(len(ks), h, w, 3)
+                ys = (np.arange(DHASH_H) * h) // DHASH_H
+                xs = (np.arange(DHASH_W) * w) // DHASH_W
+                small = arr[:, ys][:, :, xs]
+                gray = small.astype(np.int64).sum(axis=3) // 3
+                bits = (gray[:, :, 1:] > gray[:, :, :-1]).astype(np.uint8)
+                chars = (bits.reshape(len(ks), n_bits) + ord("0")).astype(np.uint8)
+                flat = chars.tobytes()
+                for j, k in enumerate(ks):
+                    hashes[k] = flat[j * n_bits:(j + 1) * n_bits].decode("ascii")
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "dhash": hashes})
 
     return images.mapInPandas(op, schema="doc_id long, dhash string")
@@ -423,7 +453,20 @@ def image_near_dup_pairs(
     on >= 1 whole band), equi-join per band with the degenerate-bucket
     cap (solid-color images share one dHash — uncapped, that class is
     an O(class²) join), verify exact Hamming JVM-side (zip_with over
-    char arrays — candidates only, never all-pairs)."""
+    char arrays — candidates only, never all-pairs).
+
+    The hash frame is persisted for the duration of THIS call: the
+    band relation is consumed THREE times (bucket-cap aggregate + both
+    join sides), and unpersisted each consumer re-ran the full
+    decode+dhash Python pass (guide §5 caching rule: reused AND
+    expensive to recompute). The (small) pair result is eagerly
+    materialized via localCheckpoint, so no MEMORY_AND_DISK block
+    outlives the call — the same lifecycle contract as
+    video_near_dup_pairs / minhash_dedup."""
+    from pyspark import StorageLevel
+
+    cached = hashes.persist(StorageLevel.MEMORY_AND_DISK)
+    hashes = cached
     bands = hashes.select(
         "doc_id", "dhash",
         F.explode(
@@ -466,11 +509,15 @@ def image_near_dup_pairs(
         F.lit(0),
         lambda s, z: s + z,
     )
-    return (
-        cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    try:
+        return (
+            cand.withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        cached.unpersist()
 
 
 def _dhash_oracle() -> str:
@@ -739,7 +786,16 @@ def audio_near_dup_pairs(
     dHash's 16-bit bands: 65,536 keys per band keep a uniform corpus's
     buckets tiny, so the cap only fires on content-degenerate classes
     (silence, constant tones) — measured uncapped-uniform alpha_work
-    ~= 1 in SCALE.md (vs 1.96 under the old 8-bit keys)."""
+    ~= 1 in SCALE.md (vs 1.96 under the old 8-bit keys).
+
+    Same persist/checkpoint lifecycle as image_near_dup_pairs: the
+    band relation is consumed three times, so the fingerprint frame is
+    persisted for this call only and the small pair result is eagerly
+    checkpointed before the cache is released."""
+    from pyspark import StorageLevel
+
+    cached = fps.persist(StorageLevel.MEMORY_AND_DISK)
+    fps = cached
     bands = fps.select(
         "doc_id", "fingerprint",
         F.explode(
@@ -784,11 +840,15 @@ def audio_near_dup_pairs(
         F.lit(0),
         lambda s, z: s + z,
     )
-    return (
-        cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    try:
+        return (
+            cand.withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        cached.unpersist()
 
 
 def _audio_neardup_oracle() -> str:
@@ -869,21 +929,47 @@ def video_frame_dhashes(videos: DataFrame) -> DataFrame:
     of the concatenated-PPM container (1→N mapInPandas: output
     cardinality = total frames)."""
 
+    # container walk (header parse per frame) stays row-wise — that IS
+    # the honest decode — but the raster math runs one numpy pass per
+    # (w, h) group of the whole batch instead of per frame, and the
+    # 64-char bit string is built by byte arithmetic instead of a
+    # Python generator join (guide §4.2; the per-frame loop measured
+    # ~1.5 ms/frame — ~34 s of task time for the sf0.1 video corpus).
+    n_bits = DHASH_H * (DHASH_W - 1)
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "dhash": []}
+            metas: list[tuple] = []  # (doc_id, frame_idx, w, h, px)
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 for i, (w, h, px) in enumerate(mc.decode_frames(bytes(payload))):
-                    small = mc.resize_nearest(w, h, px, DHASH_W, DHASH_H)
-                    arr = np.frombuffer(small, dtype=np.uint8).reshape(
-                        DHASH_H, DHASH_W, 3
-                    )
-                    gray = arr.astype(np.int64).sum(axis=2) // 3
-                    bits = (gray[:, 1:] > gray[:, :-1]).astype(np.uint8)
-                    out["doc_id"].append(doc_id)
-                    out["frame_idx"].append(i)
-                    out["dhash"].append("".join("1" if b else "0" for b in bits.ravel()))
-            yield pd.DataFrame(out)
+                    metas.append((doc_id, i, w, h, px))
+            if not metas:
+                yield pd.DataFrame({"doc_id": [], "frame_idx": [], "dhash": []})
+                continue
+            by_dims: dict[tuple[int, int], list[int]] = {}
+            for k, (_, _, w, h, _) in enumerate(metas):
+                by_dims.setdefault((w, h), []).append(k)
+            hashes: list[str | None] = [None] * len(metas)
+            for (w, h), ks in by_dims.items():
+                arr = np.frombuffer(
+                    b"".join(metas[k][4] for k in ks), dtype=np.uint8
+                ).reshape(len(ks), h, w, 3)
+                ys = (np.arange(DHASH_H) * h) // DHASH_H
+                xs = (np.arange(DHASH_W) * w) // DHASH_W
+                small = arr[:, ys][:, :, xs]
+                gray = small.astype(np.int64).sum(axis=3) // 3
+                bits = (gray[:, :, 1:] > gray[:, :, :-1]).astype(np.uint8)
+                chars = (bits.reshape(len(ks), n_bits) + ord("0")).astype(np.uint8)
+                flat = chars.tobytes()
+                for j, k in enumerate(ks):
+                    hashes[k] = flat[j * n_bits:(j + 1) * n_bits].decode("ascii")
+            yield pd.DataFrame(
+                {
+                    "doc_id": [m[0] for m in metas],
+                    "frame_idx": [m[1] for m in metas],
+                    "dhash": hashes,
+                }
+            )
 
     return videos.mapInPandas(op, schema="doc_id long, frame_idx int, dhash string")
 
@@ -1024,27 +1110,41 @@ def multimodal_video_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame
     band match is just a candidate that still needs the Hamming
     verify. Oracle unchanged: the recursive closure over the verified
     pair list reaches exactly the same components."""
+    from pyspark import StorageLevel
+
+    # fh feeds BOTH the bucket aggregate and the star join probe side;
+    # unpersisted, each consumer re-ran the full synth+decode+hash
+    # Python chain (two 32-task ArrowEvalPython passes, measured ~half
+    # the query's task time). Persist for THIS call only: the star
+    # edges are materialized inside connected_components' eager edge
+    # checkpoint before the cache is released — the same lifecycle
+    # contract as video_near_dup_pairs (guide §5 caching rule).
     fh = (
         video_frame_dhashes(video_table(spark, sf_dir))
         .select("doc_id", "dhash")
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    small = (
-        fh.groupBy("dhash")
-        .agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.min("doc_id").alias("root"),
+    try:
+        small = (
+            fh.groupBy("dhash")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.min("doc_id").alias("root"),
+            )
+            .filter(F.col("_n") <= 1000)  # the multimodal_video_neardup cap
+            .select("dhash", "root")
         )
-        .filter(F.col("_n") <= 1000)  # the multimodal_video_neardup cap
-        .select("dhash", "root")
-    )
-    stars = (
-        fh.join(small, "dhash")
-        .filter(F.col("doc_id") != F.col("root"))
-        .select(F.col("root").alias("id_a"), F.col("doc_id").alias("id_b"))
-        .distinct()
-    )
-    return dedup_groups_over_pairs(spark, sf_dir, stars)
+        stars = (
+            fh.join(small, "dhash")
+            .filter(F.col("doc_id") != F.col("root"))
+            .select(F.col("root").alias("id_a"), F.col("doc_id").alias("id_b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        return dedup_groups_over_pairs(spark, sf_dir, stars)
+    finally:
+        fh.unpersist()
 
 
 SCENE_CUT_BITS = 4  # Hamming threshold between consecutive frame hashes

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from tripl_spark.queries.registry import query
-from tripl_spark.session import load_table
+from tripl_spark.session import load_table, local_df
 
 DIM = 64
 COV_SLICE = 16  # oracled expression-path slice (136 triangle entries)
@@ -199,8 +199,8 @@ def explained_variance_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         (c + 1, float(w[c]), round(float(w[c]) / total, 6))
         for c in range(len(w))
     ]
-    return spark.createDataFrame(
-        rows, "component int, eigenvalue double, explained_ratio double"
+    return local_df(
+        spark, rows, "component int, eigenvalue double, explained_ratio double"
     )
 
 
@@ -257,7 +257,8 @@ def sim_pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # law driver-side, then emit the ONE trace for both columns, which
     # is exactly what the oracle does.
     assert abs(float(np.sum(w)) - trace) < 1e-9 * max(1.0, abs(trace))
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(DIM, round(trace, 5) + 0.0, round(trace, 5) + 0.0)],
         "n_components long, eigen_sum double, total_variance double",
     )

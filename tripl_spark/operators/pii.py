@@ -424,20 +424,36 @@ def text_pii_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumed."""
     docs = load_table(spark, sf_dir, "documents")
     enriched = docs.select("doc_id", _enriched_text().alias("t"))
-    stage: Column = F.coalesce(F.col("t"), F.lit(""))
-    structs = []
-    for name, pat, token in PII_CLASSES:
-        matches = F.regexp_extract_all(stage, F.lit(pat), F.lit(0))
-        first_off = (F.regexp_instr(stage, F.lit(pat)) - 1).cast("long")
-        structs.append(
-            F.struct(
-                F.lit(name).alias("pii_class"),
-                F.size(matches).cast("long").alias("n"),
-                first_off.alias("first_off"),
-                F.array_join(matches, "|").alias("spans"),
-            )
+    # every regex rides COLUMNS of child projections instead of living
+    # inside the inline() generator: Generate expressions get no
+    # whole-stage-codegen subexpression elimination, so the original
+    # generator-resident form re-evaluated each staged replace chain
+    # per struct field — measured 5.2 s -> 1.4 s at sf0.1 for the
+    # identical output (guide §1 empirical loop; §4 per-task work).
+    # Stage i's text (earlier classes already replaced) is t{i}; the
+    # per-class matches/offset are m{i}/o{i}; the generator then only
+    # assembles literals and plain attributes.
+    cur = enriched.select("doc_id", F.coalesce(F.col("t"), F.lit("")).alias("t0"))
+    for i, (_, pat, token) in enumerate(PII_CLASSES[:-1]):
+        cur = cur.withColumn(
+            f"t{i + 1}", F.regexp_replace(F.col(f"t{i}"), pat, token)
         )
-        stage = F.regexp_replace(stage, pat, token)
-    return enriched.select("doc_id", F.inline(F.array(*structs))).filter(
+    for i, (_, pat, _) in enumerate(PII_CLASSES):
+        stage = F.col(f"t{i}")
+        cur = cur.withColumn(
+            f"m{i}", F.regexp_extract_all(stage, F.lit(pat), F.lit(0))
+        ).withColumn(
+            f"o{i}", (F.regexp_instr(stage, F.lit(pat)) - 1).cast("long")
+        )
+    structs = [
+        F.struct(
+            F.lit(name).alias("pii_class"),
+            F.size(F.col(f"m{i}")).cast("long").alias("n"),
+            F.col(f"o{i}").alias("first_off"),
+            F.array_join(F.col(f"m{i}"), "|").alias("spans"),
+        )
+        for i, (name, _, _) in enumerate(PII_CLASSES)
+    ]
+    return cur.select("doc_id", F.inline(F.array(*structs))).filter(
         F.col("n") > 0
     )

@@ -36,7 +36,7 @@ from tripl_spark.operators.text import (
     quality_score_sql,
 )
 from tripl_spark.queries.registry import query
-from tripl_spark.session import load_table
+from tripl_spark.session import load_table, local_df
 
 QUALITY_CUT = 0.5
 QUOTA_PER_STRATUM = 30
@@ -868,10 +868,10 @@ def pipeline_provenance_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         pii_total.alias("n_pii"),
     )
     bd = F.broadcast(
-        spark.createDataFrame(BLOCKED_DOMAINS, "dom string, d_reason string")
+        local_df(spark, BLOCKED_DOMAINS, "dom string, d_reason string")
     )
     bt = F.broadcast(
-        spark.createDataFrame(BLOCKED_TLDS, "btld string, t_reason string")
+        local_df(spark, BLOCKED_TLDS, "btld string, t_reason string")
     )
     flagged = (
         base.join(bd, base.reg_domain == bd.dom, "left")
@@ -985,10 +985,10 @@ def pipeline_crawl_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = robots_winner(F.col("path"), F.col("rules"))
     robots_deny = ~F.coalesce(best["allow"], F.lit(True))
     bd = F.broadcast(
-        spark.createDataFrame(BLOCKED_DOMAINS, "dom string, d_reason string")
+        local_df(spark, BLOCKED_DOMAINS, "dom string, d_reason string")
     )
     bt = F.broadcast(
-        spark.createDataFrame(BLOCKED_TLDS, "btld string, t_reason string")
+        local_df(spark, BLOCKED_TLDS, "btld string, t_reason string")
     )
     flagged = (
         j.join(bd, j.reg_domain == bd.dom, "left")

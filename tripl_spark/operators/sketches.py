@@ -316,7 +316,9 @@ def quantile_estimates(
         F.sum("weight").over(w_glob).alias("cumw"),
         F.sum("weight").over(Window.partitionBy()).alias("total"),
     )
-    probes = vals.sparkSession.createDataFrame([(p,) for p in probs], "q double")
+    from tripl_spark.session import local_df
+
+    probes = local_df(vals.sparkSession, [(p,) for p in probs], "q double")
     w_pick = Window.partitionBy("q").orderBy("cumw", "value", "id")
     return (
         F.broadcast(probes)

@@ -301,14 +301,17 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
     )
     freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    total = tok.count()
+    # corpus token total as an in-plan broadcast scalar, not a driver
+    # .count() at construction time (guide §5) — arithmetic unchanged
+    totalf = tok.agg(F.count(F.lit(1)).alias("__tt"))
     return (
         tok.join(F.broadcast(freq), "term")
+        .crossJoin(F.broadcast(totalf))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.round(
-                F.sum(F.log(F.col("c") * 1.0 / total)) / F.count(F.lit(1)), 4
+                F.sum(F.log(F.col("c") * 1.0 / F.col("__tt"))) / F.count(F.lit(1)), 4
             ).alias("avg_logprob"),
         )
     )
@@ -409,17 +412,26 @@ def bigram_logprob_scores(docs: DataFrame) -> DataFrame:
     uni = toks.select(F.explode("t").alias("term"))
     c1 = uni.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
     c2 = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
-    vsz = uni.select(F.countDistinct("term")).first()[0]
+    # the vocabulary size stays IN-PLAN as a broadcast 1-row frame (a
+    # scalar-subquery shape) instead of a blocking driver .first() —
+    # the old form ran a full tokenize+distinct job at DataFrame
+    # CONSTRUCTION time, before the real query even started, in every
+    # pipeline composing this LM (guide §5: the driver does no data
+    # work; same treatment pagerank's dangling mass already got). The
+    # arithmetic is unchanged: c1 + 0.5 * vsz in double either way.
+    vszf = uni.agg(F.countDistinct("term").alias("__vsz"))
     prev = F.split(F.col("bg"), " ")[0]
     return (
         big.join(F.broadcast(c2), "bg")
         .withColumn("term", prev)
         .join(F.broadcast(c1), "term")
+        .crossJoin(F.broadcast(vszf))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             (F.round(
-                F.sum(F.log((F.col("c2") + BIGRAM_ALPHA) / (F.col("c1") + BIGRAM_ALPHA * vsz)))
+                F.sum(F.log((F.col("c2") + BIGRAM_ALPHA)
+                            / (F.col("c1") + BIGRAM_ALPHA * F.col("__vsz"))))
                 / F.count(F.lit(1)),
                 4,
             ) + F.lit(0.0)).alias("avg_logprob"),

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tripl_spark.queries.registry import query
-from tripl_spark.session import load_table
+from tripl_spark.session import load_table, local_df
 
 TOP_PAIRS = 20
 N_MERGES = 10
@@ -199,7 +199,8 @@ def tokenizer_bpe_2merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     merges = learn_bpe([(r["term"], r["cnt"]) for r in wc], n_merges=2)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(m["rank"], m["left"], m["right"], m["merged"], m["weight"]) for m in merges],
         "rank long, left string, right string, merged string, weight long",
     )
@@ -222,7 +223,8 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     merges = learn_bpe([(r["term"], r["cnt"]) for r in wc])
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(m["rank"], m["left"], m["right"], m["merged"], m["weight"]) for m in merges],
         "rank long, left string, right string, merged string, weight long",
     )

@@ -43,7 +43,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tripl_spark.queries.registry import query
-from tripl_spark.session import load_table
+from tripl_spark.session import load_table, local_df
 
 # public-suffix-lite RULE TABLE (r15 — replaces the r14 1-tuple): each
 # row is (suffix, wildcard). A non-wildcard row names a 2-label public
@@ -179,9 +179,7 @@ def registered_domain(
 def suffix_rules_df(spark: SparkSession) -> DataFrame:
     """The public-suffix rule table as a broadcastable dimension —
     (suffix, wildcard) rows; the full PSL swaps in as data."""
-    return spark.createDataFrame(
-        PUBLIC_SUFFIX_RULES, "suffix string, wildcard boolean"
-    )
+    return local_df(spark, PUBLIC_SUFFIX_RULES, "suffix string, wildcard boolean")
 
 
 def attach_registered_domain(df: DataFrame, host_col: str = "host") -> DataFrame:
@@ -359,10 +357,10 @@ def url_blocklist_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     u = url_components(docs, _url_col())
     bd = F.broadcast(
-        u.sparkSession.createDataFrame(BLOCKED_DOMAINS, "dom string, d_reason string")
+        local_df(u.sparkSession, BLOCKED_DOMAINS, "dom string, d_reason string")
     )
     bt = F.broadcast(
-        u.sparkSession.createDataFrame(BLOCKED_TLDS, "btld string, t_reason string")
+        local_df(u.sparkSession, BLOCKED_TLDS, "btld string, t_reason string")
     )
     return (
         u.join(bd, u.reg_domain == bd.dom, "left")
@@ -847,7 +845,8 @@ def robots_rules_df(spark: SparkSession) -> DataFrame:
     for h, p, a, i in ROBOTS_RULES:
         by_host.setdefault(h, []).append((p, a, i))
     return F.broadcast(
-        spark.createDataFrame(
+        local_df(
+            spark,
             list(by_host.items()),
             "rhost string, rules array<struct<"
             "prefix:string,allow:boolean,rule_id:bigint>>",

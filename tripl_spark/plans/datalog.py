@@ -626,7 +626,9 @@ def eval_rules(
     for pred in preds:
         if pred not in known:
             spark = facts.sparkSession
-            known[pred] = spark.createDataFrame([], "e string, v string")
+            from tripl_spark.session import local_df
+
+            known[pred] = local_df(spark, [], "e string, v string")
         known[pred] = known[pred].localCheckpoint(eager=True)
         delta[pred] = known[pred]
 

@@ -54,6 +54,7 @@ from pyspark.sql import types as T
 
 from tripl_spark.core.flatten import decode_value
 from tripl_spark.core.schema import SchemaRegistry
+from tripl_spark.session import local_df
 from tripl_spark.functions.namespaces import reverse_lookup
 
 RECUR = "..."
@@ -125,7 +126,7 @@ class PullRun:
                 continue
             self._fetched.update((pos.pos, n) for n in nodes)
             nodes_df = F.broadcast(
-                self.spark.createDataFrame([(n,) for n in nodes], _NODE_SCHEMA)
+                local_df(self.spark, [(n,) for n in nodes], _NODE_SCHEMA)
             )
             self._fetch_attrs(pos, nodes_df)
             child_frontiers = self._fetch_edges(pos, nodes_df, nodes)

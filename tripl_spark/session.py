@@ -59,6 +59,53 @@ def get_spark(app_name: str = "tripl_spark", cpus: int | None = None) -> SparkSe
     return spark
 
 
+def local_df(spark: SparkSession, rows, schema, max_local: int = 256) -> DataFrame:
+    """Small local dimension/result frame as a pure-JVM literal relation.
+
+    ``spark.createDataFrame(list, schema)`` parallelizes the rows as a
+    pickled Python RDD across ``defaultParallelism`` slices — every
+    materialization (each broadcast build, each collect) then runs one
+    Python-worker task PER SLICE: 32 tasks for a 3-row blocklist on
+    local[32], measured ~175 ms each, so a query with two literal
+    dimensions pays ~11 s of task time building 6 rows (guide §4: every
+    Python crossing costs; §5: the driver/Python should do no data
+    work). Building the same rows as an ``inline``'d literal array
+    keeps the whole relation in the JVM — zero Python workers, zero
+    scheduler fan-out — and Catalyst constant-folds it into an in-plan
+    literal. Values and schema (names, types) are identical to the
+    ``createDataFrame`` result (nullability flags may differ; nothing
+    row-valued depends on them). Falls back to ``createDataFrame``
+    above ``max_local`` rows: literal plans do not scale to data-sized
+    input, and a dimension that big should arrive as a real table.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    rows = rows if isinstance(rows, list) else list(rows)
+    if len(rows) > max_local:
+        return spark.createDataFrame(rows, schema)
+    struct = schema if isinstance(schema, T.StructType) else T.StructType.fromDDL(schema)
+    if not rows:
+        return spark.range(0, 0, 1, 1).select(
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in struct.fields]
+        )
+
+    def lit_of(v, dt: T.DataType):
+        if v is None:
+            return F.lit(None).cast(dt)
+        if isinstance(dt, T.ArrayType):
+            return F.array(*[lit_of(x, dt.elementType) for x in v]).cast(dt)
+        if isinstance(dt, T.StructType):
+            vals = list(v.values()) if isinstance(v, dict) else list(v)
+            return F.struct(
+                *[lit_of(x, f.dataType).alias(f.name) for x, f in zip(vals, dt.fields)]
+            )
+        return F.lit(v).cast(dt)
+
+    arr = F.array(*[lit_of(r, struct) for r in rows])
+    return spark.range(0, 1, 1, 1).select(F.inline(arr))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (columnar parquet → pushdown-friendly scan).
 
