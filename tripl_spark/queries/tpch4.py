@@ -53,10 +53,6 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     by partkey instead of a rescan per outer row, which is the only
     shape that survives at 100 TB. All dimension sides broadcast."""
     li = load_table(spark, sf_dir, "lineitem")
-    ps = li.groupBy(
-        F.col("l_partkey").alias("ps_partkey"),
-        F.col("l_suppkey").alias("ps_suppkey"),
-    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"))
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_size") == 5) & (F.col("p_type") == "ECONOMY")
     )
@@ -68,6 +64,27 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("s_suppkey", "s_acctbal", "s_name", "n_name")
     )
+    # broadcast SEMI-join prefilters on the fact scan (guide §3.2):
+    # only ECONOMY size-5 parts and ASIA suppliers survive the later
+    # inner joins, and both predicates are highly selective — dropping
+    # the non-matching lineitem rows BEFORE the (partkey, suppkey)
+    # aggregation shrinks its shuffle by the product of both
+    # selectivities. min() per surviving group is unchanged, so the
+    # result (and the oracle hash) is identical; Catalyst cannot push
+    # an inner join below a grouping key-compatible aggregate itself.
+    li_f = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    ).join(
+        F.broadcast(asia_supp.select("s_suppkey")),
+        li.l_suppkey == F.col("s_suppkey"),
+        "left_semi",
+    )
+    ps = li_f.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"))
     cand = ps.join(F.broadcast(asia_supp), ps.ps_suppkey == F.col("s_suppkey"))
     w = Window.partitionBy("ps_partkey")
     best = cand.withColumn("min_cost", F.min("ps_supplycost").over(w)).filter(
