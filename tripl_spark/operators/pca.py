@@ -357,42 +357,76 @@ def lsh_recall_rows(
     Scale shape: the panel is broadcast; candidates are bucket-pruned
     (~n/2^planes per query); the compare join touches ≤ 2·|panel|·k
     rows. ``bucketed`` must carry (vec_id, v, bucket)."""
+    return _lsh_recall_rows_multi(
+        bucketed.withColumn("variant", F.lit(variant)), exact, [variant]
+    )
+
+
+def _lsh_recall_rows_multi(
+    bucketed: DataFrame, exact: DataFrame, variants: list[str]
+) -> DataFrame:
+    """`lsh_recall_rows` generalized to a variant-TAGGED union of
+    bucketed indexes: one broadcast probe join (panel rows of every
+    variant in one build), one top-k window partitioned by
+    (variant, query_id), and ONE compare join against the exact ground
+    truth — so the exact-kNN subtree (the brute-force pair join) is
+    planned and executed once however many indexes are being A/B'd,
+    instead of once per union branch. Per-variant rows are identical
+    to the single-index form: the probe join adds a variant-equality
+    conjunct, and the window partition key gains the variant column,
+    so ranking within (variant, query) is unchanged."""
     from pyspark.sql import Window
 
     from tripl_spark.operators.similarity import TOP_K, cosine
 
     q = bucketed.filter(F.col("vec_id") < _N_QUERIES()).select(
+        F.col("variant").alias("qvar"),
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("bucket").alias("qb"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    w = Window.partitionBy("qvar", "query_id").orderBy(F.desc("cosine"), "neighbor_id")
     approx = (
         bucketed.join(
             F.broadcast(q),
-            (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("query_id")),
+            (F.col("variant") == F.col("qvar"))
+            & (F.col("bucket") == F.col("qb"))
+            & (F.col("vec_id") != F.col("query_id")),
         )
         .select(
+            "qvar",
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             (F.round(cosine(F.col("qv"), F.col("v")), 4) + F.lit(0.0)).alias("cosine"),
         )
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
-        .select(F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an"))
+        .select(
+            F.col("qvar").alias("avar"),
+            F.col("query_id").alias("aq"),
+            F.col("neighbor_id").alias("an"),
+        )
+    )
+    from tripl_spark.session import local_df
+
+    vdim = local_df(
+        exact.sparkSession, [(v,) for v in variants], "variant string"
     )
     return (
-        exact.join(
+        exact.crossJoin(F.broadcast(vdim))
+        .join(
             approx,
-            (F.col("query_id") == F.col("aq")) & (F.col("neighbor_id") == F.col("an")),
+            (F.col("variant") == F.col("avar"))
+            & (F.col("query_id") == F.col("aq"))
+            & (F.col("neighbor_id") == F.col("an")),
             "left",
         )
-        .groupBy("query_id")
+        .groupBy("variant", "query_id")
         .agg(
             F.count("an").cast("long").alias("n_hits"),
             F.round(F.count("an") * 1.0 / TOP_K, 4).alias("recall_at_k"),
         )
-        .select(F.lit(variant).alias("variant"), "query_id", "n_hits", "recall_at_k")
+        .select("variant", "query_id", "n_hits", "recall_at_k")
     )
 
 
@@ -416,7 +450,9 @@ def whitened_vs_raw_lsh_recall(
     from tripl_spark.operators.similarity import bucket_key
 
     cov, mu, _n = covariance_matrix(covariance_partials(emb))
-    raw_b = emb.withColumn("bucket", bucket_key(F.col("v")))
+    raw_b = emb.withColumn("bucket", bucket_key(F.col("v"))).withColumn(
+        "variant", F.lit("raw")
+    )
     white = whiten(
         emb.withColumn("v_raw", F.col("v")), cov, mu,
         keep=["vec_id", "v_raw"],
@@ -424,11 +460,21 @@ def whitened_vs_raw_lsh_recall(
     # two steps, no shadowing: bucket from the whitened `v` first, THEN
     # rename the raw vector to the `v` slot lsh_recall_rows scores on —
     # correctness must not ride on select-binding order
-    white_b = white.select(
-        "vec_id", bucket_key(F.col("v")).alias("bucket"), "v_raw"
-    ).withColumnRenamed("v_raw", "v")
-    return lsh_recall_rows(raw_b, exact, "raw").unionByName(
-        lsh_recall_rows(white_b, exact, "whitened")
+    white_b = (
+        white.select("vec_id", bucket_key(F.col("v")).alias("bucket"), "v_raw")
+        .withColumnRenamed("v_raw", "v")
+        .withColumn("variant", F.lit("whitened"))
+    )
+    # both indexes ride ONE probe/compare pass as a variant-tagged
+    # union: the exact brute-force ground-truth subtree used to be
+    # re-planned (and re-executed) under each union branch — one
+    # BroadcastNestedLoopJoin + top-k window pair per variant; now it
+    # feeds a single compare join (one exact subtree in the plan)
+    cols = ["variant", "vec_id", "v", "bucket"]
+    return _lsh_recall_rows_multi(
+        raw_b.select(*cols).unionByName(white_b.select(*cols)),
+        exact,
+        ["raw", "whitened"],
     )
 
 
