@@ -117,11 +117,16 @@ def test_heavy_hitter_counts_are_partial_aggs(spark, sf_small):
 
 def test_semantic_dedup_pairs_only_within_clusters(spark, sf_small):
     # the pair stage must be an equi-join on cid (never a corpus
-    # cross-product), and the trained codebook must broadcast for
-    # assignment
+    # cross-product); assignment is a map-only literal-codebook
+    # expression (r15) so the plan needs NO broadcast and NO
+    # assignment shuffle — the pair stage's single corpus exchange is
+    # the cid repartition, reused by both join sides and the
+    # cluster-size cap window
     plan = _plan(spark, sf_small, "dedup_semantic_clusters")
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "hashpartitioning(cid" in plan, plan
+    assert "hashpartitioning(vec_id" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
 def test_weighted_sample_is_take_ordered(spark, sf_small):

@@ -143,3 +143,73 @@ def test_pii_spans_plan_stays_shuffle_free(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# -- literal-codebook k-means assignment ≡ join/min_by assignment -------------
+
+
+def _emb(spark):
+    from tripl_spark.session import load_table
+
+    return load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+def test_literal_assignment_matches_join_assignment(spark):
+    """The map-only literal-codebook path (r15) must reproduce the
+    join+min_by path row-for-row: same winner, same rounded distance,
+    same (d2, cid) tie-break — on the real embeddings."""
+    from tripl_spark.operators.clustering import (
+        _assign_literal,
+        _assign_round,
+        kmeans_2iter_centroid_rows,
+        kmeans_2iter_centroids,
+    )
+
+    emb = _emb(spark)
+    rows = kmeans_2iter_centroid_rows(emb)
+    cent_df = kmeans_2iter_centroids(emb)
+    old = sorted(map(tuple, _assign_round(emb, cent_df).collect()))
+    new = sorted(map(tuple, _assign_literal(emb, rows).collect()))
+    assert old == new
+
+
+def test_literal_probe_matches_ranked_probe(spark):
+    """_probe_literal (array_sort slice) ≡ _assign_all_ranked rn<=nprobe."""
+    from tripl_spark.operators.clustering import (
+        KM_IVF_NPROBE,
+        _assign_all_ranked,
+        _probe_literal,
+        kmeans_2iter_centroid_rows,
+        kmeans_2iter_centroids,
+    )
+
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 7)
+    rows = kmeans_2iter_centroid_rows(emb)
+    cent_df = kmeans_2iter_centroids(emb)
+    old = sorted(
+        (r["vec_id"], r["cid"])
+        for r in _assign_all_ranked(q, cent_df)
+        .filter(F.col("rn") <= KM_IVF_NPROBE)
+        .collect()
+    )
+    new = sorted(
+        (r["vec_id"], r["cid"]) for r in _probe_literal(q, rows, KM_IVF_NPROBE).collect()
+    )
+    assert old == new
+
+
+def test_semantic_assignment_plan_has_no_shuffle_or_broadcast(spark):
+    """dedup_semantic_clusters' only Exchange is the cid repartition of
+    the pair stage: assignment and training leave no vec_id shuffle and
+    no codebook broadcast in the plan."""
+    from tripl_spark.queries.registry import all_queries
+
+    df = all_queries()["dedup_semantic_clusters"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(vec_id" not in plan
+    assert "hashpartitioning(cid" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan

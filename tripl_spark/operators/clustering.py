@@ -107,7 +107,12 @@ def _assign_round(emb: DataFrame, cent: DataFrame) -> DataFrame:
     the aggregate partial-combines map-side, so the one shuffle moves
     at most one candidate row per (vector, partition) instead of all
     k scored rows, and there is no per-vector sort. ``v`` rides in the
-    payload struct (constant per vec_id, any winner carries it)."""
+    payload struct (constant per vec_id, any winner carries it).
+
+    This is the DataFrame-codebook variant (streaming keeps it: its
+    codebook is a checkpointed frame reused across micro-batches).
+    Batch query paths use ``_assign_literal`` — same argmin over a
+    DRIVER-RESIDENT codebook, zero Exchange."""
     scored = emb.join(F.broadcast(cent)).select(
         "vec_id", "v", "cid",
         F.round(_ssq(F.col("v"), F.col("cv")), 4).alias("d2"),
@@ -118,6 +123,57 @@ def _assign_round(emb: DataFrame, cent: DataFrame) -> DataFrame:
         ).alias("b")
     )
     return best.select("vec_id", "b.v", "b.cid", "b.d2")
+
+
+CentroidRows = list[tuple[int, list[float]]]
+
+
+def _lit_vec(cv: list[float]) -> F.Column:
+    return F.array(*[F.lit(float(x)) for x in cv])
+
+
+def _score_array(cents: CentroidRows) -> F.Column:
+    """array<struct<d2,cid>>: the rounded squared distance from ``v``
+    to every centroid of a driver-resident codebook, cid-ordered.
+    Struct field order (d2 first, cid second) makes the array's
+    lexicographic element ordering exactly the oracle's
+    ``ORDER BY d2, cid`` — so ``array_min`` IS the assignment argmin
+    and ``array_sort`` IS the probe ranking."""
+    return F.array(*[
+        F.struct(
+            F.round(_ssq(F.col("v"), _lit_vec(cv)), 4).alias("d2"),
+            F.lit(int(cid)).cast("long").alias("cid"),
+        )
+        for cid, cv in cents
+    ])
+
+
+def _assign_literal(emb: DataFrame, cents: CentroidRows) -> DataFrame:
+    """Map-only twin of ``_assign_round``: the codebook (k×d doubles —
+    the only global state, and tiny) is embedded as literal arrays, so
+    assignment is a per-row expression with ZERO Exchange. Distances,
+    rounding, and the (d2, cid) tie-break are the identical expressions
+    — the collected centroid doubles re-enter bit-exact via ``lit``.
+
+    The join+min_by shape shuffled the full corpus once per
+    consumption (and the semantic pair stage consumes its assignment
+    three times); at 100 TB this is the difference between a map stage
+    and three corpus shuffles. Returns (vec_id, v, cid, d2)."""
+    best = F.array_min(_score_array(cents))
+    return emb.select(
+        "vec_id", "v", best["cid"].alias("cid"), best["d2"].alias("d2")
+    )
+
+
+def _probe_literal(emb: DataFrame, cents: CentroidRows, nprobe: int) -> DataFrame:
+    """Map-only twin of the ``_assign_all_ranked``/``rn <= nprobe``
+    probe: rank all k rounded distances in-row (``array_sort`` over the
+    (d2, cid) structs = the oracle's row_number ordering) and explode
+    only the first ``nprobe``. Returns (vec_id, v, cid)."""
+    ranked = F.slice(F.array_sort(_score_array(cents)), 1, nprobe)
+    return emb.select(
+        "vec_id", "v", F.explode(ranked).alias("_s")
+    ).select("vec_id", "v", F.col("_s.cid").alias("cid"))
 
 
 # SQL CTEs replaying the seeded iteration-1 Lloyd step (shared by the
@@ -171,18 +227,45 @@ def _lists_cte(with_d2: bool = False) -> str:
     )"""
 
 
-def kmeans_2iter_centroids(emb: DataFrame) -> DataFrame:
-    """(cid, cv) — the iteration-1 updated centroids from deterministic
-    seeds (first K2 vectors), 6-dp-rounded: the Spark twin of the
-    ``KMEANS2_CTES`` c1 relation."""
-    c0 = emb.filter(F.col("vec_id") < K2).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+def kmeans_2iter_centroid_rows(emb: DataFrame) -> CentroidRows:
+    """[(cid, cv)] — the iteration-1 updated centroids from
+    deterministic seeds (first K2 vectors), 6-dp-rounded, materialized
+    on the DRIVER (k×d doubles — the textbook k-means round trip; the
+    module docstring's 'only global state, and tiny').
+
+    Two bounded jobs: a k-row seed collect (pushed ``vec_id < k``
+    filter), then the literal-assigned iteration-1 update — a map-only
+    assignment into ONE k-group aggregate — collected as k rows. The
+    old shape paid a broadcast Exchange plus a full-corpus
+    ``groupBy(vec_id)`` shuffle for the same training pass."""
+    seeds = sorted(
+        (int(r["vec_id"]), list(r["v"]))
+        for r in emb.filter(F.col("vec_id") < K2).select("vec_id", "v").collect()
     )
-    a1 = _assign_round(emb, c0)
-    return (
+    a1 = _assign_literal(emb, seeds)
+    c1 = (
         a1.groupBy("cid")
         .agg(*[F.round(F.avg(F.col("v")[i]), 6).alias(f"m{i}") for i in range(EMB_DIM)])
         .select("cid", F.array(*[F.col(f"m{i}") for i in range(EMB_DIM)]).alias("cv"))
+    )
+    return sorted((int(r["cid"]), list(r["cv"])) for r in c1.collect())
+
+
+def kmeans_2iter_centroids(emb: DataFrame) -> DataFrame:
+    """(cid, cv) — the iteration-1 updated centroids from deterministic
+    seeds (first K2 vectors), 6-dp-rounded: the Spark twin of the
+    ``KMEANS2_CTES`` c1 relation. Materializes the rows on the driver
+    (``kmeans_2iter_centroid_rows``) and returns them as a JVM-literal
+    local relation — consumers that keep the DataFrame contract (the
+    streaming class) get a broadcast-ready constant-folded frame with
+    no training subtree left in their plans."""
+    from tripl_spark.session import local_df
+
+    rows = kmeans_2iter_centroid_rows(emb)
+    return local_df(
+        emb.sparkSession,
+        [(cid, cv) for cid, cv in rows],
+        "cid long, cv array<double>",
     )
 
 
@@ -228,7 +311,7 @@ def cluster_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    a2 = _assign_round(emb, kmeans_2iter_centroids(emb))
+    a2 = _assign_literal(emb, kmeans_2iter_centroid_rows(emb))
     return a2.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.round(F.avg("d2"), 4).alias("mean_dist2"),
@@ -290,15 +373,14 @@ def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     # the trained codebook (k×d doubles) feeds BOTH the list assignment
-    # and the query probe; materialize it once or the whole training
-    # subtree (assignment pass + 64 avg aggregates) runs twice
-    cent = kmeans_2iter_centroids(emb).localCheckpoint(eager=True)
-    lists = _assign_round(emb, cent).select("vec_id", "v", "cid")
+    # and the query probe; it lives on the driver (one bounded collect)
+    # so both consumers are map-only literal expressions — no training
+    # subtree, no broadcast Exchange, no assignment shuffle in the plan
+    cents = kmeans_2iter_centroid_rows(emb)
+    lists = _assign_literal(emb, cents).select("vec_id", "v", "cid")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    qprobe = (
-        _assign_all_ranked(queries, cent)
-        .filter(F.col("rn") <= KM_IVF_NPROBE)
-        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cid")
+    qprobe = _probe_literal(queries, cents, KM_IVF_NPROBE).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cid"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
     return (
@@ -404,29 +486,42 @@ def semantic_dedup_pairs(
     pair join — the same degenerate-bucket guard the MinHash LSH path
     applies (a near-duplicate blob or an under-trained codebook can
     funnel a corpus slice into one cid, whose pair stage would expand
-    quadratically). The cluster-size filter is a tiny aggregate
-    broadcast back onto the lists, so the guard costs one map-side
-    combine, not a shuffle. Norms are computed once per vector before
-    the join; each pair then does a single dot product."""
+    quadratically). Norms are computed once per vector before the
+    join; each pair then does a single dot product.
+
+    Shuffle shape: the lists repartition ONCE on cid — the single
+    corpus exchange of the whole pair stage. Both self-join sides and
+    the cluster-size guard (a count window over the cid partition —
+    no separate aggregate job, no broadcast) reuse that one exchange,
+    so the plan is map-only scoring → one Exchange → in-place
+    cap/join. The pre-r15 shape paid a broadcast build plus cid
+    exchanges per join side on top of the assignment shuffle."""
     from tripl_spark.operators.similarity import dot, norm
 
-    lists = assigned.select("vec_id", "v", "cid", norm(F.col("v")).alias("nrm"))
+    lists = assigned.select(
+        "vec_id", "v", "cid", norm(F.col("v")).alias("nrm")
+    ).repartition("cid")
     if max_cluster is not None:
-        small = (
-            lists.groupBy("cid")
-            .agg(F.count(F.lit(1)).alias("_n"))
+        lists = (
+            lists.withColumn(
+                "_n", F.count(F.lit(1)).over(Window.partitionBy("cid"))
+            )
             .filter(F.col("_n") <= max_cluster)
-            .select("cid")
+            .drop("_n")
         )
-        lists = lists.join(F.broadcast(small), "cid")
     a = lists.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "cid"
     )
     b = lists.select(
         F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "cid"
     )
+    # deliberate join strategy: BOTH sides are corpus-sized (each is the
+    # capped lists), so the merge hint pins SortMergeJoin — local-scale
+    # statistics would otherwise auto-broadcast the build side, a plan
+    # that cannot exist at 100 TB. Both sides reuse the single cid
+    # exchange above, so SMJ adds sorts but no further shuffle.
     return (
-        a.join(b, ["cid"])
+        a.hint("merge").join(b, ["cid"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine",
@@ -470,8 +565,9 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact/MinHash dedup uses (operators/dedup_groups.py) to pick
     keepers.
 
-    100 TB shape: the codebook (k×d) broadcasts for assignment — the
-    corpus shuffles ONCE on cid for the self-join; within-cluster
+    100 TB shape: the codebook (k×d) is driver-resident and assignment
+    is a map-only literal expression (zero Exchange) — the corpus
+    shuffles ONCE on cid for the self-join; within-cluster
     all-pairs cost is Σ|cluster|², bounded two ways: choose k by the
     ``codebook_k`` rule (k ≈ n/1000 so clusters stay ~10³ vectors;
     here k=K2 matches the oracled trainer and equals the rule's output
@@ -487,8 +583,9 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cent = kmeans_2iter_centroids(emb).localCheckpoint(eager=True)
-    assigned = _assign_round(emb, cent).select("vec_id", "v", "cid")
+    assigned = _assign_literal(emb, kmeans_2iter_centroid_rows(emb)).select(
+        "vec_id", "v", "cid"
+    )
     return semantic_dedup_pairs(assigned)
 
 
@@ -573,9 +670,18 @@ def semantic_dedup_pairs_arrow(
 # ---------------------------------------------------------------------------
 
 
+def _assign_any(emb: DataFrame, cent: "DataFrame | CentroidRows") -> DataFrame:
+    """Dispatch: a driver-resident [(cid, cv)] codebook takes the
+    map-only literal path; a DataFrame codebook (the streaming class's
+    checkpointed frame) keeps the broadcast-join path."""
+    if isinstance(cent, list):
+        return _assign_literal(emb, cent)
+    return _assign_round(emb, cent)
+
+
 def semantic_index(
     emb: DataFrame,
-    cent: DataFrame,
+    cent: "DataFrame | CentroidRows",
     max_cluster: int | None = SEM_MAX_CLUSTER,
 ) -> DataFrame:
     """(vec_id, v, nrm, cid) — the materializable semantic-dedup index
@@ -594,7 +700,7 @@ def semantic_index(
     class) inherits the bound without its own guard."""
     from tripl_spark.operators.similarity import norm
 
-    idx = _assign_round(emb, cent).select(
+    idx = _assign_any(emb, cent).select(
         "vec_id", "v", "cid", norm(F.col("v")).alias("nrm")
     )
     if max_cluster is not None:
@@ -611,7 +717,7 @@ def semantic_index(
 def semantic_match_new(
     new_emb: DataFrame,
     index: DataFrame,
-    cent: DataFrame,
+    cent: "DataFrame | CentroidRows",
     threshold: float = SEM_THRESHOLD,
 ) -> DataFrame:
     """(new_id, corpus_id, cid, cosine) — incoming vectors matched
@@ -622,7 +728,7 @@ def semantic_match_new(
     against each other."""
     from tripl_spark.operators.similarity import dot, norm
 
-    nw = _assign_round(new_emb, cent).select(
+    nw = _assign_any(new_emb, cent).select(
         F.col("vec_id").alias("new_id"),
         F.col("v").alias("nv"),
         "cid",
@@ -678,10 +784,10 @@ def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cent = kmeans_2iter_centroids(emb).localCheckpoint(eager=True)
+    cents = kmeans_2iter_centroid_rows(emb)
     corpus = emb.filter(F.col("vec_id") % 7 != 0)
     shard = emb.filter(F.col("vec_id") % 7 == 0)
-    return semantic_match_new(shard, semantic_index(corpus, cent), cent)
+    return semantic_match_new(shard, semantic_index(corpus, cents), cents)
 
 
 @query(
@@ -742,8 +848,7 @@ def dedup_semantic_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cent = kmeans_2iter_centroids(emb).localCheckpoint(eager=True)
-    assigned = _assign_round(emb, cent)  # vec_id, v, cid, d2
+    assigned = _assign_literal(emb, kmeans_2iter_centroid_rows(emb))  # vec_id, v, cid, d2
     pairs = semantic_dedup_pairs(assigned.select("vec_id", "v", "cid"))
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     nodes = emb.select(F.col("vec_id").alias("node"))

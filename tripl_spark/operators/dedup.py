@@ -998,8 +998,8 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, and the output is a single aggregated row. Nothing here adds
     a corpus-sized stage beyond the two pipelines themselves."""
     from tripl_spark.operators.clustering import (
-        _assign_round,
-        kmeans_2iter_centroids,
+        _assign_literal,
+        kmeans_2iter_centroid_rows,
         semantic_dedup_pairs,
     )
 
@@ -1012,8 +1012,9 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cent = kmeans_2iter_centroids(emb).localCheckpoint(eager=True)
-    assigned = _assign_round(emb, cent).select("vec_id", "v", "cid")
+    assigned = _assign_literal(emb, kmeans_2iter_centroid_rows(emb)).select(
+        "vec_id", "v", "cid"
+    )
     sem = semantic_dedup_pairs(assigned).select(
         "id_a", "id_b", F.lit(1).alias("in_sem")
     )

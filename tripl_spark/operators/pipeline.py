@@ -169,16 +169,17 @@ def pipeline_semantic_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc⋈embedding equi-join is the one corpus-sized shuffle; the lang
     quota window shuffles only surviving rows."""
     from tripl_spark.operators.clustering import (
-        _assign_round,
-        kmeans_2iter_centroids,
+        _assign_literal,
+        kmeans_2iter_centroid_rows,
         semantic_dedup_pairs,
     )
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cent = kmeans_2iter_centroids(emb).localCheckpoint(eager=True)
-    assigned = _assign_round(emb, cent).select("vec_id", "v", "cid")
+    assigned = _assign_literal(emb, kmeans_2iter_centroid_rows(emb)).select(
+        "vec_id", "v", "cid"
+    )
     pairs = semantic_dedup_pairs(assigned, threshold=SEM_PIPE_THRESHOLD)
     dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
     survivors = emb.select("vec_id").join(F.broadcast(dropped), "vec_id", "left_anti")
@@ -530,8 +531,8 @@ def pipeline_full_curation_bycutoff(spark: SparkSession, sf_dir: str) -> DataFra
 def _full_curation_df(spark: SparkSession, sf_dir: str, bucketing: str) -> DataFrame:
     from tripl_spark.operators.clustering import (
         SEM_THRESHOLD,
-        _assign_round,
-        kmeans_2iter_centroids,
+        _assign_literal,
+        kmeans_2iter_centroid_rows,
         semantic_dedup_pairs,
     )
     from tripl_spark.operators.text import bigram_logprob_scores
@@ -551,8 +552,9 @@ def _full_curation_df(spark: SparkSession, sf_dir: str, bucketing: str) -> DataF
         .select("doc_id")
         .distinct()
     )
-    cent = kmeans_2iter_centroids(emb).localCheckpoint(eager=True)
-    assigned = _assign_round(emb, cent).select("vec_id", "v", "cid")
+    assigned = _assign_literal(emb, kmeans_2iter_centroid_rows(emb)).select(
+        "vec_id", "v", "cid"
+    )
     semdropped = (
         semantic_dedup_pairs(assigned, threshold=SEM_THRESHOLD)
         .select(F.col("id_b").alias("doc_id"))

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from tripl_spark.operators.clustering import (
-    kmeans_2iter_centroids,
+    kmeans_2iter_centroid_rows,
     semantic_index,
     semantic_match_new,
 )
@@ -57,9 +57,11 @@ class StreamingSemanticDedup:
         self.spark = spark
         self.threshold = threshold
         self.sink_path = sink_path
-        # one-time snapshot cost: frozen codebook + checkpointed index
+        # one-time snapshot cost: frozen codebook (k×d doubles held on
+        # the driver — every micro-batch assigns via the map-only
+        # literal path, no per-batch broadcast) + checkpointed index
         # (at scale: a bucketed-by-cid table, see SCALE.md)
-        self.cent = kmeans_2iter_centroids(corpus_emb).localCheckpoint(eager=True)
+        self.cent = kmeans_2iter_centroid_rows(corpus_emb)
         self.index = semantic_index(corpus_emb, self.cent).localCheckpoint(eager=True)
         self.matches: DataFrame | None = None
         self._seen: set[int] = committed_batches(sink_path) if sink_path else set()
