@@ -67,6 +67,63 @@ def test_local_df_large_falls_back(spark):
     _assert_frames_equal(spark.createDataFrame(rows, schema), out)
 
 
+def test_local_df_sql_rendering_is_exact(spark):
+    """The one-F.expr SQL rendering (r15 second session) must be
+    bit-exact vs createDataFrame: escapes (backslash, quote, newline),
+    unicode, NaN / ±Infinity / -0.0 doubles at full precision, NULLs
+    at every nesting level."""
+    import struct as _s
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("s", T.StringType()),
+        T.StructField("d", T.DoubleType()),
+        T.StructField("arr", T.ArrayType(T.DoubleType())),
+        T.StructField("st", T.StructType([
+            T.StructField("x", T.StringType()),
+            T.StructField("y", T.IntegerType()),
+        ])),
+    ])
+    rows = [
+        ("it's a \\ test\nnl\ttab ✓", 1e-300, [1.5, -0.0, float("nan")], ("q'q", 7)),
+        (None, float("inf"), None, (None, None)),
+        ("plain", -1.7976931348623157e308, [0.1 + 0.2], None),
+    ]
+    a = local_df(spark, rows, schema)
+    b = spark.createDataFrame(rows, schema)
+    _assert_frames_equal(b, a)
+
+    def bits(v):
+        return None if v is None else _s.pack(">d", v).hex()
+
+    da = [bits(r["d"]) for r in a.orderBy("d").collect()]
+    db = [bits(r["d"]) for r in b.orderBy("d").collect()]
+    assert da == db
+    aa = [bits(x) for r in a.collect() if r["arr"] for x in r["arr"]]
+    ab = [bits(x) for r in b.collect() if r["arr"] for x in r["arr"]]
+    assert sorted(aa, key=str) == sorted(ab, key=str)
+
+
+def test_local_df_escaped_literals_session_falls_back(spark):
+    """Under spark.sql.parser.escapedStringLiterals=true (legacy parser
+    mode) local_df must still produce exact strings — via the
+    per-column fallback builder."""
+    from tripl_spark.session import _ESCAPED_LITERALS_MEMO
+
+    key = "spark.sql.parser.escapedStringLiterals"
+    old = spark.conf.get(key, "false")
+    try:
+        spark.conf.set(key, "true")
+        _ESCAPED_LITERALS_MEMO.clear()
+        rows = [("a\\b'c\nd", 1)]
+        df = local_df(spark, rows, "s string, n long")
+        assert df.collect()[0]["s"] == "a\\b'c\nd"
+    finally:
+        spark.conf.set(key, old)
+        _ESCAPED_LITERALS_MEMO.clear()
+
+
 def test_local_df_plan_has_no_python_rdd(spark):
     """The point of local_df: no pickled-Python RDD scan in the plan."""
     plan = local_df(

@@ -138,14 +138,27 @@ def _score_array(cents: CentroidRows) -> F.Column:
     Struct field order (d2 first, cid second) makes the array's
     lexicographic element ordering exactly the oracle's
     ``ORDER BY d2, cid`` — so ``array_min`` IS the assignment argmin
-    and ``array_sort`` IS the probe ranking."""
-    return F.array(*[
-        F.struct(
-            F.round(_ssq(F.col("v"), _lit_vec(cv)), 4).alias("d2"),
-            F.lit(int(cid)).cast("long").alias("cid"),
+    and ``array_sort`` IS the probe ranking.
+
+    Rendered as ONE SQL expression string (single ``F.expr`` py4j
+    call): the per-``F.lit`` builder issued k×d+ round trips — 1.4 s
+    of measured driver latency per assignment site at k=8, d=64 —
+    for the same expression tree (centroid doubles re-enter bit-exact
+    via ``repr``'s shortest round-trip decimal through a string cast;
+    the zip_with/aggregate arithmetic is the identical index-order
+    summation ``_ssq`` builds)."""
+    structs = []
+    for cid, cv in cents:
+        arr = ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in cv)
+        d2 = (
+            f"round(aggregate(zip_with(v, array({arr}), "
+            f"(p, q) -> (p - q) * (p - q)), "
+            f"CAST(0.0 AS DOUBLE), (s, z) -> s + z), 4)"
         )
-        for cid, cv in cents
-    ])
+        structs.append(
+            f"named_struct('d2', {d2}, 'cid', CAST({int(cid)} AS BIGINT))"
+        )
+    return F.expr(f"array({', '.join(structs)})")
 
 
 def _assign_literal(emb: DataFrame, cents: CentroidRows) -> DataFrame:

@@ -77,6 +77,17 @@ def local_df(spark: SparkSession, rows, schema, max_local: int = 256) -> DataFra
     row-valued depends on them). Falls back to ``createDataFrame``
     above ``max_local`` rows: literal plans do not scale to data-sized
     input, and a dimension that big should arrive as a real table.
+
+    The literal array is rendered as ONE SQL string evaluated with a
+    single ``F.expr`` call: the original ``F.lit``/``.cast``/
+    ``F.array`` builder issued one py4j round trip PER CELL (a
+    24-row × 8-col store bootstrap = ~200 round trips ≈ 0.8 s of
+    driver latency billed to EVERY store-backed query construction —
+    guide §5, the driver should do no per-cell work; profiled via
+    cProfile: 70% of ``triple_asof_snapshot``'s construction was
+    socket recv inside ``local_df``). Value types without an exact SQL
+    rendering (dates, decimals, binary) fall back to the per-column
+    builder — same output, just slower to construct.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -89,6 +100,98 @@ def local_df(spark: SparkSession, rows, schema, max_local: int = 256) -> DataFra
         return spark.range(0, 0, 1, 1).select(
             *[F.lit(None).cast(f.dataType).alias(f.name) for f in struct.fields]
         )
+    try:
+        if _escaped_string_literals(spark):
+            # legacy parser mode changes string-literal escaping —
+            # the per-column builder is escape-free and always exact
+            raise _NoSqlRendering("escapedStringLiterals session")
+        row_sqls = [_sql_lit(r, struct) for r in rows]
+    except _NoSqlRendering:
+        return _local_df_columnwise(spark, rows, struct)
+    return spark.range(0, 1, 1, 1).select(
+        F.expr(f"inline(array({', '.join(row_sqls)}))")
+    )
+
+
+_ESCAPED_LITERALS_MEMO: dict[int, bool] = {}
+
+
+def _escaped_string_literals(spark: SparkSession) -> bool:
+    """Whether this session parses string literals WITHOUT backslash
+    escapes (``spark.sql.parser.escapedStringLiterals=true``, the
+    legacy mode). Checked once per session object — the conf cannot
+    change the answer mid-plan in any supported way that matters for
+    our constant frames, and the memo keeps ``local_df`` at two py4j
+    calls."""
+    key = id(spark)
+    if key not in _ESCAPED_LITERALS_MEMO:
+        _ESCAPED_LITERALS_MEMO[key] = (
+            str(
+                spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+            ).lower()
+            == "true"
+        )
+    return _ESCAPED_LITERALS_MEMO[key]
+
+
+class _NoSqlRendering(Exception):
+    """Raised when a value/type has no exact SQL literal rendering."""
+
+
+def _sql_lit(v, dt) -> str:
+    """Exact SQL literal text for ``v`` as DataType ``dt`` — same value
+    and type the ``F.lit(v).cast(dt)`` builder produced. Strings escape
+    backslash + quote (the SQL parser's escapedStringLiterals=false
+    default interprets backslashes); doubles ride ``repr``'s shortest
+    round-trip decimal through a string cast (bit-exact, incl.
+    NaN/Infinity); floats narrow from the double exactly as
+    ``lit(py_float).cast(float)`` did. Anything else (dates, decimals,
+    binary) raises ``_NoSqlRendering`` for the fallback builder."""
+    import math
+
+    from pyspark.sql import types as T
+
+    if v is None:
+        return f"CAST(NULL AS {dt.simpleString()})"
+    if isinstance(dt, T.ArrayType):
+        elems = ", ".join(_sql_lit(x, dt.elementType) for x in v)
+        return f"CAST(array({elems}) AS {dt.simpleString()})"
+    if isinstance(dt, T.StructType):
+        vals = list(v.values()) if isinstance(v, dict) else list(v)
+        parts = []
+        for x, f in zip(vals, dt.fields):
+            fname = f.name.replace("\\", "\\\\").replace("'", "\\'")
+            parts.append(f"'{fname}', {_sql_lit(x, f.dataType)}")
+        return f"named_struct({', '.join(parts)})"
+    if isinstance(dt, T.StringType) and isinstance(v, str):
+        s = v.replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{s}'"
+    if isinstance(dt, T.BooleanType) and isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)) and isinstance(
+        v, int
+    ) and not isinstance(v, bool):
+        if not -(2**63) <= v < 2**63:
+            raise _NoSqlRendering("int out of BIGINT range")
+        return f"CAST({int(v)} AS {dt.simpleString()})"
+    if isinstance(dt, (T.DoubleType, T.FloatType)) and isinstance(v, (int, float)) and not isinstance(v, bool):
+        f = float(v)
+        if math.isnan(f):
+            txt = "'NaN'"
+        elif math.isinf(f):
+            txt = "'Infinity'" if f > 0 else "'-Infinity'"
+        else:
+            txt = f"'{f!r}'"
+        d = f"CAST({txt} AS DOUBLE)"
+        return d if isinstance(dt, T.DoubleType) else f"CAST({d} AS FLOAT)"
+    raise _NoSqlRendering(f"{type(v).__name__} as {dt.simpleString()}")
+
+
+def _local_df_columnwise(spark: SparkSession, rows, struct) -> DataFrame:
+    """The original per-cell expression builder — exact but py4j-chatty;
+    kept as the fallback for types ``_sql_lit`` cannot render."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     def lit_of(v, dt: T.DataType):
         if v is None:
