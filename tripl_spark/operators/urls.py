@@ -76,41 +76,32 @@ DOMAIN_QUOTA_K = 12  # max docs any one registered domain keeps
 
 # -- deterministic URL planting (see module docstring) ---------------
 
+# Spark-dialect twin of the Column chain below (CASE order, modulo
+# arithmetic and casts identical); rendered as ONE F.expr parse
+# instead of ~50 py4j expression-builder round trips per call site —
+# the planted URL rides 8+ query constructions. No backslash or quote
+# appears in any literal, so the text is parser-mode-independent.
+_SPARK_HOST_SQL = """CASE
+    WHEN doc_id % 10 <= 3 THEN concat('www.hub', CAST(doc_id % 3 AS STRING), '.com')
+    WHEN doc_id % 10 <= 5 THEN concat('blog.hub', CAST(doc_id % 3 AS STRING), '.com')
+    WHEN doc_id % 20 = 16 THEN concat('img.portal.gov', CAST(doc_id % 2 AS STRING), '.ck')
+    WHEN doc_id % 10 = 6 THEN concat('m.news', CAST(doc_id % 5 AS STRING), '.co.uk')
+    WHEN doc_id % 10 = 7 THEN concat('cdn.spam', CAST(doc_id % 4 AS STRING), '.xyz')
+    WHEN doc_id % 20 = 18 THEN concat('www.shop', CAST(doc_id % 2 AS STRING), '.com.au')
+    WHEN doc_id % 10 = 8 THEN concat('tail', CAST(doc_id % 97 AS STRING), '.net')
+    ELSE 'tracker.ads.badcorp.com' END"""
+_SPARK_URL_SQL = f"""concat(
+    CASE WHEN doc_id % 11 = 5 THEN 'http' ELSE 'https' END,
+    '://',
+    {_SPARK_HOST_SQL},
+    '/p/', CAST(doc_id AS STRING),
+    CASE WHEN doc_id % 6 = 0 THEN concat('?utm_source=feed&id=', CAST(doc_id AS STRING))
+         WHEN doc_id % 6 = 3 THEN concat('?id=', CAST(doc_id AS STRING))
+         ELSE '' END)"""
+
+
 def _url_col() -> Column:
-    did = F.col("doc_id")
-    host = (
-        F.when(did % 10 <= 3,
-               F.concat(F.lit("www.hub"), (did % 3).cast("string"),
-                        F.lit(".com")))
-        .when(did % 10 <= 5,
-              F.concat(F.lit("blog.hub"), (did % 3).cast("string"),
-                       F.lit(".com")))
-        .when(did % 20 == 16,
-              F.concat(F.lit("img.portal.gov"), (did % 2).cast("string"),
-                       F.lit(".ck")))
-        .when(did % 10 == 6,
-              F.concat(F.lit("m.news"), (did % 5).cast("string"),
-                       F.lit(".co.uk")))
-        .when(did % 10 == 7,
-              F.concat(F.lit("cdn.spam"), (did % 4).cast("string"),
-                       F.lit(".xyz")))
-        .when(did % 20 == 18,
-              F.concat(F.lit("www.shop"), (did % 2).cast("string"),
-                       F.lit(".com.au")))
-        .when(did % 10 == 8,
-              F.concat(F.lit("tail"), (did % 97).cast("string"),
-                       F.lit(".net")))
-        .otherwise(F.lit("tracker.ads.badcorp.com"))
-    )
-    scheme = F.when(did % 11 == 5, F.lit("http")).otherwise(F.lit("https"))
-    qs = (
-        F.when(did % 6 == 0,
-               F.concat(F.lit("?utm_source=feed&id="), did.cast("string")))
-        .when(did % 6 == 3, F.concat(F.lit("?id="), did.cast("string")))
-        .otherwise(F.lit(""))
-    )
-    return F.concat(scheme, F.lit("://"), host, F.lit("/p/"),
-                    did.cast("string"), qs)
+    return F.expr(_SPARK_URL_SQL)
 
 
 _URL_SQL = """CASE
@@ -189,7 +180,11 @@ def attach_registered_domain(df: DataFrame, host_col: str = "host") -> DataFrame
     PSL is a dimension, and a dimension rides a broadcast, never a
     literal baked into the plan. Zero shuffle: BroadcastHashJoin only
     (plan-gated in tests/test_plan_quality.py)."""
-    last1, last2, last3 = _host_labels(F.col(host_col))
+    # one selectExpr parse for the three label projections (the
+    # Column chain cost ~30 py4j round trips per query construction);
+    # '[.]' is the backslash-free spelling of the literal-dot split,
+    # so the text parses identically in either parser mode
+    parts = f"split(`{host_col}`, '[.]')"
     dim = suffix_rules_df(df.sparkSession)
     ex = F.broadcast(
         dim.filter(~F.col("wildcard")).select(F.col("suffix").alias("__ps_exact"))
@@ -198,9 +193,12 @@ def attach_registered_domain(df: DataFrame, host_col: str = "host") -> DataFrame
         dim.filter(F.col("wildcard")).select(F.col("suffix").alias("__ps_wild"))
     )
     return (
-        df.withColumn("__l1", last1)
-        .withColumn("__l2", last2)
-        .withColumn("__l3", last3)
+        df.selectExpr(
+            "*",
+            f"element_at({parts}, -1) AS __l1",
+            f"concat_ws('.', slice({parts}, greatest(-2, -size({parts})), 2)) AS __l2",
+            f"concat_ws('.', slice({parts}, greatest(-3, -size({parts})), 3)) AS __l3",
+        )
         .join(ex, F.col("__l2") == F.col("__ps_exact"), "left")
         .join(wc, F.col("__l1") == F.col("__ps_wild"), "left")
         .withColumn(
