@@ -270,3 +270,113 @@ def test_semantic_assignment_plan_has_no_shuffle_or_broadcast(spark):
     assert "hashpartitioning(cid" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" in plan
+
+
+# -- melt_table SQL rendering ≡ columnwise builder ----------------------------
+
+
+def test_melt_table_sql_matches_columnwise(spark):
+    from datetime import datetime
+
+    from tripl_spark.sources.melt import (
+        _melt_table_columnwise,
+        _melt_table_sql,
+        melt_table,
+    )
+
+    rows = [
+        (1, "alice", 4.5, True, datetime(2024, 1, 15, 8, 30, 5), 3),
+        (2, None, None, None, None, None),
+        (3, "it's quoted", -0.0, False, datetime(1999, 12, 31, 23, 59, 59), 7),
+    ]
+    schema = (
+        "k bigint, name string, score double, flag boolean, "
+        "seen timestamp, nation_fk int"
+    )
+    df = spark.createDataFrame(rows, schema)
+    ref_cols = {"nation_fk": ("nation", "nation")}
+    sql = _melt_table_sql(df, "user", "k", ref_cols)
+    col = _melt_table_columnwise(df, "user", "k", ref_cols)
+    _assert_frames_equal(col, sql)
+    # the public entry routes these safe names through the SQL path
+    assert (
+        melt_table(df, "user", "k", ref_cols=ref_cols).schema == sql.schema
+    )
+
+
+def test_melt_table_unsafe_name_falls_back(spark):
+    from tripl_spark.sources import melt as melt_mod
+
+    df = spark.createDataFrame([(1, "x")], "k bigint, v string")
+    calls = []
+    orig = melt_mod._melt_table_columnwise
+    try:
+        melt_mod._melt_table_columnwise = lambda *a, **kw: calls.append(1) or orig(*a, **kw)
+        out = melt_mod.melt_table(df, "who's", "k")
+    finally:
+        melt_mod._melt_table_columnwise = orig
+    assert calls, "quoted namespace must route to the columnwise builder"
+    assert out.filter(F.col("a") == "who's:v").count() == 1
+
+
+# -- pii_scrub_frame ≡ the two-chain composition ------------------------------
+
+
+def test_pii_scrub_frame_matches_two_chain_reference(spark):
+    from pyspark.sql import Column
+
+    from tripl_spark.operators.pii import (
+        PII_CLASSES,
+        luhn_valid_count,
+        pii_counts,
+        pii_scrub_frame,
+        scrub_pii,
+    )
+
+    rows = [
+        (0, "reach user0@example.com card 4111 1111 1111 1111 now"),
+        (1, None),  # NULL text: scrub_fp/clean NULL, counts 0 — both shapes
+        (2, "id 123-45-6789 call +1 (555) 010-1234 host 10.3.0.21"),
+        (3, "token sk-0123456789abcdefghij digest "
+            "0123456789abcdef0123456789abcdef plain text"),
+        (4, ""),
+        (5, "no pii at all"),
+    ]
+    enriched = spark.createDataFrame(rows, "doc_id bigint, t string")
+
+    # the ORIGINAL two-chain composition, verbatim from the old query body
+    cc_stage: Column = F.col("t")
+    for name, pat, token in PII_CLASSES:
+        if name == "cc":
+            break
+        cc_stage = F.regexp_replace(cc_stage, pat, token)
+    per_doc = enriched.select(
+        "doc_id",
+        *pii_counts(F.col("t")),
+        luhn_valid_count(cc_stage).alias("n_cc_luhn"),
+        scrub_pii(F.col("t")).alias("__scrub"),
+    )
+    residual = ~F.col("__scrub").rlike(
+        "|".join(f"(?:{pat})" for _, pat, _ in PII_CLASSES)
+    )
+    total = None
+    for name, _, _ in PII_CLASSES:
+        c = F.col(f"n_{name}")
+        total = c if total is None else (total + c)
+    reference = per_doc.select(
+        "doc_id",
+        *[f"n_{name}" for name, _, _ in PII_CLASSES],
+        "n_cc_luhn",
+        total.cast("long").alias("n_pii"),
+        F.md5(F.col("__scrub")).alias("scrub_fp"),
+        residual.alias("clean"),
+    )
+    _assert_frames_equal(reference, pii_scrub_frame(enriched))
+
+
+def test_pii_scrub_plan_stays_shuffle_free(spark):
+    from tripl_spark.operators.pii import text_pii_scrub
+
+    plan = text_pii_scrub(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

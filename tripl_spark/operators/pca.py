@@ -324,13 +324,20 @@ def whiten(
 def project(emb: DataFrame, components, vec_col: str = "v") -> DataFrame:
     """Corpus projection onto the k components: broadcast d×k matrix
     as literal expressions (`similarity.dot`, the HOF dot product the
-    ANN family uses) — map-only, JVM-side, no shuffle."""
-    from tripl_spark.operators.similarity import dot
+    ANN family uses) — map-only, JVM-side, no shuffle. Each component
+    column renders as ONE SQL parse (``_sql_lit``'s bit-exact double
+    rendering) instead of d ``F.lit`` py4j round trips per column —
+    the same fix the k-means codebook literals got."""
+    from pyspark.sql import types as T
 
+    from tripl_spark.operators.similarity import dot
+    from tripl_spark.session import _sql_lit
+
+    arr_t = T.ArrayType(T.DoubleType())
     cols = [
         dot(
             F.col(vec_col),
-            F.array(*[F.lit(float(x)) for x in components[:, c]]),
+            F.expr(_sql_lit([float(x) for x in components[:, c]], arr_t)),
         ).alias(f"pc_{c + 1}")
         for c in range(components.shape[1])
     ]

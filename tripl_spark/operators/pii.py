@@ -95,30 +95,32 @@ PII_CLASSES: list[tuple[str, str, str]] = [
 _CC_PATTERN = next(p for n, p, _ in PII_CLASSES if n == "cc")
 
 
+def _luhn_ok(c: Column) -> Column:
+    """Whether one card-shaped candidate's digits pass the Luhn
+    checksum — pure digit arithmetic over higher-order functions (JVM
+    codegen, no UDF)."""
+    digits = F.reverse(F.regexp_replace(c, "[ -]", ""))
+
+    def term(i: Column) -> Column:
+        d = digits.substr(i, F.lit(1)).cast("int")
+        dbl = d * 2
+        return F.when(i % 2 == 1, d).otherwise(
+            F.when(dbl > 9, dbl - 9).otherwise(dbl)
+        )
+
+    vals = F.transform(F.sequence(F.lit(1), F.length(digits)), term)
+    return F.aggregate(vals, F.lit(0), lambda a, x: a + x) % 10 == 0
+
+
 def luhn_valid_count(text: Column) -> Column:
     """Count credit-card-shaped candidates whose digits pass the Luhn
-    checksum — pure digit arithmetic over higher-order functions (JVM
-    codegen, no UDF). The same arithmetic is written in DuckDB SQL by
+    checksum. The same arithmetic is written in DuckDB SQL by
     `_luhn_count_sql`, and the driver hash gate on `text_pii_scrub`
     pins the two implementations to each other."""
     cands = F.regexp_extract_all(
         F.coalesce(text, F.lit("")), F.lit(_CC_PATTERN), F.lit(0)
     )
-
-    def ok(c: Column) -> Column:
-        digits = F.reverse(F.regexp_replace(c, "[ -]", ""))
-
-        def term(i: Column) -> Column:
-            d = digits.substr(i, F.lit(1)).cast("int")
-            dbl = d * 2
-            return F.when(i % 2 == 1, d).otherwise(
-                F.when(dbl > 9, dbl - 9).otherwise(dbl)
-            )
-
-        vals = F.transform(F.sequence(F.lit(1), F.length(digits)), term)
-        return F.aggregate(vals, F.lit(0), lambda a, x: a + x) % 10 == 0
-
-    return F.size(F.filter(cands, ok)).cast("long")
+    return F.size(F.filter(cands, _luhn_ok)).cast("long")
 
 
 def _luhn_count_sql(tcol: str) -> str:
@@ -304,39 +306,74 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer relies on."""
     docs = load_table(spark, sf_dir, "documents")
     enriched = docs.select("doc_id", _enriched_text().alias("t"))
-    # the Luhn count reads the SAME staged text the cc class counts on
-    # (everything before cc already scrubbed — precedence-consistent)
-    cc_stage: Column = F.col("t")
-    for name, pat, token in PII_CLASSES:
+    return pii_scrub_frame(enriched)
+
+
+def pii_scrub_frame(enriched: DataFrame) -> DataFrame:
+    """The scrub projection over a ``(doc_id, t)`` frame — ONE
+    precedence-staged regex chain shared by counts, Luhn, scrub
+    fingerprint and residual flag.
+
+    The original composition ran TWO chains — the NULL-coalesced one
+    for counts (`pii_counts`) and the raw one for the scrub fingerprint
+    and Luhn stage (`scrub_pii`) — ~20 heavy regex passes per row. The
+    two chains are equal on every non-NULL row (``_enriched_text`` is
+    NULL iff ``text`` is NULL: ``concat`` is null-intolerant), so the
+    raw chain is replaced by an explicit NULL branch over the coalesced
+    one: 6 replaces + 6 counts + 1 rlike (guide §1.2 per-task work).
+    NULL semantics are bit-identical by construction: scrub_fp/clean
+    are NULL on NULL text exactly as ``md5(scrub_pii(NULL))`` /
+    ``~NULL.rlike(...)`` were, counts coalesce to the empty string, and
+    the Luhn stage sees '' either way (its old input coalesced too).
+    Per-class counts ride ``regexp_count`` (same match enumeration as
+    ``size(regexp_extract_all(...))``, no array materialization); the
+    cc class keeps the extracted array because the Luhn filter reads
+    the SAME candidates (one extract_all where count + Luhn each paid
+    their own). Equality with the old composition — including a NULL
+    text row — is pinned by tests/test_r15_opt.py."""
+    is_null = F.col("t").isNull()
+    cur = enriched.withColumn("s0", F.coalesce(F.col("t"), F.lit("")))
+    count_cols: list[str] = []
+    for i, (name, pat, token) in enumerate(PII_CLASSES):
+        stage = F.col(f"s{i}")
         if name == "cc":
-            break
-        cc_stage = F.regexp_replace(cc_stage, pat, token)
-    per_doc = enriched.select(
-        "doc_id",
-        *pii_counts(F.col("t")),
-        luhn_valid_count(cc_stage).alias("n_cc_luhn"),
-        scrub_pii(F.col("t")).alias("__scrub"),
-    )
+            # the Luhn count shares these candidates (same staged text
+            # the cc class counts on — precedence-consistent)
+            cur = cur.withColumn(
+                "__cc_cands", F.regexp_extract_all(stage, F.lit(pat), F.lit(0))
+            ).withColumn(f"n_{name}", F.size(F.col("__cc_cands")).cast("long"))
+        else:
+            cur = cur.withColumn(
+                f"n_{name}", F.regexp_count(stage, F.lit(pat)).cast("long")
+            )
+        cur = cur.withColumn(f"s{i + 1}", F.regexp_replace(stage, pat, token))
+        count_cols.append(f"n_{name}")
+    final = F.col(f"s{len(PII_CLASSES)}")
     # residual clean flag: ONE alternation rlike over the scrubbed text
     # instead of six regexp_extract_all passes — "no match of any
     # class" ≡ "does not match (?:c1)|(?:c2)|…", and rlike stops at the
     # first hit where extract_all materialized every match of every
-    # class (guide §1.2 per-task work; boolean is bit-identical so the
-    # oracle hash is unchanged)
-    residual = ~F.col("__scrub").rlike(
+    # class (boolean is bit-identical so the oracle hash is unchanged)
+    residual = ~final.rlike(
         "|".join(f"(?:{pat})" for _, pat, _ in PII_CLASSES)
     )
     total = None
     for name, _, _ in PII_CLASSES:
         c = F.col(f"n_{name}")
         total = c if total is None else (total + c)
-    return per_doc.select(
+    return cur.select(
         "doc_id",
-        *[f"n_{name}" for name, _, _ in PII_CLASSES],
-        "n_cc_luhn",
+        *count_cols,
+        F.size(F.filter(F.col("__cc_cands"), _luhn_ok))
+        .cast("long")
+        .alias("n_cc_luhn"),
         total.cast("long").alias("n_pii"),
-        F.md5(F.col("__scrub")).alias("scrub_fp"),
-        residual.alias("clean"),
+        F.when(is_null, F.lit(None).cast("string"))
+        .otherwise(F.md5(final))
+        .alias("scrub_fp"),
+        F.when(is_null, F.lit(None).cast("boolean"))
+        .otherwise(residual)
+        .alias("clean"),
     )
 
 
