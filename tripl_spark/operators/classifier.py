@@ -255,7 +255,14 @@ PROBE_LR = 1.0
 
 
 def _probe_margin(w0: float, w: list[float]) -> F.Column:
-    wv = F.array(*[F.lit(float(x)) for x in w])
+    # the PROBE_DIM weight vector renders as ONE SQL parse (bit-exact
+    # double rendering) instead of 64 F.lit round trips per gradient
+    # step — the k-means-codebook fix applied to the probe's weights
+    from pyspark.sql import types as T
+
+    from tripl_spark.session import _sql_lit
+
+    wv = F.expr(_sql_lit([float(x) for x in w], T.ArrayType(T.DoubleType())))
     return F.lit(float(w0)) + F.aggregate(
         F.zip_with(F.col("v"), wv, lambda a, b: a * b), F.lit(0.0), lambda s, z: s + z
     )

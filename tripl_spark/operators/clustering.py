@@ -128,10 +128,6 @@ def _assign_round(emb: DataFrame, cent: DataFrame) -> DataFrame:
 CentroidRows = list[tuple[int, list[float]]]
 
 
-def _lit_vec(cv: list[float]) -> F.Column:
-    return F.array(*[F.lit(float(x)) for x in cv])
-
-
 def _score_array(cents: CentroidRows) -> F.Column:
     """array<struct<d2,cid>>: the rounded squared distance from ``v``
     to every centroid of a driver-resident codebook, cid-ordered.
