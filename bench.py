@@ -283,11 +283,14 @@ def main() -> None:
         layout = _layout_ab(spark, sf_dir)
     except Exception as ex:  # noqa: BLE001
         layout = {"error": str(ex)[:120]}
-    # Diagnostics (per-query spread across runs) go to stderr: the driver
-    # captures only the last ~2000 chars of stdout and parses the JSON line
-    # out of that tail, so the stdout line must stay short and be last.
+    # Diagnostics (full per-query medians + spread across runs) go to
+    # stderr: the driver captures only the last ~2000 chars of stdout and
+    # parses the JSON line out of that tail, so the stdout line must stay
+    # short and be last. The stdout line truncates to the top-20 queries
+    # when long (below), so stderr is the only place the complete timing
+    # set survives — emit it here.
     print(
-        json.dumps({"runs_per_query": runs, "spread": spreads}),
+        json.dumps({"runs_per_query": runs, "timings": timings, "spread": spreads}),
         file=sys.stderr,
     )
     line = json.dumps(
