@@ -380,3 +380,32 @@ def test_pii_scrub_plan_stays_shuffle_free(spark):
     plan = text_pii_scrub(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_centroid_update_sql_agg_matches_columnwise(spark):
+    """The single-parse centroid-update aggregate (r15: one F.expr
+    rendering the 64 per-dim rounded means + array assembly) must
+    reproduce the per-column builder bit-for-bit on the real
+    embeddings — same rounded means, same array order, same rows."""
+    from tripl_spark.operators.clustering import (
+        EMB_DIM,
+        K2,
+        _assign_literal,
+        kmeans_2iter_centroid_rows,
+    )
+
+    emb = _emb(spark)
+    seeds = sorted(
+        (int(r["vec_id"]), list(r["v"]))
+        for r in emb.filter(F.col("vec_id") < K2).select("vec_id", "v").collect()
+    )
+    a1 = _assign_literal(emb, seeds)
+    # the verbatim pre-optimization composition
+    ref = (
+        a1.groupBy("cid")
+        .agg(*[F.round(F.avg(F.col("v")[i]), 6).alias(f"m{i}") for i in range(EMB_DIM)])
+        .select("cid", F.array(*[F.col(f"m{i}") for i in range(EMB_DIM)]).alias("cv"))
+    )
+    old = sorted((int(r["cid"]), list(r["cv"])) for r in ref.collect())
+    new = kmeans_2iter_centroid_rows(emb)
+    assert old == new

@@ -252,10 +252,19 @@ def kmeans_2iter_centroid_rows(emb: DataFrame) -> CentroidRows:
         for r in emb.filter(F.col("vec_id") < K2).select("vec_id", "v").collect()
     )
     a1 = _assign_literal(emb, seeds)
-    c1 = (
-        a1.groupBy("cid")
-        .agg(*[F.round(F.avg(F.col("v")[i]), 6).alias(f"m{i}") for i in range(EMB_DIM)])
-        .select("cid", F.array(*[F.col(f"m{i}") for i in range(EMB_DIM)]).alias("cv"))
+    # one F.expr parse for the whole update step: the per-dimension
+    # columnwise builder (64 avg columns + a 64-col array re-assembly)
+    # issued ~500 py4j round trips ≈ 0.6 s of driver latency per
+    # codebook build (cProfile: the line-257 listcomp alone was 0.59 s
+    # of pipeline_full_curation's construction) — same rounded per-dim
+    # means, same array assembly, one parse (the session.local_df /
+    # melt / probe-vector rendering fix applied to the aggregate)
+    c1 = a1.groupBy("cid").agg(
+        F.expr(
+            "array("
+            + ", ".join(f"round(avg(v[{i}]), 6)" for i in range(EMB_DIM))
+            + ") AS cv"
+        )
     )
     return sorted((int(r["cid"]), list(r["cv"])) for r in c1.collect())
 
