@@ -409,3 +409,43 @@ def test_centroid_update_sql_agg_matches_columnwise(spark):
     old = sorted((int(r["cid"]), list(r["cv"])) for r in ref.collect())
     new = kmeans_2iter_centroid_rows(emb)
     assert old == new
+
+
+def test_minhash_signature_sql_agg_matches_columnwise(spark):
+    """The single-parse signature aggregate (r15: one F.expr rendering
+    the 32 permutation mins + array assembly) must reproduce the
+    per-column builder bit-for-bit on the real corpus."""
+    from tripl_spark.operators.dedup import (
+        MINHASH_PERMS,
+        _MERSENNE,
+        _PERM_A,
+        _PERM_B,
+        _signatures_from_sets,
+        shingle_sets,
+    )
+    from tripl_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sets = shingle_sets(docs)
+    # the verbatim pre-optimization composition
+    sh = sets.select(F.col("doc_id"), F.explode("hs").alias("h"))
+    h = F.col("h")
+    aggs = [
+        F.min(F.pmod(a * h + b, _MERSENNE)).alias(f"__m{i}")
+        for i, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
+    ]
+    ref = (
+        sh.groupBy("doc_id")
+        .agg(*aggs)
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"__m{i}") for i in range(MINHASH_PERMS)]).alias("sig"),
+        )
+    )
+    old = sorted((int(r["doc_id"]), list(r["sig"])) for r in ref.collect())
+    new = sorted(
+        (int(r["doc_id"]), list(r["sig"]))
+        for r in _signatures_from_sets(sets).collect()
+    )
+    assert old == new
+    assert _signatures_from_sets(sets).schema.simpleString() == ref.schema.simpleString()

@@ -163,18 +163,19 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def _signatures_from_sets(sets: DataFrame, id_col: str = "doc_id") -> DataFrame:
     sh = sets.select(F.col(id_col), F.explode("hs").alias("h"))
-    h = F.col("h")
-    aggs = [
-        F.min(F.pmod(a * h + b, _MERSENNE)).alias(f"__m{i}")
-        for i, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
-    ]
-    return (
-        sh.groupBy(id_col)
-        .agg(*aggs)
-        .select(
-            id_col, F.array(*[F.col(f"__m{i}") for i in range(MINHASH_PERMS)]).alias("sig")
-        )
+    # one F.expr parse for all 32 permutation mins + the array
+    # assembly: the per-perm Column builder (32 min/pmod agg columns +
+    # a 32-col array re-assembly) issued ~8 py4j round trips per
+    # permutation ≈ 0.38 s of driver latency per call (cProfile,
+    # fifth-session sweep) — the same single-parse rendering as the
+    # k-means centroid update. Arithmetic is identical: a, b, h and
+    # the Mersenne modulus are all < 2^31, so a*h + b < 2^62 — plain
+    # long arithmetic with no overflow on either path.
+    perms = ", ".join(
+        f"min(pmod({a}L * h + {b}L, {_MERSENNE}L))"
+        for a, b in zip(_PERM_A, _PERM_B)
     )
+    return sh.groupBy(id_col).agg(F.expr(f"array({perms}) AS sig"))
 
 
 _OBS_SEQ = itertools.count(1)  # atomic per-call-unique observation suffixes
