@@ -449,3 +449,27 @@ def test_minhash_signature_sql_agg_matches_columnwise(spark):
     )
     assert old == new
     assert _signatures_from_sets(sets).schema.simpleString() == ref.schema.simpleString()
+
+
+def test_bucket_key_sql_matches_column_builder(spark):
+    """The single-parse bucket_key("v") must reproduce the Column-built
+    bucket_key(F.col("v")) bit-for-bit on the real embeddings, for the
+    default planes and a custom plane set."""
+    from tripl_spark.operators.similarity import bucket_key, lsh_planes
+    from tripl_spark.session import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").selectExpr(
+        "vec_id", "transform(embedding, x -> cast(x as double)) AS v"
+    )
+    for planes in (None, lsh_planes(5)):
+        old = sorted(
+            (int(r["vec_id"]), int(r["b"]))
+            for r in emb.select(
+                "vec_id", bucket_key(F.col("v"), planes).alias("b")
+            ).collect()
+        )
+        new = sorted(
+            (int(r["vec_id"]), int(r["b"]))
+            for r in emb.select("vec_id", bucket_key("v", planes).alias("b")).collect()
+        )
+        assert old == new

@@ -147,7 +147,7 @@ def knn_graph(
     """
     if score_fn is None:
         score_fn = _cosine_batch
-    e = emb.select("vec_id", "v").withColumn("bucket", bucket_key(F.col("v")))
+    e = emb.select("vec_id", "v").withColumn("bucket", bucket_key("v"))
     # multiprobe candidates are load-bearing for UNIFORM corpora: with
     # own-bucket-only candidates the initial graph is too disconnected
     # for NN-descent to repair (measured recall 0.48 vs 0.84 on the
@@ -217,8 +217,8 @@ def beam_search(
     engines).
     """
     vecs = emb.select("vec_id", "v")
-    e = vecs.withColumn("bucket", bucket_key(F.col("v")))
-    qb = queries.withColumn("bucket", bucket_key(F.col("qv")))
+    e = vecs.withColumn("bucket", bucket_key("v"))
+    qb = queries.withColumn("bucket", bucket_key("qv"))
     seeds = (
         _multiprobe(qb)
         .select("query_id", "qv", "pb")
@@ -335,7 +335,7 @@ def sim_ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    e = emb.withColumn("bucket", bucket_key(F.col("v")))
+    e = emb.withColumn("bucket", bucket_key("v"))
     ok = (
         e.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("_n"))

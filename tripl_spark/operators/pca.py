@@ -457,7 +457,7 @@ def whitened_vs_raw_lsh_recall(
     from tripl_spark.operators.similarity import bucket_key
 
     cov, mu, _n = covariance_matrix(covariance_partials(emb))
-    raw_b = emb.withColumn("bucket", bucket_key(F.col("v"))).withColumn(
+    raw_b = emb.withColumn("bucket", bucket_key("v")).withColumn(
         "variant", F.lit("raw")
     )
     white = whiten(
@@ -468,7 +468,7 @@ def whitened_vs_raw_lsh_recall(
     # rename the raw vector to the `v` slot lsh_recall_rows scores on —
     # correctness must not ride on select-binding order
     white_b = (
-        white.select("vec_id", bucket_key(F.col("v")).alias("bucket"), "v_raw")
+        white.select("vec_id", bucket_key("v").alias("bucket"), "v_raw")
         .withColumnRenamed("v_raw", "v")
         .withColumn("variant", F.lit("whitened"))
     )

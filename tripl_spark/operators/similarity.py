@@ -81,13 +81,40 @@ def _plane_col(plane: list[float]) -> F.Column:
     return F.array(*[F.lit(c) for c in plane])
 
 
-def bucket_key(v: F.Column, planes: list[list[float]] | None = None) -> F.Column:
+def _plane_sql(plane: list[float]) -> str:
+    # repr's shortest round-trip decimal through a string cast is
+    # bit-exact (the session._sql_lit double rendering)
+    return "array(" + ", ".join(f"CAST('{float(c)!r}' AS DOUBLE)" for c in plane) + ")"
+
+
+def bucket_key(
+    v: F.Column | str, planes: list[list[float]] | None = None
+) -> F.Column:
     """Sign-bit bucket id from hyperplane dot products (default: the
     module's N_PLANES literal planes the oracles embed; pass
-    ``lsh_planes(n_planes_for(n))`` for a corpus-sized plane set)."""
+    ``lsh_planes(n_planes_for(n))`` for a corpus-sized plane set).
+
+    Pass the vector COLUMN NAME (the normal case) and the whole key —
+    every plane's literal array, dot fold and sign bit — renders as ONE
+    ``F.expr`` parse: the per-plane Column builder (64 ``F.lit`` calls
+    per plane plus the zip_with/aggregate lambda machinery) issued
+    ~0.4 s of py4j round trips per call (cProfile, fifth-session
+    sweep). A Column argument keeps the original builder (identical
+    expression: same zip_with/aggregate dot, same CASE/sum/cast —
+    equality pinned in tests/test_r15_opt.py)."""
+    ps = PLANES if planes is None else planes
+    if isinstance(v, str):
+        name = f"`{v}`"
+        terms = " + ".join(
+            f"(CASE WHEN aggregate(zip_with({name}, {_plane_sql(p)}, "
+            f"(p, q) -> p * q), CAST(0.0 AS DOUBLE), (s, z) -> s + z) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(ps)
+        )
+        return F.expr(f"CAST(({terms}) AS INT)")
     bits = [
         F.when(dot(v, _plane_col(p)) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i, p in enumerate(PLANES if planes is None else planes)
+        for i, p in enumerate(ps)
     ]
     out = bits[0]
     for b in bits[1:]:
@@ -173,7 +200,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    bucketed = emb.withColumn("bucket", bucket_key(F.col("v")))
+    bucketed = emb.withColumn("bucket", bucket_key("v"))
     q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -263,7 +290,7 @@ def sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    bucketed = emb.withColumn("bucket", bucket_key(F.col("v")))
+    bucketed = emb.withColumn("bucket", bucket_key("v"))
     q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
         F.col("bucket").alias("qbucket"),
@@ -880,7 +907,7 @@ def sim_ann_lsh_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    bucketed = emb.withColumn("bucket", bucket_key(F.col("v")))
+    bucketed = emb.withColumn("bucket", bucket_key("v"))
     q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
