@@ -176,6 +176,47 @@ def _timed(fn) -> float:
     return time.perf_counter() - t0
 
 
+class _TaskTimeProbe:
+    """Per-query executor task run time, read from the application's own
+    status endpoint (``/api/v1/.../stages`` — one local HTTP GET per
+    harvest, outside every timed window). Stage ids increase
+    monotonically, so the task time of one bench query is the sum of
+    ``executorRunTime`` over the stages whose id is above the previous
+    harvest's high-water mark — immune to the status store's
+    retained-stages eviction, which corrupts naive cumulative-sum
+    deltas. Any failure (endpoint disabled, API drift) degrades to
+    ``harvest() -> None`` and the bench simply omits the scaling digest;
+    timings are never affected."""
+
+    def __init__(self, spark) -> None:
+        self._url = None
+        self._max_id = -1
+        try:
+            sc = spark.sparkContext
+            if sc.uiWebUrl:
+                self._url = f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}/stages"
+                self.harvest()  # prime the high-water mark / validate
+        except Exception:  # noqa: BLE001
+            self._url = None
+
+    def harvest(self) -> float | None:
+        """Task seconds accrued in stages created since the last call."""
+        if self._url is None:
+            return None
+        try:
+            import urllib.request
+
+            with urllib.request.urlopen(self._url, timeout=10) as r:
+                stages = json.load(r)
+            new = [s for s in stages if s.get("stageId", -1) > self._max_id]
+            if new:
+                self._max_id = max(s["stageId"] for s in new)
+            return sum(s.get("executorRunTime", 0) for s in new) / 1000.0
+        except Exception:  # noqa: BLE001
+            self._url = None
+            return None
+
+
 def _layout_ab(spark, sf_dir: str) -> dict[str, float]:
     """Bucketed-layout A/B: ONE fact⋈fact join (lineitem⋈orders on
     orderkey, revenue by order priority) over plain parquet vs
@@ -251,7 +292,11 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    spark = get_spark("tripl_spark_bench")
+    # The status endpoint (spark.ui.enabled) is the per-query executor
+    # task-time source for the scaling digest; it adds no timed-path
+    # work (the AppStatusListener runs regardless, the endpoint is only
+    # polled between queries). Session tuning is otherwise identical.
+    spark = get_spark("tripl_spark_bench", extra_conf={"spark.ui.enabled": "true"})
     queries = all_queries()
     names = [n for n in HEADLINE if n in queries]
 
@@ -266,13 +311,23 @@ def main() -> None:
     # median is robust to bursty noise (r4 recorded 14 untouched queries
     # 10-48% "slower" from exactly this kind of burst).
     samples: dict[str, list[float]] = {name: [] for name in names}
+    task_samples: dict[str, list[float]] = {name: [] for name in names}
+    probe = _TaskTimeProbe(spark)
     for _ in range(runs):
         for name in names:
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).collect()
             samples[name].append(time.perf_counter() - t0)
+            dt = probe.harvest()
+            if dt is not None:
+                task_samples[name].append(dt)
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
     spreads = {n: round(max(s) - min(s), 3) for n, s in samples.items()}
+    task_sec = {
+        n: round(statistics.median(s), 3)
+        for n, s in task_samples.items()
+        if s
+    }
 
     total = round(sum(timings.values()), 3)
     canary = _canary(spark)
@@ -283,31 +338,68 @@ def main() -> None:
         layout = _layout_ab(spark, sf_dir)
     except Exception as ex:  # noqa: BLE001
         layout = {"error": str(ex)[:120]}
-    # Diagnostics (full per-query medians + spread across runs) go to
-    # stderr: the driver captures only the last ~2000 chars of stdout and
-    # parses the JSON line out of that tail, so the stdout line must stay
-    # short and be last. The stdout line truncates to the top-20 queries
-    # when long (below), so stderr is the only place the complete timing
-    # set survives — emit it here.
+    # Diagnostics (full-precision per-query medians, spread, executor
+    # task-time, canary, layout) go to stderr: the driver captures only
+    # the last ~2000 chars of combined output and parses the stdout JSON
+    # line out of that tail, so the stdout line must stay short and be
+    # last; stderr is where the complete diagnostic set survives (and
+    # bench stdouts are committed under plans/ each round).
     print(
-        json.dumps({"runs_per_query": runs, "timings": timings, "spread": spreads}),
+        json.dumps(
+            {
+                "runs_per_query": runs,
+                "timings": timings,
+                "spread": spreads,
+                "task_sec": task_sec,
+                "canary": canary,
+                "layout": layout,
+            }
+        ),
         file=sys.stderr,
     )
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": sf,
-            "canary": canary,
-            "layout": layout,
-        }
-    )
-    if len(line) > 1800:
-        # Hard guard: never emit a line the driver's tail window can split.
-        # Flag the truncation so the artifact can't be mistaken for the
-        # full timing set (full timings still go to stderr above).
+    # stdout contract line. The r13-r15 BENCH artifacts all record a
+    # 2000-char capture window with the JSON line intact at its tail, so
+    # the hard budget is ~1998 chars; 1980 leaves newline margin. The
+    # old top-20 truncation cost the driver per-query history for 40 of
+    # 60 entries (two spurious "dropped_from_bench" rows in PERF_r15) —
+    # instead, fit ALL queries by rounding stdout timings to 2 dp
+    # (stderr keeps 3 dp) and packing the optional diagnostics in
+    # priority order: "par" (per-query parallelism digest: one digit per
+    # query, floor(min(9, executor_task_sec / wall_sec)), same key order
+    # as "queries" — 0 = driver/planning-bound, 1 = serial task, >=2 =
+    # parallel; full task_sec floats are on stderr), then canary, then
+    # layout. Anything that does not fit stays stderr-only. The legacy
+    # truncation guard remains as a last resort only.
+    budget = 1980
+    core = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: round(v, 2) for n, v in timings.items()},
+        "sf": sf,
+        "cpus": int(spark.sparkContext.defaultParallelism),
+    }
+    extras = []
+    if len(task_sec) == len(names):
+        digest = "".join(
+            str(min(9, int(task_sec[n] / timings[n]))) if timings[n] > 0 else "0"
+            for n in names
+        )
+        extras.append(("par", digest))
+    extras.append(("canary", canary))
+    extras.append(("layout", layout))
+    out = dict(core)
+    line = json.dumps(out, separators=(",", ":"))
+    for key, val in extras:
+        cand = dict(out)
+        cand[key] = val
+        cand_line = json.dumps(cand, separators=(",", ":"))
+        if len(cand_line) <= budget:
+            out, line = cand, cand_line
+    if len(line) > budget:
+        # Last resort: never emit a line the driver's tail window can
+        # split. Flag the truncation so the artifact can't be mistaken
+        # for the full timing set (full timings still go to stderr).
         slim = {k: timings[k] for k in sorted(timings, key=timings.get, reverse=True)[:20]}
         line = json.dumps(
             {

@@ -34,8 +34,17 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def get_spark(app_name: str = "tripl_spark", cpus: int | None = None) -> SparkSession:
-    """Build (or fetch) the tuned local SparkSession."""
+def get_spark(
+    app_name: str = "tripl_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned local SparkSession.
+
+    ``extra_conf`` lets a harness layer additional session confs on top
+    of the shared defaults (bench.py enables the UI endpoint so it can
+    read per-stage executor task time); the defaults themselves are
+    identical for every caller."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
     builder = (
@@ -54,6 +63,8 @@ def get_spark(app_name: str = "tripl_spark", cpus: int | None = None) -> SparkSe
         # reader rejects; read it as long and convert in load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
