@@ -473,3 +473,26 @@ def test_bucket_key_sql_matches_column_builder(spark):
             for r in emb.select("vec_id", bucket_key("v", planes).alias("b")).collect()
         )
         assert old == new
+
+
+def test_bucket_key_sql_escapes_backticks(spark):
+    """A column name containing a backtick must render as a valid
+    backquoted identifier (doubled backtick), matching the Column path."""
+    from tripl_spark.operators.similarity import bucket_key
+    from tripl_spark.session import load_table
+
+    sane = load_table(spark, SF_DIR, "embeddings").selectExpr(
+        "vec_id", "transform(embedding, x -> cast(x as double)) AS v"
+    )
+    weird = load_table(spark, SF_DIR, "embeddings").selectExpr(
+        "vec_id", "transform(embedding, x -> cast(x as double)) AS `we`` ird`"
+    )
+    old = sorted(
+        (int(r["vec_id"]), int(r["b"]))
+        for r in sane.select("vec_id", bucket_key(F.col("v")).alias("b")).collect()
+    )
+    new = sorted(
+        (int(r["vec_id"]), int(r["b"]))
+        for r in weird.select("vec_id", bucket_key("we` ird").alias("b")).collect()
+    )
+    assert old == new

@@ -104,7 +104,8 @@ def bucket_key(
     equality pinned in tests/test_r15_opt.py)."""
     ps = PLANES if planes is None else planes
     if isinstance(v, str):
-        name = f"`{v}`"
+        # backquoted identifiers escape embedded backticks by doubling
+        name = "`" + v.replace("`", "``") + "`"
         terms = " + ".join(
             f"(CASE WHEN aggregate(zip_with({name}, {_plane_sql(p)}, "
             f"(p, q) -> p * q), CAST(0.0 AS DOUBLE), (s, z) -> s + z) >= 0 "

@@ -64,37 +64,40 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("s_suppkey", "s_acctbal", "s_name", "n_name")
     )
-    # broadcast SEMI-join prefilters on the fact scan (guide §3.2):
-    # only ECONOMY size-5 parts and ASIA suppliers survive the later
-    # inner joins, and both predicates are highly selective — dropping
-    # the non-matching lineitem rows BEFORE the (partkey, suppkey)
-    # aggregation shrinks its shuffle by the product of both
-    # selectivities. min() per surviving group is unchanged, so the
-    # result (and the oracle hash) is identical; Catalyst cannot push
-    # an inner join below a grouping key-compatible aggregate itself.
+    # Broadcast INNER joins on the fact scan BEFORE the aggregation
+    # (guide §3.2 shrink the big side, §2.4 plan each subtree once):
+    # only ECONOMY size-5 parts and ASIA suppliers survive, and both
+    # dim keys are unique (p_partkey / s_suppkey primary keys), so the
+    # inner joins drop exactly the rows the r15 LEFT SEMI prefilters
+    # dropped while adding none — and each dimension subtree is planned
+    # and scanned exactly ONCE (the semi version re-planned part and
+    # the supplier⋈nation⋈region tree a second time for the post-agg
+    # attribute joins). The supplier attributes ride the group-by keys:
+    # they are functionally dependent on ps_suppkey, so the groups, the
+    # per-group min, the window min per partkey, and the final rows are
+    # identical; the rows entering the shuffle are post-map-side-
+    # aggregation (one candidate per group per partition), so the wider
+    # key adds bytes only to the already-collapsed exchange.
     li_f = li.join(
         F.broadcast(part.select("p_partkey")),
         li.l_partkey == F.col("p_partkey"),
-        "left_semi",
-    ).join(
-        F.broadcast(asia_supp.select("s_suppkey")),
-        li.l_suppkey == F.col("s_suppkey"),
-        "left_semi",
-    )
+    ).join(F.broadcast(asia_supp), li.l_suppkey == F.col("s_suppkey"))
     ps = li_f.groupBy(
         F.col("l_partkey").alias("ps_partkey"),
         F.col("l_suppkey").alias("ps_suppkey"),
+        "s_acctbal",
+        "s_name",
+        "n_name",
     ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"))
-    cand = ps.join(F.broadcast(asia_supp), ps.ps_suppkey == F.col("s_suppkey"))
     w = Window.partitionBy("ps_partkey")
-    best = cand.withColumn("min_cost", F.min("ps_supplycost").over(w)).filter(
+    best = ps.withColumn("min_cost", F.min("ps_supplycost").over(w)).filter(
         F.col("ps_supplycost") == F.col("min_cost")
     )
-    return best.join(F.broadcast(part), best.ps_partkey == part.p_partkey).select(
+    return best.select(
         F.round("s_acctbal", 2).alias("s_acctbal"),
         "s_name",
         "n_name",
-        "p_partkey",
+        F.col("ps_partkey").alias("p_partkey"),
         F.round("ps_supplycost", 4).alias("supplycost"),
     )
 
