@@ -1,0 +1,73 @@
+"""Round-16 optimization pins: every change ships with a bit-exactness
+or behavior test vs the verbatim old composition (the r15 discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL as SF_DIR
+
+
+def test_eager_checkpoint_local_path(spark):
+    """Without a configured checkpoint dir (the local default), the
+    helper must behave exactly like localCheckpoint: same rows, lineage
+    truncated (the physical plan bottoms out in an RDD scan, no
+    parquet scan left)."""
+    from tripl_spark.session import eager_checkpoint, load_table
+
+    assert spark.sparkContext.getCheckpointDir() is None
+    df = load_table(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    out = eager_checkpoint(df)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, df.collect()))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan and "parquet" not in plan.lower()
+
+
+def test_eager_checkpoint_dispatches_to_reliable(spark, monkeypatch, tmp_path):
+    """With a checkpoint dir configured, the helper must take the
+    RELIABLE checkpoint() path (cluster contract: survives executor
+    loss), not localCheckpoint. Dispatch is pinned by intercepting both
+    methods; the real reliable write is exercised end-to-end below."""
+    from tripl_spark.session import eager_checkpoint, load_table
+
+    calls = []
+    df = load_table(spark, SF_DIR, "nation")
+    monkeypatch.setattr(
+        type(df), "checkpoint", lambda self, eager=True: calls.append("reliable") or self
+    )
+    monkeypatch.setattr(
+        type(df), "localCheckpoint", lambda self, eager=True: calls.append("local") or self
+    )
+    monkeypatch.setattr(
+        type(spark.sparkContext), "getCheckpointDir", lambda self: str(tmp_path)
+    )
+    eager_checkpoint(df)
+    monkeypatch.setattr(type(spark.sparkContext), "getCheckpointDir", lambda self: None)
+    eager_checkpoint(df)
+    assert calls == ["reliable", "local"]
+
+
+def test_eager_checkpoint_reliable_end_to_end(spark, tmp_path):
+    """Real reliable checkpoint: set a checkpoint dir, run an iterative
+    consumer (graph reachability — one of the swept call sites), check
+    rows match the local-mode result, then restore the no-dir state."""
+    from tripl_spark.plans.graph import connected_components
+    from tripl_spark.session import local_df
+
+    edges = local_df(
+        spark,
+        [(1, 2), (2, 3), (10, 11)],
+        "src long, dst long",
+    )
+    local_rows = sorted(map(tuple, connected_components(edges).collect()))
+    sc = spark.sparkContext
+    try:
+        sc.setCheckpointDir(str(tmp_path / "ckpt"))
+        reliable_rows = sorted(map(tuple, connected_components(edges).collect()))
+    finally:
+        # reset so the rest of the (session-scoped) suite keeps the
+        # cheap localCheckpoint path
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.apply(None))
+    assert reliable_rows == local_rows
+    assert sc.getCheckpointDir() is None

@@ -48,7 +48,7 @@ from tripl_spark.core.schema import CARD_MANY, CARD_ONE, SchemaRegistry, base_sc
 from tripl_spark.functions.namespaces import some
 from tripl_spark.plans import match as match_plan
 from tripl_spark.plans import pull as pull_plan
-from tripl_spark.session import local_df
+from tripl_spark.session import eager_checkpoint, local_df
 
 FACTS_SCHEMA = T.StructType(
     [
@@ -440,7 +440,7 @@ class TripleStore:
         dropped, so ``as_of`` earlier than the compaction sees the
         compacted state, not the discarded history (the standard
         compaction/time-travel retention trade-off)."""
-        self._df = self.current_facts(cache=False).localCheckpoint(eager=True)
+        self._df = self.current_facts(cache=False).transform(eager_checkpoint)
         self._invalidate()
 
     def match_df(self, pattern: dict[str, Any]) -> DataFrame:

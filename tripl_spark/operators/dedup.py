@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tripl_spark.queries.registry import query
-from tripl_spark.session import load_table
+from tripl_spark.session import eager_checkpoint, load_table
 
 # MinHash parameters: 32 permutations in 8 bands of 4 rows → catches
 # Jaccard ≳ 0.6 with high probability at this band geometry.
@@ -319,7 +319,7 @@ def minhash_dedup(
         return (
             _jaccard_from_sets(sets, pairs, id_col)
             .filter(F.col("jaccard") >= threshold)
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
     finally:
         sets.unpersist()
@@ -867,7 +867,7 @@ def minhash_match_new(
         return match_against_index(
             corpus_sets, corpus_bands, new_docs, id_col, threshold, hash_mode,
             max_bucket=max_bucket,
-        ).localCheckpoint(eager=True)
+        ).transform(eager_checkpoint)
     finally:
         corpus_sets.unpersist()
 

@@ -63,7 +63,7 @@ from tripl_spark.operators.similarity import (
 
 
 from tripl_spark.queries.registry import query
-from tripl_spark.session import load_table
+from tripl_spark.session import eager_checkpoint, load_table
 
 M_NEIGHBORS = 12  # graph degree: ≥ 2·TOP_K so exact neighbors survive re-ranks
 BEAM = 12
@@ -171,7 +171,7 @@ def knn_graph(
         cand_side.select(F.col("vec_id").alias("dst"), F.col("v").alias("dv"), "bucket"),
         (F.col("pb") == F.col("bucket")) & (F.col("src") != F.col("dst")),
     ).select("src", "dst", score_fn(F.col("sv"), F.col("dv")).alias("cos"))
-    adj = _top_m(cand, m).localCheckpoint(eager=True)
+    adj = _top_m(cand, m).transform(eager_checkpoint)
 
     vecs = emb.select("vec_id", "v")
     for _ in range(refine_rounds):
@@ -188,13 +188,13 @@ def knn_graph(
             .join(vecs.select(F.col("vec_id").alias("dst"), F.col("v").alias("dv")), "dst")
             .select("src", "dst", score_fn(F.col("sv"), F.col("dv")).alias("cos"))
         )
-        adj = _top_m(adj.unionByName(proposals), m).localCheckpoint(eager=True)
+        adj = _top_m(adj.unionByName(proposals), m).transform(eager_checkpoint)
 
     # symmetrize (entry from either endpoint), bounded at 2m per node
     sym = adj.unionByName(
         adj.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "cos")
     ).distinct()
-    return _top_m(sym, 2 * m).localCheckpoint(eager=True)
+    return _top_m(sym, 2 * m).transform(eager_checkpoint)
 
 
 def beam_search(
@@ -233,8 +233,8 @@ def beam_search(
     cap = F.row_number().over(wq)
     best = seeds.withColumn("_rk", cap).filter(F.col("_rk") <= 4 * beam).drop("_rk")
     frontier = best.withColumn("_rk", cap).filter(F.col("_rk") <= beam).drop("_rk")
-    best = best.localCheckpoint(eager=True)
-    frontier = frontier.localCheckpoint(eager=True)
+    best = best.transform(eager_checkpoint)
+    frontier = frontier.transform(eager_checkpoint)
 
     for _ in range(hops):
         hop = (
@@ -255,13 +255,13 @@ def beam_search(
         )
         frontier = (
             scored.withColumn("_rk", cap).filter(F.col("_rk") <= beam).drop("_rk")
-        ).localCheckpoint(eager=True)
+        ).transform(eager_checkpoint)
         best = (
             best.unionByName(scored)
             .withColumn("_rk", cap)
             .filter(F.col("_rk") <= 4 * beam)
             .drop("_rk")
-        ).localCheckpoint(eager=True)
+        ).transform(eager_checkpoint)
 
     # every best row descends from a join with queries, so query_id is
     # already a subset of the query set — no re-join needed

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from tripl_spark.operators import media_codecs as mc
 from tripl_spark.queries.registry import query
-from tripl_spark.session import load_table
+from tripl_spark.session import eager_checkpoint, load_table
 
 MEDIA_SCHEMA = (
     "doc_id long, media_type string, payload binary, byte_len long, content_hash string"
@@ -514,7 +514,7 @@ def image_near_dup_pairs(
             cand.withColumn("hamming", hamming)
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming")
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
     finally:
         cached.unpersist()
@@ -845,7 +845,7 @@ def audio_near_dup_pairs(
             cand.withColumn("hamming", hamming)
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming")
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
     finally:
         cached.unpersist()
@@ -1014,7 +1014,7 @@ def video_near_dup_pairs(
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).cast("long").alias("n_shared_frames"))
             .filter(F.col("n_shared_frames") >= min_shared)
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
     finally:
         cached.unpersist()
@@ -1140,7 +1140,7 @@ def multimodal_video_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame
             .filter(F.col("doc_id") != F.col("root"))
             .select(F.col("root").alias("id_a"), F.col("doc_id").alias("id_b"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
         return dedup_groups_over_pairs(spark, sf_dir, stars)
     finally:

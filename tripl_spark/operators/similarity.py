@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tripl_spark.queries.registry import query
-from tripl_spark.session import load_table
+from tripl_spark.session import eager_checkpoint, load_table
 
 DIM = 64
 # 4 planes → 16 buckets: each query scores ~1/16 of the corpus. More
@@ -1540,7 +1540,7 @@ def sim_int8_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v"),
             lambda x: F.round(x * 127 / F.col("s"), 0) * F.col("s") / 127,
         ).alias("v8"),
-    ).localCheckpoint(eager=True)
+    ).transform(eager_checkpoint)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )

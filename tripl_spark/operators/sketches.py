@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tripl_spark.queries.registry import query
-from tripl_spark.session import load_table
+from tripl_spark.session import eager_checkpoint, load_table
 
 CM_DEPTH = 4
 CM_WIDTH = 256
@@ -194,7 +194,7 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     vocab = counts.select("term")
     bits = bloom_bits(vocab)

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from tripl_spark.operators.dedup import DEFAULT_MAX_BUCKET, _pairs_from_buckets
 from tripl_spark.queries.registry import query
-from tripl_spark.session import load_table
+from tripl_spark.session import eager_checkpoint, load_table
 
 SPAN_TOKENS = 20
 SPAN_STRIDE = 10
@@ -102,7 +102,7 @@ def shared_span_pairs(
             .join(b, ["id_b", "span_hash"])
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).cast("long").alias("n_shared_spans"))
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
     finally:
         sp.unpersist()

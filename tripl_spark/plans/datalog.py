@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tripl_spark.plans.match import value_predicate
+from tripl_spark.session import eager_checkpoint
 
 
 def _is_var(term: Any) -> bool:
@@ -629,7 +630,7 @@ def eval_rules(
             from tripl_spark.session import local_df
 
             known[pred] = local_df(spark, [], "e string, v string")
-        known[pred] = known[pred].localCheckpoint(eager=True)
+        known[pred] = known[pred].transform(eager_checkpoint)
         delta[pred] = known[pred]
 
     for _round in range(max_iters):
@@ -656,12 +657,12 @@ def eval_rules(
                     (F.col("e") == F.col("__e")) & (F.col("v") == F.col("__v")),
                     "left_anti",
                 )
-                .localCheckpoint(eager=True)
+                .transform(eager_checkpoint)
             )
             delta[pred] = fresh
             if not fresh.isEmpty():
                 progressed = True
-                known[pred] = known[pred].union(fresh).localCheckpoint(eager=True)
+                known[pred] = known[pred].union(fresh).transform(eager_checkpoint)
         if not progressed:
             break
     else:  # max_iters exhausted with fresh tuples still arriving

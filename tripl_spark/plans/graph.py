@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+from tripl_spark.session import eager_checkpoint
 
 
 def edges_df(facts: DataFrame, attr: str) -> DataFrame:
@@ -37,7 +38,7 @@ def reachability(
     # materialize edges once: every round probes this frame, and an
     # un-checkpointed edge list re-runs its upstream plan (scans,
     # distincts) per round
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.transform(eager_checkpoint)
     visited = roots.select(
         F.col("root"), F.col("root").alias("node"), F.lit(0).alias("depth")
     )
@@ -58,11 +59,11 @@ def reachability(
         # and lineage stays flat (without the checkpoint, round N
         # replays joins 1..N-1)
         obs = Observation(f"reach_round_{i}")
-        nxt = nxt.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+        nxt = nxt.observe(obs, F.count(F.lit(1)).alias("n")).transform(eager_checkpoint)
         if obs.get["n"] == 0:
             break
         if checkpoint_every and i % checkpoint_every == 0:
-            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            visited = visited.unionByName(nxt).transform(eager_checkpoint)
         else:
             visited = visited.unionByName(nxt)
         frontier = nxt
@@ -97,7 +98,7 @@ def connected_components(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     # the ITERATION runs over edge-incident nodes only — in the dedup
     # use the pair graph is dup-rate-sized while `nodes` is the whole
@@ -110,7 +111,7 @@ def connected_components(
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     prev_sum = None
     for _i in range(1, max_iters + 1):
@@ -145,7 +146,7 @@ def connected_components(
                 # a LONG sum (ANSI arithmetic) after a handful of rows
                 F.sum(F.xxhash64("comp").cast("decimal(38,0)")).alias("comp_sum"),
             )
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
         cur_sum = obs.get["comp_sum"]
         if cur_sum == prev_sum:
@@ -187,7 +188,7 @@ def pagerank(
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     n_nodes = nodes.count()
     if n_nodes == 0:
@@ -195,7 +196,7 @@ def pagerank(
         return nodes.withColumn("rank", F.lit(0.0))
     outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     # edges with the source's out-degree attached: the per-round probe side
-    ed = edges.join(outdeg, "src").localCheckpoint(eager=True)
+    ed = edges.join(outdeg, "src").transform(eager_checkpoint)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     base = (1.0 - damping) / n_nodes
     for _ in range(iters):
@@ -226,6 +227,6 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
     return ranks

@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 from tripl_spark.core.schema import SchemaRegistry
 from tripl_spark.functions.namespaces import reverse_lookup
 from tripl_spark.plans.pull import RECUR, PullPos, compile_expr
+from tripl_spark.session import eager_checkpoint
 
 # Loud safety valve on the path-keyed expansion (r14 judge item 1's
 # "depth/size guard"): the path-row count is the OUTPUT tree size, and
@@ -179,7 +180,7 @@ def pull_json_paths_df(
         F.lit(False).alias("pruned"),
         F.array(F.col("e")).alias("path"),
     ).dropDuplicates(["key"])
-    levels: list[DataFrame] = [lvl.localCheckpoint(eager=True)]
+    levels: list[DataFrame] = [lvl.transform(eager_checkpoint)]
     level_pos: list[set[int]] = [{tree.pos}]
     total_rows = levels[0].count()
     fetched: DataFrame | None = None
@@ -260,7 +261,7 @@ def pull_json_paths_df(
             nxt = nxt.withColumn("pruned", F.lit(False))
         nxt = nxt.select(
             "key", "parent_key", "slot", "node", "pos", "revisit", "pruned", "path"
-        ).localCheckpoint(eager=True)
+        ).transform(eager_checkpoint)
         n = nxt.count()
         if n == 0:
             break
@@ -398,7 +399,7 @@ def _driver_fetch_set(
     frontier = roots.select(
         F.lit(tree.pos).alias("pos"), F.col("e").alias("node")
     ).dropDuplicates()
-    seen = frontier.localCheckpoint(eager=True)
+    seen = frontier.transform(eager_checkpoint)
     frontier = seen
     for _ in range(max_depth):
         parts: list[DataFrame] = []
@@ -429,11 +430,11 @@ def _driver_fetch_set(
                 (F.col("pos") == F.col("__sp")) & (F.col("node") == F.col("__sn")),
                 "left_anti",
             )
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
         if nxt.isEmpty():
             break
-        seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+        seen = seen.unionByName(nxt).transform(eager_checkpoint)
         frontier = nxt
     return seen, seen.select("node").distinct().count()
 

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from tripl_spark.plans.graph import reachability
 from tripl_spark.queries.registry import query
-from tripl_spark.session import load_table
+from tripl_spark.session import eager_checkpoint, load_table
 
 
 @query(
@@ -342,7 +342,7 @@ def k_core(edges: DataFrame, k: int = KCORE_K, max_iters: int = 20) -> DataFrame
     lineage like every iterative op here. Round count is bounded by
     max_iters; convergence = no node fell below k this round (a 1-row
     count, the cheap check)."""
-    e = edges.select("lo", "hi").localCheckpoint(eager=True)
+    e = edges.select("lo", "hi").transform(eager_checkpoint)
     for _ in range(max_iters):
         deg = (
             e.select(F.col("lo").alias("node"))
@@ -355,7 +355,7 @@ def k_core(edges: DataFrame, k: int = KCORE_K, max_iters: int = 20) -> DataFrame
             e.join(keep.withColumnRenamed("node", "lo"), "lo", "left_semi")
             .join(keep.withColumnRenamed("node", "hi"), "hi", "left_semi")
             .select("lo", "hi")
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
         if e2.count() == e.count():
             e = e2
@@ -606,7 +606,7 @@ def label_propagation(
     sym = (
         edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     seeds = sym.select(F.col("src").alias("node"))
     if nodes is not None:
@@ -614,7 +614,7 @@ def label_propagation(
     labels = (
         seeds.distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .transform(eager_checkpoint)
     )
     prev = prev2 = None
     terminal = False
@@ -630,7 +630,7 @@ def label_propagation(
                 # labels around without being a fixpoint or 2-cycle
                 F.sum(F.xxhash64("node", "label").cast("decimal(38,0)")).alias("s"),
             )
-            .localCheckpoint(eager=True)
+            .transform(eager_checkpoint)
         )
         cur = obs.get["s"]
         if cur == prev or cur == prev2:
@@ -1147,7 +1147,7 @@ def ppr_graph(spark: SparkSession, sf_dir: str):
     pn = edges.withColumn(
         "p", F.col("w") / F.sum("w").over(Window.partitionBy("src"))
     ).select("src", "dst", "p")
-    pn = pn.localCheckpoint(eager=True)
+    pn = pn.transform(eager_checkpoint)
     seed = pn.agg(F.min("src")).collect()[0][0]  # bounded scalar
     return pn, seed
 
@@ -1217,7 +1217,7 @@ def ppr_converged_vector(
     resid = None
     converged = False
     for k in range(1, PPR_MAX_ROUNDS + 1):
-        nxt = ppr_step(spark, pn, seed, r).localCheckpoint(eager=True)
+        nxt = ppr_step(spark, pn, seed, r).transform(eager_checkpoint)
         if k in PPR_CHECK_ROUNDS:
             resid = (
                 nxt.join(r.withColumnRenamed("v", "pv"), "node", "full")

@@ -70,6 +70,27 @@ def get_spark(
     return spark
 
 
+def eager_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Materialize ``df`` and truncate its lineage — the one call every
+    iterative path (graph rounds, datalog fixpoints, pull levels,
+    streaming keeper tables) uses between rounds.
+
+    Dispatch is conf-gated for cluster survivability: when the
+    application has a checkpoint directory configured
+    (``SparkContext.setCheckpointDir`` / ``spark.checkpoint.dir``), use
+    a RELIABLE ``checkpoint()`` — local checkpoints live in executor
+    block storage, so an executor loss mid-iteration would kill the job
+    (the truncated lineage leaves nothing to recompute from), which is
+    exactly the failure a 100 TB run must survive. Locally (no
+    checkpoint dir — the default), ``localCheckpoint()`` remains the
+    cheapest lineage cut and loss-of-executor does not exist in
+    local[n]. The returned rows are identical either way; only the
+    storage/recovery contract changes (SCALE.md records it)."""
+    if df.sparkSession.sparkContext.getCheckpointDir() is not None:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def local_df(spark: SparkSession, rows, schema, max_local: int = 256) -> DataFrame:
     """Small local dimension/result frame as a pure-JVM literal relation.
 

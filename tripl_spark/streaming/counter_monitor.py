@@ -66,6 +66,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from tripl_spark.session import eager_checkpoint
 
 _FULL_MARKER = "_FULL"
 _CHANGELOG_MARKER = "_CHANGELOG"
@@ -176,7 +177,7 @@ class CounterMonitor:
         )
 
     def _load_snapshot(self, batch_id: int) -> DataFrame:
-        return self._read_partition(batch_id).localCheckpoint(eager=True)
+        return self._read_partition(batch_id).transform(eager_checkpoint)
 
     def _full_marker_path(self, batch_id: int) -> str:
         return os.path.join(
@@ -232,7 +233,7 @@ class CounterMonitor:
             state = delta if state is None else self._merge(state, delta)
         self._since_full = len(pending)
         self._delta_rows_since_full = rows
-        return state.localCheckpoint(eager=True)
+        return state.transform(eager_checkpoint)
 
     def process(self, batch: DataFrame, batch_id: int) -> None:
         if batch_id in self._seen:  # replay: idempotent skip
@@ -255,12 +256,12 @@ class CounterMonitor:
         if self._changelog and self.sink_path is not None:
             # changelog sink: the delta is both the sink record and a
             # merge input — materialize once, reuse for both
-            delta = delta.localCheckpoint(eager=True)
+            delta = delta.transform(eager_checkpoint)
         if self.state is None:
             merged = delta
         else:
             merged = self._merge(self.state, delta)
-        new_state = merged.localCheckpoint(eager=True)
+        new_state = merged.transform(eager_checkpoint)
         if self.sink_path is not None:
             part = f"{self.sink_path}/batch_id={batch_id}"
             if self._changelog:

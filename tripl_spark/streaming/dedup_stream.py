@@ -40,6 +40,7 @@ from tripl_spark.operators.dedup import (
     match_against_index,
     shingle_sets,
 )
+from tripl_spark.session import eager_checkpoint
 
 
 class StreamingDedup:
@@ -64,13 +65,11 @@ class StreamingDedup:
         # bucketed tables; localCheckpoint is the local stand-in. One
         # shingle pass feeds both frames — the band index derives from
         # the CHECKPOINTED sets (minhash_index would re-shingle).
-        self.corpus_sets = shingle_sets(corpus, id_col, hash_mode).localCheckpoint(
-            eager=True
-        )
+        self.corpus_sets = shingle_sets(corpus, id_col, hash_mode).transform(eager_checkpoint)
         self.corpus_bands = _band_frame(
             _signatures_from_sets(self.corpus_sets, id_col), id_col,
             hash_bands=hash_mode != "md5",
-        ).localCheckpoint(eager=True)
+        ).transform(eager_checkpoint)
         self.matches: DataFrame | None = None
         # sink-backed mode recovers processed batch ids from the sink's
         # COMMITTED batch_id=N partitions. "Committed" means carrying
@@ -114,7 +113,7 @@ class StreamingDedup:
             return
         merged = found if self.matches is None else self.matches.unionByName(found)
         # cut lineage so N batches don't stack N plans
-        self.matches = merged.localCheckpoint(eager=True)
+        self.matches = merged.transform(eager_checkpoint)
         self._seen.add(batch_id)
 
     def _empty_matches(self) -> DataFrame:

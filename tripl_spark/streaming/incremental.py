@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from tripl_spark.session import eager_checkpoint
 
 HOURLY_KEYS = ("hour", "event_type")
 
@@ -75,7 +76,7 @@ class IncrementalRollup:
         self._seen.add(batch_id)
         merged = merge_partials(self.layer, hourly_partials(batch))
         # cut lineage so N batches don't stack N plans
-        self.layer = merged.localCheckpoint(eager=True)
+        self.layer = merged.transform(eager_checkpoint)
 
     def daily(self) -> DataFrame:
         """The serving view: re-aggregate hourly partials to days

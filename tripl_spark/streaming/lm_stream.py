@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tripl_spark.operators.text import BIGRAM_ALPHA
+from tripl_spark.session import eager_checkpoint
 
 
 class StreamingBigramLM:
@@ -79,8 +80,8 @@ class StreamingBigramLM:
             )
         # vocabulary-sized state, checkpointed so N batches don't stack
         # N plans
-        self.c1 = d1.localCheckpoint(eager=True)
-        self.c2 = d2.localCheckpoint(eager=True)
+        self.c1 = d1.transform(eager_checkpoint)
+        self.c2 = d2.transform(eager_checkpoint)
         # seen only AFTER the merged state commits (replay-safe)
         self._seen.add(batch_id)
 

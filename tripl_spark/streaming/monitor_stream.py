@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tripl_spark.queries.analytics2 import MAD_K, MAD_THRESHOLD, robust_z
+from tripl_spark.session import eager_checkpoint
 
 __all__ = ["MAD_K", "MAD_THRESHOLD", "StreamingAnomalyMonitor", "daily_partials"]
 
@@ -67,7 +68,7 @@ class StreamingAnomalyMonitor:
             if committed:
                 self.state = self.spark.read.schema(self._STATE_SCHEMA).parquet(
                     f"{sink_path}/batch_id={max(committed)}"
-                ).localCheckpoint(eager=True)
+                ).transform(eager_checkpoint)
 
     def process(self, batch: DataFrame, batch_id: int) -> None:
         if batch_id in self._seen:  # replay: idempotent skip
@@ -101,7 +102,7 @@ class StreamingAnomalyMonitor:
         )
         # bounded state (years x |types| day rows); checkpoint so N
         # batches don't stack N plans
-        new_state = merged.localCheckpoint(eager=True)
+        new_state = merged.transform(eager_checkpoint)
         if self.sink_path is not None:
             new_state.write.mode("overwrite").parquet(
                 f"{self.sink_path}/batch_id={batch_id}"

@@ -39,6 +39,7 @@ from tripl_spark.operators.clustering import (
     semantic_match_new,
 )
 from tripl_spark.streaming.sinks import committed_batches
+from tripl_spark.session import eager_checkpoint
 
 _MATCH_SCHEMA = "new_id bigint, corpus_id bigint, cid bigint, cosine double"
 
@@ -62,7 +63,7 @@ class StreamingSemanticDedup:
         # literal path, no per-batch broadcast) + checkpointed index
         # (at scale: a bucketed-by-cid table, see SCALE.md)
         self.cent = kmeans_2iter_centroid_rows(corpus_emb)
-        self.index = semantic_index(corpus_emb, self.cent).localCheckpoint(eager=True)
+        self.index = semantic_index(corpus_emb, self.cent).transform(eager_checkpoint)
         self.matches: DataFrame | None = None
         self._seen: set[int] = committed_batches(sink_path) if sink_path else set()
 
@@ -82,7 +83,7 @@ class StreamingSemanticDedup:
             return
         merged = found if self.matches is None else self.matches.unionByName(found)
         # cut lineage so N batches don't stack N plans
-        self.matches = merged.localCheckpoint(eager=True)
+        self.matches = merged.transform(eager_checkpoint)
         # the batch counts as seen only AFTER its results are merged and
         # checkpointed — a failure above leaves it eligible for the
         # engine's replay (same invariant as StreamingDedup.process)

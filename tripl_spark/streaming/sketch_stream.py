@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tripl_spark.operators.sketches import countmin_table, hll_registers
+from tripl_spark.session import eager_checkpoint
 
 
 def _tokens(batch: DataFrame, col: str) -> DataFrame:
@@ -78,10 +79,10 @@ class StreamingSketches:
                 last = f"{sink_path}/batch_id={max(committed)}"
                 self.cm = self.spark.read.schema(self._CM_SCHEMA).parquet(
                     f"{last}/cm"
-                ).localCheckpoint(eager=True)
+                ).transform(eager_checkpoint)
                 self.hll = self.spark.read.schema(self._HLL_SCHEMA).parquet(
                     f"{last}/hll"
-                ).localCheckpoint(eager=True)
+                ).transform(eager_checkpoint)
 
     def process(self, batch: DataFrame, batch_id: int) -> None:
         if batch_id in self._seen:  # replay: idempotent skip
@@ -118,8 +119,8 @@ class StreamingSketches:
             )
         # cut lineage so N batches don't stack N plans; state is at most
         # d*w + m rows, so the checkpoint is trivially cheap
-        cm = cm.localCheckpoint(eager=True)
-        hll = hll.localCheckpoint(eager=True)
+        cm = cm.transform(eager_checkpoint)
+        hll = hll.transform(eager_checkpoint)
         if self.sink_path is not None:
             # snapshot both sketches into this batch's partition BEFORE
             # marking seen; a partition only counts as committed once
@@ -185,7 +186,7 @@ class StreamingHeavyHitters:
             if committed:
                 self.state = self.spark.read.schema(self._STATE_SCHEMA).parquet(
                     f"{sink_path}/batch_id={max(committed)}"
-                ).localCheckpoint(eager=True)
+                ).transform(eager_checkpoint)
 
     def _sharded_tokens(self, batch: DataFrame) -> DataFrame:
         from tripl_spark.operators.sketches import _shard_of
@@ -234,7 +235,7 @@ class StreamingHeavyHitters:
         )
         # bounded state: shards × state_k rows, checkpointed so N
         # batches don't stack N plans
-        new_state = self._truncate(merged).localCheckpoint(eager=True)
+        new_state = self._truncate(merged).transform(eager_checkpoint)
         if self.sink_path is not None:
             # snapshot the post-merge state into this batch's partition
             # BEFORE marking seen: a crash mid-write leaves the
