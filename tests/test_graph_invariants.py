@@ -78,6 +78,7 @@ def test_lpa_converged_agrees_with_earliest_terminal_prefix(
     # phase of that terminal orbit for the whole component — l_k or
     # l_{k+1} exactly, never a mix of phases
     from tripl_spark.plans.graph import connected_components
+    from tripl_spark.session import eager_checkpoint
 
     nodes, sym, state = lpa_state
     comp = {
@@ -90,7 +91,10 @@ def test_lpa_converged_agrees_with_earliest_terminal_prefix(
     labels = nodes.select("node", F.col("node").alias("label"))
     hist = [{r.node: r.label for r in labels.collect()}]
     for _k in range(1, 9):
-        labels = lpa_round(sym, labels)
+        # cut lineage between rounds: without the checkpoint, round k's
+        # collect replays rounds 1..k-1 (quadratic re-execution — this
+        # single test was 65 s of the suite); rows are identical
+        labels = eager_checkpoint(lpa_round(sym, labels))
         hist.append({r.node: r.label for r in labels.collect()})
     by_comp: dict = {}
     for n, c in comp.items():

@@ -48,6 +48,39 @@ def test_eager_checkpoint_dispatches_to_reliable(spark, monkeypatch, tmp_path):
     assert calls == ["reliable", "local"]
 
 
+def test_fused_codebook_matches_two_job_build(spark):
+    """The r16 one-job codebook build (in-plan broadcast seed array,
+    map-only transform/array_min assignment) must reproduce the r15
+    two-job composition (k-row seed collect + literal-rendered
+    assignment) bit-for-bit on the real embeddings."""
+    from tripl_spark.operators.clustering import (
+        EMB_DIM,
+        K2,
+        _assign_literal,
+        kmeans_2iter_centroid_rows,
+    )
+    from tripl_spark.session import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # verbatim old composition
+    seeds = sorted(
+        (int(r["vec_id"]), list(r["v"]))
+        for r in emb.filter(F.col("vec_id") < K2).select("vec_id", "v").collect()
+    )
+    a1 = _assign_literal(emb, seeds)
+    c1 = a1.groupBy("cid").agg(
+        F.expr(
+            "array("
+            + ", ".join(f"round(avg(v[{i}]), 6)" for i in range(EMB_DIM))
+            + ") AS cv"
+        )
+    )
+    old = sorted((int(r["cid"]), list(r["cv"])) for r in c1.collect())
+    assert kmeans_2iter_centroid_rows(emb) == old
+
+
 def test_eager_checkpoint_reliable_end_to_end(spark, tmp_path):
     """Real reliable checkpoint: set a checkpoint dir, run an iterative
     consumer (graph reachability — one of the swept call sites), check

@@ -59,10 +59,14 @@ def test_no_oracle_emits_negative_zero(sf_small):
     normalization sweep): one DuckDB pass per oracle at the suite SF.
     A hit here means a round() site with a negative-capable argument
     is missing its normalization — add `+ 0.0` on BOTH sides."""
-    bad = {}
-    for name in ORACLED:
-        df = run_oracle(REGISTRY[name].oracle, sf_small)
-        hits = _has_negative_zero(df)
-        if hits:
-            bad[name] = hits
+    from concurrent.futures import ThreadPoolExecutor
+
+    def check(name: str) -> tuple[str, list[str]]:
+        # each worker opens its own DuckDB connection (run_oracle does);
+        # DuckDB releases the GIL, so the 226 independent oracle runs
+        # parallelize — same sweep, same assertion, ~6x less wall
+        return name, _has_negative_zero(run_oracle(REGISTRY[name].oracle, sf_small))
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        bad = {name: hits for name, hits in pool.map(check, ORACLED) if hits}
     assert not bad, f"oracles emitting -0.0: {bad}"

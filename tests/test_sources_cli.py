@@ -2,15 +2,50 @@
 
 from __future__ import annotations
 
+import contextlib
+import io
 import json
 import subprocess
 import sys
+from dataclasses import dataclass
 
 from tripl_spark import TripleStore
 from tripl_spark.functions.namespaces import some
 from tripl_spark.sources.csv_attrmap import csv_docs_df, load_csv
 
 TOY_CSV = "/root/reference/tripl/data/toy.csv"
+
+
+@dataclass
+class _CliResult:
+    returncode: int
+    stdout: str
+    stderr: str
+
+
+def _cli(argv: list[str]) -> _CliResult:
+    """Run the CLI in-process (``tripl_spark.cli.main(argv)`` — the same
+    entry ``python -m tripl_spark.cli`` dispatches to, minus the
+    ~15 s-per-invocation JVM/SparkSession boot a subprocess pays; the
+    CLI's ``get_spark`` getOrCreate picks up the suite session).
+    ``test_cli_map_ingest_end_to_end`` stays a REAL subprocess so one
+    test still proves the process-level entry point end to end."""
+    from tripl_spark.cli import main
+
+    out, err = io.StringIO(), io.StringIO()
+    try:
+        with contextlib.redirect_stdout(out), contextlib.redirect_stderr(err):
+            rc = main(argv)
+    except SystemExit as exc:  # argparse errors / explicit exits
+        if isinstance(exc.code, int):
+            rc = exc.code
+        else:
+            # process-level python prints a non-int SystemExit payload
+            # to stderr and exits 1 — reproduce that contract
+            if exc.code is not None:
+                err.write(str(exc.code) + "\n")
+            rc = 1
+    return _CliResult(int(rc or 0), out.getvalue(), err.getvalue())
 
 ATTR_MAP = {
     "seq:id": "id",
@@ -73,20 +108,14 @@ def test_cli_join_and_pull(tmp_path):
     merged = tmp_path / "merged.json"
     out = tmp_path / "out.json"
 
-    r = subprocess.run(
-        [sys.executable, "-m", "tripl_spark.cli", "join", "-i", str(f1), "-o", str(merged),
-         "--id-attrs", "x:id"],
-        capture_output=True, text=True, cwd="/root/repo",
-    )
+    r = _cli(["join", "-i", str(f1), "-o", str(merged),
+         "--id-attrs", "x:id"])
     assert r.returncode == 0, r.stderr[-2000:]
     dumped = json.loads(merged.read_text())
     assert any("x:name" in avs for avs in dumped.values())
 
-    r = subprocess.run(
-        [sys.executable, "-m", "tripl_spark.cli", "pull", "-i", str(merged), "-o", str(out),
-         "-p", '["x:name"]', "-e", '{"x:type": "x.type:thing"}'],
-        capture_output=True, text=True, cwd="/root/repo",
-    )
+    r = _cli(["pull", "-i", str(merged), "-o", str(out),
+         "-p", '["x:name"]', "-e", '{"x:type": "x.type:thing"}'])
     assert r.returncode == 0, r.stderr[-2000:]
     results = json.loads(out.read_text())
     names = sorted(d["x:name"][0] for d in results)
@@ -226,11 +255,8 @@ def test_cli_datalog_q(tmp_path):
         "where": [["?e", "x:type", "x.type:thing"], ["?e", "x:name", "?name"]],
         "sort": "?name",
     })
-    r = subprocess.run(
-        [sys.executable, "-m", "tripl_spark.cli", "q", "-i", str(f1),
-         "-o", str(out), "-q", query, "--id-attrs", "x:id"],
-        capture_output=True, text=True, cwd="/root/repo",
-    )
+    r = _cli(["q", "-i", str(f1),
+         "-o", str(out), "-q", query, "--id-attrs", "x:id"])
     assert r.returncode == 0, r.stderr[-2000:]
     assert json.loads(out.read_text()) == [["Alpha"], ["Beta"]]
 
@@ -287,10 +313,7 @@ def test_cli_readme_walkthrough_end_to_end(tmp_path):
     id_attrs = ["cft.subject:id", "cft.timepoint:id", "cft.seq:id"]
 
     def run(*args):
-        r = subprocess.run(
-            [sys.executable, "-m", "tripl_spark.cli", *args],
-            capture_output=True, text=True, cwd="/root/repo",
-        )
+        r = _cli([*args])
         assert r.returncode == 0, r.stderr[-2000:]
         return r
 
@@ -366,11 +389,8 @@ def test_cli_datalog_extensions_end_to_end(tmp_path):
 
     def run_q(query):
         out = tmp_path / "q.json"
-        r = subprocess.run(
-            [sys.executable, "-m", "tripl_spark.cli", "q", "-i", str(f1),
-             "-o", str(out), "-q", json.dumps(query), "--id-attrs", "x:id"],
-            capture_output=True, text=True, cwd="/root/repo",
-        )
+        r = _cli(["q", "-i", str(f1),
+             "-o", str(out), "-q", json.dumps(query), "--id-attrs", "x:id"])
         assert r.returncode == 0, r.stderr[-2000:]
         return json.loads(out.read_text())
 
@@ -402,11 +422,8 @@ def test_cli_datalog_with_and_not_in_or(tmp_path):
 
     def run_q(query):
         out = tmp_path / "q.json"
-        r = subprocess.run(
-            [sys.executable, "-m", "tripl_spark.cli", "q", "-i", str(f1),
-             "-o", str(out), "-q", json.dumps(query), "--id-attrs", "x:id"],
-            capture_output=True, text=True, cwd="/root/repo",
-        )
+        r = _cli(["q", "-i", str(f1),
+             "-o", str(out), "-q", json.dumps(query), "--id-attrs", "x:id"])
         assert r.returncode == 0, r.stderr[-2000:]
         return json.loads(out.read_text())
 
@@ -447,11 +464,8 @@ def test_cli_datalog_rules_and_aggregate(tmp_path):
         "where": [["?x", "anc", "?c"], ["?c", "x:id", "c"], ["?x", "x:id", "?id"]],
         "sort": "?id",
     })
-    r = subprocess.run(
-        [sys.executable, "-m", "tripl_spark.cli", "q", "-i", str(f1),
-         "-o", str(out), "-q", query, "-r", rules, "--id-attrs", "x:id"],
-        capture_output=True, text=True, cwd="/root/repo",
-    )
+    r = _cli(["q", "-i", str(f1),
+         "-o", str(out), "-q", query, "-r", rules, "--id-attrs", "x:id"])
     assert r.returncode == 0, r.stderr[-2000:]
     assert json.loads(out.read_text()) == [["a"], ["b"]]
     # aggregate OVER the derived relation: ancestor count per id
@@ -461,11 +475,8 @@ def test_cli_datalog_rules_and_aggregate(tmp_path):
         "where": [["?x", "anc", "?y"], ["?x", "x:id", "?id"]],
         "sort": "?id",
     })
-    r2 = subprocess.run(
-        [sys.executable, "-m", "tripl_spark.cli", "q", "-i", str(f1),
-         "-o", str(out2), "-q", query2, "-r", rules, "--id-attrs", "x:id"],
-        capture_output=True, text=True, cwd="/root/repo",
-    )
+    r2 = _cli(["q", "-i", str(f1),
+         "-o", str(out2), "-q", query2, "-r", rules, "--id-attrs", "x:id"])
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert json.loads(out2.read_text()) == [["a", 2], ["b", 1]]
 
@@ -473,11 +484,8 @@ def test_cli_datalog_rules_and_aggregate(tmp_path):
 def test_cli_maintain_without_action_errors(tmp_path):
     """A flag-less `maintain` run must NOT exit 0 — in cron/CI that
     reads as a successful maintenance run that never happened."""
-    r = subprocess.run(
-        [sys.executable, "-m", "tripl_spark.cli", "maintain",
-         "--path", str(tmp_path)],
-        capture_output=True, text=True, cwd="/root/repo",
-    )
+    r = _cli(["maintain",
+         "--path", str(tmp_path)])
     assert r.returncode == 2
     assert "no action" in r.stderr
 
@@ -503,11 +511,8 @@ def test_cli_maintain_end_to_end(tmp_path, spark, sf_small):
     facts.repartitionByRange(3, "t").write.partitionBy("a").parquet(dump)
 
     def run(*flags):
-        return subprocess.run(
-            [sys.executable, "-m", "tripl_spark.cli", "maintain",
-             "--path", dump, *flags],
-            capture_output=True, text=True, cwd="/root/repo",
-        )
+        return _cli(["maintain",
+             "--path", dump, *flags])
 
     r = run("--build-index", "--verify-index")
     assert r.returncode == 0, r.stderr[-2000:]
@@ -555,11 +560,8 @@ def test_cli_pull_distributed_jsonl_sink(tmp_path):
     f1 = tmp_path / "in.json"
     f1.write_text(json.dumps(docs))
     merged = tmp_path / "merged.json"
-    r = subprocess.run(
-        [sys.executable, "-m", "tripl_spark.cli", "join", "-i", str(f1),
-         "-o", str(merged), "--id-attrs", "x:id"],
-        capture_output=True, text=True, cwd="/root/repo",
-    )
+    r = _cli(["join", "-i", str(f1),
+         "-o", str(merged), "--id-attrs", "x:id"])
     assert r.returncode == 0, r.stderr[-2000:]
 
     outdir = tmp_path / "out.jsonl"
@@ -567,11 +569,8 @@ def test_cli_pull_distributed_jsonl_sink(tmp_path):
     expr = '["x:name", {"x:kid": ["x:id"]}]'
     pattern = '{"x:type": "x.type:thing"}'
     for extra, dest in ((["--distributed"], str(outdir)), ([], str(plain))):
-        r = subprocess.run(
-            [sys.executable, "-m", "tripl_spark.cli", "pull", "-i", str(merged),
-             "-o", dest, "-p", expr, "-e", pattern] + extra,
-            capture_output=True, text=True, cwd="/root/repo",
-        )
+        r = _cli(["pull", "-i", str(merged),
+                  "-o", dest, "-p", expr, "-e", pattern] + extra)
         assert r.returncode == 0, r.stderr[-2000:]
         # r15: no recursion caveat exists any more — nothing warns on
         # either branch for any expression shape
@@ -582,12 +581,9 @@ def test_cli_pull_distributed_jsonl_sink(tmp_path):
     key = lambda d: str(d.get("x:name"))
     assert sorted(lines, key=key) == sorted(json.loads(plain.read_text()), key=key)
     # --distributed and --drop-namespaces are mutually exclusive (loud)
-    r = subprocess.run(
-        [sys.executable, "-m", "tripl_spark.cli", "pull", "-i", str(merged),
-         "-o", str(tmp_path / "x"), "-p", expr, "-e", pattern,
-         "--distributed", "-N"],
-        capture_output=True, text=True, cwd="/root/repo",
-    )
+    r = _cli(["pull", "-i", str(merged),
+              "-o", str(tmp_path / "x"), "-p", expr, "-e", pattern,
+              "--distributed", "-N"])
     assert r.returncode != 0 and "drop-namespaces" in r.stderr
     # a '...' recursive expression under --distributed now runs the
     # driver-loop-exact path-keyed assembly (r15) — the r14 bounded
@@ -597,11 +593,8 @@ def test_cli_pull_distributed_jsonl_sink(tmp_path):
     rec_plain = tmp_path / "rec_plain.json"
     rec_expr = '["x:name", {"x:kid": "..."}]'
     for extra, dest in ((["--distributed"], str(rec_out)), ([], str(rec_plain))):
-        r = subprocess.run(
-            [sys.executable, "-m", "tripl_spark.cli", "pull", "-i", str(merged),
-             "-o", dest, "-p", rec_expr, "-e", pattern] + extra,
-            capture_output=True, text=True, cwd="/root/repo",
-        )
+        r = _cli(["pull", "-i", str(merged),
+                  "-o", dest, "-p", rec_expr, "-e", pattern] + extra)
         assert r.returncode == 0, r.stderr[-2000:]
         assert "bounded unroll" not in r.stderr
         assert "tripl: warning" not in r.stderr

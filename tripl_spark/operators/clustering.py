@@ -242,23 +242,36 @@ def kmeans_2iter_centroid_rows(emb: DataFrame) -> CentroidRows:
     on the DRIVER (k×d doubles — the textbook k-means round trip; the
     module docstring's 'only global state, and tiny').
 
-    Two bounded jobs: a k-row seed collect (pushed ``vec_id < k``
-    filter), then the literal-assigned iteration-1 update — a map-only
-    assignment into ONE k-group aggregate — collected as k rows. The
-    old shape paid a broadcast Exchange plus a full-corpus
-    ``groupBy(vec_id)`` shuffle for the same training pass."""
-    seeds = sorted(
-        (int(r["vec_id"]), list(r["v"]))
-        for r in emb.filter(F.col("vec_id") < K2).select("vec_id", "v").collect()
+    ONE bounded job (r16; was two): the seeds enter the update plan as
+    an in-plan broadcast 1-row array (``collect_list`` over the pushed
+    ``vec_id < k`` filter — the same pruned scan the old separate
+    k-row seed collect paid, now overlapped as a broadcast build), and
+    assignment stays MAP-ONLY: per row, ``array_min`` over
+    ``transform(cents, ...)`` scores the k seed structs with the
+    identical zip_with/aggregate fold, 4-dp rounding and (d2, cid)
+    tie-break the literal path uses — zero corpus Exchange, exactly as
+    before (a join+min_by fusion was REJECTED: it would add a
+    full-corpus vec_id shuffle the literal path never pays). Per-dim
+    means are 6-dp-rounded in one ``F.expr`` parse (the r15 single-
+    parse fix). Bit-exact vs the old seed-collect + literal-assign
+    composition on the real embeddings at sf0.001/0.01/0.1
+    (tests/test_r16_opt.py::test_fused_codebook_matches_two_job_build)."""
+    seeds_arr = (
+        emb.filter(F.col("vec_id") < K2)
+        .select(F.col("vec_id").cast("long").alias("cid"), F.col("v").alias("cv"))
+        .agg(F.sort_array(F.collect_list(F.struct("cid", "cv"))).alias("cents"))
     )
-    a1 = _assign_literal(emb, seeds)
-    # one F.expr parse for the whole update step: the per-dimension
-    # columnwise builder (64 avg columns + a 64-col array re-assembly)
-    # issued ~500 py4j round trips ≈ 0.6 s of driver latency per
-    # codebook build (cProfile: the line-257 listcomp alone was 0.59 s
-    # of pipeline_full_curation's construction) — same rounded per-dim
-    # means, same array assembly, one parse (the session.local_df /
-    # melt / probe-vector rendering fix applied to the aggregate)
+    a1 = emb.crossJoin(F.broadcast(seeds_arr)).select(
+        "v",
+        F.array_min(
+            F.expr(
+                "transform(cents, c -> named_struct("
+                "'d2', round(aggregate(zip_with(v, c.cv, (p, q) -> (p - q) * (p - q)), "
+                "CAST(0.0 AS DOUBLE), (s, z) -> s + z), 4), "
+                "'cid', c.cid))"
+            )
+        )["cid"].alias("cid"),
+    )
     c1 = a1.groupBy("cid").agg(
         F.expr(
             "array("

@@ -41,7 +41,7 @@ from __future__ import annotations
 import json
 from typing import Any
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from tripl_spark.core.schema import SchemaRegistry
@@ -180,9 +180,16 @@ def pull_json_paths_df(
         F.lit(False).alias("pruned"),
         F.array(F.col("e")).alias("path"),
     ).dropDuplicates(["key"])
-    levels: list[DataFrame] = [lvl.transform(eager_checkpoint)]
+    # the level row count rides the checkpoint's own materialization as
+    # an observe() metric (the plans/graph.py pattern) — one job per
+    # level instead of checkpoint + count, and at scale the count no
+    # longer re-reads the checkpointed blocks
+    obs0 = Observation("pull_level_0")
+    levels: list[DataFrame] = [
+        lvl.observe(obs0, F.count(F.lit(1)).alias("n")).transform(eager_checkpoint)
+    ]
     level_pos: list[set[int]] = [{tree.pos}]
-    total_rows = levels[0].count()
+    total_rows = int(obs0.get["n"])
     fetched: DataFrame | None = None
     fetched_nodes = 0
     depth = 0
@@ -259,10 +266,11 @@ def pull_json_paths_df(
             )
         else:
             nxt = nxt.withColumn("pruned", F.lit(False))
+        obs = Observation(f"pull_level_{depth + 1}")
         nxt = nxt.select(
             "key", "parent_key", "slot", "node", "pos", "revisit", "pruned", "path"
-        ).transform(eager_checkpoint)
-        n = nxt.count()
+        ).observe(obs, F.count(F.lit(1)).alias("n")).transform(eager_checkpoint)
+        n = int(obs.get["n"])
         if n == 0:
             break
         total_rows += n
@@ -401,7 +409,7 @@ def _driver_fetch_set(
     ).dropDuplicates()
     seen = frontier.transform(eager_checkpoint)
     frontier = seen
-    for _ in range(max_depth):
+    for _r in range(max_depth):
         parts: list[DataFrame] = []
         for pid in sorted(pos_by_id):
             p = pos_by_id[pid]
@@ -430,9 +438,10 @@ def _driver_fetch_set(
                 (F.col("pos") == F.col("__sp")) & (F.col("node") == F.col("__sn")),
                 "left_anti",
             )
+            .observe(fobs := Observation(f"pull_fetch_{_r}"), F.count(F.lit(1)).alias("n"))
             .transform(eager_checkpoint)
         )
-        if nxt.isEmpty():
+        if int(fobs.get["n"]) == 0:
             break
         seen = seen.unionByName(nxt).transform(eager_checkpoint)
         frontier = nxt
