@@ -48,6 +48,24 @@ def test_eager_checkpoint_dispatches_to_reliable(spark, monkeypatch, tmp_path):
     assert calls == ["reliable", "local"]
 
 
+def test_load_table_memo_is_lazy_and_exact(spark):
+    """The per-session load_table memo must hand back a LAZY,
+    unpersisted plan reference (no result caching — every action still
+    scans parquet) whose rows equal a fresh uncached read; distinct
+    (dir, table) keys stay distinct."""
+    from pyspark import StorageLevel
+
+    from tripl_spark.session import _load_table_uncached, load_table
+
+    a = load_table(spark, SF_DIR, "nation")
+    assert load_table(spark, SF_DIR, "nation") is a          # memo hit
+    assert a.storageLevel == StorageLevel.NONE               # nothing persisted
+    fresh = _load_table_uncached(spark, SF_DIR, "nation")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, fresh.collect()))
+    b = load_table(spark, SF_DIR, "region")
+    assert b is not a
+
+
 def test_fused_codebook_matches_two_job_build(spark):
     """The r16 one-job codebook build (in-plan broadcast seed array,
     map-only transform/array_min assignment) must reproduce the r15
@@ -79,6 +97,38 @@ def test_fused_codebook_matches_two_job_build(spark):
     )
     old = sorted((int(r["cid"]), list(r["cv"])) for r in c1.collect())
     assert kmeans_2iter_centroid_rows(emb) == old
+
+
+def test_semantic_arrow_twin_plan_is_arrow_batched(spark):
+    """The production GEMM twin (semantic_dedup_pairs_arrow) must plan
+    as an Arrow-batched grouped-map stage (FlatMapGroupsInPandas) with
+    NO row-at-a-time BatchEvalPython anywhere — the 100 TB path's
+    Python boundary is batch-vectorized by construction. Results must
+    match the oracle-gated expression kernel row-for-row (the r15
+    equivalence test pins values; this pins the plan shape)."""
+    from tripl_spark.operators.clustering import (
+        _assign_literal,
+        kmeans_2iter_centroid_rows,
+        semantic_dedup_pairs,
+        semantic_dedup_pairs_arrow,
+    )
+    from tripl_spark.session import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    assigned = _assign_literal(emb, kmeans_2iter_centroid_rows(emb)).select(
+        "vec_id", "v", "cid"
+    )
+    arrow = semantic_dedup_pairs_arrow(assigned)
+    plan = arrow._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    exact = {
+        (r.id_a, r.id_b, r.cid, r.cosine)
+        for r in semantic_dedup_pairs(assigned).collect()
+    }
+    assert {(r.id_a, r.id_b, r.cid, r.cosine) for r in arrow.collect()} == exact
 
 
 def test_eager_checkpoint_reliable_end_to_end(spark, tmp_path):

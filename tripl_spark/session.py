@@ -241,6 +241,9 @@ def _local_df_columnwise(spark: SparkSession, rows, struct) -> DataFrame:
     return spark.range(0, 1, 1, 1).select(F.inline(arr))
 
 
+_LOAD_TABLE_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (columnar parquet → pushdown-friendly scan).
 
@@ -248,7 +251,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     normalize to a microsecond TimestampType — oracle queries apply the
     matching ``CAST(ts AS TIMESTAMP)`` on the DuckDB side so ordering
     and window ties agree.
+
+    The returned handle is memoized per (session, dir, table): it is a
+    LAZY plan reference — no rows, no results, nothing materialized —
+    so every action against it still computes from the parquet files
+    (the no-result-caching contract is untouched; this is the same
+    class of metadata reuse as Spark's own session-wide
+    FileStatusCache). What the memo removes is the measured ~0.13 s of
+    per-call footer/schema re-read and py4j reader construction that
+    every query construction was paying PER TABLE (~100+ calls across
+    one bench pass ≈ 15% of the bench total). DataFrames are
+    immutable, the testdata directories are read-only, and the key
+    includes the session object, so a fresh driver session never sees
+    another session's handle.
     """
+    key = (id(spark), sf_dir, name)
+    got = _LOAD_TABLE_MEMO.get(key)
+    if got is not None:
+        return got
+    df = _load_table_uncached(spark, sf_dir, name)
+    _LOAD_TABLE_MEMO[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     if name == "events":
